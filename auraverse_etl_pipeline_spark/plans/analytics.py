@@ -1,0 +1,649 @@
+"""Relational analytics layer over the star schema (TPC-H-ish).
+
+The reference implements no relational algebra (SURVEY.md §2.6 — its one
+aggregation is a fragment count, ``etl_parser.py:1077-1080``); this layer
+is the north-star analytics surface: joins (broadcast/shuffle/semi/anti/
+as-of), aggregations (group/rollup/cube/distinct), window functions
+(rank/lag/cumulative), sorts/top-k, set ops, JSON extraction,
+sessionization — all declarative DataFrame ops so Catalyst picks the
+physical plan (broadcast joins for dims, partial aggregation map-side,
+AQE for shuffle sizing).
+
+Scale notes (100 TB mindset), applied throughout:
+- Dimension tables are explicitly ``F.broadcast`` — the fact table never
+  shuffles for a dim join.
+- Aggregations are expressed directly on ``groupBy`` so Spark plans
+  partial (map-side) aggregation; no ``collect`` anywhere.
+- Window functions partition by high-cardinality keys (custkey/user_id),
+  never a global unpartitioned window, except provably tiny inputs.
+- Exact DECIMAL sums: determinism for the oracle AND at-scale sanity
+  (double sums drift with partition count; decimals don't).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
+
+from auraverse_etl_pipeline_spark.plans.registry import query
+from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Exact, order-independent sum of a double column.
+
+    Summing doubles is non-associative: at 60k rows the result differs
+    between engines / partitionings by ~1e-3 absolute. Summing as
+    DECIMAL(38, scale) is exact and deterministic; cast back to DOUBLE
+    for a stable output type.
+
+    Scale choice: source money columns carry exactly 2 decimals, so any
+    product of up to three of them carries ≤6 — at scale 6 the true
+    value sits ON a representable decimal, ≥5e-7 away from a rounding
+    boundary, while the double's representation error is ~1e-11. Both
+    engines therefore round identically. Oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DecimalType(38, scale))).cast("double")
+
+
+def DSUM(expr: str, scale: int = 6) -> str:
+    """SQL-text twin of :func:`dsum` for the DuckDB oracle strings."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-heavy scans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DSUM('l_quantity')} / COUNT(*) AS avg_qty,
+           {DSUM('l_extendedprice')} / COUNT(*) AS avg_price,
+           {DSUM('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: single-pass grouped aggregation over the fact table",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q04_revenue_forecast",
+    oracle=f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: fully-pushed-down filter + global aggregate",
+)
+def q04_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q08_parts_by_brand",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(MIN(p_size) AS BIGINT) AS min_size,
+           CAST(MAX(p_size) AS BIGINT) AS max_size,
+           {DSUM('p_retailprice')} AS sum_retail,
+           COUNT(DISTINCT p_type) AS n_types
+    FROM part
+    GROUP BY p_brand
+    """,
+    description="dimension profiling: min/max/count-distinct per brand",
+)
+def q08_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_size").cast("bigint").alias("min_size"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+        dsum("p_retailprice").alias("sum_retail"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "q14_rollup_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    description="hierarchical subtotals via ROLLUP",
+)
+def q14_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+@query(
+    "q15_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {DSUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="all grouping-set combinations via CUBE",
+)
+def q15_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_region_nation_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    description="TPC-H Q5 shape: 6-table star join; dims broadcast, fact never shuffled for them",
+)
+def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q02_top_revenue_orders",
+    oracle=f"""
+    SELECT o_orderkey, c_name, o_orderdate,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderkey, c_name, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shape: join + grouped revenue + deterministic top-k",
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "c_name", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item revenue per customer, top 20",
+)
+def q05_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q06_priority_with_big_items",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    description="left-semi join (EXISTS) then count by priority",
+)
+def q06_priority_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big_items = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q17_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers_no_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    description="left-anti join (NOT EXISTS) aggregated by segment",
+)
+def q17_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+@query(
+    "q07_acctbal_by_region",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           {DSUM('c_acctbal')} AS sum_acctbal,
+           {DSUM('c_acctbal')} / COUNT(*) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    description="two broadcast dim joins + grouped average",
+)
+def q07_acctbal_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+            (dsum("c_acctbal") / F.count("*")).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q18_large_quantity_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           {DSUM('l_quantity', 2)} AS total_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+    description="TPC-H Q18 shape: grouped HAVING filter + deterministic top-k",
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q13_order_count_histogram",
+    oracle="""
+    SELECT order_count, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY order_count
+    """,
+    description="TPC-H Q13 shape: outer join + two-level aggregation",
+)
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    description="per-group top-k via ROW_NUMBER window (partitioned, never global)",
+)
+def q10_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q11_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    description="cumulative windowed sum per customer (exact decimal accumulation)",
+)
+def q11_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DecimalType(38, 2))).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q19_event_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           date_diff('second', LAG(ts) OVER w, ts) AS secs_since_prev
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="LAG/LEAD navigation over per-user event streams",
+)
+def q19_event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("secs_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_repeat_buyers_setop",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    description="INTERSECT of yearly buyer sets",
+)
+def q16_repeat_buyers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y1996 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y1997 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y1996.intersect(y1997)
+
+
+@query(
+    "q21_churned_buyers_setop",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    description="EXCEPT: buyers active in 1996 but not 1997",
+)
+def q21_churned_buyers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y1996 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y1997 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y1996.subtract(y1997)
+
+
+# ---------------------------------------------------------------------------
+# Time-series / events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_orders_monthly_kpis",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {DSUM('o_totalprice', 2)} AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+    description="calendar bucketing + count-distinct per month",
+)
+def q12_orders_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", 2).alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "q20_hourly_event_windows",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {DSUM('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="tumbling 1h windows (batch twin of the streaming aggregation)",
+)
+def q20_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q23_events_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {DSUM("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS sum_k,
+           {DSUM("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="semi-structured JSON extraction (get_json_object) + aggregate",
+)
+def q23_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum(k, 0).alias("sum_k"),
+        (dsum(k, 0) / F.count("*")).alias("avg_k"),
+    )

@@ -1,0 +1,67 @@
+"""Query registry: every engine capability is exposed as a named query.
+
+Each entry pairs a PySpark DataFrame-API implementation with (where the
+semantics are SQL-expressible) an equivalent ANSI-SQL oracle string that
+DuckDB can run on the same parquet tables. The driver compares the two
+at sf=0.01 (row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- every floating-point aggregate is summed as DECIMAL (exact, order-
+  independent) and cast back to DOUBLE, so the hash cannot be broken by
+  partial-aggregation order;
+- every top-k / limit has a total deterministic ordering (explicit
+  tie-break keys).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Modules that register queries on import.
+_QUERY_MODULES = (
+    "auraverse_etl_pipeline_spark.plans.analytics",
+    "auraverse_etl_pipeline_spark.plans.ingest_queries",
+    "auraverse_etl_pipeline_spark.plans.llm_queries",
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
+    description: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, description: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryDef]:
+    """Import all query modules (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # Tolerate not-yet-built modules during incremental bring-up,
+            # but never mask a broken transitive import.
+            if exc.name != mod:
+                raise
+    return dict(REGISTRY)
