@@ -1,0 +1,141 @@
+"""Registry entries for the document-ETL surface (SURVEY.md §2.1-2.4).
+
+Two kinds of correctness anchors:
+
+1. Corpus-scale plumbing over the driver's ``documents`` table — the
+   synthetic texts are plain prose, so the full detector provably yields
+   exactly one RAW_TEXT fragment per document spanning the whole text;
+   that lets plain SQL state the expected fragments/merged output
+   exactly, proving the Spark fan-out (mapInPandas → explode-shaped
+   rows) end-to-end at any SF.
+
+2. Adversarial fixture documents (the reference's own ``input.txt`` /
+   ``input2.txt``, checked into ``tests/fixtures/``) embedded via
+   ``createDataFrame`` — format counts are golden-pinned as VALUES
+   oracles, so the driver hash-checks real multi-format detection,
+   normalization and schema inference too. (Byte-level span/record
+   parity with the reference lives in pytest: tests/test_ingest.py.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from auraverse_etl_pipeline_spark.ingest.convert import convert_corpus
+from auraverse_etl_pipeline_spark.ingest.pipeline import (
+    detect_fragments,
+    extract_records,
+    infer_schema_fields,
+    summarize_fragments,
+)
+from auraverse_etl_pipeline_spark.plans.registry import query
+from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURE_PATHS = (
+    os.path.join(_REPO_ROOT, "tests", "fixtures", "messy_doc_1.txt"),
+    os.path.join(_REPO_ROOT, "tests", "fixtures", "messy_doc_2.txt"),
+)
+
+
+def fixture_documents(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i, path in enumerate(FIXTURE_PATHS, 1):
+        with open(path, encoding="utf-8") as fh:
+            rows.append((i, fh.read()))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@query(
+    "fragment_summary",
+    oracle="""
+    SELECT 'RAW_TEXT' AS format_type, COUNT(*) AS n_fragments
+    FROM documents
+    """,
+    description="full detector suite over the corpus + A1 summary agg (one shuffle)",
+)
+def fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return summarize_fragments(detect_fragments(docs))
+
+
+@query(
+    "fragment_spans",
+    oracle="""
+    SELECT doc_id, 'RAW_TEXT' AS format_type,
+           CAST(0 AS BIGINT) AS start_index,
+           CAST(length(text) AS BIGINT) AS end_index,
+           CAST(0.35 AS DOUBLE) AS confidence
+    FROM documents
+    """,
+    description="per-document fragment spans are exact at corpus scale",
+)
+def fragment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_fragments(docs).select(
+        "doc_id", "format_type", "start_index", "end_index", "confidence"
+    )
+
+
+@query(
+    "converted_documents",
+    oracle="""
+    SELECT doc_id, concat('{"text": "', text, '"}') AS merged
+    FROM documents
+    """,
+    description="merged-document converter (EP2) over the corpus, shuffle-free",
+)
+def converted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return convert_corpus(docs)
+
+
+@query(
+    "fixture_fragment_summary",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('CSV', CAST(4 AS BIGINT)), ('HTML', 1), ('HTML_TABLE', 2),
+        ('JSON', 4), ('JSON_LD', 1), ('KEY_VALUE', 8),
+        ('MALFORMED_JSON', 2), ('RAW_TEXT', 22), ('SQL', 2),
+        ('YAML_FRONTMATTER', 1)
+    ) AS t(format_type, n_fragments)
+    """,
+    description="multi-format detection on the reference's adversarial fixtures (golden-pinned)",
+)
+def fixture_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return summarize_fragments(detect_fragments(fixture_documents(spark)))
+
+
+@query(
+    "fixture_record_summary",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('CSV', CAST(4 AS BIGINT)), ('HTML_TABLE', 2), ('JSON', 4),
+        ('JSON_LD', 1), ('KEY_VALUE', 8), ('MALFORMED_JSON', 2),
+        ('SQL', 2), ('YAML_FRONTMATTER', 1)
+    ) AS t(format, n_records)
+    """,
+    description="per-format normalization fan-out on the fixtures (golden-pinned)",
+)
+def fixture_record_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = extract_records(fixture_documents(spark))
+    return records.groupBy("format").agg(F.count("*").alias("n_records"))
+
+
+@query(
+    "fixture_schema_field_types",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('boolean', CAST(2 AS BIGINT)), ('date', 9), ('integer', 14),
+        ('number', 2), ('string', 144)
+    ) AS t(type, n_fields)
+    """,
+    description="schema inference (v1 Flattener contract) type distribution (golden-pinned)",
+)
+def fixture_schema_field_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = extract_records(fixture_documents(spark))
+    fields = infer_schema_fields(records)
+    return fields.groupBy("type").agg(F.count("*").alias("n_fields"))
