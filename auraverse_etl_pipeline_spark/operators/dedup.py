@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order and
+each tier prunes the next one's input:
+
+1. **Exact** — md5 groupBy. One shuffle on a 32-char key; at corpus
+   scale the hash (not the text) shuffles, so the network cost is
+   O(rows × 32 B).
+2. **SimHash** — 64-bit near-dup signature; candidate pairs via band
+   equality joins (4 × 16-bit bands → Hamming ≤ 3 guaranteed recall per
+   band table). Equality joins only, no O(n²).
+3. **MinHash + LSH** — shingle → MinHash signatures → banded buckets
+   (pyspark.ml MinHashLSH: OR-amplified across hash tables), candidates
+   verified with exact Jaccard. The classic web-dedup pipeline.
+4. **Exact n-gram Jaccard** — explode shingles → self-join on shingle →
+   count agreement. Exact but quadratic in the worst case; bound it to
+   candidate sets or small partitions.
+
+All DataFrame-native; the only model objects (MinHashLSH) are seeded for
+determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from auraverse_etl_pipeline_spark.functions.text import shingles
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_md5, n_docs,
+    first_doc_id, last_doc_id) for groups with ≥2 members."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each identical-text group.
+    Deterministic (unlike ``dropDuplicates`` which keeps an arbitrary
+    row); one shuffle on the md5 key."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word-``n``-gram shingle
+    sets, computed as a sparse self-join (explode → join on shingle →
+    count shared), never a cross join: pairs sharing zero shingles never
+    materialize. Output: (id1, id2, n_shared, n1, n2, jaccard ≥ threshold).
+
+    Scale note: the join key is the shingle, so hot shingles (boiler-
+    plate) skew the shuffle — prune the top-frequency shingles first at
+    real scale (stopword-shingle removal), or feed this only LSH
+    candidates (``minhash_near_duplicates`` does exactly that)."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n=n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    exploded = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    left = exploded.select(
+        F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    right = exploded.select(
+        F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    return (
+        left.join(right, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n1") + F.col("n2") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_shared", "n1", "n2", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle → HashingTF (binary, 2^18 features) → MinHashLSH
+    ``approxSimilarityJoin`` at distance 1-threshold → re-check with
+    exact Jaccard on the shingle sets so the output has no false
+    positives (LSH recall is the only approximation).
+    Output: (id1, id2, jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n=n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id1"),
+            F.col("datasetB.doc_id").alias("id2"),
+            F.col("datasetA.sh").alias("sh1"),
+            F.col("datasetB.sh").alias("sh2"),
+        )
+    )
+    shared = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - shared
+    return (
+        pairs.withColumn("jaccard", shared / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """60-bit SimHash per document from per-token md5s (bit-majority
+    vote), entirely in native expressions: per bit b,
+    sign(Σ_tokens (bit_b ? +1 : -1)). Output: (doc_id, simhash)."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # 60 bits of md5 per token as a bigint (15 hex chars)
+    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
+    docs = df.select(F.col(id_col).alias("doc_id"), tok_hash.alias("h")).filter(F.size("h") > 0)
+
+    def _vote(bit_index: int):
+        mask = F.lit(1 << bit_index)
+        return F.aggregate(
+            "h",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    sim = None
+    for b in range(60):
+        bit = F.when(_vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates via band-equality joins.
+
+    Documents agreeing on any 15-bit band become a candidate pair —
+    guaranteed to include every pair with Hamming distance < n_bands.
+    Output: (id1, id2, hamming). Equality joins only; no O(n²)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(i), F.shiftrightunsigned("simhash", i * 15).bitwiseAND(F.lit((1 << 15) - 1)))
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band")
+    b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .distinct()
+    )

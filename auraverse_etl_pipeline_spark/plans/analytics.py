@@ -496,7 +496,7 @@ def q11_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_event_lag_lead",
     oracle="""
-    SELECT user_id, event_id, ts, event_type,
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
            LAG(event_type) OVER w AS prev_type,
            LEAD(event_type) OVER w AS next_type,
            date_diff('second', LAG(ts) OVER w, ts) AS secs_since_prev
@@ -625,6 +625,76 @@ def q20_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q22_asof_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+    FROM events e
+    WHERE e.event_type = 'purchase'
+    """,
+    description="as-of join: most recent order per user at each purchase event "
+    "(cogrouped applyInPandas merge_asof — SURVEY.md §2.6 custom-operator path)",
+)
+def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.asof import as_of_join
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = as_of_join(
+        events,
+        orders,
+        on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=[],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("o_orderdate").alias("last_order_date")
+    )
+
+
+@query(
+    "q24_user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sess
+    GROUP BY 1, 2
+    """,
+    description="30-min-gap sessionization (lag + cumulative flag, one shuffle)",
+)
+def q24_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sessionize import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=30)
 
 
 @query(

@@ -1,0 +1,330 @@
+"""Registry entries for the LLM-data-pipeline operators (north star):
+dedup tiers, similarity search, text analysis, multimodal plumbing.
+
+Oracle discipline (same as analytics.py): exact where SQL can express
+the semantics — including cosine similarity, which is bit-identical
+between Spark's ordered double fold and DuckDB's
+``list_cosine_similarity`` on ``DOUBLE[]`` (verified) — rows-only for
+the genuinely approximate/ML-backed ops (MinHash-LSH, SimHash banding,
+IVF), whose guarantees are instead pinned by pytest against the exact
+operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from auraverse_etl_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    avg_token_len,
+    content_fingerprint,
+    lang_guess,
+    punct_ratio,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+from auraverse_etl_pipeline_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from auraverse_etl_pipeline_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+)
+from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k, ivf_top_k
+from auraverse_etl_pipeline_spark.plans.registry import query
+from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+#: DuckDB spelling of whitespace tokens / shingles, shared across oracles.
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SH3 = f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_redundant
+    FROM documents
+    """,
+    description="exact-dup tier: content-hash cardinality of the corpus",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_redundant"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT md5(text) AS content_md5, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+    FROM corpus
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+    description="exact duplicate groups over a corpus with injected copies",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicate_groups(docs.unionByName(copies))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH3} AS shingles
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_shared,
+           CAST(len(a.shingles) AS BIGINT) AS n1,
+           CAST(len(b.shingles) AS BIGINT) AS n2,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.02
+    """,
+    description="exact 3-gram Jaccard pairs via sparse shingle self-join (no cross join)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, threshold=0.02, n=3)
+
+
+@query(
+    "dedup_minhash_pairs",
+    description="MinHash-LSH candidates, exact-Jaccard verified (recall pinned in pytest)",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3)
+
+
+@query(
+    "dedup_simhash_pairs",
+    description="SimHash band-join candidates with Hamming distance",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs).filter(F.col("hamming") <= 16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, cv) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+               ) AS rank
+        FROM q, c
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM scored WHERE rank <= 5
+    """,
+    description="exact brute-force cosine top-k (queries broadcast, corpus never shuffles)",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_top_k(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "sim_topk_ivf",
+    description="IVF-flat ANN top-k (recall vs exact pinned in pytest)",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_top_k(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nlist=16,
+        nprobe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len({_TOKS})) AS BIGINT) / COUNT(*) AS avg_tokens,
+           CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+           CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    description="token counting rolled up by language tag",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        (F.sum(tc) / F.count("*")).alias("avg_tokens"),
+        F.min(tc).alias("min_tokens"),
+        F.max(tc).alias("max_tokens"),
+    )
+
+
+_EN_STOPS = LANG_STOPWORDS[0][1]
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in _EN_STOPS) + "]"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) AS punct_ratio,
+           CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_LIST}, t))) AS DOUBLE)
+             / len({_TOKS}) AS stopword_ratio,
+           length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS avg_token_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    description="per-document quality metrics (length/punct/stopword ratios)",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text", _EN_STOPS).cast("double").alias("stopword_ratio"),
+        avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_hits_sql(words)} >= 1 AND "
+        + " AND ".join(
+            f"{_hits_sql(words)} >= {_hits_sql(other)}"
+            for other_lang, other in LANG_STOPWORDS
+            if other_lang != lang
+        )
+        + f" THEN '{lang}'"
+        for lang, words in LANG_STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    SELECT lang, {_LANG_CASE} AS guessed, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    description="stopword-vote language ID vs the corpus lang tag",
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_guess("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS content_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS rolling_hash
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    description="order-insensitive md5 fingerprint + order-sensitive polynomial rolling hash",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_md5"),
+        rolling_hash("text").alias("rolling_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_media_features",
+    description="binary media columns → feature extraction (deterministic stub codec)",
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return extract_media_features(media)

@@ -1,0 +1,171 @@
+"""Operator-level tests: approximate ops (MinHash-LSH, SimHash, IVF) are
+pinned against their exact counterparts; custom joins against built-in
+spellings."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_minhash_recalls_exact_near_dups(spark, docs):
+    """Every exact-Jaccard pair ≥ 0.5 must be recalled by MinHash-LSH
+    (8 tables at threshold 0.5 on this corpus), and LSH output must
+    contain no false positives (exact verification step)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    approx = {(r.id1, r.id2): r.jaccard for r in minhash_near_duplicates(docs, 0.5, n=3).collect()}
+    assert set(exact) == set(approx)
+    for pair, jac in exact.items():
+        assert abs(approx[pair] - jac) < 1e-9
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        drop_exact_duplicates,
+        exact_duplicate_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (7, "aa"), (3, "bb"), (9, "aa"), (4, "cc"), (5, "bb")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in drop_exact_duplicates(df).collect())
+    assert kept == [1, 3, 4]
+    groups = {r.n_docs for r in exact_duplicate_groups(df).collect()}
+    assert groups == {3, 2}
+
+
+def test_simhash_banding_guarantee(spark, docs):
+    """Banding recall guarantee: every pair with Hamming distance
+    < n_bands must appear among the band-join candidates (pigeonhole:
+    <4 differing bits over 4 bands leaves one band identical), and
+    reported Hamming distances must match the signatures."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs.limit(200)).collect()}
+    cands = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_candidate_pairs(docs.limit(200)).collect()
+    }
+    ids = sorted(sigs)
+    n_close = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham < 4:
+                n_close += 1
+                assert (a, b) in cands, f"missed close pair {(a, b)} ham={ham}"
+    assert n_close > 0, "corpus has no close simhash pairs; test vacuous"
+    for (a, b), ham in cands.items():
+        assert ham == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k, ivf_top_k
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    exact = cosine_top_k(corpus, queries, k=5).collect()
+    approx = ivf_top_k(corpus, queries, k=5, nlist=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+    # every approx hit must carry the exact cosine value
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_asof_join_matches_native(spark):
+    from auraverse_etl_pipeline_spark.operators.asof import as_of_join, as_of_join_native
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 100.0), (2, 15, 100.0), (3, 5, 100.0)],
+        "k long, ts long, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 18, "b"), (2, 15, "c"), (2, 99, "d")],
+        "k long, ts long, tag string",
+    )
+    got = {
+        (r.k, r.ts): (r.ts_right, r.tag)
+        for r in as_of_join(left, right, on="ts", by_left="k", by_right="k").collect()
+    }
+    assert got == {
+        (1, 10): (8, "a"),
+        (1, 20): (18, "b"),
+        (2, 15): (15, "c"),
+        (3, 5): (None, None),
+    }
+    native = {
+        (r.k, r.ts): (r.asof_ts, r.asof_tag)
+        for r in as_of_join_native(left, right, on="ts", by_left="k", by_right="k", value_col="tag").collect()
+    }
+    assert native == got
+
+
+def test_sessionize(spark):
+    from auraverse_etl_pipeline_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00"),
+        (1, 101, "2024-01-01 00:10:00"),
+        (1, 102, "2024-01-01 01:00:00"),  # 50-min gap → new session
+        (2, 200, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    got = {r.event_id: r.session_seq for r in sessionize(df).collect()}
+    assert got == {100: 1, 101: 1, 102: 2, 200: 1}
+
+
+def test_multimodal_plumbing(spark, docs):
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        sample_frames,
+    )
+
+    media = attach_fake_media(docs.limit(30))
+    assert set(media.columns) == {"media_id", "kind", "payload", "media_meta"}
+    feats = extract_media_features(media, frame_stride=64).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r.kind in ("image", "audio", "video")
+        assert len(r.sha256) == 64
+        assert 0.0 < r.byte_mean < 256.0
+        assert r.n_frames_sampled == (r.n_bytes + 63) // 64
+    frames = sample_frames(media.limit(3), frame_stride=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("media_id").frame_index.count() <= 4).all()
+    assert all(len(bytes(b)) <= 64 for b in pdf.frame_bytes)
+
+
+def test_lang_guess_und_on_no_stopwords(spark):
+    from auraverse_etl_pipeline_spark.functions.text import lang_guess
+
+    df = spark.createDataFrame([("xyzzy plugh qwerty",), ("the cat and the hat",)], "text string")
+    got = [r[0] for r in df.select(lang_guess("text")).collect()]
+    assert got == ["und", "en"]
