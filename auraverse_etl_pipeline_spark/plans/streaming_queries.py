@@ -1,0 +1,119 @@
+"""Registry entries for the Structured Streaming surface.
+
+Each query builds a *streaming* plan over the events files, executes it
+to completion with Trigger.AvailableNow (``run_stream_to_memory``), and
+returns the materialized result — so the driver's DuckDB oracle gate
+checks the streaming operators end-to-end: a streaming plan replayed
+over static files must produce exactly the batch answer.
+
+Float discipline: the stateful running-totals operator accumulates in
+Python floats, whose addition order is arrival order — not the oracle's
+order. The source ``value`` column carries exactly 2 decimals, so state
+accumulates integer cents and divides once on emit; exact on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from auraverse_etl_pipeline_spark.plans.analytics import DSUM
+from auraverse_etl_pipeline_spark.plans.registry import query
+from auraverse_etl_pipeline_spark.streaming.ops import (
+    dedup_events_within_watermark,
+    sessionize_events_stream,
+    user_running_totals,
+    windowed_event_counts,
+)
+from auraverse_etl_pipeline_spark.streaming.runner import run_stream_to_memory
+from auraverse_etl_pipeline_spark.streaming.sources import stream_events
+
+
+@query(
+    "stream_hourly_event_windows",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {DSUM('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="streaming tumbling 1h windows replayed over static files == batch q20",
+)
+def stream_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(windowed_event_counts(ev), "complete", "s_hourly_windows")
+
+
+@query(
+    "stream_user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    description="native session_window (30-min gap) streaming sessionization; "
+    "oracle = lag/cumsum sessionization with Spark's gap semantics "
+    "(a gap of exactly 30min starts a new session; session_end = last event + gap)",
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(sessionize_events_stream(ev), "complete", "s_user_sessions")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+    description="dropDuplicatesWithinWatermark recovers exactly-once from a "
+    "doubled (at-least-once) stream",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)  # simulate redelivery
+    out = run_stream_to_memory(
+        dedup_events_within_watermark(doubled), "append", "s_dedup_events"
+    )
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description="custom stateful operator (applyInPandasWithState): per-user "
+    "running totals; final emission per user == batch groupBy",
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = run_stream_to_memory(user_running_totals(ev), "update", "s_user_totals")
+    # Update mode emits one cumulative row per user per micro-batch; the
+    # final state is the row with the highest n_events per user.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )

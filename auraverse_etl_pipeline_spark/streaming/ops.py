@@ -1,0 +1,150 @@
+"""Streaming operators over the events stream.
+
+Each takes a (streaming) DataFrame shaped like the events table and
+returns a streaming DataFrame — they compose like batch plans. The
+batch twins live in plans/analytics.py (q20 windows, q24 sessions);
+the parity tests run both and diff the results.
+
+Watermarks: every stateful operator takes a ``watermark`` argument —
+that is what bounds state at 100 TB/day event volume (late rows older
+than the watermark are dropped, closed windows/sessions are evicted
+from the state store). In Trigger.AvailableNow replays with complete
+output mode the watermark does not gate emission, so results stay
+deterministic for the oracle gate while the operator remains correct
+in a continuous deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from auraverse_etl_pipeline_spark.plans.analytics import dsum
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window aggregation:
+    (window_start, event_type, n_events, sum_value).
+
+    Streaming twin of q20_hourly_event_windows — incremental partial
+    aggregation per micro-batch; the shuffle key is (window, event_type)
+    so state is bounded by (#windows in watermark) × (#event types).
+    """
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionize_events_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows with a dynamic gap — Spark's native
+    ``session_window`` (a new event within ``gap`` of the session end
+    extends it). Output: (user_id, session_start, session_end,
+    n_events, sum_value) where session_end = last event + gap.
+
+    This is the streaming-native spelling of q24's lag+cumsum
+    sessionization; state per key is one open session, evicted once the
+    watermark passes session_end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event stream from an at-least-once transport:
+    ``dropDuplicatesWithinWatermark`` on event_id keeps the first
+    arrival and suppresses re-deliveries that arrive within the
+    watermark window. Unlike plain ``dropDuplicates``, state for an id
+    is evicted once the watermark passes it — the only way dedup state
+    stays bounded on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+#: Output schema of user_running_totals.
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user cumulative (n_events,
+    total_value), emitted once per micro-batch per active user.
+
+    ``applyInPandasWithState`` — the SURVEY §2.6 path for operators
+    Spark lacks natively. State is two numbers per user (Arrow-batched
+    across the Python boundary); at scale the state store shards by
+    user_id with the shuffle, so this is embarrassingly parallel.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # Accumulate integer cents, not floats: float addition is
+        # arrival-order-dependent, and the source column carries exactly
+        # 2 decimals — so the running total stays exact and matches any
+        # batch engine bit-for-bit.
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

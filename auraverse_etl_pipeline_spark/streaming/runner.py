@@ -1,0 +1,48 @@
+"""Execute a streaming plan to completion and hand back a batch result.
+
+``Trigger.AvailableNow`` processes everything the source currently has
+(in rate-limited micro-batches when the source is configured so) and
+terminates — the replay harness that lets the oracle gate compare a
+streaming plan's output against batch SQL on the same files.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame
+
+_SEQ = count()
+
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame with AvailableNow into a memory sink;
+    return the sink table as a batch DataFrame.
+
+    ``complete`` mode re-emits the full aggregate each batch, so the
+    table holds the final answer regardless of watermark progress;
+    ``append``/``update`` accumulate emitted rows (callers with
+    cumulative update-mode output take the last row per key).
+    Checkpoint goes to a throwaway dir — replay harness, not a
+    production deployment."""
+    qname = name or f"stream_result_{next(_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(qname)

@@ -1,0 +1,98 @@
+"""Streaming-surface tests beyond the oracle gate: genuinely incremental
+multi-batch execution (maxFilesPerTrigger=1 over chunked input), state
+carried across micro-batches, and cross-batch dedup."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from auraverse_etl_pipeline_spark.sources.tables import load_table
+from auraverse_etl_pipeline_spark.streaming import (
+    dedup_events_within_watermark,
+    run_stream_to_memory,
+    stream_events,
+    user_running_totals,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into 3 parquet files in ts order (each written
+    separately so modification times order the stream), ts re-encoded
+    as raw nanos to match the driver's on-disk layout."""
+    out = str(tmp_path_factory.mktemp("events_chunks"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * F.lit(1000)
+    )
+    n = ev.count()
+    ordered = ev.withColumn("_chunk", F.ntile(3).over(Window.orderBy("ts")))
+    for i in (1, 2, 3):
+        (
+            ordered.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) >= 3
+    return out, n
+
+
+def test_multi_batch_windows_match_batch(spark, sf_dir, chunked_events_dir):
+    """3 micro-batches (one file each) through the windowed aggregation
+    must converge to exactly the single-batch answer."""
+    path, _ = chunked_events_dir
+    sev = stream_events(spark, path, max_files_per_trigger=1)
+    got = run_stream_to_memory(windowed_event_counts(sev), "complete", "t_mb_windows")
+    bev = load_table(spark, sf_dir, "events")
+    want = (
+        bev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .count()
+    )
+    assert got.count() == want
+    # every (window, type) count agrees with batch
+    batch = (
+        bev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    diff = (
+        got.select("window_start", "event_type", "n_events")
+        .exceptAll(batch.select("window_start", "event_type", F.col("n").alias("n_events")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_stateful_totals_accumulate_across_batches(spark, chunked_events_dir):
+    """applyInPandasWithState must carry state across micro-batches:
+    with 3 single-file triggers, users emit multiple cumulative rows and
+    the per-user max equals the final total."""
+    path, n = chunked_events_dir
+    sev = stream_events(spark, path, max_files_per_trigger=1)
+    out = run_stream_to_memory(user_running_totals(sev), "update", "t_mb_totals").cache()
+    # state crossed batches: some user emitted more than once
+    emissions = out.groupBy("user_id").count()
+    assert emissions.agg(F.max("count")).first()[0] >= 2
+    # cumulative counts are monotone → per-user max == total events
+    finals = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    assert finals.agg(F.sum("n")).first()[0] == n
+
+
+def test_dedup_suppresses_cross_batch_redelivery(spark, chunked_events_dir):
+    """An event redelivered in a LATER micro-batch (within the watermark)
+    must be suppressed by dropDuplicatesWithinWatermark state."""
+    path, n = chunked_events_dir
+    sev = stream_events(spark, path, max_files_per_trigger=1)
+    doubled = sev.unionByName(sev)
+    out = run_stream_to_memory(
+        dedup_events_within_watermark(doubled), "append", "t_mb_dedup"
+    )
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
