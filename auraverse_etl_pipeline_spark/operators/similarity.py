@@ -70,6 +70,89 @@ def cosine_top_k(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: (id1, id2, cosine) for all
+    id1 < id2 with cosine ≥ threshold.
+
+    Brute-force O(n²) self-join — the correctness baseline. Only run it
+    on a bounded candidate set; the scale path is
+    :func:`hyperplane_lsh_pairs`, which feeds this exact check only
+    LSH-bucketed candidates."""
+    e = _as_double(df, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_similarity_expr("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH, exact-cosine
+    verified (SimHash-for-vectors: Charikar signs).
+
+    Signs are computed with one vectorized numpy matmul per Arrow batch
+    (``mapInPandas`` — the 100 TB path: no per-element interpreted
+    expressions), packed into ``n_planes // band_bits`` band keys;
+    candidates come from band-equality joins, then the exact cosine
+    check removes false positives. Recall for a pair at angle θ is
+    1-(1-(1-θ/π)^band_bits)^n_bands — tunable via n_planes/band_bits.
+    Output: (id1, id2, cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    n_bands = n_planes // band_bits
+    dim = len(df.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    e = _as_double(df, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def band_keys(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())  # (rows, dim)
+            bits = (mat @ planes.T) >= 0  # (rows, n_planes)
+            weights = (1 << np.arange(band_bits)).astype(np.int64)
+            keys = [
+                bits[:, i * band_bits : (i + 1) * band_bits] @ weights
+                for i in range(n_bands)
+            ]  # n_bands × (rows,)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "bands": [list(t) for t in zip(*keys)]}
+            )
+
+    banded = e.mapInPandas(band_keys, "id bigint, bands array<bigint>").select(
+        "id", F.posexplode("bands").alias("band", "key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    pairs = cand.join(
+        e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
+    ).join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
+    return (
+        pairs.select("id1", "id2", cosine_similarity_expr("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

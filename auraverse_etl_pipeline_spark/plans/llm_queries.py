@@ -35,7 +35,12 @@ from auraverse_etl_pipeline_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_features,
 )
-from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k, ivf_top_k
+from auraverse_etl_pipeline_spark.operators.similarity import (
+    cosine_top_k,
+    embedding_cosine_pairs,
+    hyperplane_lsh_pairs,
+    ivf_top_k,
+)
 from auraverse_etl_pipeline_spark.plans.registry import query
 from auraverse_etl_pipeline_spark.sources.tables import load_table
 
@@ -134,6 +139,61 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs).filter(F.col("hamming") <= 16)
+
+
+def _with_perturbed_copies(emb: DataFrame, max_id: int | None = None) -> DataFrame:
+    """Corpus ∪ near-duplicate copies: each copy shifts every component
+    by +0.05 (cosine vs the original ≈ 0.99 on this data) under
+    vec_id+100000 — the deterministic fixture for the embedding-dedup
+    tier, identical in Spark and the DuckDB oracle."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    if max_id is not None:
+        base = base.filter(F.col("vec_id") < max_id)
+    copies = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+    )
+    return base.unionByName(copies)
+
+
+_PERTURBED_SQL = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {max_id}
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(v, x -> x + 0.05) FROM base
+    )
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_PERTURBED_SQL.format(max_id=150)
+    + """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_cosine_similarity(a.v, b.v) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+    description="exact embedding-cosine near-dup pairs over a corpus with "
+    "injected perturbed copies (brute-force baseline tier)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(_with_perturbed_copies(emb, max_id=150), threshold=0.9)
+
+
+@query(
+    "dedup_embedding_lsh",
+    description="random-hyperplane LSH embedding near-dups, exact-cosine "
+    "verified (recall vs the exact tier pinned in pytest)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

@@ -169,3 +169,25 @@ def test_lang_guess_und_on_no_stopwords(spark):
     df = spark.createDataFrame([("xyzzy plugh qwerty",), ("the cat and the hat",)], "text string")
     got = [r[0] for r in df.select(lang_guess("text")).collect()]
     assert got == ["und", "en"]
+
+
+def test_hyperplane_lsh_recalls_exact_embedding_pairs(spark, sf_dir):
+    """The LSH tier must recall every exact cosine-0.9 pair on the
+    injected-copies corpus (seed-deterministic), with no false
+    positives (exact verification step)."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _with_perturbed_copies
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        hyperplane_lsh_pairs,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    corpus = _with_perturbed_copies(load_table(spark, sf_dir, "embeddings")).cache()
+    exact = {(r.id1, r.id2): r.cosine for r in embedding_cosine_pairs(corpus, 0.9).collect()}
+    approx = {(r.id1, r.id2): r.cosine for r in hyperplane_lsh_pairs(corpus, 0.9).collect()}
+    assert set(approx) <= set(exact)  # no false positives
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} below bound"
+    for pair, cos in approx.items():
+        assert abs(exact[pair] - cos) < 1e-12
