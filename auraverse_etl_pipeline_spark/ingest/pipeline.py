@@ -104,10 +104,26 @@ def _fragment_row(doc_id: int, frag: Fragment) -> dict[str, Any]:
     }
 
 
+def _parallelize(cols: DataFrame) -> DataFrame:
+    """Spread docs across all cores before the Python-heavy stages.
+
+    The detector is CPU-bound per document; a small parquet input
+    arrives as ONE split, which would serialize the whole corpus
+    through a single Python worker. Only repartitions when the scan
+    has fewer splits than cores — at real scale (thousands of input
+    files) this is a no-op, so no extra shuffle of the text."""
+    par = cols.sparkSession.sparkContext.defaultParallelism
+    if cols.rdd.getNumPartitions() >= par:
+        return cols
+    return cols.repartition(par, "doc_id")
+
+
 def detect_fragments(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """documents → fragments (SURVEY.md §2.2, all detectors, one pass)."""
     ship_package(docs.sparkSession)
-    cols = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    cols = _parallelize(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -124,7 +140,9 @@ def detect_fragments(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def extract_records(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """documents → normalized records in ONE detector pass per doc."""
     ship_package(docs.sparkSession)
-    cols = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    cols = _parallelize(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
