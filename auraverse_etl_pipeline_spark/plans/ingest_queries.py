@@ -139,3 +139,25 @@ def fixture_schema_field_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = extract_records(fixture_documents(spark))
     fields = infer_schema_fields(records)
     return fields.groupBy("type").agg(F.count("*").alias("n_fields"))
+
+@query(
+    "sql_lateral_fragment_summary",
+    oracle="""
+    SELECT 'RAW_TEXT' AS format_type, COUNT(*) AS n_fragments
+    FROM documents
+    """,
+    description="SQL-callable surface (SURVEY §2.5): detector UDTF via "
+    "LATERAL join in spark.sql, same answer as the DataFrame pipeline",
+)
+def sql_lateral_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+
+    register_sql_surface(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_sql_surface")
+    return spark.sql(
+        """
+        SELECT f.format_type, COUNT(*) AS n_fragments
+        FROM _docs_sql_surface d, LATERAL detect_fragments(d.text) f
+        GROUP BY f.format_type
+        """
+    )

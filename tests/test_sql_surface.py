@@ -1,0 +1,68 @@
+"""SQL-callable surface parity: the UDTF/UDF/SQL-function registrations
+must agree with the DataFrame-API pipeline and column functions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments, extract_records
+from auraverse_etl_pipeline_spark.plans.ingest_queries import fixture_documents
+
+
+@pytest.fixture(scope="module")
+def sql_docs(spark):
+    register_sql_surface(spark)
+    fixture_documents(spark).createOrReplaceTempView("sqldocs")
+    return spark
+
+
+def test_udtf_fragments_match_pipeline(sql_docs, spark):
+    got = spark.sql(
+        """SELECT d.doc_id, f.format_type, f.start_index, f.end_index, f.confidence
+           FROM sqldocs d, LATERAL detect_fragments(d.text) f"""
+    )
+    want = detect_fragments(fixture_documents(spark)).select(
+        "doc_id", "format_type", "start_index", "end_index", "confidence"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_udtf_records_match_pipeline(sql_docs, spark):
+    got = spark.sql(
+        """SELECT d.doc_id, r.format, r.start, r.end, r.data
+           FROM sqldocs d, LATERAL extract_records(d.text) r"""
+    )
+    want = extract_records(fixture_documents(spark))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_sql_udfs_match_column_functions(sql_docs, spark):
+    from auraverse_etl_pipeline_spark.functions.text import (
+        avg_token_len,
+        content_fingerprint,
+        punct_ratio,
+        token_count,
+    )
+
+    got = spark.sql(
+        """SELECT doc_id, token_count(text) AS tc, punct_ratio(text) AS pr,
+                  avg_token_len(text) AS atl, content_fingerprint(text) AS fp
+           FROM sqldocs"""
+    )
+    want = fixture_documents(spark).select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        punct_ratio("text").alias("pr"),
+        avg_token_len("text").alias("atl"),
+        content_fingerprint("text").alias("fp"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_repair_json_udf(sql_docs, spark):
+    row = spark.sql("SELECT repair_json('{a: 1,}') AS j").first()
+    import json
+
+    assert json.loads(row.j) == {"a": 1}
