@@ -1,0 +1,83 @@
+"""Sinks (SURVEY.md §2.1 S2-S3).
+
+The reference's sinks are a pretty-printed JSON file per document
+(script.py:555-573, ``json.dump(..., indent=2, ensure_ascii=False)``)
+and a console report (etl_parser.py:1096-1103). Corpus-scale
+equivalents plus the faithful single-document forms:
+
+- :func:`write_json` / :func:`write_parquet` — distributed sinks with
+  the scale knobs that matter (compression, partitioning, target file
+  count) spelled once.
+- :func:`merged_json_pretty` — the byte-faithful ``indent=2`` rendering
+  of a converted document (what the reference writes to
+  ``<stem>_parsed2.json``).
+- :func:`fragment_report` — the reference CLI's console summary, built
+  from one aggregation pass.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+    coalesce: int | None = None,
+) -> None:
+    """JSON-lines sink. ``coalesce`` bounds output file count for
+    small results (None = keep the plan's partitioning — at scale you
+    want many files, not one)."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode(mode).option("compression", compression).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Parquet sink; ``partition_by`` buckets the layout for partition
+    pruning on the listed columns (e.g. fragments by format_type)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def merged_json_pretty(converted: DataFrame, doc_id_col: str = "doc_id", merged_col: str = "merged") -> DataFrame:
+    """(doc_id, pretty) — re-render each merged document with the
+    reference's exact output options (indent=2, ensure_ascii=False;
+    script.py:572-573). Python UDF by necessity: Spark's ``to_json``
+    has no indent option."""
+
+    @F.udf("string")
+    def pretty(s: str) -> str | None:
+        if s is None:
+            return None
+        return json.dumps(json.loads(s), indent=2, ensure_ascii=False)
+
+    return converted.select(F.col(doc_id_col).alias("doc_id"), pretty(merged_col).alias("pretty"))
+
+
+def fragment_report(fragments: DataFrame) -> str:
+    """The reference CLI's console report (etl_parser.py:1096-1103) for
+    a fragments DataFrame: total count + per-format counts, one
+    aggregation pass."""
+    rows = (
+        fragments.groupBy("format_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "format_type")
+        .collect()
+    )
+    total = sum(r.n for r in rows)
+    lines = [f"Detected {total} fragments:"]
+    lines += [f"  {r.format_type:<18} {r.n}" for r in rows]
+    return "\n".join(lines)

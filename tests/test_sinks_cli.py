@@ -1,0 +1,60 @@
+"""Sinks + CLI (SURVEY §2.1 S2-S4): write paths, pretty rendering, report."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from auraverse_etl_pipeline_spark.ingest.convert import convert_corpus
+from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments
+from auraverse_etl_pipeline_spark.plans.ingest_queries import fixture_documents
+from auraverse_etl_pipeline_spark.sources.sinks import (
+    fragment_report,
+    merged_json_pretty,
+    write_json,
+    write_parquet,
+)
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    frags = detect_fragments(fixture_documents(spark))
+    out = str(tmp_path / "frags")
+    write_parquet(frags, out, partition_by=["format_type"])
+    # partition pruning layout: one dir per format
+    dirs = [d for d in os.listdir(out) if d.startswith("format_type=")]
+    assert len(dirs) >= 5
+    back = spark.read.parquet(out)
+    assert back.count() == frags.count()
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    docs = fixture_documents(spark)
+    out = str(tmp_path / "docs_json")
+    write_json(docs, out, coalesce=1)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+
+
+def test_merged_json_pretty_is_indent2(spark):
+    pretty = merged_json_pretty(convert_corpus(fixture_documents(spark))).collect()
+    assert len(pretty) == 2
+    for r in pretty:
+        data = json.loads(r.pretty)
+        assert isinstance(data, dict) and data
+        assert r.pretty.startswith("{\n  ")  # reference output options: indent=2
+
+
+def test_fragment_report_shape(spark):
+    rep = fragment_report(detect_fragments(fixture_documents(spark)))
+    assert rep.splitlines()[0].startswith("Detected ")
+    assert any("JSON_LD" in line for line in rep.splitlines())
+
+
+def test_cli_convert_single_file(tmp_path, spark):
+    from auraverse_etl_pipeline_spark.cli import main
+
+    src = tmp_path / "doc.txt"
+    src.write_text("--- METADATA\nname: Thing\ncount: 3\n", encoding="utf-8")
+    out = tmp_path / "out.json"
+    assert main(["convert", str(src), str(out)]) == 0
+    assert json.loads(out.read_text())["name"] == "Thing"
