@@ -717,3 +717,38 @@ def q23_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(k, 0).alias("sum_k"),
         (dsum(k, 0) / F.count("*")).alias("avg_k"),
     )
+
+
+@query(
+    "q25_salted_flag_totals",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="skew-resistant two-phase salted aggregation "
+    "(operators/skew.py) — identity rewrite of a hot-key groupBy, "
+    "proven against the plain-SQL oracle",
+)
+def q25_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        key_cols=["l_returnflag"],
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            dsum("l_quantity", 6).alias("_q"),
+            dsum("l_extendedprice", 6).alias("_p"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_items"),
+            dsum("_q", 6).alias("sum_qty"),
+            dsum("_p", 6).alias("sum_price"),
+        ],
+        n_salts=16,
+    )

@@ -191,3 +191,48 @@ def test_hyperplane_lsh_recalls_exact_embedding_pairs(spark, sf_dir):
     assert recall >= 0.95, f"LSH recall {recall:.3f} below bound"
     for pair, cos in approx.items():
         assert abs(exact[pair] - cos) < 1e-12
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    """salted_agg must be an identity rewrite: same result as the plain
+    groupBy for algebraic aggregates, any salt count."""
+    from auraverse_etl_pipeline_spark.operators.skew import salted_agg
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = salted_agg(
+        li,
+        key_cols=["l_returnflag"],
+        partial_aggs=[F.count("*").alias("c"), F.sum("l_quantity").alias("q")],
+        final_aggs=[F.sum("c").alias("c"), F.sum("q").alias("q")],
+        n_salts=16,
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("c"), F.sum("l_quantity").alias("q")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join output must equal the built-in join, inner and left."""
+    from auraverse_etl_pipeline_spark.operators.skew import salted_join
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(orders, cust, on=["o_custkey"], n_salts=4, how=how)
+        want = orders.join(cust, ["o_custkey"], how)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, how
+
+
+def test_salt_is_deterministic_and_spreads(spark):
+    from auraverse_etl_pipeline_spark.operators.skew import with_salt
+
+    df = spark.range(1000).withColumn("k", F.lit("hot"))
+    a = with_salt(df, 8, ["id", "k"]).groupBy("_salt").count()
+    assert a.count() == 8  # the hot key spreads across all salts
+    b = with_salt(df, 8, ["id", "k"])
+    assert with_salt(df, 8, ["id", "k"]).exceptAll(b).count() == 0  # deterministic
