@@ -1,0 +1,87 @@
+"""Property-based fuzz suite (SURVEY.md §5 rebuild test plan, item 4):
+randomized documents built from shuffled format blocks must NEVER crash
+the detector/normalizer/converter, and every output must satisfy the
+span/priority invariants of the reference's ``_dedupe_prioritize``
+(etl_parser.py:884-924). Pure-Python (no Spark session) so hypothesis
+can run hundreds of examples quickly — the Spark layer is a map over
+exactly these functions."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from auraverse_etl_pipeline_spark.ingest.convert import convert_document
+from auraverse_etl_pipeline_spark.ingest.detect import PRIORITY, _RANK, detect_document
+from auraverse_etl_pipeline_spark.ingest.normalize import normalize_fragment
+
+# Blocks of every format family the reference's fixtures exercise.
+_BLOCKS = [
+    '{"name": "Widget", "price": 9.99, "tags": ["a", "b"]}',
+    '{broken: "json", trailing: 1,}',
+    "name, qty, price\nbolt, 4, 0.25\nnut, 9, 0.10",
+    "2024-01-01,5,alpha\n2024-01-02,7,beta",
+    "host: example.com\nport: 8080\nretries = 3",
+    "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>",
+    "---\ntitle: Doc\ndraft: true\n---",
+    "SELECT id, name FROM users WHERE active = 1;",
+    "var config = { debug: true, level: 2 };",
+    '<script type="application/ld+json">{"@type": "Product", "sku": "X1"}</script>',
+    "Call (555) 123-4567 or email a@b.com for $10.00 off.",
+    "plain prose with no structure at all, just words and words.",
+    "",
+    "   \n\n   ",
+    "{" * 50,  # adversarial: unbalanced braces
+    '{"nested": {"deep": {"deeper": [1, 2, {"x": null}]}}}',
+]
+
+_docs = st.lists(
+    st.sampled_from(_BLOCKS), min_size=0, max_size=8
+).flatmap(
+    lambda blocks: st.sampled_from(["\n\n", "\n---\n", "\n--- SECTION\n"]).map(
+        lambda sep: sep.join(blocks)
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_docs)
+def test_detector_never_crashes_and_invariants_hold(doc):
+    frags = detect_document(doc)
+    n = len(doc)
+    prev_start = -1
+    for f in frags:
+        # spans are in-bounds, non-empty, and text matches the span
+        assert 0 <= f.start < f.end <= n
+        assert f.text == doc[f.start : f.end]
+        assert 0.0 <= f.confidence <= 1.0
+        # output ordered by start (reference O1)
+        assert f.start >= prev_start
+        prev_start = f.start
+    # D13 invariant: no fragment fully contained in another kept
+    # fragment of higher-or-equal priority
+    for i, a in enumerate(frags):
+        for b in frags[i + 1 :]:
+            if a.start <= b.start and b.end <= a.end and a is not b:
+                ra = _RANK.get(a.format_type, len(PRIORITY))
+                rb = _RANK.get(b.format_type, len(PRIORITY))
+                assert rb < ra, (a.format_type, b.format_type)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_docs)
+def test_normalizer_never_crashes_and_is_json_safe(doc):
+    for f in detect_document(doc):
+        data = normalize_fragment(f.format_type, f.text, f.meta)
+        if data is not None:
+            json.dumps(data)  # every record must be JSON-serializable
+
+
+@settings(max_examples=100, deadline=None)
+@given(_docs)
+def test_converter_never_crashes(doc):
+    out = convert_document(doc)
+    assert isinstance(out, dict)
+    json.dumps(out)
