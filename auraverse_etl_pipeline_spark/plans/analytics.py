@@ -752,3 +752,67 @@ def q25_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         n_salts=16,
     )
+
+
+@query(
+    "q26_range_join_daytime_events",
+    oracle=f"""
+    WITH win AS (
+        SELECT s AS window_start,
+               s + INTERVAL 6 HOUR AS w_start,
+               s + INTERVAL 18 HOUR AS w_end
+        FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                             INTERVAL 1 DAY) AS t(s)
+    )
+    SELECT CAST(w.window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           {DSUM('e.value')} AS sum_value
+    FROM win w JOIN events e
+      ON e.ts >= w.w_start AND e.ts <= w.w_end
+    GROUP BY 1
+    """,
+    description="range join (operators/interval.py): events into daytime "
+    "maintenance windows via bucketed equality join, never a "
+    "BroadcastNestedLoopJoin",
+)
+def q26_range_join_daytime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.interval import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    win = spark.sql(
+        """
+        SELECT day AS window_start,
+               day + INTERVAL 6 HOUR AS w_start,
+               day + INTERVAL 18 HOUR AS w_end
+        FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 1 DAY)) AS day)
+        """
+    )
+    joined = range_join(events, win, point_ts="ts", start_col="w_start", end_col="w_end")
+    return joined.groupBy("window_start").agg(
+        F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value")
+    )
+
+
+@query(
+    "q27_rollup_cascade_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {DSUM('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="hypertable rollup cascade (operators/interval.py): daily "
+    "level computed minute→hour→day from partials, never re-reading raw; "
+    "exact vs the direct daily aggregation",
+)
+def q27_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.interval import rollup_cascade
+
+    events = load_table(spark, sf_dir, "events")
+    daily = rollup_cascade(events)["1 day"]
+    return daily.select(
+        "bucket", "event_type", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )

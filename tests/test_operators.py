@@ -236,3 +236,54 @@ def test_salt_is_deterministic_and_spreads(spark):
     assert a.count() == 8  # the hot key spreads across all salts
     b = with_salt(df, 8, ["id", "k"])
     assert with_salt(df, 8, ["id", "k"]).exceptAll(b).count() == 0  # deterministic
+
+
+def test_range_join_matches_nonequi_join(spark, sf_dir):
+    """Bucketed range_join must equal the naive theta-join, including
+    with an equality key and intervals spanning multiple buckets."""
+    from auraverse_etl_pipeline_spark.operators.interval import range_join
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # per-user intervals spanning several hours (crosses '1 hour' buckets)
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("interval 7 hours"))
+    )
+    got = range_join(
+        ev, iv, point_ts="ts", start_col="w_start", end_col="w_end",
+        keys=["user_id"], bucket="1 hour",
+    ).select("event_id", "user_id")
+    want = (
+        ev.alias("e")
+        .join(iv.alias("i"), "user_id")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
+        .select("event_id", "user_id")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_rollup_cascade_levels_are_consistent(spark, sf_dir):
+    """Every cascade level must re-aggregate to identical totals, and
+    the hourly level must equal a direct hourly aggregation."""
+    from auraverse_etl_pipeline_spark.operators.interval import rollup_cascade, time_bucket
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = rollup_cascade(ev)
+    totals = {
+        w: df.agg(F.sum("n_events"), F.sum("sum_value")).first()
+        for w, df in levels.items()
+    }
+    base = totals["1 minute"]
+    for w, t in totals.items():
+        assert t[0] == base[0] and t[1] == base[1], w
+    direct = ev.groupBy(
+        time_bucket("ts", "1 hour").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+    )
+    got = levels["1 hour"]
+    assert got.exceptAll(direct).count() == 0 and direct.exceptAll(got).count() == 0
