@@ -207,6 +207,26 @@ def minhash_near_duplicates(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cleaned corpus from a near-dup pair list: drop every document
+    that has a near-duplicate with a smaller id (keep-first policy —
+    the standard web-dedup representative choice, deterministic).
+
+    ``pairs`` is any (id1, id2) output with id1 < id2 from the tiers
+    above. A left-anti join on id2 — one shuffle on the id, no text
+    movement. Note this drops per-EDGE, not per connected component: in
+    a chain a→b→c, b and c both drop (they each have a smaller-id
+    neighbor), which is the conservative choice for training-data
+    dedup (never keeps two documents that are near-dups of each
+    other)."""
+    victims = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(victims, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

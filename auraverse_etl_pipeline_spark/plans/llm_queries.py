@@ -388,3 +388,40 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
     return extract_media_features(media)
+
+
+@query(
+    "dedup_corpus_clean",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+    ),
+    sh AS (SELECT doc_id, {_SH3.replace('text', 'text')} AS shingles FROM corpus),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              >= 0.5
+    )
+    SELECT c.doc_id, md5(c.text) AS content_md5
+    FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT id2 FROM pairs)
+    """,
+    description="end-to-end corpus cleaning: near-dup pairs (exact Jaccard "
+    "tier) -> keep-first representative per duplicate edge",
+)
+def dedup_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import drop_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+    return drop_near_duplicates(corpus, pairs).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
