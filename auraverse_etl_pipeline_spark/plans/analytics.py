@@ -816,3 +816,17 @@ def q27_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "bucket", "event_type", "n_events", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@query(
+    "q28_sketch_distinct_users",
+    description="sketch tier: approx_count_distinct (HyperLogLog++) per "
+    "event_type; error bound vs exact pinned in pytest, so no SQL oracle",
+)
+def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_value"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_value"),
+    )

@@ -287,3 +287,35 @@ def test_rollup_cascade_levels_are_consistent(spark, sf_dir):
     )
     got = levels["1 hour"]
     assert got.exceptAll(direct).count() == 0 and direct.exceptAll(got).count() == 0
+
+
+def test_sketches_within_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts within 3*rsd of exact; approx_percentile
+    within the rank error implied by its accuracy parameter."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q28_sketch_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            # rank-based envelope for the tail: adjacent order
+            # statistics up there differ hugely at a few hundred
+            # rows/group, so value-distance bounds are meaningless
+            F.expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY value)").alias("p98_disc"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k].approx_users - exact[k].users) <= max(3, 0.03 * exact[k].users)
+        assert abs(got[k].p50_value - exact[k].p50) <= 0.05 * max(1.0, abs(exact[k].p50))
+        assert exact[k].p98_disc <= got[k].p99_value <= exact[k].vmax
