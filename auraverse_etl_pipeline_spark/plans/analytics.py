@@ -830,3 +830,63 @@ def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_value"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_value"),
     )
+
+
+@query(
+    "q29_sliding_event_windows",
+    oracle=f"""
+    WITH grid AS (
+        SELECT s AS window_start
+        FROM generate_series(TIMESTAMP '2023-12-31 23:15:00',
+                             TIMESTAMP '2024-01-31 00:00:00',
+                             INTERVAL 15 MINUTE) AS t(s)
+    )
+    SELECT CAST(g.window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           {DSUM('e.value')} AS sum_value
+    FROM grid g JOIN events e
+      ON e.ts >= g.window_start AND e.ts < g.window_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    description="sliding windows (1h every 15min): each event lands in 4 "
+    "overlapping windows via native F.window slide — no self-join",
+)
+def q29_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q30_grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus))
+    """,
+    description="explicit GROUPING SETS with GROUPING() markers "
+    "(completes cube/rollup coverage from q14/q15)",
+)
+def q30_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) AS g_priority,
+               GROUPING(o_orderstatus) AS g_status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        """
+    )

@@ -319,3 +319,29 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         assert abs(got[k].approx_users - exact[k].users) <= max(3, 0.03 * exact[k].users)
         assert abs(got[k].p50_value - exact[k].p50) <= 0.05 * max(1.0, abs(exact[k].p50))
         assert exact[k].p98_disc <= got[k].p99_value <= exact[k].vmax
+
+
+def test_parse_messy_date_covers_fixture_formats(spark):
+    """Every date spelling from the reference fixtures must parse; junk
+    must yield NULL, never raise."""
+    import datetime
+
+    from auraverse_etl_pipeline_spark.functions.dates import parse_messy_date
+
+    cases = [
+        ("2025-10-20", datetime.date(2025, 10, 20)),
+        ("20/10/2025", datetime.date(2025, 10, 20)),
+        ("Oct 19, 2025", datetime.date(2025, 10, 19)),
+        ("18-10-2025", datetime.date(2025, 10, 18)),
+        ("2025/10/17", datetime.date(2025, 10, 17)),
+        ("03/04/2025", datetime.date(2025, 4, 3)),  # day-first policy
+        ("17-Mar-2024", datetime.date(2024, 3, 17)),
+        ("1 Jan 2024", datetime.date(2024, 1, 1)),
+        ("  2024-02-29 ", datetime.date(2024, 2, 29)),
+        ("not a date", None),
+        ("2025-13-45", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
+    got = [r.d for r in df.select(parse_messy_date("raw").alias("d")).collect()]
+    assert got == [want for _, want in cases]
