@@ -32,6 +32,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: BPE-style pre-tokenizer pattern (GPT-2 family, simplified to the
+#: POSIX-class subset both Spark (Java regex) and DuckDB (RE2) accept):
+#: contractions, letter runs with optional leading space, digit runs,
+#: punctuation runs, whitespace runs. A real tokenizer's merge step
+#: only splits these further, so this count is the standard cheap
+#: proxy (upper bound ≈ small multiple) for LLM token budgeting.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Array of BPE-style pre-tokens. DuckDB twin:
+    ``regexp_extract_all(x, <BPE_ISH_PATTERN>)`` (same pattern string)."""
+    return F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Pre-token count excluding pure-whitespace matches — the
+    LLM-budget estimate."""
+    toks = bpe_ish_tokens(text)
+    return F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))).cast("bigint")
+
+
 def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles (the MinHash/Jaccard unit). DuckDB twin:
     ``list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))``."""

@@ -425,3 +425,32 @@ def dedup_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_near_duplicates(corpus, pairs).select(
         "doc_id", F.md5("text").alias("content_md5")
     )
+
+
+_BPE_PAT_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_PAT_SQL_ESC = _BPE_PAT_SQL.replace("'", "''")
+
+
+@query(
+    "text_bpe_token_budget",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL_ESC}'),
+                                t -> NOT regexp_matches(t, '^\\s+$'))) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    description="LLM token budgeting: whitespace vs BPE-style pre-tokenizer "
+    "counts (same regex runs in Spark and the DuckDB oracle)",
+)
+def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
