@@ -96,3 +96,30 @@ def test_dedup_suppresses_cross_batch_redelivery(spark, chunked_events_dir):
     )
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, chunked_events_dir, tmp_path):
+    """The foreachBatch parquet sink must (a) land every input row
+    exactly once across micro-batches, (b) be idempotent: re-writing a
+    batch_id replaces its partition instead of duplicating it."""
+    from auraverse_etl_pipeline_spark.streaming.sinks import (
+        foreach_batch_writer,
+        partitioned_parquet_sink,
+    )
+
+    path, n = chunked_events_dir
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    sev = stream_events(spark, path, max_files_per_trigger=1)
+    q = partitioned_parquet_sink(sev, out, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    batches = [r.batch_id for r in back.select("batch_id").distinct().collect()]
+    assert len(batches) >= 3  # genuinely incremental
+    # replay batch 0 with different content → its partition is replaced
+    replay = spark.read.parquet(out).filter(F.col("batch_id") == batches[0]).drop("batch_id").limit(1)
+    foreach_batch_writer(out)(replay, batches[0])
+    again = spark.read.parquet(out)
+    assert again.filter(F.col("batch_id") == batches[0]).count() == 1
+    assert again.filter(F.col("batch_id") != batches[0]).count() == back.filter(F.col("batch_id") != batches[0]).count()
