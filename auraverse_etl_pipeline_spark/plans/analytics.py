@@ -890,3 +890,26 @@ def q30_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority, o_orderstatus))
         """
     )
+
+
+@query(
+    "q31_pivot_daily_event_matrix",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {DSUM("CASE WHEN event_type = 'click' THEN value END")} AS click,
+           {DSUM("CASE WHEN event_type = 'error' THEN value END")} AS error,
+           {DSUM("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+           {DSUM("CASE WHEN event_type = 'view' THEN value END")} AS view
+    FROM events
+    GROUP BY 1
+    """,
+    description="PIVOT: wide day x event_type value matrix (explicit "
+    "pivot column list so the plan is one pass, no distinct-scan)",
+)
+def q31_pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "view"])
+        .agg(dsum("value", 6))
+    )

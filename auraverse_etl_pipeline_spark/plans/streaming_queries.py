@@ -117,3 +117,34 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@query(
+    "stream_sliding_windows",
+    oracle=f"""
+    WITH grid AS (
+        SELECT s AS window_start
+        FROM generate_series(TIMESTAMP '2023-12-31 23:15:00',
+                             TIMESTAMP '2024-01-31 00:00:00',
+                             INTERVAL 15 MINUTE) AS t(s)
+    )
+    SELECT CAST(g.window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           {DSUM('e.value')} AS sum_value
+    FROM grid g JOIN events e
+      ON e.ts >= g.window_start AND e.ts < g.window_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    description="streaming sliding windows (1h every 15min) replayed over "
+    "static files == the batch grid-join oracle",
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = windowed_event_counts(ev, window="1 hour", slide="15 minutes")
+    out = run_stream_to_memory(agg, "complete", "s_sliding_windows")
+    # the operator keeps the event_type dimension; roll it up (decimal
+    # re-sum keeps the total exact) to match the per-window oracle
+    return out.groupBy("window_start").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("sum_value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
