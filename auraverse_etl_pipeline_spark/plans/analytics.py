@@ -913,3 +913,25 @@ def q31_pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "view"])
         .agg(dsum("value", 6))
     )
+
+
+@query(
+    "q32_variant_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           {DSUM("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Spark 4 VariantType path: parse_json once, variant_get "
+    "typed extraction (the open-schema scale alternative to per-query "
+    "string re-parsing; SURVEY §1.1 data-model mapping)",
+)
+def q32_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return events.groupBy("event_type").agg(
+        dsum(k, 0).alias("sum_k"), F.count("*").alias("n_events")
+    )
