@@ -184,6 +184,8 @@ def find_yaml_frontmatter(scan: DocumentScan) -> None:
     (``etl_parser.py:575-588``)."""
     for m in _YAML_RE.finditer(scan.text):
         body = m.group(1)
+        if m.start(1) >= m.end(1) or not body.strip():
+            continue  # empty --- --- block: no fragment (zero-length spans are invalid)
         lines = [ln for ln in body.splitlines() if ln.strip()]
         colon_ratio = sum(1 for ln in lines if ":" in ln) / max(1, len(lines))
         if scan.reserved_overlaps(m.start(1), m.end(1)):
