@@ -454,3 +454,26 @@ def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_tokens"),
     )
+
+
+@query(
+    "multimodal_feature_digest",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)
+             AS n_frames_sampled
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    description="multimodal plumbing through the oracle gate: the "
+    "deterministic payload digest (sha256, byte count, strided frame "
+    "count) computed by the Arrow-batched feature UDF must match SQL "
+    "over the source text bytes",
+)
+def multimodal_feature_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_media_features(attach_fake_media(docs))
+    return feats.select("media_id", "kind", "n_bytes", "sha256", "n_frames_sampled")
