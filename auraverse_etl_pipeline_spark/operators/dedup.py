@@ -67,10 +67,9 @@ def ngram_jaccard_pairs(
     plate) skew the shuffle — prune the top-frequency shingles first at
     real scale (stopword-shingle removal), or feed this only LSH
     candidates (``minhash_near_duplicates`` does exactly that)."""
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), n=n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    docs = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).withColumn(
+        "n_sh", F.size("sh").cast("bigint")
+    )
     exploded = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     left = exploded.select(
         F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
@@ -233,26 +232,37 @@ def simhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """60-bit SimHash per document from per-token md5s (bit-majority
-    vote), entirely in native expressions: per bit b,
-    sign(Σ_tokens (bit_b ? +1 : -1)). Output: (doc_id, simhash)."""
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    # 60 bits of md5 per token as a bigint (15 hex chars)
-    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
-    docs = df.select(F.col(id_col).alias("doc_id"), tok_hash.alias("h")).filter(F.size("h") > 0)
+    vote). Output: (doc_id, simhash).
 
-    def _vote(bit_index: int):
-        mask = F.lit(1 << bit_index)
-        return F.aggregate(
-            "h",
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
+    Spelled as explode + 60 codegen'd ``sum()`` bit-votes per doc (one
+    partial-aggregated shuffle of 60 small ints per doc) — the nested
+    ``aggregate()`` HOF form evaluates interpreted and re-inlines the
+    token expression per bit (same lesson as MinHash: measured ~10×
+    slower). The corpus is spread across cores first (small inputs
+    arrive as one split)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).repartition(
+        par, "doc_id"
+    )
+    toks = F.array_distinct(F.split(F.trim(F.col("_t")), r"\s+"))
+    exploded = base.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(60)
+        ]
+    )
     sim = None
     for b in range(60):
-        bit = F.when(_vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = bit if sim is None else sim.bitwiseOR(bit)
-    return docs.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -260,13 +270,22 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates via band-equality joins.
 
     Documents agreeing on any 15-bit band become a candidate pair —
     guaranteed to include every pair with Hamming distance < n_bands.
-    Output: (id1, id2, hamming). Equality joins only; no O(n²)."""
-    sig = simhash_signatures(df, text_col, id_col)
+    Output: (id1, id2, hamming). Equality joins only; no O(n²).
+
+    ``max_hamming`` prunes BEFORE the dedup-distinct: on corpora with a
+    shared vocabulary the simhashes cluster and band collisions are
+    plentiful, so filtering on the (cheap, already-computed) Hamming
+    distance first keeps the distinct's shuffle proportional to the
+    answer, not to the collision count."""
+    # both sides of the band self-join consume the signatures — cache
+    # so the 60-vote aggregation runs once (cf. minhash shingle table)
+    sig = simhash_signatures(df, text_col, id_col).cache()
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -279,9 +298,11 @@ def simhash_candidate_pairs(
     )
     a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band")
     b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band")
-    return (
+    pairs = (
         a.join(b, "band")
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
-        .distinct()
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.distinct()

@@ -640,7 +640,10 @@ def q20_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cogrouped applyInPandas merge_asof — SURVEY.md §2.6 custom-operator path)",
 )
 def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from auraverse_etl_pipeline_spark.operators.asof import as_of_join
+    # window spelling, not the cogrouped pandas one: this data is
+    # many-tiny-groups (one per user), where per-group pandas overhead
+    # dominates (measured 28s vs 1.5s at sf0.1)
+    from auraverse_etl_pipeline_spark.operators.asof import as_of_join_window
 
     events = (
         load_table(spark, sf_dir, "events")
@@ -648,7 +651,7 @@ def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
-    joined = as_of_join(
+    joined = as_of_join_window(
         events,
         orders,
         on="ts",

@@ -138,7 +138,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs).filter(F.col("hamming") <= 16)
+    return simhash_candidate_pairs(docs, max_hamming=16)
 
 
 def _with_perturbed_copies(emb: DataFrame, max_id: int | None = None) -> DataFrame:

@@ -124,6 +124,14 @@ def test_asof_join_matches_native(spark):
     }
     assert native == got
 
+    from auraverse_etl_pipeline_spark.operators.asof import as_of_join_window
+
+    windowed = {
+        (r.k, r.ts): (r.ts_right, r.tag)
+        for r in as_of_join_window(left, right, on="ts", by_left="k", by_right="k").collect()
+    }
+    assert windowed == got
+
 
 def test_sessionize(spark):
     from auraverse_etl_pipeline_spark.operators.sessionize import sessionize
