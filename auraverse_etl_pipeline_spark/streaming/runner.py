@@ -21,6 +21,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     name: str | None = None,
     timeout_s: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame with AvailableNow into a memory sink;
     return the sink table as a batch DataFrame.
@@ -30,19 +31,36 @@ def run_stream_to_memory(
     ``append``/``update`` accumulate emitted rows (callers with
     cumulative update-mode output take the last row per key).
     Checkpoint goes to a throwaway dir — replay harness, not a
-    production deployment."""
+    production deployment.
+
+    ``state_partitions`` pins the state-store shard count for this
+    query (the shuffle-partition conf is captured at first checkpoint):
+    state shards should match key cardinality and throughput, not the
+    batch-analytics parallelism — at replay scale 64 near-empty shards
+    cost 5× the wall clock of 8 (per-task state-store open/commit
+    overhead). None keeps the session setting; a real deployment sizes
+    this to its key space once, since it is fixed for the checkpoint's
+    lifetime."""
     qname = name or f"stream_result_{next(_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return sdf.sparkSession.table(qname)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
