@@ -27,6 +27,7 @@ each document is independent, which is exactly the parallelism axis a
 
 from __future__ import annotations
 
+import bisect
 import json
 import re
 from collections import Counter
@@ -107,35 +108,48 @@ def balanced_brace_span(text: str, pos: int, window: int = MAX_BRACE_WINDOW):
 
 
 class DocumentScan:
-    """Mutable scan state shared by the detector functions."""
+    """Mutable scan state shared by the detector functions.
+
+    Reserved spans are kept as a SORTED, DISJOINT (merged-on-insert)
+    interval list so the hot operations are sub-linear: overlap test is
+    one bisect, complement is one linear walk. The naive append-a-tuple
+    + scan-them-all spelling is O(fragments²) — a divider-storm
+    document emitting 33k reserving fragments spent ~75 s there."""
 
     def __init__(self, text: str):
         self.text = text
         self.fragments: list[Fragment] = []
-        self._reserved: list[tuple[int, int]] = []
+        self._starts: list[int] = []
+        self._ends: list[int] = []
 
     def reserved_overlaps(self, start: int, end: int) -> bool:
-        return any(a < end and start < b for a, b in self._reserved)
+        # disjoint + sorted ⇒ only the last interval starting before
+        # ``end`` can overlap [start, end)
+        j = bisect.bisect_left(self._starts, end)
+        return j > 0 and self._ends[j - 1] > start
 
     def emit(self, frag: Fragment) -> None:
         self.fragments.append(frag)
         if frag.format_type in RESERVING:
-            self._reserved.append((frag.start, frag.end))
+            s, e = frag.start, frag.end
+            lo = bisect.bisect_left(self._ends, s)  # first interval ending at/after s
+            hi = bisect.bisect_right(self._starts, e)  # first interval starting after e
+            if lo < hi:  # merge everything [lo, hi) into one interval
+                s = min(s, self._starts[lo])
+                e = max(e, self._ends[hi - 1])
+            self._starts[lo:hi] = [s]
+            self._ends[lo:hi] = [e]
 
     def free_segments(self) -> list[tuple[int, int]]:
         """Complement of the reserved intervals over [0, len(text))."""
-        segments = [(0, len(self.text))]
-        for a, b in sorted(self._reserved):
-            next_segments = []
-            for s, e in segments:
-                if b <= s or a >= e:
-                    next_segments.append((s, e))
-                    continue
-                if s < a:
-                    next_segments.append((s, a))
-                if b < e:
-                    next_segments.append((b, e))
-            segments = next_segments
+        segments: list[tuple[int, int]] = []
+        prev = 0
+        for a, b in zip(self._starts, self._ends):
+            if a > prev:
+                segments.append((prev, a))
+            prev = max(prev, b)
+        if prev < len(self.text):
+            segments.append((prev, len(self.text)))
         return segments
 
 
@@ -490,17 +504,23 @@ def resolve_overlaps(fragments: list[Fragment]) -> list[Fragment]:
     (start, longest-first) order, drop a fragment fully contained in an
     already-kept fragment of higher-or-equal priority; strictly-higher-
     priority children survive alongside their parent."""
+    # Scanning start-ascending (longest-first at ties) means every kept
+    # fragment already has start <= the current start, so containment
+    # reduces to "some kept fragment of rank <= mine ends at or after my
+    # end". Tracking the max kept end per rank makes the pass
+    # O(n · n_ranks) instead of the naive O(n²) — a divider-storm
+    # document yielding 33k fragments resolved in ~100 s quadratically,
+    # ~0.1 s with this.
+    n_ranks = len(PRIORITY) + 1
+    max_end_by_rank = [-1] * n_ranks
     kept: list[Fragment] = []
     for frag in sorted(fragments, key=lambda f: (f.start, -(f.end - f.start))):
         rank = _RANK.get(frag.format_type, len(PRIORITY))
-        swallowed = any(
-            k.start <= frag.start
-            and frag.end <= k.end
-            and _RANK.get(k.format_type, len(PRIORITY)) <= rank
-            for k in kept
-        )
+        swallowed = any(max_end_by_rank[r] >= frag.end for r in range(rank + 1))
         if not swallowed:
             kept.append(frag)
+            if frag.end > max_end_by_rank[rank]:
+                max_end_by_rank[rank] = frag.end
     kept.sort(key=lambda f: f.start)
     for frag in kept:
         frag.confidence = _clamp(frag.confidence)

@@ -85,3 +85,26 @@ def test_converter_never_crashes(doc):
     out = convert_document(doc)
     assert isinstance(out, dict)
     json.dumps(out)
+
+
+def test_adversarial_inputs_stay_bounded():
+    """The reference's scan caps (200k brace window, 200-line CSV, 2k
+    YAML tails) are semantics AND a runtime bound: pathological inputs
+    must finish in seconds, not O(n²)."""
+    import time
+
+    adversarial = [
+        "{" * 500_000,                       # half-MB of open braces
+        '{"a":' * 100_000,                   # deep nesting prefix
+        ("x," * 300 + "\n") * 5_000,         # 5k-line pseudo-CSV
+        "key: value\n" * 200_000,            # 200k-line KV run
+        "---\n" * 100_000,                   # divider storm
+        "a" * 1_000_000,                     # 1 MB single token
+    ]
+    for doc in adversarial:
+        t0 = time.perf_counter()
+        frags = detect_document(doc)
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 10.0, f"detector took {elapsed:.1f}s on {doc[:30]!r}..."
+        for f in frags:
+            assert 0 <= f.start < f.end <= len(doc)
