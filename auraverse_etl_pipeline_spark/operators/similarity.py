@@ -15,8 +15,30 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+
+def _batch_cosine_fn(v1: pd.Series, v2: pd.Series) -> pd.Series:
+    """Arrow-batched cosine: one numpy matmul per chunk. Much faster
+    than the interpreted per-row fold on large candidate sets; agrees
+    with the ordered-fold spelling to ~1e-15 relative (pairwise vs
+    sequential summation), so use the fold (``cosine_similarity_expr``)
+    where bit-parity with the SQL oracle is required."""
+    a = np.stack(v1.to_numpy())
+    b = np.stack(v2.to_numpy())
+    dots = (a * b).sum(axis=1)
+    return pd.Series(dots / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)))
+
+
+def batch_cosine(v1, v2) -> Column:
+    """Column wrapper for :func:`_batch_cosine_fn`. The pandas_udf is
+    built lazily — registering one at import time requires an active
+    SparkContext, which would break importing this module before the
+    session exists (the driver does exactly that)."""
+    return F.pandas_udf(_batch_cosine_fn, "double")(v1, v2)
 
 
 def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
@@ -147,8 +169,13 @@ def hyperplane_lsh_pairs(
     pairs = cand.join(
         e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
     ).join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
+
+    # Candidate volume is data-dependent (clustered corpora collide a
+    # lot), so verify with the Arrow-batched cosine instead of the
+    # interpreted per-row fold the exact tier uses for bit-parity with
+    # the SQL oracle.
     return (
-        pairs.select("id1", "id2", cosine_similarity_expr("v1", "v2").alias("cosine"))
+        pairs.select("id1", "id2", batch_cosine("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
