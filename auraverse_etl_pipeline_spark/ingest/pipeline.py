@@ -242,3 +242,28 @@ def consolidated_schema(schema_fields: DataFrame) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+def typed_records(records: DataFrame, format_type: str, sample_size: int = 1000) -> DataFrame:
+    """Materialize one format's records as a TYPED DataFrame (SURVEY §7
+    M4: the engine's own inference for actual typing, with the
+    SchemaField layer staying advisory).
+
+    Schema comes from ``schema_of_json`` over a sampled record —
+    then every record parses with one ``from_json`` against that
+    schema (executor-side, no driver collect of the data). Records
+    whose shape disagrees with the inferred schema get nulls in the
+    mismatched fields, mirroring ``spark.read.json`` semantics.
+
+    At 100 TB you infer once per (corpus, format) and persist the
+    schema next to the dataset; ``sample_size`` bounds the inference
+    scan either way."""
+    data = records.filter(F.col("format") == format_type).select("doc_id", "start", "data")
+    sample = [r.data for r in data.select("data").limit(sample_size).collect() if r.data]
+    if not sample:
+        return data.select("doc_id", "start").withColumn("record", F.lit(None).cast("string"))
+    spark = records.sparkSession
+    # merge sampled schemas: infer over the sample as a one-column json dataset
+    inferred = spark.read.json(spark.createDataFrame([(s,) for s in sample], "v string").rdd.map(lambda r: r.v))
+    schema = inferred.schema
+    return data.select("doc_id", "start", F.from_json("data", schema).alias("record"))

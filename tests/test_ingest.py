@@ -162,3 +162,19 @@ def test_spark_pipeline_end_to_end(spark):
     assert parsed["@type"] == "Product"
     fields = infer_schema_fields(records)
     assert fields.filter("type = 'boolean'").count() == 2
+
+
+def test_typed_records_infer_and_parse(spark):
+    """M4: per-format typed materialization — inferred struct schema,
+    every record parsed, heterogeneous fields null-padded."""
+    from auraverse_etl_pipeline_spark.ingest.pipeline import extract_records, typed_records
+    from auraverse_etl_pipeline_spark.plans.ingest_queries import fixture_documents
+
+    records = extract_records(fixture_documents(spark)).cache()
+    typed = typed_records(records, "JSON")
+    assert typed.schema["record"].dataType.typeName() == "struct"
+    rows = typed.collect()
+    assert rows and all(r.record is not None for r in rows)
+    # KEY_VALUE records are flat string maps -> struct of strings
+    kv = typed_records(records, "KEY_VALUE")
+    assert kv.count() > 0
