@@ -148,3 +148,25 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum(F.col("sum_value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "stream_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           v.event_id AS view_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    description="stream-stream interval join (purchase attribution to "
+    "preceding views, watermark-bounded state) replayed == batch theta join",
+)
+def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.streaming.ops import purchase_attribution_join
+
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(purchase_attribution_join(ev), "append", "s_attribution")

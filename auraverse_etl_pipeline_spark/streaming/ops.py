@@ -95,6 +95,42 @@ def dedup_events_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def purchase_attribution_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's view events in the preceding ``lookback``.
+
+    The canonical attribution shape. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can evict
+    view-side state once the watermark passes ts + lookback — without
+    the time bound a stream-stream join buffers forever. Output one row
+    per (purchase, view) pair."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {lookback}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
 #: Output schema of user_running_totals.
 USER_TOTALS_SCHEMA = StructType(
     [
