@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+must be visible in the executed plans, so a refactor that silently
+de-optimizes a query (loses a broadcast, un-pushes a filter, adds a
+shuffle) fails here rather than in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+QS = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_every_dim(spark, sf_dir):
+    plan = _plan(QS["q03_region_nation_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing big enough to SMJ at test SF
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(QS["q01_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """q01 touches 7 lineitem columns; the parquet ReadSchema must not
+    include untouched wide columns like l_comment."""
+    plan = _plan(QS["q01_pricing_summary"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_minhash_band_join_is_equality_join(spark, sf_dir):
+    """The LSH candidate join must be a hash/SMJ equality join — a
+    nested-loop means someone broke the banding into a theta join."""
+    plan = _plan(QS["dedup_minhash_pairs"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """q26's bucketed range join exists precisely to avoid the BNLJ a
+    naive theta join produces."""
+    plan = _plan(QS["q26_range_join_daytime_events"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the containment filter must run post-join, not as a join condition
+    # of a nested loop over the full input
+    assert "BroadcastNestedLoopJoin" not in plan or "_b" in plan
+
+
+def test_asof_window_single_shuffle(spark, sf_dir):
+    """The window as-of join is one exchange (hash by key) + sort; a
+    second data exchange means the union/window structure regressed."""
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.operators.asof import as_of_join_window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    plan = _plan(
+        as_of_join_window(ev, orders, on="ts", right_on="o_orderdate",
+                          by_left="user_id", by_right="o_custkey", right_cols=[])
+    )
+    # count data-moving exchanges (hashpartitioning), ignoring AQE reuse
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]
