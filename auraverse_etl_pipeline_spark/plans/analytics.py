@@ -938,3 +938,25 @@ def q32_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         dsum(k, 0).alias("sum_k"), F.count("*").alias("n_events")
     )
+
+
+@query(
+    "q33_hll_sketch_union",
+    description="mergeable HLL sketches (DataSketches): per-day sketches "
+    "built once, unioned to per-type totals without rescanning raw — the "
+    "persisted-partials pattern for 100 TB distinct counts; accuracy "
+    "pinned vs exact in pytest (rows-only here)",
+)
+def q33_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("approx_distinct_users"),
+        )
+    )

@@ -353,3 +353,25 @@ def test_parse_messy_date_covers_fixture_formats(spark):
     df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
     got = [r.d for r in df.select(parse_messy_date("raw").alias("d")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Unioning per-day HLL sketches must estimate per-type distinct
+    users within HLL error of the exact count (merge loses nothing)."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: r.approx_distinct_users
+        for r in all_queries()["q33_hll_sketch_union"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.users
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
