@@ -178,3 +178,51 @@ def test_typed_records_infer_and_parse(spark):
     # KEY_VALUE records are flat string maps -> struct of strings
     kv = typed_records(records, "KEY_VALUE")
     assert kv.count() > 0
+
+
+def test_corpus_scale_multiformat_pipeline(spark):
+    """Distributed end-to-end over a SYNTHESIZED 300-doc mixed-format
+    corpus (blocks drawn deterministically from the fixture formats):
+    the Spark pipeline's per-format fragment counts must equal running
+    the detector directly in Python on every document."""
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.ingest.detect import detect_document as detect_py
+    from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments
+
+    blocks = [
+        '{"id": %d, "name": "thing-%d"}',
+        "k%d: v%d\nport = %d",
+        "a,b,c\n%d,%d,%d",
+        "<table><tr><th>x</th></tr><tr><td>%d</td></tr></table>",
+        "SELECT %d FROM t WHERE id = %d;",
+        "var cfg%d = { n: %d };",
+        "just some prose about item %d and its %d friends.",
+    ]
+    rnd = random.Random(7)
+    docs = []
+    for i in range(300):
+        parts = []
+        for j in rnd.sample(range(30), rnd.randrange(1, 6)):
+            tpl = blocks[j % len(blocks)]
+            parts.append(tpl % tuple([i + j] * tpl.count("%d")))
+        docs.append((i, "\n\n".join(parts)))
+
+    expected = Counter(
+        f.format_type for _, text in docs for f in detect_py(text)
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    got = Counter(
+        {
+            r.format_type: r.n
+            for r in detect_fragments(df)
+            .groupBy("format_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    )
+    assert got == expected
+    assert len(expected) >= 4, f"corpus too homogeneous: {expected}"
