@@ -960,3 +960,47 @@ def q33_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").alias("approx_distinct_users"),
         )
     )
+
+
+@query(
+    "q34_full_outer_user_reconciliation",
+    oracle=f"""
+    WITH buyers AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS order_value
+        FROM orders WHERE o_custkey < 300 GROUP BY 1
+    ),
+    actives AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+           b.n_orders, b.order_value, a.n_events,
+           CASE WHEN b.user_id IS NULL THEN 'event_only'
+                WHEN a.user_id IS NULL THEN 'order_only'
+                ELSE 'both' END AS presence
+    FROM buyers b FULL OUTER JOIN actives a ON b.user_id = a.user_id
+    """,
+    description="FULL OUTER join reconciliation of two aggregated "
+    "universes (order-side vs event-side users) with presence tagging",
+)
+def q34_full_outer_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    events = load_table(spark, sf_dir, "events")
+    buyers = orders.groupBy(F.col("o_custkey").alias("b_user")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("order_value")
+    )
+    actives = events.groupBy(F.col("user_id").alias("a_user")).agg(
+        F.count("*").alias("n_events")
+    )
+    joined = buyers.join(actives, F.col("b_user") == F.col("a_user"), "full_outer")
+    return joined.select(
+        F.coalesce("b_user", "a_user").alias("user_id"),
+        "n_orders",
+        "order_value",
+        "n_events",
+        F.when(F.col("b_user").isNull(), "event_only")
+        .when(F.col("a_user").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
