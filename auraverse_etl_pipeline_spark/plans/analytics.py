@@ -1004,3 +1004,61 @@ def q34_full_outer_user_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@query(
+    "q35_profile_orders",
+    oracle=f"""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_non_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+    description="data-quality profiling: per-column null/distinct/range "
+    "stats in ONE scan (multi-aggregate projection, unpivoted)",
+)
+def q35_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # one scan computing all stats, then unpivot to one row per column —
+    # N scans (one per profiled column) is the naive spelling
+    agg = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("min_cust"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_totalprice").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("nn_price").alias("n_non_null"),
+                    F.col("nd_price").alias("n_distinct"),
+                    F.col("min_price").alias("min_val"),
+                    F.col("max_price").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("nn_cust").alias("n_non_null"),
+                    F.col("nd_cust").alias("n_distinct"),
+                    F.col("min_cust").alias("min_val"),
+                    F.col("max_cust").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
