@@ -58,3 +58,29 @@ def test_cli_convert_single_file(tmp_path, spark):
     out = tmp_path / "out.json"
     assert main(["convert", str(src), str(out)]) == 0
     assert json.loads(out.read_text())["name"] == "Thing"
+
+
+def test_read_text_corpus_glob(spark, tmp_path):
+    """S1 corpus source: one row per file, whole text preserved, doc_id
+    stable across re-reads (path-hash, not monotonically_increasing)."""
+    from auraverse_etl_pipeline_spark.sources.tables import read_text_corpus
+
+    for i in range(3):
+        (tmp_path / f"doc{i}.txt").write_text(f"--- METADATA\nname: d{i}\n\nbody {i}\n")
+    docs = read_text_corpus(spark, str(tmp_path / "*.txt"))
+    rows = {r.source.rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert len(rows) == 3
+    assert rows["doc1.txt"].text.startswith("--- METADATA")
+    again = {r.source.rsplit("/", 1)[-1]: r.doc_id for r in docs.collect()}
+    assert {k: v.doc_id for k, v in rows.items()} == again
+
+
+def test_cli_parse_glob(tmp_path, spark, capsys):
+    """CLI parse over a glob fans out across documents."""
+    from auraverse_etl_pipeline_spark.cli import main
+
+    for i in range(3):
+        (tmp_path / f"d{i}.txt").write_text('{"k": %d}\n\nplain prose here for bulk.\n' % i)
+    assert main(["parse", str(tmp_path / "*.txt")]) == 0
+    out = capsys.readouterr().out
+    assert "Detected" in out and "3 document(s)" in out
