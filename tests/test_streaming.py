@@ -123,3 +123,41 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, chunked_events_dir, tmp_
     again = spark.read.parquet(out)
     assert again.filter(F.col("batch_id") == batches[0]).count() == 1
     assert again.filter(F.col("batch_id") != batches[0]).count() == back.filter(F.col("batch_id") != batches[0]).count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving after the watermark has passed its window must be
+    ignored: its window's state was evicted and never re-emits. (The
+    drop engages once the watermark advanced in a PRIOR batch — within
+    the same batch as the advancing data, Spark still accepts it.)"""
+    import pyspark.sql.functions as F2
+
+    def chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+        ).select(
+            "event_id",
+            (F2.unix_micros(F2.col("ts_s").cast("timestamp")) * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "late_events"))
+        import time
+
+        time.sleep(1.2)  # distinct mod times => deterministic batch order
+
+    # batch 0: 00:10 and 06:00 -> watermark will advance to 05:00
+    chunk([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+           (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}")])
+    # batch 1: fresh row; 00:00-window state is evicted this batch
+    chunk([(3, "2024-01-01 07:00:00", 1, "click", 1.0, "{}")])
+    # batch 2: ONLY a late row far behind the watermark -> dropped
+    chunk([(4, "2024-01-01 00:30:00", 1, "click", 99.0, "{}")])
+    sev = stream_events(spark, str(tmp_path / "late_events"), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        windowed_event_counts(sev, watermark="1 hour"), "update", "t_late_drop"
+    )
+    rows = out.collect()
+    h0 = [r for r in rows if r.window_start.hour == 0]
+    # exactly one emission for the 00:00 window, from batch 0 only
+    assert [(r.n_events, r.sum_value) for r in h0] == [(1, 1.0)], rows
+    assert any(r.window_start.hour == 7 for r in rows)
