@@ -226,3 +226,34 @@ def test_corpus_scale_multiformat_pipeline(spark):
     )
     assert got == expected
     assert len(expected) >= 4, f"corpus too homogeneous: {expected}"
+
+
+def test_parse_file_full_contract():
+    """The library API must honor the reference's documented contract
+    INCLUDING the v1-only 'fields' key (the shipped trial scripts crash
+    on it against the reference's own v2 - SURVEY §3 EP3)."""
+    from auraverse_etl_pipeline_spark.ingest.api import parse_file
+
+    result = parse_file(_read("messy_doc_1.txt"))
+    assert set(result) == {"fragments", "summary", "records", "fields"}
+    assert sum(result["summary"].values()) == len(result["fragments"])
+    assert result["records"] and result["fields"]
+    f0 = result["fields"][0]
+    assert set(f0) == {"name", "path", "type", "nullable", "example", "confidence"}
+    # the trial-script access pattern works
+    for fr in result["fragments"][:3]:
+        assert fr["end_index"] > fr["start_index"]
+
+
+def test_convert_file_default_naming(tmp_path):
+    from auraverse_etl_pipeline_spark.ingest.api import convert_file
+
+    src = tmp_path / "input.txt"
+    src.write_text("--- METADATA\nname: Thing\n", encoding="utf-8")
+    merged = convert_file(str(src))
+    assert merged["name"] == "Thing"
+    out = tmp_path / "input_parsed2.json"
+    assert out.exists()
+    import json
+
+    assert json.loads(out.read_text())["name"] == "Thing"
