@@ -23,7 +23,8 @@ Arrow-batched pandas UDFs where Spark lacks a primitive (per-document
 fragment detection, HTML parsing, CSV sniffing).
 """
 
+from auraverse_etl_pipeline_spark.ingest.api import convert_file, parse_file
 from auraverse_etl_pipeline_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "parse_file", "convert_file"]
 __version__ = "0.1.0"
