@@ -1062,3 +1062,37 @@ def q35_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+@query(
+    "q36_trailing_7day_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               {DSUM('value')} AS day_value
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, day_value,
+           CAST(SUM(CAST(day_value AS DECIMAL(38,6))) OVER (
+               ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d
+    FROM daily
+    """,
+    description="RANGE-frame window: 7-day trailing revenue over daily "
+    "totals (value-range frame, not row-count frame - days may be missing)",
+)
+def q36_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        dsum("value", 6).alias("day_value")
+    )
+    # rangeBetween needs a numeric ordering key: epoch days
+    w = (
+        Window.orderBy(F.unix_date(F.col("day").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "day_value",
+        F.sum(F.col("day_value").cast("decimal(38,6)")).over(w).cast("double").alias("trailing_7d"),
+    )
