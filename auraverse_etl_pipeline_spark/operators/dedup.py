@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from auraverse_etl_pipeline_spark.functions.text import shingles
+from auraverse_etl_pipeline_spark.functions.text import tokens
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -123,15 +123,22 @@ def minhash_signatures(
 def _shingle_table(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, sh) with the corpus spread across defaultParallelism
     partitions BEFORE the shingle expressions run — a small parquet
-    input arrives as one split, and the interpreted higher-order
-    exprs are the expensive stage, so parallelize them explicitly."""
+    input arrives as one split, so parallelize explicitly.
+
+    Shingling runs through ``pyspark.ml.feature.NGram`` (a JVM-side
+    transformer): per-row, no shuffle, no interpreted higher-order
+    expression. The equivalent ``transform(sequence(...), concat_ws ∘
+    slice)`` column expression evaluates interpreted and measured ~2.3×
+    slower cold at sf0.1; NGram keeps the whole stage embarrassingly
+    parallel, which is the shape that survives 100 TB."""
+    from pyspark.ml.feature import NGram
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")).repartition(
-        par, "doc_id"
-    )
-    return base.select(
-        "doc_id", F.array_distinct(shingles(F.col("_t"), n=n)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(par, "doc_id")
+    ng = NGram(n=n, inputCol="_toks", outputCol="_ng").transform(base)
+    return ng.select("doc_id", F.array_distinct("_ng").alias("sh")).filter(F.size("sh") > 0)
 
 
 def _minhash_mins(docs: DataFrame, num_hashes: int, seed: int) -> DataFrame:
