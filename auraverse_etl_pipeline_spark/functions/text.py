@@ -111,6 +111,31 @@ def lang_guess(text: Column | str, min_hits: int = 1) -> Column:
     return guess
 
 
+#: PII patterns, restricted to the regex subset Java regex (Spark) and
+#: RE2 (DuckDB) evaluate identically — no backreferences, no lookaround.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_email_count(text: Column | str) -> Column:
+    """DuckDB twin: ``len(regexp_extract_all(x, <pattern>))``."""
+    return F.regexp_count(_col(text), F.lit(PII_EMAIL_PATTERN)).cast("bigint")
+
+
+def pii_phone_count(text: Column | str) -> Column:
+    return F.regexp_count(_col(text), F.lit(PII_PHONE_PATTERN)).cast("bigint")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails then phone numbers to fixed placeholder tags — the
+    pre-training privacy pass. Pure ``regexp_replace`` chain: stays in
+    whole-stage codegen, no Python per row. DuckDB twin:
+    ``regexp_replace(regexp_replace(x, email, '[EMAIL]', 'g'), phone,
+    '[PHONE]', 'g')`` (Spark's regexp_replace is global by default)."""
+    c = F.regexp_replace(_col(text), PII_EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(c, PII_PHONE_PATTERN, "[PHONE]")
+
+
 def content_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set. Identical in DuckDB:

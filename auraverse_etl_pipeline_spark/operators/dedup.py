@@ -233,6 +233,37 @@ def drop_near_duplicates(
     return df.join(victims, id_col, "left_anti")
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination: drop every training document sharing at
+    least one word-``n``-gram with the evaluation corpus (the standard
+    benchmark-leakage guard for LLM training data; n=8..13 in practice).
+
+    Scale shape: the eval set is tiny relative to training data (KBs of
+    benchmarks vs TBs of corpus), so its distinct shingle set is
+    broadcast — the 100 TB side is filtered map-side with ZERO shuffle
+    of training text. Documents shorter than ``n`` tokens produce no
+    shingles and always survive."""
+    ev = (
+        _shingle_table(eval_docs, n=n, text_col=text_col, id_col=id_col)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr_sh = _shingle_table(train, n=n, text_col=text_col, id_col=id_col)
+    hits = (
+        tr_sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(ev), "shingle")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(hits, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1096,3 +1096,39 @@ def q36_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.sum(F.col("day_value").cast("decimal(38,6)")).over(w).cast("double").alias("trailing_7d"),
     )
+
+
+@query(
+    "q37_percentile_ladder",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p25,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p50,
+           CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p90,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="exact distribution profiling: percentile_disc ladder per "
+    "return flag (discrete percentiles return actual data values, so the "
+    "result is hash-exact across engines - no interpolation FP drift)",
+)
+def q37_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: Spark's percentile_disc partial-aggregates a
+    value->count map per group (memory ~ distinct values, not rows), so
+    it survives wide groups with repeated values; for truly unbounded
+    high-cardinality columns at 100 TB, swap in approx_percentile
+    (t-digest, bounded memory) and keep this as the exactness oracle at
+    audit scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    ).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.90).alias("p90"),
+        pct(0.99).alias("p99"),
+    )

@@ -477,3 +477,245 @@ def multimodal_feature_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     feats = extract_media_features(attach_fake_media(docs))
     return feats.select("media_id", "kind", "n_bytes", "sha256", "n_frames_sampled")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: PII scrub, quality filter, decontamination, vocab,
+# mixture sampling, length profiling
+# ---------------------------------------------------------------------------
+
+
+def _sh_sql(n: int) -> str:
+    """DuckDB spelling of the distinct word-``n``-gram shingle set
+    (matches ``functions.text.shingles`` + ``array_distinct``)."""
+    return (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
+    )
+
+
+#: Deterministic PII fixture: the corpus has no real PII, so both engines
+#: append the same synthetic email (doc_id % 3 == 0) and phone
+#: (doc_id % 5 == 0) before the scrub runs — same pattern as the
+#: perturbed-embedding dedup fixture.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                   '\\+?[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g')) AS redacted_md5
+    FROM corpus
+    """,
+    description="PII scrub (email/phone -> placeholder tags) over a corpus "
+    "with deterministically injected synthetic PII; codegen'd regexp chain, "
+    "no Python per row",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        pii_email_count("text").alias("n_emails"),
+        pii_phone_count("text").alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+_SH2_RAW = f"list_transform(range(1, len({_TOKS})), i -> array_to_string(({_TOKS})[i:i+1], ' '))"
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS dup_token_ratio,
+           CASE WHEN len({_SH2_RAW}) > 0
+                THEN 1.0 - CAST(len(list_distinct({_SH2_RAW})) AS DOUBLE) / len({_SH2_RAW})
+                ELSE 0.0 END AS dup_bigram_ratio,
+           (1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) <= 0.85
+             AND (CASE WHEN len({_SH2_RAW}) > 0
+                       THEN 1.0 - CAST(len(list_distinct({_SH2_RAW})) AS DOUBLE) / len({_SH2_RAW})
+                       ELSE 0.0 END) <= 0.55 AS keep
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    description="Gopher-style repetition quality filter: duplicate-token and "
+    "duplicate-bigram ratios with a keep verdict per document",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens("text")
+    sh2 = shingles("text", n=2)
+    dup_tok = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    dup_big = F.when(
+        F.size(sh2) > 0,
+        1.0 - F.size(F.array_distinct(sh2)).cast("double") / F.size(sh2),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_big.alias("dup_bigram_ratio"),
+        ((dup_tok <= 0.85) & (dup_big <= 0.55)).alias("keep"),
+    )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_sh_sql(8)}) AS shingle
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest({_sh_sql(8)}) AS shingle FROM train) t
+        JOIN ev USING (shingle)
+    )
+    SELECT doc_id, md5(text) AS content_md5
+    FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    description="test-set decontamination: drop training docs sharing any "
+    "8-gram with the eval corpus (eval shingle set broadcast; the big side "
+    "never shuffles its text); fixture injects contaminated copies",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
+        ev.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return decontaminate(train, ev, n=8).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    description="corpus vocabulary top-k by frequency (explode -> "
+    "partial-aggregated count -> deterministic top-k with token tie-break)",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
+
+
+#: Per-language sampling rates (per mille) for the training-mixture
+#: operator; the hash is a Knuth multiplicative bucket on doc_id so both
+#: engines select the exact same rows with zero RNG.
+_MIX_WEIGHTS = (("en", 900), ("de", 600), ("es", 400), ("fr", 250), ("zh", 125))
+_MIX_CASE = (
+    "CASE " + " ".join(f"WHEN lang = '{l}' THEN {w}" for l, w in _MIX_WEIGHTS) + " ELSE 0 END"
+)
+
+
+@query(
+    "mix_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           (CAST(doc_id AS BIGINT) * 2654435761) % 1000 AS bucket
+    FROM documents
+    WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000 < {_MIX_CASE}
+    """,
+    description="deterministic weighted mixture sampling (per-language "
+    "rates via a Knuth multiplicative hash on doc_id - reproducible "
+    "training-data mixing with no RNG state)",
+)
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id").cast("bigint") * F.lit(2654435761)) % 1000
+    rate = F.lit(0)
+    for lang, w in reversed(_MIX_WEIGHTS):
+        rate = F.when(F.col("lang") == lang, F.lit(w)).otherwise(rate)
+    return docs.filter(bucket < rate).select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 600 THEN 13
+                ELSE CAST(floor(n_chars * 12.0 / 600) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    description="document-length histogram via SQL-standard width_bucket "
+    "(single scan, partial-aggregated)",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.width_bucket("n_chars", F.lit(0), F.lit(600), F.lit(12)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -375,3 +375,59 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
+
+
+def test_decontaminate_drops_exactly_leaked_docs(spark):
+    from auraverse_etl_pipeline_spark.operators.dedup import decontaminate
+
+    # eval doc = 8 tokens "a b c d e f g h"; train doc 1 embeds that full
+    # 8-gram mid-document, train doc 2 shares only a 7-token prefix, doc 3
+    # is unrelated, doc 4 is too short to shingle at n=8.
+    ev = spark.createDataFrame([(100, "a b c d e f g h")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "x y a b c d e f g h z"),
+            (2, "a b c d e f g q r s t u"),
+            (3, "entirely different words here and more of them too"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in decontaminate(train, ev, n=8).collect())
+    assert kept == [2, 3, 4]
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from auraverse_etl_pipeline_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b-c%d@sub.example.org and x@y.io call +1-555-0199 or 44-201-3344 end",)],
+        "text string",
+    )
+    row = df.select(
+        redact_pii("text").alias("red"),
+        pii_email_count("text").alias("ne"),
+        pii_phone_count("text").alias("np"),
+    ).first()
+    assert row.ne == 2 and row.np == 2
+    assert row.red == "mail [EMAIL] and [EMAIL] call [PHONE] or [PHONE] end"
+    # no PII -> text unchanged
+    clean = spark.createDataFrame([("nothing sensitive here",)], "text string")
+    assert clean.select(redact_pii("text").alias("r")).first().r == "nothing sensitive here"
+
+
+def test_mix_weighted_sample_rates(spark, sf_dir):
+    # the deterministic bucket must keep roughly the configured per-mille
+    # rate per language and be exactly reproducible run-to-run
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+    q = all_queries()["mix_weighted_sample"]
+    a = {(r.doc_id, r.lang) for r in q.fn(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.lang) for r in q.fn(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    en = [t for t in a if t[1] == "en"]
+    assert len(en) > 0
