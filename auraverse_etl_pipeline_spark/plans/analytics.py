@@ -1132,3 +1132,171 @@ def q37_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.90).alias("p90"),
         pct(0.99).alias("p99"),
     )
+
+
+_CDC_CHANGES_SQL = """
+    changes AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal + 100 AS DOUBLE) AS c_acctbal,
+               'UPDATED' AS c_mktsegment, 'U' AS op, 1 AS seq
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D', 2
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new customer ' || c_custkey, c_nationkey,
+               CAST(0.0 AS DOUBLE), 'NEW', 'I', 1
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+"""
+
+
+def _cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC fixture derived from the customer table —
+    updates (%7), deletes (%11, later seq so they beat colliding
+    updates), inserts (%13 under shifted keys)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 7 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 100).cast("double").alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    dels = cust.filter(k % 11 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    ins = cust.filter(k % 13 == 0).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new customer "), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+@query(
+    "q38_changeset_apply",
+    oracle=f"""
+    WITH {_CDC_CHANGES_SQL},
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+            FROM changes) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    description="CDC type-1 upsert: apply an I/U/D change log to the "
+    "customer snapshot, latest change per key wins (delete beats a "
+    "colliding earlier update)",
+)
+def q38_changeset_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.changeset import apply_changeset
+
+    cust = load_table(spark, sf_dir, "customer")
+    return apply_changeset(cust, _cdc_changes(spark, sf_dir), key_col="c_custkey")
+
+
+@query(
+    "q39_scd2_history",
+    oracle="""
+    WITH chg AS (
+        SELECT c_custkey, c_acctbal, 'I' AS op, 1 AS seq
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(c_acctbal + 50 AS DOUBLE), 'U', 2
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(NULL AS DOUBLE), 'D', 3
+        FROM customer WHERE c_custkey % 14 = 0
+    )
+    SELECT c_custkey, c_acctbal, valid_from, valid_to FROM (
+        SELECT c_custkey, c_acctbal, op, seq AS valid_from,
+               LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS valid_to
+        FROM chg
+    ) WHERE op <> 'D'
+    """,
+    description="SCD type-2 versioned history from a change log: each "
+    "version gets [valid_from, valid_to) bounds via lead(); deletes close "
+    "the last version (valid_to set) without emitting a row",
+)
+def q39_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.changeset import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    chg = (
+        cust.filter(k % 7 == 0)
+        .select("c_custkey", "c_acctbal", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            cust.filter(k % 7 == 0).select(
+                "c_custkey",
+                (F.col("c_acctbal") + 50).cast("double").alias("c_acctbal"),
+                F.lit("U").alias("op"), F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 14 == 0).select(
+                "c_custkey",
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit("D").alias("op"), F.lit(3).alias("seq"),
+            )
+        )
+    )
+    return scd2_history(chg, key_col="c_custkey").select(
+        "c_custkey", "c_acctbal", "valid_from", "valid_to"
+    )
+
+
+@query(
+    "q40_referential_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name, COUNT(*) AS n_violations
+    FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_without_order', COUNT(*)
+    FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem_without_part', COUNT(*)
+    FROM lineitem l WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'customer_without_nation', COUNT(*)
+    FROM customer c WHERE c.c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    """,
+    description="data-quality referential audit: orphan counts across the "
+    "four FK edges, each a broadcast anti-join (dimension side broadcast; "
+    "fact side scans map-side, no shuffle)",
+)
+def q40_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        viol = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()), fk, "left_anti"
+        )
+        return viol.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        orphans("orders_without_customer", orders, "o_custkey", customer, "c_custkey"),
+        orphans("lineitem_without_order", lineitem, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem_without_part", lineitem, "l_partkey", part, "p_partkey"),
+        orphans("customer_without_nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

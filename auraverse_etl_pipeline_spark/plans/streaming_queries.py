@@ -170,3 +170,34 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_events(spark, sf_dir)
     return run_stream_to_memory(purchase_attribution_join(ev), "append", "s_attribution")
+
+
+@query(
+    "stream_enriched_segment_revenue",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           {DSUM('value', 6)} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="stream-static enrichment: the event stream joins the "
+    "static customer dimension per micro-batch (dimension broadcast - the "
+    "stream side never shuffles for the join) before a grouped revenue "
+    "rollup; replayed over static files == the batch join",
+)
+def stream_enriched_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, "complete", "s_enriched_segment")

@@ -431,3 +431,38 @@ def test_mix_weighted_sample_rates(spark, sf_dir):
     assert a == b and len(a) > 0
     en = [t for t in a if t[1] == "en"]
     assert len(en) > 0
+
+
+def test_apply_changeset_semantics(spark):
+    from auraverse_etl_pipeline_spark.operators.changeset import apply_changeset
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        # k=1: update then delete (delete wins by seq); k=2: two updates
+        # (latest wins); k=9: insert
+        [
+            (1, "a2", "U", 1), (1, "a2", "D", 2),
+            (2, "b2", "U", 1), (2, "b3", "U", 2),
+            (9, "i", "I", 1),
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {(r.k, r.v) for r in apply_changeset(snap, changes, key_col="k").collect()}
+    assert got == {(2, "b3"), (3, "c"), (9, "i")}
+
+
+def test_scd2_history_bounds(spark):
+    from auraverse_etl_pipeline_spark.operators.changeset import scd2_history
+
+    chg = spark.createDataFrame(
+        # k=1: I -> U -> D (two closed versions); k=2: I only (open version)
+        [(1, "x", "I", 1), (1, "y", "U", 2), (1, None, "D", 3), (2, "z", "I", 1)],
+        "k long, v string, op string, seq int",
+    )
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_history(chg, key_col="k").collect()
+    }
+    assert rows == {(1, "x", 1, 2), (1, "y", 2, 3), (2, "z", 1, None)}
