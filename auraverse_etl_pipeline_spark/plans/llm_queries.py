@@ -132,13 +132,56 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3)
 
 
+#: DuckDB replica of the SimHash pipeline: 60-bit hash from the first
+#: 15 hex chars of each distinct token's md5, per-bit majority vote,
+#: 4×15-bit band self-join, Hamming prune — exactly the Spark operator.
+_SIMHASH_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(tok), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) AS h
+        FROM tok
+    ),
+    v AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h, range(60) r(b)
+        GROUP BY doc_id, b
+    ),
+    sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM v GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, i || ':' || ((simhash >> (i * 15)) & 32767) AS band
+        FROM sim, range(4) r(i)
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b USING (band)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+
+
 @query(
     "dedup_simhash_pairs",
-    description="SimHash band-join candidates with Hamming distance",
+    oracle=_SIMHASH_ORACLE,
+    description="SimHash band-join candidates with Hamming distance "
+    "(deterministic md5 bit-votes, so the full pipeline is oracle-checked)",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, max_hamming=16)
+    pairs = simhash_candidate_pairs(docs, max_hamming=16)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 def _with_perturbed_copies(emb: DataFrame, max_id: int | None = None) -> DataFrame:
