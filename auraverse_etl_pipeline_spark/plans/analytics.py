@@ -1300,3 +1300,38 @@ def q40_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "q41_unpivot_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {DSUM('l_quantity')} AS sum_qty,
+               {DSUM('l_extendedprice')} AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM wide
+    """,
+    description="wide->long melt via native UNPIVOT (the inverse of q31's "
+    "PIVOT): per-flag metric columns become (metric, value) rows; oracle "
+    "spells it as the ANSI UNION ALL equivalent",
+)
+def q41_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -70,3 +70,33 @@ def test_asof_window_single_shuffle(spark, sf_dir):
     # count data-moving exchanges (hashpartitioning), ignoring AQE reuse
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast — a sort-merge join here
+    means the 100 TB training side would shuffle its shingles."""
+    plan = _plan(QS["dedup_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_referential_audit_broadcasts_dims(spark, sf_dir):
+    """Every FK check is a broadcast anti-join; the fact side must
+    never shuffle for the audit."""
+    plan = _plan(QS["q40_referential_audit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    """The scrub is a pure map stage: scan -> project, no Exchange."""
+    plan = _plan(QS["text_pii_redaction"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mixture_sample_pushes_nothing_to_python(spark, sf_dir):
+    """Deterministic hash sampling is pure JVM expression work — no
+    Python eval nodes, no exchange."""
+    plan = _plan(QS["mix_weighted_sample"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
