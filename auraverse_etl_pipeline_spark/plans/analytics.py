@@ -1335,3 +1335,84 @@ def q41_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q42_customer_value_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(first_value(c_custkey) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    description="distribution window functions per segment: decile "
+    "(ntile), percent_rank, cume_dist, first_value - deterministic via "
+    "the custkey tie-break in the window order",
+)
+def q42_customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w_full).cast("bigint").alias("richest_custkey"),
+    )
+
+
+@query(
+    "q43_exact_correlation",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {DSUM('l_quantity')} AS sx,
+               {DSUM('l_extendedprice')} AS sy,
+               {DSUM('l_quantity * l_quantity')} AS sxx,
+               {DSUM('l_extendedprice * l_extendedprice', 4)} AS syy,
+               {DSUM('l_quantity * l_extendedprice')} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * n) AS cov_pop
+    FROM m
+    """,
+    description="exact Pearson correlation / population covariance from "
+    "DECIMAL-exact moment sums: the only FP arithmetic is a fixed-shape "
+    "scalar expression over identical inputs, so both engines produce "
+    "bit-identical doubles (built-in corr() is partial-order dependent "
+    "and not reproducible across partitionings)",
+)
+def q43_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(price).alias("sy"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(price * price, 4).alias("syy"),
+        dsum(qty * price).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((n * sxy - sx * sy) / (n * n)).alias("cov_pop"),
+    )
