@@ -233,6 +233,61 @@ def drop_near_duplicates(
     return df.join(victims, id_col, "left_anti")
 
 
+def connected_component_labels(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    vertex gets ``component`` = the smallest id reachable from it, so a
+    whole duplicate *cluster* (chains included) shares one label — the
+    group-level upgrade of :func:`drop_near_duplicates`'s per-edge rule.
+    Output: (id_col, component) for every vertex that appears in a pair.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-vertex min (all codegen'd joins/aggregates;
+    the driver only checks the converged count). Rounds needed = graph
+    diameter, and dedup clusters are shallow (near-dup relations are
+    near-transitive), so this converges in a handful of rounds even at
+    corpus scale. Each round caches its label table and unpersists the
+    last — lineage stays O(1). At 1000-executor scale this is the
+    standard Pregel-style CC; swap in GraphFrames only if clusters are
+    adversarially chain-shaped."""
+    # cache the pair list first: the bidirectional union consumes it
+    # twice, and upstream pair generation (a shingle self-join) is the
+    # expensive part of the whole operator
+    pairs = pairs.select("id1", "id2").cache()
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).cache()
+    # Convergence probe: labels are monotonically non-increasing, so the
+    # label-sum strictly decreases until the fixpoint — one cheap
+    # aggregate per round instead of an old-vs-new join.
+    label_sum = labels.agg(F.sum("component")).first()[0]
+    while True:
+        neighbor = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).cache()
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == label_sum:
+            break
+        label_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

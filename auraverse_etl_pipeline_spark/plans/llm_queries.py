@@ -762,3 +762,60 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id < 15
+    ),
+    sh AS (SELECT doc_id, {_SH3} AS shingles FROM corpus),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id
+    )
+    SELECT id AS doc_id, MIN(label) AS component FROM walk GROUP BY id
+    """,
+    description="duplicate-CLUSTER labels via iterative min-label "
+    "propagation (chains collapse to one component, unlike per-edge "
+    "keep-first); fixture builds 3-deep copy chains; oracle is the "
+    "recursive-CTE transitive closure",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import connected_component_labels
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one parquet scan: the copy branches derive from the cached 150-row
+    # base instead of re-scanning the corpus per union arm
+    base = docs.filter(F.col("doc_id") < 150).cache()
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            base.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+    return connected_component_labels(pairs)

@@ -466,3 +466,14 @@ def test_scd2_history_bounds(spark):
         for r in scd2_history(chg, key_col="k").collect()
     }
     assert rows == {(1, "x", 1, 2), (1, "y", 2, 3), (2, "z", 1, None)}
+
+
+def test_connected_components_collapse_chains(spark):
+    from auraverse_etl_pipeline_spark.operators.dedup import connected_component_labels
+
+    # chain 1-2-3 (no direct 1-3 edge) must share one component; 8-9 its own
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id1 long, id2 long"
+    )
+    got = {(r.doc_id, r.component) for r in connected_component_labels(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
