@@ -99,6 +99,7 @@ def purchase_attribution_join(
     events: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's view events in the preceding ``lookback``.
@@ -107,7 +108,13 @@ def purchase_attribution_join(
     the join condition bounds event-time distance, so Spark can evict
     view-side state once the watermark passes ts + lookback — without
     the time bound a stream-stream join buffers forever. Output one row
-    per (purchase, view) pair."""
+    per (purchase, view) pair.
+
+    ``join_type="leftOuter"`` additionally emits unattributed purchases
+    (NULL view columns) — but only once the watermark passes the
+    purchase's own timestamp, when no qualifying view can still arrive;
+    purchases newer than the final watermark therefore never emit a
+    NULL row (pinned in tests/test_streaming.py)."""
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -127,7 +134,7 @@ def purchase_attribution_join(
         (F.col("v_user_id") == F.col("user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {lookback}")),
-        "inner",
+        join_type,
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 

@@ -161,3 +161,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # exactly one emission for the 00:00 window, from batch 0 only
     assert [(r.n_events, r.sum_value) for r in h0] == [(1, 1.0)], rows
     assert any(r.window_start.hour == 7 for r in rows)
+
+
+def test_left_outer_attribution_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join semantics: matched purchases emit
+    immediately; an unattributed purchase emits a NULL-view row only
+    after the watermark passes it; a tail purchase still inside the
+    watermark when the stream ends never emits."""
+    import pyspark.sql.functions as F2
+
+    from auraverse_etl_pipeline_spark.streaming.ops import purchase_attribution_join
+
+    def chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+        ).select(
+            "event_id",
+            (F2.unix_micros(F2.col("ts_s").cast("timestamp")) * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "attr_events"))
+        import time
+
+        time.sleep(1.2)
+
+    # b0: matched pair (user 1), unattributed purchase (user 2)
+    chunk([
+        (10, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (11, "2024-01-01 00:30:00", 1, "purchase", 5.0, "{}"),
+        (12, "2024-01-01 00:45:00", 2, "purchase", 7.0, "{}"),
+    ])
+    # b1: late-hour activity on both sides -> watermark (2h) advances to
+    # ~04:00, past user 2's purchase; user 3's pair matches inner-style
+    chunk([
+        (13, "2024-01-01 06:00:00", 3, "view", 0.0, "{}"),
+        (14, "2024-01-01 06:10:00", 3, "purchase", 9.0, "{}"),
+    ])
+    # b2: one more batch so the advanced watermark evicts + emits
+    chunk([(15, "2024-01-01 06:30:00", 4, "view", 0.0, "{}")])
+
+    sev = stream_events(spark, str(tmp_path / "attr_events"), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        purchase_attribution_join(sev, join_type="leftOuter"), "append", "t_attr_outer"
+    )
+    rows = {(r.purchase_id, r.view_id) for r in out.collect()}
+    assert (11, 10) in rows, rows        # matched pair
+    assert (12, None) in rows, rows      # unattributed, watermark passed
+    assert (14, 13) in rows, rows        # matched in later batch
+    # no purchase after the final watermark may emit a NULL row twice
+    assert len([p for p, v in rows if p == 12]) == 1
