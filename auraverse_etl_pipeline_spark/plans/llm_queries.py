@@ -819,3 +819,111 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
     return connected_component_labels(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking and sequence packing (pretraining data prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    k AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {_CHUNK} THEN 1
+                    ELSE CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1 END AS n_chunks
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM k
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_md5
+    FROM e
+    """,
+    description="sliding context-window chunking (64-token windows, "
+    "16-token overlap): one output row per chunk with its token count and "
+    "content hash - the pretraining/RAG document splitter",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK) / float(_STRIDE)).cast("bigint") + 1
+    )
+    base = docs.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    exploded = base.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ),
+    assigned AS (
+        SELECT source, (cum - 1) // {_PACK_BUDGET} AS pack_id, doc_id, n_tokens
+        FROM c
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned
+    GROUP BY source, pack_id
+    """,
+    description="sequence packing plan: docs stream in id order per "
+    "source into fixed 2048-token packs (cumulative-sum bucketing - the "
+    "deterministic, shuffle-light approximation of first-fit packing; "
+    "straddling docs split at the boundary in the writer)",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    assigned = c.select(
+        "source", ((F.col("cum") - 1) / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+        "doc_id", "n_tokens",
+    )
+    return assigned.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
