@@ -1371,48 +1371,53 @@ def q42_customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "q43_exact_correlation",
-    oracle=f"""
+    oracle="""
     WITH m AS (
         SELECT l_returnflag,
-               CAST(COUNT(*) AS DOUBLE) AS n,
-               {DSUM('l_quantity')} AS sx,
-               {DSUM('l_extendedprice')} AS sy,
-               {DSUM('l_quantity * l_quantity')} AS sxx,
-               {DSUM('l_extendedprice * l_extendedprice', 4)} AS syy,
-               {DSUM('l_quantity * l_extendedprice')} AS sxy
+               CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DECIMAL(14,0)) AS sq,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(10,0))) AS DECIMAL(19,0)) AS sp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(6,0)) * CAST(l_quantity AS DECIMAL(6,0))) AS DECIMAL(16,0)) AS sqq,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(10,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(10,0))) AS DECIMAL(24,0)) AS spp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(6,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(10,0))) AS DECIMAL(22,0)) AS sqp
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * n) AS cov_pop
+           CAST(n * sqp - sq * sp AS DOUBLE)
+             / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price,
+           CAST(n * sqp - sq * sp AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0 AS cov_pop
     FROM m
     """,
-    description="exact Pearson correlation / population covariance from "
-    "DECIMAL-exact moment sums: the only FP arithmetic is a fixed-shape "
-    "scalar expression over identical inputs, so both engines produce "
-    "bit-identical doubles (built-in corr() is partial-order dependent "
-    "and not reproducible across partitionings)",
+    description="exact Pearson correlation / population covariance. All "
+    "moment algebra runs on integer-cents DECIMALs (quantity is integral, "
+    "price is exact cents), so numerator and variance terms are exact "
+    "integers in both engines; the FP tail is single-rounded casts + "
+    "sqrt/multiply/divide, which IEEE fixes bit-identically. (A double "
+    "spelling of n*sxy - sx*sy diverges by 1 ulp between engines via FMA "
+    "contraction, and the built-in corr() is partial-order dependent.)",
 )
 def q43_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    q = F.col("l_quantity").cast("decimal(6,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(10,0)")
     m = li.groupBy("l_returnflag").agg(
-        F.count("*").cast("double").alias("n"),
-        dsum(qty).alias("sx"),
-        dsum(price).alias("sy"),
-        dsum(qty * qty).alias("sxx"),
-        dsum(price * price, 4).alias("syy"),
-        dsum(qty * price).alias("sxy"),
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum(q).cast("decimal(14,0)").alias("sq"),
+        F.sum(p).cast("decimal(19,0)").alias("sp"),
+        F.sum(q * q).cast("decimal(16,0)").alias("sqq"),
+        F.sum(p * p).cast("decimal(24,0)").alias("spp"),
+        F.sum(q * p).cast("decimal(22,0)").alias("sqp"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sqq, spp, sqp = F.col("sqq"), F.col("spp"), F.col("sqp")
+    num = (n * sqp - sq * sp).cast("double")
+    den = F.sqrt((n * sqq - sq * sq).cast("double")) * F.sqrt((n * spp - sp * sp).cast("double"))
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
-            "corr_qty_price"
-        ),
-        ((n * sxy - sx * sy) / (n * n)).alias("cov_pop"),
+        (num / den).alias("corr_qty_price"),
+        (num / (n.cast("double") * n.cast("double")) / F.lit(100.0)).alias("cov_pop"),
     )
