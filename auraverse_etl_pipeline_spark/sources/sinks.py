@@ -52,6 +52,43 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    target_partitions: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Small-files compaction: rewrite a parquet dataset with bounded
+    file sizes — the maintenance pass every long-running ingest needs
+    (streaming sinks and fine-grained partitioning both accrete small
+    files, and at 100 TB the NameNode/list-cost and per-file open
+    overhead dominate scans long before the bytes do).
+
+    ``max_records_per_file`` bounds file size from above (Spark splits
+    at the writer, no shuffle); ``target_partitions`` additionally
+    repartitions to bound the file COUNT from below — by the partition
+    columns when given, so each output partition directory is written
+    by few tasks instead of all of them."""
+    df = spark.read.parquet(src_path)
+    if target_partitions is not None:
+        df = (
+            df.repartition(target_partitions, *partition_by)
+            if partition_by
+            else df.repartition(target_partitions)
+        )
+    w = (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst_path)
+
+
 def merged_json_pretty(converted: DataFrame, doc_id_col: str = "doc_id", merged_col: str = "merged") -> DataFrame:
     """(doc_id, pretty) — re-render each merged document with the
     reference's exact output options (indent=2, ensure_ascii=False;

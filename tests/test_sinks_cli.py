@@ -84,3 +84,33 @@ def test_cli_parse_glob(tmp_path, spark, capsys):
     assert main(["parse", str(tmp_path / "*.txt")]) == 0
     out = capsys.readouterr().out
     assert "Detected" in out and "3 document(s)" in out
+
+
+def test_compact_parquet_bounds_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_parquet, write_parquet
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    frag = str(tmp_path / "fragmented")
+    # simulate small-file accretion: 16 writer tasks per partition dir
+    write_parquet(ev.repartition(16), frag, partition_by=["event_type"])
+    n_frag = len(glob.glob(frag + "/*/*.parquet"))
+
+    compacted = str(tmp_path / "compacted")
+    compact_parquet(
+        spark, frag, compacted, partition_by=["event_type"], target_partitions=4
+    )
+    n_comp = len(glob.glob(compacted + "/*/*.parquet"))
+    assert n_comp < n_frag
+    # hash-partitioned by event_type at 4 tasks -> each partition dir is
+    # written by exactly one task
+    for d in glob.glob(compacted + "/event_type=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1, d
+
+    a = spark.read.parquet(frag).orderBy("event_id").collect()
+    b = spark.read.parquet(compacted).orderBy("event_id").collect()
+    assert [tuple(sorted(r.asDict().items())) for r in a] == [
+        tuple(sorted(r.asDict().items())) for r in b
+    ]
