@@ -1421,3 +1421,20 @@ def q43_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("corr_qty_price"),
         (num / (n.cast("double") * n.cast("double")) / F.lit(100.0)).alias("cov_pop"),
     )
+
+
+@query(
+    "q44_global_ids",
+    oracle="""
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_id
+    FROM documents
+    """,
+    description="contiguous global row ids via two-pass range-partitioned "
+    "numbering (identical to the naive global window's answer, but no "
+    "Exchange SinglePartition - no single-reducer funnel)",
+)
+def q44_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_global_ids(docs, ["doc_id"])

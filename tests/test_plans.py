@@ -100,3 +100,19 @@ def test_mixture_sample_pushes_nothing_to_python(spark, sf_dir):
     plan = _plan(QS["mix_weighted_sample"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_global_ids_avoid_single_partition_exchange(spark, sf_dir):
+    """The whole point of the two-pass id assignment: the data path must
+    not funnel through Exchange SinglePartition (the tiny per-partition
+    offsets table is allowed to — it has one row per partition)."""
+    from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(assign_global_ids(docs, ["doc_id"]))
+    # the offsets branch is a broadcast exchange; the main data path
+    # must show range partitioning, not a global sort into one task
+    assert "rangepartitioning" in plan.lower()
+    main_path = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in main_path, main_path[:1500]

@@ -114,3 +114,40 @@ def test_compact_parquet_bounds_file_count_and_preserves_rows(spark, sf_dir, tmp
     assert [tuple(sorted(r.asDict().items())) for r in a] == [
         tuple(sorted(r.asDict().items())) for r in b
     ]
+
+
+def test_clustered_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must give each parquet file a disjoint key range
+    (verified from the files' own min/max statistics) - that is what
+    lets a predicate scan skip whole files at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from auraverse_etl_pipeline_spark.sources.sinks import write_clustered_parquet
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(li, out, ["l_orderkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        col_idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}["l_orderkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)  # disjoint (boundary key may touch)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
