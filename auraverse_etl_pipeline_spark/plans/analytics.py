@@ -1438,3 +1438,53 @@ def q44_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return assign_global_ids(docs, ["doc_id"])
+
+
+_MESSY_LADDER_SQL = ", ".join(
+    f"try_strptime(raw, '{f}')"
+    for f in ("%Y-%m-%d", "%Y/%m/%d", "%Y.%m.%d", "%d/%m/%Y", "%d-%m-%Y",
+              "%d.%m.%Y", "%m/%d/%Y", "%d-%b-%Y", "%b %-d, %Y", "%B %-d, %Y",
+              "%-d %b %Y")
+)
+
+
+@query(
+    "q45_messy_date_ladder",
+    oracle=f"""
+    WITH gen AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 5
+                   WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+                   WHEN 2 THEN strftime(o_orderdate, '%Y/%m/%d')
+                   WHEN 3 THEN strftime(o_orderdate, '%d-%m-%Y')
+                   ELSE strftime(o_orderdate, '%b ') || CAST(day(o_orderdate) AS VARCHAR)
+                        || strftime(o_orderdate, ', %Y')
+               END AS raw
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, raw,
+           CAST(COALESCE({_MESSY_LADDER_SQL}) AS TIMESTAMP) AS parsed
+    FROM gen
+    """,
+    description="messy-date parsing ladder through the oracle gate: five "
+    "deterministic renderings of o_orderdate (ISO, day-first, slash-year, "
+    "dash, textual month) round-trip through the first-match-wins "
+    "try_to_date cascade; the DuckDB twin runs the same ladder with "
+    "try_strptime",
+)
+def q45_messy_date_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.dates import parse_messy_date
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey") % 5
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(k == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(k == 1, F.date_format(d, "dd/MM/yyyy"))
+        .when(k == 2, F.date_format(d, "yyyy/MM/dd"))
+        .when(k == 3, F.date_format(d, "dd-MM-yyyy"))
+        .otherwise(F.date_format(d, "MMM d, yyyy"))
+    )
+    gen = orders.select("o_orderkey", raw.alias("raw"))
+    return gen.select("o_orderkey", "raw", parse_messy_date("raw").cast("timestamp").alias("parsed"))
