@@ -141,14 +141,32 @@ def _shingle_table(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFra
     return ng.select("doc_id", F.array_distinct("_ng").alias("sh")).filter(F.size("sh") > 0)
 
 
-def _minhash_mins(docs: DataFrame, num_hashes: int, seed: int) -> DataFrame:
-    """(doc_id, _m0.._m{H-1}) per-doc minima of the affine permutations."""
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The affine permutation coefficients, exposed so the DuckDB oracle
+    can inline the exact same constants."""
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P)) for _ in range(num_hashes)]
+    return [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P)) for _ in range(num_hashes)]
+
+
+def _minhash_mins(
+    docs: DataFrame, num_hashes: int, seed: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, _m0.._m{H-1}) per-doc minima of the affine permutations.
+
+    ``hash_fn="xxhash64"`` is the production path (one JVM hash per
+    shingle). ``"md5"`` derives the base hash from the first 15 hex
+    chars of md5 — slower, but bit-reproducible in any engine with md5,
+    which is what lets the full MinHash pipeline run under the SQL
+    oracle gate."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    if hash_fn == "md5":
+        base = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    else:
+        base = F.xxhash64("s", F.lit(seed))
     exploded = docs.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "_h", F.pmod(F.xxhash64("s", F.lit(seed)), F.lit(_MINHASH_P))
+        "_h", F.pmod(base, F.lit(_MINHASH_P))
     )
     return exploded.groupBy("doc_id").agg(
         *[
@@ -166,6 +184,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -186,7 +205,7 @@ def minhash_near_duplicates(
     cached — the 100 TB spelling of the same decision is persisting
     the shingle/signature table to disk once and reusing it."""
     sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).cache()
-    mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed)
+    mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed, hash_fn=hash_fn)
     bands = mins.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hash_tables)])).alias(

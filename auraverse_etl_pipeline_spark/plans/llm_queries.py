@@ -927,3 +927,66 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of the full MinHash-LSH pipeline under the md5
+    base hash: hex15(md5(shingle)) % P, the exact affine coefficients
+    from ``minhash_coeffs(8, 42)``, per-doc minima, r=1 band join,
+    exact-Jaccard verification — byte-for-byte the Spark operator."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH3} AS sh FROM documents
+    ),
+    sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c
+    JOIN sh2 x ON x.doc_id = c.id1
+    JOIN sh2 y ON y.doc_id = c.id2
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+    """
+
+
+@query(
+    "dedup_minhash_md5_pairs",
+    oracle=_minhash_oracle_sql(),
+    description="the MinHash-LSH pipeline under the engine-portable md5 "
+    "base hash, so banding + affine permutations + exact-Jaccard verify "
+    "all run under the SQL oracle gate (the xxhash64 twin is the faster "
+    "production path; same algorithm, JVM-only hash)",
+)
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3, hash_fn="md5")
