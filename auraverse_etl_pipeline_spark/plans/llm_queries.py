@@ -4,10 +4,13 @@ dedup tiers, similarity search, text analysis, multimodal plumbing.
 Oracle discipline (same as analytics.py): exact where SQL can express
 the semantics — including cosine similarity, which is bit-identical
 between Spark's ordered double fold and DuckDB's
-``list_cosine_similarity`` on ``DOUBLE[]`` (verified) — rows-only for
-the genuinely approximate/ML-backed ops (MinHash-LSH, SimHash banding,
-IVF), whose guarantees are instead pinned by pytest against the exact
-operators.
+``list_cosine_similarity`` on ``DOUBLE[]`` (verified), and the full
+SimHash and MinHash(md5) pipelines, whose deterministic hashes are
+replicated digit-for-digit in the oracle SQL. Rows-only only where the
+operator is genuinely irreproducible outside the JVM — xxhash64
+MinHash (same algorithm as the gated md5 twin), RNG-hyperplane LSH and
+KMeans IVF (recall pinned by pytest against the gated exact tiers),
+and the approximate sketches (error bounds pinned by pytest).
 """
 
 from __future__ import annotations
