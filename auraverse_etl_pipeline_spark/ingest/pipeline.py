@@ -112,6 +112,10 @@ def _parallelize(cols: DataFrame) -> DataFrame:
     through a single Python worker. Only repartitions when the scan
     has fewer splits than cores — at real scale (thousands of input
     files) this is a no-op, so no extra shuffle of the text."""
+    if cols.isStreaming:
+        # micro-batch sizing is the stream source's job
+        # (maxFilesPerTrigger); .rdd is illegal on a streaming plan
+        return cols
     par = cols.sparkSession.sparkContext.defaultParallelism
     if cols.rdd.getNumPartitions() >= par:
         return cols

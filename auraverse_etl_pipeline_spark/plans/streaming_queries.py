@@ -201,3 +201,28 @@ def stream_enriched_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
     return run_stream_to_memory(agg, "complete", "s_enriched_segment")
+
+
+@query(
+    "stream_ingest_fragment_summary",
+    oracle="""
+    SELECT 'RAW_TEXT' AS format_type, COUNT(*) AS n_fragments
+    FROM documents
+    """,
+    description="the reference's WHOLE ingest pipeline as a streaming "
+    "job: raw documents land as micro-batches, the Arrow-batched "
+    "detector suite runs per batch (mapInPandas is stateless, so it "
+    "streams unchanged), and the A1 summary aggregate accumulates in "
+    "complete mode - replayed over the static corpus it must equal the "
+    "batch fragment_summary exactly",
+)
+def stream_ingest_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.ingest.pipeline import (
+        detect_fragments,
+        summarize_fragments,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    agg = summarize_fragments(detect_fragments(docs))
+    return run_stream_to_memory(agg, "complete", "s_ingest_summary")

@@ -77,3 +77,31 @@ def _as_stream_dir(path: str) -> str:
     if not os.path.lexists(link):
         os.symlink(path, link)
     return staged
+
+
+#: Schema of documents.parquet (no nanos column; verbatim read).
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over the documents corpus — the input shape of a
+    continuously-landing crawl: each new parquet file is a micro-batch
+    of raw documents for the ingest pipeline."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    table = os.path.join(path, "documents.parquet")
+    stream_dir = _as_stream_dir(table) if os.path.exists(table) else path
+    return reader.parquet(stream_dir)

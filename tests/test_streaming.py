@@ -210,3 +210,34 @@ def test_left_outer_attribution_emits_unmatched_after_watermark(spark, tmp_path)
     assert (14, 13) in rows, rows        # matched in later batch
     # no purchase after the final watermark may emit a NULL row twice
     assert len([p for p, v in rows if p == 12]) == 1
+
+
+def test_streaming_ingest_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """The detector pipeline must stream: documents arriving in three
+    separate micro-batches produce exactly the batch answer over the
+    whole corpus."""
+    from auraverse_etl_pipeline_spark.ingest.pipeline import (
+        detect_fragments,
+        summarize_fragments,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 60")
+    chunk_dir = tmp_path / "doc_chunks"
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        import time
+
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)  # distinct mod times => deterministic batch order
+
+    sdocs = stream_documents(spark, str(chunk_dir), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        summarize_fragments(detect_fragments(sdocs)), "complete", "t_stream_ingest"
+    )
+    expect = summarize_fragments(detect_fragments(docs))
+    g = {(r.format_type, r.n_fragments) for r in got.collect()}
+    e = {(r.format_type, r.n_fragments) for r in expect.collect()}
+    assert g == e and len(g) > 0
