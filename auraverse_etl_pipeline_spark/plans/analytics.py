@@ -1488,3 +1488,21 @@ def q45_messy_date_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gen = orders.select("o_orderkey", raw.alias("raw"))
     return gen.select("o_orderkey", "raw", parse_messy_date("raw").cast("timestamp").alias("parsed"))
+
+
+@query(
+    "q46_approx_percentile_scale_path",
+    description="the 100 TB companion to q37: approx_percentile "
+    "(bounded-memory quantile summary, mergeable across partitions) for "
+    "the same ladder; accuracy vs the exact percentile_disc tier is "
+    "pinned in pytest, engine-portable hashing is not possible so the "
+    "driver check is rows-only",
+)
+def q46_approx_percentile_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("l_extendedprice", pcts, acc).alias("approx_pcts"),
+    )

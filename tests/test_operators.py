@@ -477,3 +477,22 @@ def test_connected_components_collapse_chains(spark):
     )
     got = {(r.doc_id, r.component) for r in connected_component_labels(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_approx_percentile_tracks_exact_ladder(spark, sf_dir):
+    """The scale-path quantile sketch must stay within 1% relative error
+    of the exact percentile_disc ladder at every rung."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p90, r.p99)
+        for r in all_queries()["q37_percentile_ladder"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_pcts
+        for r in all_queries()["q46_approx_percentile_scale_path"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(a - e) / e < 0.01, (flag, e, a)
