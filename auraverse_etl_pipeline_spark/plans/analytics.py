@@ -1506,3 +1506,55 @@ def q46_approx_percentile_scale_path(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n"),
         F.percentile_approx("l_extendedprice", pcts, acc).alias("approx_pcts"),
     )
+
+
+@query(
+    "q47_cascade_delete_audit",
+    oracle="""
+    WITH victims AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+    ),
+    dead_orders AS (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    )
+    SELECT 'customer' AS entity,
+           (SELECT COUNT(*) FROM customer) AS n_before,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM victims))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders))
+    """,
+    description="right-to-be-forgotten cascade: a deletion list propagates "
+    "customer -> orders -> lineitem through broadcast anti-joins (the "
+    "deletion list and its order closure broadcast; the fact tables never "
+    "shuffle), with before/after row counts as the erasure audit",
+)
+def q47_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    victims = customer.filter(F.col("c_custkey") % 37 == 0).select("c_custkey")
+    cust_clean = customer.join(F.broadcast(victims), "c_custkey", "left_anti")
+    ord_clean = orders.join(
+        F.broadcast(victims.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey", "left_anti"
+    )
+    dead_orders = orders.join(
+        F.broadcast(victims.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    li_clean = lineitem.join(F.broadcast(dead_orders), "l_orderkey", "left_anti")
+
+    def audit(entity: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        return before.agg(F.count("*").alias("n_before")).crossJoin(
+            after.agg(F.count("*").alias("n_after"))
+        ).select(F.lit(entity).alias("entity"), "n_before", "n_after")
+
+    out = audit("customer", customer, cust_clean)
+    out = out.unionByName(audit("orders", orders, ord_clean))
+    out = out.unionByName(audit("lineitem", lineitem, li_clean))
+    return out

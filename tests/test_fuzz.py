@@ -108,3 +108,53 @@ def test_adversarial_inputs_stay_bounded():
         assert elapsed < 10.0, f"detector took {elapsed:.1f}s on {doc[:30]!r}..."
         for f in frags:
             assert 0 <= f.start < f.end <= len(doc)
+
+
+def test_changeset_apply_matches_model(spark):
+    """Property: apply_changeset == a dict-based reference model, for
+    randomized I/U/D change logs (including conflicting ops per key)."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.changeset import apply_changeset
+
+    change = st.tuples(
+        st.integers(min_value=0, max_value=6),          # key
+        st.sampled_from(["I", "U", "D"]),               # op
+        st.integers(min_value=1, max_value=9),          # seq
+        st.text(alphabet="abc", min_size=1, max_size=3) # value
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(changes=st.lists(change, min_size=0, max_size=12))
+    def prop(changes):
+        # unique (key, seq) pairs: the operator's latest-wins contract
+        # is defined over a monotone sequence per key
+        seen = set()
+        uniq = []
+        for k, op, seq, v in changes:
+            if (k, seq) not in seen:
+                seen.add((k, seq))
+                uniq.append((k, op, seq, v))
+        snap_rows = [(k, f"base{k}") for k in range(4)]
+        model = dict(snap_rows)
+        latest = {}
+        for k, op, seq, v in uniq:
+            if k not in latest or seq > latest[k][1]:
+                latest[k] = (op, seq, v)
+        for k, (op, seq, v) in latest.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        snap = spark.createDataFrame(snap_rows, "k long, v string")
+        if uniq:
+            chg = spark.createDataFrame(
+                [(k, v, op, seq) for k, op, seq, v in uniq],
+                "k long, v string, op string, seq int",
+            )
+        else:
+            chg = spark.createDataFrame([], "k long, v string, op string, seq int")
+        got = {(r.k, r.v) for r in apply_changeset(snap, chg, key_col="k").collect()}
+        assert got == set(model.items()), (uniq, got, model)
+
+    prop()
