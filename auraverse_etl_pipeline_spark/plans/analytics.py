@@ -1558,3 +1558,47 @@ def q47_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(audit("orders", orders, ord_clean))
     out = out.unionByName(audit("lineitem", lineitem, li_clean))
     return out
+
+
+@query(
+    "q48_gap_filled_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, {DSUM('value')} AS day_value,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    )
+    SELECT CAST(c.day AS TIMESTAMP) AS day,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.day IS NULL AS gap_filled
+    FROM cal c LEFT JOIN daily d ON c.day = d.day
+    """,
+    description="time-series gap filling: a generated calendar spine "
+    "(sequence over the observed min/max, broadcast - one row per day) "
+    "left-joins the daily rollup so missing days appear as explicit "
+    "zero-revenue rows with a gap flag",
+)
+def q48_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        dsum("value").alias("day_value"), F.count("*").alias("n_events")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        F.broadcast(cal)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("day_value").isNull().alias("gap_filled"),
+        )
+    )

@@ -158,3 +158,37 @@ def test_changeset_apply_matches_model(spark):
         assert got == set(model.items()), (uniq, got, model)
 
     prop()
+
+
+def test_decontaminate_matches_model(spark):
+    """Property: decontaminate == a Python set-model of shared word
+    n-grams, over randomized small corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.dedup import decontaminate
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    def shingles(text, n):
+        toks = [t for t in text.strip().split() if t] if text.strip() else []
+        if text.strip() == "":
+            toks = [""]  # split('') semantics of the Spark tokenizer
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    @settings(max_examples=10, deadline=None)
+    @given(train=st.lists(doc, min_size=1, max_size=6), ev=st.lists(doc, min_size=1, max_size=3))
+    def prop(train, ev):
+        n = 3
+        ev_sh = set().union(*(shingles(t, n) for t in ev)) if ev else set()
+        expect = {
+            i for i, t in enumerate(train) if not (shingles(t, n) & ev_sh)
+        }
+        tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+        edf = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(ev)], "doc_id long, text string"
+        )
+        got = {r.doc_id for r in decontaminate(tdf, edf, n=n).collect()}
+        assert got == expect, (train, ev, got, expect)
+
+    prop()
