@@ -112,6 +112,64 @@ def write_clustered_parquet(
     )
 
 
+def morton_code(c1, c2, bits: int = 16):
+    """Z-order (Morton) interleave of two rank-bucketed keys — pure
+    codegen'd bit arithmetic, no UDF. Callers bucket each column to
+    [0, 2^bits) first (e.g. ``ntile`` or min-max scaling); interleaving
+    the bits makes lexicographic order on the code approximate locality
+    in BOTH dimensions."""
+    z = F.lit(0).cast("bigint")
+    a = (F.col(c1) if isinstance(c1, str) else c1).cast("bigint")
+    b = (F.col(c2) if isinstance(c2, str) else c2).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    num_files: int | None = None,
+    bits: int = 16,
+    compression: str = "zstd",
+) -> None:
+    """Two-dimensional clustered layout: min-max scale both keys to
+    ``bits``-bit ranks, range-cluster on their Morton interleave. Every
+    output file then covers a small bounding BOX in (col1, col2) space —
+    predicate scans on EITHER column skip files, where single-key range
+    clustering only helps its own key. The min/max pass is one cheap
+    scan; at 100 TB you'd source those bounds from table statistics."""
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).first()
+    span = (1 << bits) - 1
+
+    def rank(c, lo, hi):
+        denom = max(hi - lo, 1)
+        return F.least(
+            F.lit(span),
+            ((F.col(c) - F.lit(lo)) * span / F.lit(denom)).cast("bigint"),
+        )
+
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    z = morton_code(rank(col1, lo1, hi1), rank(col2, lo2, hi2), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def merged_json_pretty(converted: DataFrame, doc_id_col: str = "doc_id", merged_col: str = "merged") -> DataFrame:
     """(doc_id, pretty) — re-render each merged document with the
     reference's exact output options (indent=2, ensure_ascii=False;

@@ -151,3 +151,47 @@ def test_clustered_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
     back = spark.read.parquet(out)
     assert back.count() == li.count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton clustering must shrink per-file bounding boxes in BOTH
+    key dimensions, where single-key range clustering leaves the second
+    key's per-file spread at ~the full global range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from auraverse_etl_pipeline_spark.sources.sinks import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+    def mean_spread(path, col):
+        spreads = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}[col]
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spreads.append(max(maxs) - min(mins))
+        return sum(spreads) / len(spreads)
+
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    write_clustered_parquet(li, plain, ["l_orderkey"], num_files=16)
+    write_zordered_parquet(li, zord, "l_orderkey", "l_partkey", num_files=16)
+
+    global_part = li.selectExpr("max(l_partkey) - min(l_partkey) AS r").first().r
+    # single-key clustering: partkey per file ~ full range
+    assert mean_spread(plain, "l_partkey") > 0.9 * global_part
+    # z-order: BOTH dims materially bounded per file
+    assert mean_spread(zord, "l_partkey") < 0.7 * global_part
+    global_order = li.selectExpr("max(l_orderkey) - min(l_orderkey) AS r").first().r
+    assert mean_spread(zord, "l_orderkey") < 0.7 * global_order
+    assert spark.read.parquet(zord).count() == li.count()
