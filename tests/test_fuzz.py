@@ -192,3 +192,38 @@ def test_decontaminate_matches_model(spark):
         assert got == expect, (train, ev, got, expect)
 
     prop()
+
+
+def test_scd2_history_matches_model(spark):
+    """Property: scd2_history == the per-key sorted-changes model."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.changeset import scd2_history
+
+    change = st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=1, max_value=8),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(changes=st.lists(change, min_size=1, max_size=10))
+    def prop(changes):
+        seen = set()
+        uniq = [c for c in changes if not (c[:1] + c[2:] in seen or seen.add(c[:1] + c[2:]))]
+        expect = set()
+        by_key = {}
+        for k, op, seq in uniq:
+            by_key.setdefault(k, []).append((seq, op))
+        for k, evs in by_key.items():
+            evs.sort()
+            for (seq, op), nxt in zip(evs, [e[0] for e in evs[1:]] + [None]):
+                if op != "D":
+                    expect.add((k, seq, nxt))
+        chg = spark.createDataFrame(
+            [(k, op, seq) for k, op, seq in uniq], "k long, op string, seq int"
+        )
+        got = {(r.k, r.valid_from, r.valid_to) for r in scd2_history(chg, key_col="k").collect()}
+        assert got == expect, (uniq, got, expect)
+
+    prop()

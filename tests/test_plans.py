@@ -116,3 +116,17 @@ def test_global_ids_avoid_single_partition_exchange(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
     main_path = plan.split("BroadcastExchange")[0]
     assert "Exchange SinglePartition" not in main_path, main_path[:1500]
+
+
+def test_plan_summary_reads_the_flagship_plan(spark, sf_dir):
+    """plan_summary must report the star join's known shape: broadcasts
+    for every dim, no nested loops, no global funnel, pushed filters
+    visible at the scan."""
+    from auraverse_etl_pipeline_spark.plans.inspect import plan_summary
+
+    s = plan_summary(QS["q03_region_nation_revenue"].fn(spark, sf_dir))
+    assert s["broadcast_hash_joins"] >= 4
+    assert s["nested_loop_joins"] == 0
+    assert s["single_partition_exchanges"] == 0
+    assert s["codegen_stages"] >= 1
+    assert any(f for f in s["pushed_filters"] if f)
