@@ -16,8 +16,14 @@ import re
 from pyspark.sql import DataFrame
 
 
-def plan_summary(df: DataFrame) -> dict:
+def plan_summary(df: DataFrame, run: bool = False) -> dict:
     """Summarize the EXECUTED physical plan of ``df``.
+
+    Under AQE the plan text is ``isFinalPlan=false`` until the query
+    actually runs, and codegen span markers (``*(n)``) only appear in
+    the final plan. ``run=True`` executes the DataFrame's own query
+    execution first (a collect — use at test/sample scale) so the
+    summary reflects the runtime-adapted plan.
 
     Returns a dict with:
     - ``exchanges``: data-moving shuffles (hash + range partitioning)
@@ -30,6 +36,8 @@ def plan_summary(df: DataFrame) -> dict:
     - ``pushed_filters``: filters that reached the parquet reader
     - ``read_schemas``: pruned column sets per scan
     """
+    if run:
+        df._jdf.collectToPython()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "exchanges": plan.count("Exchange hashpartitioning")

@@ -124,7 +124,7 @@ def test_plan_summary_reads_the_flagship_plan(spark, sf_dir):
     visible at the scan."""
     from auraverse_etl_pipeline_spark.plans.inspect import plan_summary
 
-    s = plan_summary(QS["q03_region_nation_revenue"].fn(spark, sf_dir))
+    s = plan_summary(QS["q03_region_nation_revenue"].fn(spark, sf_dir), run=True)
     assert s["broadcast_hash_joins"] >= 4
     assert s["nested_loop_joins"] == 0
     assert s["single_partition_exchanges"] == 0
