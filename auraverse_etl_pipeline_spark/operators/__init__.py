@@ -1,11 +1,19 @@
 from auraverse_etl_pipeline_spark.operators.asof import as_of_join
+from auraverse_etl_pipeline_spark.operators.changeset import (
+    apply_changeset,
+    scd2_history,
+)
 from auraverse_etl_pipeline_spark.operators.dedup import (
+    connected_component_labels,
+    decontaminate,
     drop_exact_duplicates,
+    drop_near_duplicates,
     exact_duplicate_groups,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
 )
+from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
 from auraverse_etl_pipeline_spark.operators.sessionize import sessionize
 from auraverse_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
@@ -14,14 +22,20 @@ from auraverse_etl_pipeline_spark.operators.similarity import (
 )
 
 __all__ = [
+    "apply_changeset",
     "as_of_join",
-    "drop_exact_duplicates",
-    "exact_duplicate_groups",
-    "minhash_near_duplicates",
-    "ngram_jaccard_pairs",
-    "simhash_candidate_pairs",
-    "sessionize",
+    "assign_global_ids",
+    "connected_component_labels",
     "cosine_similarity_expr",
     "cosine_top_k",
+    "decontaminate",
+    "drop_exact_duplicates",
+    "drop_near_duplicates",
+    "exact_duplicate_groups",
     "ivf_top_k",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "scd2_history",
+    "sessionize",
+    "simhash_candidate_pairs",
 ]

@@ -1602,3 +1602,31 @@ def q48_gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("gap_filled"),
         )
     )
+
+
+@query(
+    "q49_shuffled_hash_strategy",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {DSUM('l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description="deliberate join-strategy control: orders is hinted to "
+    "SHUFFLE_HASH - the right call when the build side exceeds the "
+    "broadcast threshold but its per-partition slice fits executor "
+    "memory, saving both sort passes a sort-merge join would pay at "
+    "100 TB (strategy is plan-guarded; the result is strategy-invariant)",
+)
+def q49_shuffled_hash_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -130,3 +130,13 @@ def test_plan_summary_reads_the_flagship_plan(spark, sf_dir):
     assert s["single_partition_exchanges"] == 0
     assert s["codegen_stages"] >= 1
     assert any(f for f in s["pushed_filters"] if f)
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    """q49's strategy hint must produce a ShuffledHashJoin, not an SMJ
+    (and obviously not a broadcast of the hinted side)."""
+    from auraverse_etl_pipeline_spark.plans.inspect import plan_summary
+
+    s = plan_summary(QS["q49_shuffled_hash_strategy"].fn(spark, sf_dir))
+    assert s["shuffled_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
