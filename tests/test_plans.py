@@ -140,3 +140,30 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     s = plan_summary(QS["q49_shuffled_hash_strategy"].fn(spark, sf_dir))
     assert s["shuffled_hash_joins"] >= 1
     assert s["sort_merge_joins"] == 0
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    """A partitioned layout must prune: a literal predicate shows up as
+    a static PartitionFilter (only matching directories scanned), and a
+    selective dim join plants a dynamicpruning expression - the two
+    mechanisms that turn a 100 TB partitioned table into a small scan."""
+    import pyspark.sql.functions as F2
+
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").parquet(d)
+    fact = spark.read.parquet(d)
+
+    static = fact.filter("event_type = 'purchase'").agg(F2.count("*"))
+    p1 = _plan(static)
+    pf = p1.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "event_type" in pf and "purchase" in pf, pf
+
+    dim = spark.createDataFrame(
+        [("purchase", 1.5), ("view", 1.0)], "event_type string, weight double"
+    ).filter("weight > 1.2")
+    dyn = fact.join(dim, "event_type").agg(F2.count("*"))
+    dyn.collect()
+    assert "dynamicpruning" in _plan(dyn), _plan(dyn)[:1500]
