@@ -56,12 +56,20 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 def shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles (the MinHash/Jaccard unit). DuckDB twin:
-    ``list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))``."""
+    ``list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))``.
+
+    Documents with fewer than ``n`` tokens yield an empty array — the
+    guard matters because ``F.sequence(0, size-n)`` would otherwise emit
+    a *descending* sequence through negative indices and crash with
+    INVALID_PARAMETER_VALUE.START, while the DuckDB twin's ``range``
+    returns empty. CASE WHEN short-circuits per row, so the sequence is
+    never built for short docs."""
     toks = tokens(text)
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(text: Column | str) -> Column:

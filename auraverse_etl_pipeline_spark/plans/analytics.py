@@ -823,15 +823,49 @@ def q27_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q28_sketch_distinct_users",
-    description="sketch tier: approx_count_distinct (HyperLogLog++) per "
-    "event_type; error bound vs exact pinned in pytest, so no SQL oracle",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_within_5pct,
+           TRUE AS p99_rank_bounded
+    FROM events GROUP BY event_type
+    """,
+    description="sketch tier: approx_count_distinct (HyperLogLog++, "
+    "rsd=0.01) and approx percentiles per event_type, scored with a "
+    "bounded oracle: Spark computes BOTH the sketch estimate and the "
+    "exact answer and emits within-bound booleans; DuckDB asserts TRUE "
+    "and hash-checks the exact distinct counts, so both sketch drift "
+    "and count divergence are caught by the driver. The p99 bound is "
+    "rank-based (between exact disc-p98 and max) because adjacent tail "
+    "order statistics differ hugely on small groups, making value-"
+    "distance bounds meaningless there",
 )
 def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_value"),
-        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_value"),
+
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("ap99"),
+        F.percentile("value", F.lit(0.5)).alias("ex50"),
+        F.expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY value)").alias("p98_disc"),
+        F.max("value").alias("vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users").cast("double") - F.col("exact_users").cast("double"))
+            <= 0.05 * F.col("exact_users").cast("double")
+        ).alias("hll_within_5pct"),
+        (F.abs(F.col("ap50") - F.col("ex50")) <= 0.05 * F.abs(F.col("ex50"))).alias(
+            "p50_within_5pct"
+        ),
+        ((F.col("ap99") >= F.col("p98_disc")) & (F.col("ap99") <= F.col("vmax"))).alias(
+            "p99_rank_bounded"
+        ),
     )
 
 
@@ -942,22 +976,39 @@ def q32_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q33_hll_sketch_union",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type
+    """,
     description="mergeable HLL sketches (DataSketches): per-day sketches "
     "built once, unioned to per-type totals without rescanning raw — the "
-    "persisted-partials pattern for 100 TB distinct counts; accuracy "
-    "pinned vs exact in pytest (rows-only here)",
+    "persisted-partials pattern for 100 TB distinct counts. Bounded "
+    "oracle: the unioned estimate is compared in-plan against the exact "
+    "distinct count (which DuckDB hash-checks), and the within-bound "
+    "boolean must be TRUE on every row",
 )
 def q33_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_union_agg("sketch").alias("merged")
+    ).select("event_type", F.hll_sketch_estimate("merged").alias("hll_users"))
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(F.hll_union_agg("sketch").alias("merged"))
+        exact.join(F.broadcast(merged), "event_type")
         .select(
             "event_type",
-            F.hll_sketch_estimate("merged").alias("approx_distinct_users"),
+            "exact_distinct_users",
+            (
+                F.abs(F.col("hll_users").cast("double") - F.col("exact_distinct_users").cast("double"))
+                <= 0.05 * F.col("exact_distinct_users").cast("double")
+            ).alias("union_within_5pct"),
         )
     )
 
@@ -1490,21 +1541,44 @@ def q45_messy_date_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.select("o_orderkey", "raw", parse_messy_date("raw").cast("timestamp").alias("parsed"))
 
 
+#: q46 percentile ladder, shared between the Spark plan and the oracle.
+_Q46_PCTS = (0.25, 0.5, 0.9, 0.99)
+
+
 @query(
     "q46_approx_percentile_scale_path",
+    oracle=f"""
+    SELECT g.l_returnflag, CAST(p.pct AS DOUBLE) AS pct, g.n,
+           TRUE AS within_1pct
+    FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1) g
+    CROSS JOIN (VALUES {', '.join(f'({p})' for p in _Q46_PCTS)}) AS p(pct)
+    """,
     description="the 100 TB companion to q37: approx_percentile "
     "(bounded-memory quantile summary, mergeable across partitions) for "
-    "the same ladder; accuracy vs the exact percentile_disc tier is "
-    "pinned in pytest, engine-portable hashing is not possible so the "
-    "driver check is rows-only",
+    "the same ladder, exploded to scalar rows. The tolerance-style "
+    "oracle: Spark computes BOTH the approximate and the exact "
+    "percentile and emits within_1pct; the DuckDB twin asserts TRUE, so "
+    "a sketch drifting past 1 percent relative error hash-mismatches. "
+    "Group counts are exact and hash-checked on both sides.",
 )
 def q46_approx_percentile_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
-    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9), F.lit(0.99))
-    return li.groupBy("l_returnflag").agg(
+    pct_arr = F.array(*[F.lit(p) for p in _Q46_PCTS])
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.percentile_approx("l_extendedprice", pcts, acc).alias("approx_pcts"),
+        F.percentile_approx("l_extendedprice", pct_arr, acc).alias("ap"),
+        F.percentile("l_extendedprice", pct_arr).alias("ex"),
+    )
+    z = F.explode(F.arrays_zip(pct_arr.alias("pct"), F.col("ap").alias("a"), F.col("ex").alias("e")))
+    return (
+        agg.select("l_returnflag", "n", z.alias("z"))
+        .select(
+            "l_returnflag",
+            F.col("z.pct").alias("pct"),
+            "n",
+            (F.abs(F.col("z.a") - F.col("z.e")) <= 0.01 * F.abs(F.col("z.e"))).alias("within_1pct"),
+        )
     )
 
 
