@@ -261,13 +261,32 @@ def typed_records(records: DataFrame, format_type: str, sample_size: int = 1000)
 
     At 100 TB you infer once per (corpus, format) and persist the
     schema next to the dataset; ``sample_size`` bounds the inference
-    scan either way."""
+    scan either way.
+
+    Inference is one aggregate: the sampled records fold executor-side
+    into a single JSON array string, and ``schema_of_json`` (the JVM's
+    own JsonInferSchema, the engine ``from_json`` is defined against)
+    merges the element schemas. The driver never sees per-record rows —
+    only the one bounded aggregate and the resulting DDL string; no
+    ``.collect()``/``.rdd``/``createDataFrame`` round-trip."""
+    from pyspark.sql.types import ArrayType, DataType
+
     data = records.filter(F.col("format") == format_type).select("doc_id", "start", "data")
-    sample = [r.data for r in data.select("data").limit(sample_size).collect() if r.data]
-    if not sample:
-        return data.select("doc_id", "start").withColumn("record", F.lit(None).cast("string"))
     spark = records.sparkSession
-    # merge sampled schemas: infer over the sample as a one-column json dataset
-    inferred = spark.read.json(spark.createDataFrame([(s,) for s in sample], "v string").rdd.map(lambda r: r.v))
-    schema = inferred.schema
+    agg = (
+        data.select("data")
+        .filter(F.col("data").isNotNull())
+        .limit(sample_size)
+        .agg(
+            F.concat(
+                F.lit("["), F.concat_ws(",", F.collect_list("data")), F.lit("]")
+            ).alias("arr")
+        )
+        .first()
+    )
+    if agg is None or agg.arr == "[]":
+        return data.select("doc_id", "start").withColumn("record", F.lit(None).cast("string"))
+    ddl = spark.range(1).select(F.schema_of_json(F.lit(agg.arr)).alias("d")).first().d
+    parsed = DataType.fromDDL(ddl)
+    schema = parsed.elementType if isinstance(parsed, ArrayType) else parsed
     return data.select("doc_id", "start", F.from_json("data", schema).alias("record"))

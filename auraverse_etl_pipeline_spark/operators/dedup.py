@@ -176,6 +176,30 @@ def _minhash_mins(
     )
 
 
+def drop_hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Drop every row belonging to an LSH bucket with more than ``cap``
+    members, before the bucket self-join.
+
+    A bucket of size m yields m·(m-1)/2 candidate pairs, so one hot
+    bucket (a boilerplate shingle/band value shared by thousands of
+    documents) turns the band join quadratic — the classic skew killer
+    at corpus scale. Hot buckets are by construction rare, so the
+    filter is a broadcast anti-join against the (tiny) over-cap key
+    list: one map-side-combined count aggregation, zero extra shuffle
+    of the band table itself.
+
+    Dropping (not sampling) is the standard choice: a bucket that hot
+    is boilerplate, and genuinely identical documents were already
+    removed by the exact tier that runs before LSH."""
+    hot = (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*key_cols)
+    )
+    return bands.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     jaccard_threshold: float = 0.5,
@@ -185,6 +209,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -198,12 +223,16 @@ def minhash_near_duplicates(
 
     Scale notes: the band join shuffles (band_index, minhash) keys —
     tiny fixed-width rows, never the text. Hot buckets (a boilerplate
-    shingle that is the min for thousands of docs) are the skew risk;
-    the exact-verify join prunes them, and at real scale you'd cap
-    bucket size before pairing. The shingle table is consumed three
-    times (signatures + both sides of the verify join), so it is
-    cached — the 100 TB spelling of the same decision is persisting
-    the shingle/signature table to disk once and reusing it."""
+    shingle that is the min for thousands of docs) are the skew risk:
+    ``max_bucket_size`` drops any (band, minhash) bucket larger than
+    the cap before pairing (see :func:`drop_hot_buckets`), bounding
+    candidates per bucket at cap²/2 regardless of corpus skew. The
+    default (1000) is far above anything a deduplicated corpus
+    produces in one bucket honestly; ``None`` disables. The shingle
+    table is consumed three times (signatures + both sides of the
+    verify join), so it is cached — the 100 TB spelling of the same
+    decision is persisting the shingle/signature table to disk once
+    and reusing it."""
     sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).cache()
     mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed, hash_fn=hash_fn)
     bands = mins.select(
@@ -212,6 +241,8 @@ def minhash_near_duplicates(
             "band", "mh"
         ),
     )
+    if max_bucket_size is not None:
+        bands = drop_hot_buckets(bands, ["band", "mh"], max_bucket_size)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "mh"])
@@ -383,6 +414,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 4,
     max_hamming: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidates via band-equality joins.
 
@@ -394,7 +426,11 @@ def simhash_candidate_pairs(
     shared vocabulary the simhashes cluster and band collisions are
     plentiful, so filtering on the (cheap, already-computed) Hamming
     distance first keeps the distinct's shuffle proportional to the
-    answer, not to the collision count."""
+    answer, not to the collision count.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before
+    the self-join (:func:`drop_hot_buckets`) — the same skew guard as
+    the MinHash tier; ``None`` disables."""
     # both sides of the band self-join consume the signatures — cache
     # so the 60-vote aggregation runs once (cf. minhash shingle table)
     sig = simhash_signatures(df, text_col, id_col).cache()
@@ -408,6 +444,8 @@ def simhash_candidate_pairs(
             ])
         ).alias("band"),
     )
+    if max_bucket_size is not None:
+        bands = drop_hot_buckets(bands, ["band"], max_bucket_size)
     a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band")
     b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band")
     pairs = (

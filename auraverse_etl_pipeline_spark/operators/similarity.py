@@ -64,13 +64,22 @@ def cosine_top_k(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Output: (query_id, neighbor_id, rank, cosine), rank 1..k, ties
     broken by neighbor id (deterministic). The query side is broadcast;
     the corpus is scanned once with no shuffle before the per-query
-    top-k (which partitions by query_id)."""
+    top-k (which partitions by query_id).
+
+    Scoring runs through the Arrow-batched numpy matmul by default —
+    the corpus×queries product is the hot loop, and the interpreted
+    higher-order fold is ~50× slower there. ``exact_fold=True`` keeps
+    the ordered-fold spelling whose sums are bit-identical to DuckDB's
+    ``list_cosine_similarity`` — only the oracle-gated parity query
+    needs that."""
+    score = cosine_similarity_expr if exact_fold else batch_cosine
     q = F.broadcast(
         _as_double(queries, vec_col).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -82,7 +91,7 @@ def cosine_top_k(
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity_expr("qv", "cv").alias("cosine"),
+        score(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -123,9 +132,15 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH, exact-cosine
-    verified (SimHash-for-vectors: Charikar signs).
+    verified (Charikar signs — SimHash for vectors).
+
+    ``max_bucket_size`` drops any (band, key) bucket larger than the
+    cap before the self-join (same skew guard as the text LSH tiers:
+    one hot bucket makes the candidate join quadratic); ``None``
+    disables.
 
     Signs are computed with one vectorized numpy matmul per Arrow batch
     (``mapInPandas`` — the 100 TB path: no per-element interpreted
@@ -170,6 +185,10 @@ def hyperplane_lsh_pairs(
         .select("id", F.posexplode("bands").alias("band", "key"))
         .cache()
     )
+    if max_bucket_size is not None:
+        from auraverse_etl_pipeline_spark.operators.dedup import drop_hot_buckets
+
+        banded = drop_hot_buckets(banded, ["band", "key"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -200,6 +219,7 @@ def ivf_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors.
 
@@ -207,7 +227,13 @@ def ivf_top_k(
     vector to a cell (this is the index — at scale you persist it,
     partitioned by cell). Query: score the ``nprobe`` nearest centroids
     per query, then brute-force only vectors in probed cells. Same
-    output shape as :func:`cosine_top_k`; recall < 1 by construction."""
+    output shape as :func:`cosine_top_k`; recall < 1 by construction.
+
+    In-cell scoring (the hot loop at scale) uses the Arrow-batched
+    cosine by default; ``exact_fold=True`` restores the interpreted
+    fold for oracle bit-parity. Centroid probing is queries×nlist —
+    tiny — and keeps the native fold either way so the probe stage
+    stays JVM-side with no Python worker round-trip."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -240,10 +266,11 @@ def ivf_top_k(
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "qv", "cell")
     )
+    score = cosine_similarity_expr if exact_fold else batch_cosine
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         probes.join(indexed, "cell")
-        .select("query_id", "neighbor_id", cosine_similarity_expr("qv", "cv").alias("cosine"))
+        .select("query_id", "neighbor_id", score(F.col("qv"), F.col("cv")).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")

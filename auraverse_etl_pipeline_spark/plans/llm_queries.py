@@ -274,10 +274,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # exact_fold: the driver hash-matches the cosine values against
+    # DuckDB's list_cosine_similarity, which needs the ordered-fold
+    # summation; production callers get the Arrow path by default.
     out = cosine_top_k(
         corpus=emb.filter(F.col("vec_id") >= 10),
         queries=emb.filter(F.col("vec_id") < 10),
         k=5,
+        exact_fold=True,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 

@@ -37,17 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table. Plain parquet scan — column pruning
     and predicate pushdown are Catalyst's job once the caller filters.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects outright; read it as raw nanos (legacy conf) and
-    convert with exact integer math (``DIV`` — a double roundtrip would
-    lose precision above 2^53 ns).
+    ``events.ts`` has shipped in two parquet layouts across testdata
+    generations: TIMESTAMP(NANOS) — which Spark's reader rejects unless
+    read as raw nanos via the legacy conf, then converted with exact
+    integer math (``DIV``, since a double roundtrip loses precision
+    above 2^53 ns) — and plain TIMESTAMP(MICROS), which arrives as
+    TIMESTAMP_NTZ. Normalize both to session TimestampType so every
+    downstream plan (and the DuckDB oracle twin) sees one type.
     """
     # Runtime SQL conf; set on the caller's session so this works even
     # when the driver owns the SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

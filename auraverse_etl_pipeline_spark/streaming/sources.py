@@ -1,9 +1,12 @@
 """Streaming sources for the events table.
 
-A streaming read needs an explicit schema (no inference pass), and the
-driver's events.parquet is written as parquet TIMESTAMP(NANOS) — same
-workaround as the batch loader (`sources/tables.py`): read nanos as
-long (legacy conf) and convert with integer math.
+A streaming read needs an explicit schema (no inference pass). The
+driver's events.parquet has shipped in two layouts across testdata
+generations — TIMESTAMP(NANOS), which must be read as raw longs
+(legacy conf) and converted with integer math, and TIMESTAMP(MICROS),
+which reads as TIMESTAMP_NTZ — so the raw schema is derived from one
+cheap batch footer read before the stream starts (same normalization
+as the batch loader in ``sources/tables.py``).
 """
 
 from __future__ import annotations
@@ -20,19 +23,22 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: Schema of events.parquet with ts still raw nanos (pre-conversion).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_is_long: bool) -> StructType:
+    """Schema of events.parquet with ts still raw (pre-conversion)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(
@@ -51,13 +57,18 @@ def stream_events(
     batches itself.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     table = os.path.join(path, "events.parquet")
     stream_dir = _as_stream_dir(table) if os.path.exists(table) else path
+    # One footer read (batch, schema only) decides the raw layout; the
+    # stream itself still runs with an explicit schema as required.
+    ts_is_long = dict(spark.read.parquet(stream_dir).dtypes)["ts"] == "bigint"
+    reader = spark.readStream.schema(_events_raw_schema(ts_is_long))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _as_stream_dir(path: str) -> str:

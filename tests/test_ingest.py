@@ -65,6 +65,29 @@ class TestReferenceParity:
         assert convert_document(_read(fname)) == golden[doc_key]["merged"]
 
 
+def test_cli_convert_byte_parity_with_reference_golden(tmp_path):
+    """BYTE-level regression oracle: the reference repo commits its own
+    converter output (``input_parsed2.json`` — ``script.py:555-573``
+    run on ``input.txt``, serialized with ``json.dump(indent=2,
+    ensure_ascii=False)`` and no trailing newline). Our CLI ``convert``
+    on the identical input must reproduce that file byte-for-byte —
+    key order, nesting, ``@type`` retention, all of it. The documented
+    N9 deviation (no greedy ``\\{.*\\}`` merge) does not surface on this
+    input, so no masking is needed; if it ever does, pin it here
+    explicitly rather than widening the comparison."""
+    from auraverse_etl_pipeline_spark.cli import main
+
+    src = tmp_path / "input.txt"
+    src.write_text(_read("messy_doc_1.txt"), encoding="utf-8")
+    out = tmp_path / "out.json"
+    assert main(["convert", str(src), str(out)]) == 0
+    got = out.read_bytes()
+    ref = (
+        open(os.path.join(FIXTURES, "input_parsed2.reference.json"), "rb").read()
+    )
+    assert got == ref
+
+
 def test_merged_matches_reference_committed_golden():
     """The reference repo commits its own golden output
     (``input_parsed2.json`` = script.py run on input.txt); we must

@@ -513,6 +513,76 @@ def test_approx_percentile_tracks_exact_ladder(spark, sf_dir):
         assert r.within_1pct, (r.l_returnflag, r.pct)
 
 
+def test_hot_bucket_cap_bounds_skewed_candidates(spark):
+    """Skew fuzz: a 300-strong identical cluster (one hot LSH bucket per
+    band) must generate ZERO pairs under the cap — candidate volume stays
+    bounded by cap²/2 per bucket — while normal near-dup pairs in cold
+    buckets still surface. Uncapped, the same corpus pairs the whole
+    cluster quadratically (the 100 TB failure mode the cap exists for)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_candidate_pairs,
+    )
+
+    boiler = "the same boilerplate sentence repeated across every single page of the crawl"
+    rows = [(i, boiler) for i in range(300)]
+    rows += [
+        (1000, "completely unique document about alpine marmots and their burrows"),
+        (1001, "completely unique document about alpine marmots and their dens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_near_duplicates(df, 0.5, n=3, max_bucket_size=50).collect()
+    got_pairs = {(r.id1, r.id2) for r in capped}
+    assert (1000, 1001) in got_pairs  # cold-bucket pair survives
+    assert all(id1 >= 1000 for id1, _ in got_pairs), "hot cluster leaked pairs"
+    uncapped = minhash_near_duplicates(df, 0.5, n=3, max_bucket_size=None).count()
+    assert uncapped >= 300 * 299 // 2  # quadratic without the cap
+
+    sim = simhash_candidate_pairs(df, max_bucket_size=50).collect()
+    assert all(r.id1 >= 1000 for r in sim), "hot simhash bucket leaked pairs"
+
+
+def test_hyperplane_lsh_hot_bucket_cap(spark):
+    """Same skew guard on the embedding LSH tier: a large identical-vector
+    cluster lands in one (band, key) bucket per band and must be dropped
+    under the cap; a distinct near-identical pair still pairs."""
+    from auraverse_etl_pipeline_spark.operators.similarity import hyperplane_lsh_pairs
+
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, -1.0, 0.75, 0.1]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    far = [(-1.0) ** i * (i + 1.0) for i in range(8)]
+    far_near = [x + (0.001 if i == 1 else 0.0) for i, x in enumerate(far)]
+    rows = [(i, base if i < 200 else near) for i in range(201)]
+    rows += [(1000, far), (1001, far_near)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = hyperplane_lsh_pairs(df, 0.99, n_planes=64, band_bits=8, max_bucket_size=50)
+    got = {(r.id1, r.id2) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert all(id1 >= 1000 for id1, _ in got), "hot embedding bucket leaked pairs"
+
+
+def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
+    """The default (Arrow matmul) scoring path must rank identically to
+    the fold spelling used for oracle bit-parity, with cosines equal to
+    1e-12 — the two differ only in summation order."""
+    from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    fold = cosine_top_k(corpus, queries, k=5, exact_fold=True).collect()
+    arrow = cosine_top_k(corpus, queries, k=5).collect()
+    fold_ranks = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in fold}
+    arrow_ranks = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in arrow}
+    assert set(fold_ranks) == set(arrow_ranks)
+    for key, (nid, cos) in fold_ranks.items():
+        a_nid, a_cos = arrow_ranks[key]
+        assert a_nid == nid, key
+        assert abs(a_cos - cos) < 1e-12, key
+
+
 def test_resize_media_plumbing(spark, docs):
     from auraverse_etl_pipeline_spark.operators.multimodal import (
         attach_fake_media,
