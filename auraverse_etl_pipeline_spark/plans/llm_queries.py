@@ -529,6 +529,55 @@ def multimodal_feature_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "sha256", "n_frames_sampled")
 
 
+@query(
+    "multimodal_resize_digest",
+    # The oracle rebuilds the EXACT resized PPM bytes from the closed
+    # forms: attach_ppm_media pixels are 1 + (id + 3x + 7y + c) mod 127
+    # (ASCII-safe bytes — chr()/string_agg reassembles the raster
+    # byte-for-byte), and nearest-neighbor maps out(x) -> (x*W) // W_out.
+    # A 12x6 source resized to 8x4 = 'P6\n8 4\n127\n' (11 bytes) + 96
+    # raster bytes; md5 over the whole file must match Spark's md5 of
+    # the binary the resize UDF produced.
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id BETWEEN 0 AND 63
+    ),
+    px AS (
+        SELECT media_id, p,
+               1 + ((media_id
+                     + 3 * ((((p // 3) % 8) * 12) // 8)
+                     + 7 * (((p // 24) * 6) // 4)
+                     + (p % 3)) % 127) AS b
+        FROM ids, range(0, 96) t(p)
+    ),
+    body AS (
+        SELECT media_id, string_agg(chr(CAST(b AS INTEGER)), '' ORDER BY p) AS raster
+        FROM px GROUP BY media_id
+    )
+    SELECT media_id,
+           md5('P6' || chr(10) || '8 4' || chr(10) || '127' || chr(10) || raster)
+               AS resized_md5,
+           CAST(107 AS BIGINT) AS n_bytes_out
+    FROM body
+    """,
+    description="REAL pixel path through the oracle gate: deterministic "
+    "PPM images, nearest-neighbor resize in the Arrow UDF, md5 of the "
+    "re-encoded bytes vs a SQL reconstruction of the same raster",
+)
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        attach_ppm_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").between(0, 63))
+    media = attach_ppm_media(docs, width=12, height=6)
+    out = resize_media(media, target_w=8, target_h=4)
+    return out.select(
+        "media_id", F.md5("resized").alias("resized_md5"), "n_bytes_out"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: PII scrub, quality filter, decontamination, vocab,
 # mixture sampling, length profiling

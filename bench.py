@@ -1,11 +1,18 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: the FULL query registry at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
+``queries`` carries per-query wall times for every registered query
+(so per-query regressions are visible round-over-round), while
+``value`` stays the HEADLINE subtotal — the same nine-query metric
+every previous round recorded, so the headline number remains
+comparable across BENCH_r*.json files.
+
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect overhead). A small warmup query amortizes JVM /
-codegen startup out of the numbers.
+codegen startup out of the numbers. Set ``SPARK_GRAFT_BENCH=headline``
+to run only the headline subset (fast iteration loop).
 """
 
 from __future__ import annotations
@@ -50,16 +57,26 @@ def main() -> None:
     # stays out of per-query timings.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = registry.get(name)
-        if qd is None:
-            continue
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH", "full") == "headline"
+    names = [n for n in HEADLINE if n in registry] if headline_only else list(registry)
+    # Headline queries run first so their timings are never polluted by
+    # cache/session state left behind by the long tail of the sweep.
+    if not headline_only:
+        names = [n for n in HEADLINE if n in registry] + [
+            n for n in names if n not in HEADLINE
+        ]
 
-    total = round(sum(timings.values()), 3)
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not sink the sweep
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for n, t in timings.items() if n in HEADLINE and t >= 0), 3)
     print(
         json.dumps(
             {

@@ -583,6 +583,43 @@ def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
         assert abs(a_cos - cos) < 1e-12, key
 
 
+def test_ppm_codec_roundtrip_and_real_resize(spark, docs):
+    """The pure-stdlib PPM codec must roundtrip exactly, and resize_media
+    must do a REAL nearest-neighbor resample on decodable payloads —
+    every output pixel checked against the closed-form source formula."""
+    import numpy as np
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        PPM_MAXVAL,
+        attach_ppm_media,
+        decode_ppm,
+        encode_ppm,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    maxval, back = decode_ppm(encode_ppm(img))
+    assert maxval == 255 and np.array_equal(back, img)
+    # comment-bearing header parses too
+    commented = b"P6\n# a comment\n9 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(commented)[1], img)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n9 5\n255\n" + img.tobytes()[:-1])  # truncated
+
+    media = attach_ppm_media(docs.filter("doc_id < 20"), width=12, height=6)
+    out = {r.media_id: bytes(r.resized) for r in resize_media(media, 8, 4).collect()}
+    assert len(out) == 20
+    for mid, blob in out.items():
+        maxval, pix = decode_ppm(blob)
+        assert maxval == PPM_MAXVAL and pix.shape == (4, 8, 3)
+        for y in range(4):
+            for x in range(8):
+                sx, sy = (x * 12) // 8, (y * 6) // 4
+                for c in range(3):
+                    assert pix[y, x, c] == 1 + (mid + 3 * sx + 7 * sy + c) % PPM_MAXVAL
+
+
 def test_resize_media_plumbing(spark, docs):
     from auraverse_etl_pipeline_spark.operators.multimodal import (
         attach_fake_media,
