@@ -275,7 +275,10 @@ def typed_records(records: DataFrame, format_type: str, sample_size: int = 1000)
     spark = records.sparkSession
     agg = (
         data.select("data")
-        .filter(F.col("data").isNotNull())
+        # empty strings pass isNotNull but poison schema_of_json over
+        # the concatenated array — filter both, like the PERMISSIVE
+        # reader's 'if r.data' guard this path replaced
+        .filter(F.col("data").isNotNull() & (F.length("data") > 0))
         .limit(sample_size)
         .agg(
             F.concat(
@@ -286,7 +289,12 @@ def typed_records(records: DataFrame, format_type: str, sample_size: int = 1000)
     )
     if agg is None or agg.arr == "[]":
         return data.select("doc_id", "start").withColumn("record", F.lit(None).cast("string"))
-    ddl = spark.range(1).select(F.schema_of_json(F.lit(agg.arr)).alias("d")).first().d
-    parsed = DataType.fromDDL(ddl)
+    try:
+        ddl = spark.range(1).select(F.schema_of_json(F.lit(agg.arr)).alias("d")).first().d
+        parsed = DataType.fromDDL(ddl)
+    except Exception:
+        # one malformed/scalar sampled record must not fail the whole
+        # format — degrade to the raw JSON string (PERMISSIVE spirit)
+        return data.select("doc_id", "start", F.col("data").alias("record"))
     schema = parsed.elementType if isinstance(parsed, ArrayType) else parsed
     return data.select("doc_id", "start", F.from_json("data", schema).alias("record"))

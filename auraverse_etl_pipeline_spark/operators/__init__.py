@@ -3,12 +3,15 @@ from auraverse_etl_pipeline_spark.operators.changeset import (
     apply_changeset,
     scd2_history,
 )
+from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.operators.dedup import (
     connected_component_labels,
     decontaminate,
     drop_exact_duplicates,
+    drop_hot_buckets,
     drop_near_duplicates,
     exact_duplicate_groups,
+    hot_buckets,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
@@ -30,9 +33,12 @@ __all__ = [
     "cosine_top_k",
     "decontaminate",
     "drop_exact_duplicates",
+    "drop_hot_buckets",
     "drop_near_duplicates",
     "exact_duplicate_groups",
+    "hot_buckets",
     "ivf_top_k",
+    "release_after",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
     "scd2_history",

@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from auraverse_etl_pipeline_spark.functions.text import tokens
+from auraverse_etl_pipeline_spark.operators.caching import release_after
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -176,6 +177,20 @@ def _minhash_mins(
     )
 
 
+def hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """The over-cap LSH bucket keys with their member counts:
+    (key_cols..., n_members) for every bucket with more than ``cap``
+    rows. This is the audit surface for :func:`drop_hot_buckets` —
+    count it, log it, or write it next to the dedup output so a capped
+    run records exactly which buckets (and how many members) it
+    skipped, instead of losing them silently."""
+    return (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
 def drop_hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Drop every row belonging to an LSH bucket with more than ``cap``
     members, before the bucket self-join.
@@ -188,15 +203,15 @@ def drop_hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFra
     list: one map-side-combined count aggregation, zero extra shuffle
     of the band table itself.
 
-    Dropping (not sampling) is the standard choice: a bucket that hot
-    is boilerplate, and genuinely identical documents were already
-    removed by the exact tier that runs before LSH."""
-    hot = (
-        bands.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > cap)
-        .select(*key_cols)
-    )
+    RECALL CAVEAT: dropping a bucket drops ALL of its candidate pairs —
+    a cluster of thousands of near-identical documents lands every
+    member in the same over-cap buckets and yields ZERO pairs. That is
+    only safe when the exact tier (:func:`drop_exact_duplicates`) ran
+    first, so over-cap buckets are boilerplate collisions rather than
+    genuine duplicate clusters. The pair operators therefore leave the
+    cap OFF by default (opt-in); capped pipelines should audit
+    :func:`hot_buckets` for what a run skipped."""
+    hot = hot_buckets(bands, key_cols, cap).select(*key_cols)
     return bands.join(F.broadcast(hot), key_cols, "left_anti")
 
 
@@ -209,7 +224,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -226,23 +241,32 @@ def minhash_near_duplicates(
     shingle that is the min for thousands of docs) are the skew risk:
     ``max_bucket_size`` drops any (band, minhash) bucket larger than
     the cap before pairing (see :func:`drop_hot_buckets`), bounding
-    candidates per bucket at cap²/2 regardless of corpus skew. The
-    default (1000) is far above anything a deduplicated corpus
-    produces in one bucket honestly; ``None`` disables. The shingle
-    table is consumed three times (signatures + both sides of the
-    verify join), so it is cached — the 100 TB spelling of the same
-    decision is persisting the shingle/signature table to disk once
-    and reusing it."""
+    candidates per bucket at cap²/2 regardless of corpus skew. OPT-IN
+    (default None) because a capped run yields zero pairs for any
+    duplicate cluster bigger than the cap: only enable it when the
+    exact tier (:func:`drop_exact_duplicates`) already ran, and audit
+    :func:`hot_buckets` for what was skipped. Two intermediates are
+    cached because the returned plan consumes each several times: the
+    shingle table (signatures + both sides of the verify join) and the
+    band table (hot-bucket count + both sides of the band self-join —
+    without this the num_hashes-way min aggregation re-runs per
+    consumer). Call ``result.release_caches()`` when done; the 100 TB
+    spelling of the same decision is persisting the shingle/signature
+    table to disk once and reusing it."""
     sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).cache()
     mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed, hash_fn=hash_fn)
-    bands = mins.select(
+    banded = mins.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hash_tables)])).alias(
             "band", "mh"
         ),
-    )
+    ).cache()
+    bands = banded
     if max_bucket_size is not None:
-        bands = drop_hot_buckets(bands, ["band", "mh"], max_bucket_size)
+        # cache the post-cap table too: both self-join sides consume it,
+        # and without this each side re-runs the hot-bucket count +
+        # anti-join (cheap per pass, but it's the hot path)
+        bands = drop_hot_buckets(banded, ["band", "mh"], max_bucket_size).cache()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "mh"])
@@ -256,11 +280,12 @@ def minhash_near_duplicates(
     )
     shared = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - shared
-    return (
+    result = (
         pairs.withColumn("jaccard", shared / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
     )
+    return release_after(result, sh, banded, bands)
 
 
 def drop_near_duplicates(
@@ -319,6 +344,9 @@ def connected_component_labels(
     # label-sum strictly decreases until the fixpoint — one cheap
     # aggregate per round instead of an old-vs-new join.
     label_sum = labels.agg(F.sum("component")).first()[0]
+    # That action materialized edges (and labels) into their caches, so
+    # the pair list has been consumed for good — release it now.
+    pairs.unpersist()
     while True:
         neighbor = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), "component"
@@ -335,7 +363,7 @@ def connected_component_labels(
             break
         label_sum = new_sum
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), "component")
+    return release_after(labels.select(F.col("id").alias(id_col), "component"), labels)
 
 
 def decontaminate(
@@ -414,7 +442,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 4,
     max_hamming: int | None = None,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates via band-equality joins.
 
@@ -430,11 +458,15 @@ def simhash_candidate_pairs(
 
     ``max_bucket_size`` drops band buckets larger than the cap before
     the self-join (:func:`drop_hot_buckets`) — the same skew guard as
-    the MinHash tier; ``None`` disables."""
-    # both sides of the band self-join consume the signatures — cache
-    # so the 60-vote aggregation runs once (cf. minhash shingle table)
-    sig = simhash_signatures(df, text_col, id_col).cache()
-    bands = sig.select(
+    the MinHash tier. OPT-IN (default None): a capped run yields zero
+    pairs for duplicate clusters bigger than the cap, so enable it only
+    after the exact tier ran, and audit :func:`hot_buckets`."""
+    # The band table (which embeds the 60-vote aggregation) feeds the
+    # hot-bucket count plus both sides of the band self-join — cache it
+    # so the aggregation runs once (cf. minhash band table), and pair
+    # the release on the returned result.
+    sig = simhash_signatures(df, text_col, id_col)
+    banded = sig.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -443,9 +475,10 @@ def simhash_candidate_pairs(
                 for i in range(n_bands)
             ])
         ).alias("band"),
-    )
+    ).cache()
+    bands = banded
     if max_bucket_size is not None:
-        bands = drop_hot_buckets(bands, ["band"], max_bucket_size)
+        bands = drop_hot_buckets(banded, ["band"], max_bucket_size)
     a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band")
     b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band")
     pairs = (
@@ -455,4 +488,4 @@ def simhash_candidate_pairs(
     )
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
-    return pairs.distinct()
+    return release_after(pairs.distinct(), banded)

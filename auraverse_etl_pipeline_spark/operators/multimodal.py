@@ -63,8 +63,12 @@ def decode_payload(payload: bytes, kind: str):
     on genuine pixel data with zero third-party image libraries.
     Everything else (JPEG/WAV/MP4...) needs PIL / soundfile / pyav,
     absent in this runtime, and raises ``NotImplementedError`` so
-    downstream code falls back to the deterministic byte-level fake."""
-    if payload[:2] == b"P6":
+    downstream code falls back to the deterministic byte-level fake.
+
+    The PPM path is gated on the declared ``kind`` as well as the magic
+    bytes: an audio/video payload that happens to start with ``P6``
+    must not be silently reinterpreted as pixels."""
+    if kind == "image" and payload[:2] == b"P6":
         return decode_ppm(payload)
     raise NotImplementedError(
         f"no {kind} decoder available in this runtime; "

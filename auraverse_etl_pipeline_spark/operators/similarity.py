@@ -132,15 +132,17 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH, exact-cosine
     verified (Charikar signs — SimHash for vectors).
 
     ``max_bucket_size`` drops any (band, key) bucket larger than the
     cap before the self-join (same skew guard as the text LSH tiers:
-    one hot bucket makes the candidate join quadratic); ``None``
-    disables.
+    one hot bucket makes the candidate join quadratic). OPT-IN
+    (default None): a capped run yields zero pairs for duplicate
+    clusters bigger than the cap, so enable it only after exact dedup
+    ran, and audit ``operators.dedup.hot_buckets`` for skipped keys.
 
     Signs are computed with one vectorized numpy matmul per Arrow batch
     (``mapInPandas`` — the 100 TB path: no per-element interpreted
@@ -178,17 +180,21 @@ def hyperplane_lsh_pairs(
                 {"id": pdf["id"], "bands": [list(t) for t in zip(*keys)]}
             )
 
-    # cache: the band self-join consumes this twice, and without the
-    # cache each side re-runs the Python mapInPandas stage.
-    banded = (
+    # cache: the band self-join (and the optional hot-bucket count)
+    # consume this multiple times, and without the cache each consumer
+    # re-runs the Python mapInPandas stage. The cached reference stays
+    # in `banded_keys` so release_after pairs the release even when the
+    # cap rebinds the join input.
+    banded_keys = (
         e.mapInPandas(band_keys, "id bigint, bands array<bigint>")
         .select("id", F.posexplode("bands").alias("band", "key"))
         .cache()
     )
+    banded = banded_keys
     if max_bucket_size is not None:
         from auraverse_etl_pipeline_spark.operators.dedup import drop_hot_buckets
 
-        banded = drop_hot_buckets(banded, ["band", "key"], max_bucket_size)
+        banded = drop_hot_buckets(banded_keys, ["band", "key"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -204,10 +210,13 @@ def hyperplane_lsh_pairs(
     # lot), so verify with the Arrow-batched cosine instead of the
     # interpreted per-row fold the exact tier uses for bit-parity with
     # the SQL oracle.
-    return (
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+    result = (
         pairs.select("id1", "id2", batch_cosine("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return release_after(result, banded_keys)
 
 
 def ivf_top_k(

@@ -132,7 +132,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3)
+    # cap opted in: this corpus has no duplicate cluster anywhere near
+    # the cap (exact-tier clean), so the skew guard is pure insurance
+    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3, max_bucket_size=1000)
 
 
 #: DuckDB replica of the SimHash pipeline: 60-bit hash from the first
@@ -183,7 +185,7 @@ _SIMHASH_ORACLE = """
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_candidate_pairs(docs, max_hamming=16)
+    pairs = simhash_candidate_pairs(docs, max_hamming=16, max_bucket_size=1000)
     return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
@@ -239,7 +241,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9)
+    return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9, max_bucket_size=1000)
 
 
 # ---------------------------------------------------------------------------
@@ -943,9 +945,13 @@ _PACK_BUDGET = 2048
         FROM documents
     ),
     c AS (
+        -- CAST the window sum: DuckDB sums BIGINT into HUGEINT, which
+        -- the driver's canonicalizer formats differently from Spark's
+        -- bigint even when values agree (registry discipline: every
+        -- aggregate lands in an exact comparable type)
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         FROM t
     ),
     assigned AS (
@@ -954,7 +960,7 @@ _PACK_BUDGET = 2048
     )
     SELECT source, pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM assigned
@@ -1045,4 +1051,6 @@ def _minhash_oracle_sql() -> str:
 )
 def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3, hash_fn="md5")
+    return minhash_near_duplicates(
+        docs, jaccard_threshold=0.5, n=3, hash_fn="md5", max_bucket_size=1000
+    )

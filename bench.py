@@ -1,18 +1,31 @@
 """Benchmark harness: the FULL query registry at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-``queries`` carries per-query wall times for every registered query
-(so per-query regressions are visible round-over-round), while
+``queries`` carries the HEADLINE per-query wall times only and the
+stdout line stays a few hundred bytes, because the driver records a
+bounded stdout tail — the r1/r2 full-registry line (~4 KB) was
+truncated into unparseable ``parsed: null`` artifacts. The complete
+per-query sweep timings are written to ``BENCH_full.json`` next to
+this script instead (committed per round, so round-over-round
+per-query comparison works from the artifact alone).
+
 ``value`` stays the HEADLINE subtotal — the same nine-query metric
 every previous round recorded, so the headline number remains
-comparable across BENCH_r*.json files.
+comparable across BENCH_r*.json files. If any headline query fails,
+``value`` is null and ``headline_valid`` is false: a broken headline
+query must flag invalidity, not make the total look faster by summing
+the survivors.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver-side collect overhead). A small warmup query amortizes JVM /
-codegen startup out of the numbers. Set ``SPARK_GRAFT_BENCH=headline``
-to run only the headline subset (fast iteration loop).
+driver-side collect overhead), and the cache the operator layer may
+have left behind is cleared between queries (operators pair their
+caches with ``release_caches()``; a generic sweep uses the global
+release) so no query's timing rides on another's cached state. A small
+warmup query amortizes JVM / codegen startup out of the numbers. Set
+``SPARK_GRAFT_BENCH=headline`` to run only the headline subset (fast
+iteration loop).
 """
 
 from __future__ import annotations
@@ -42,6 +55,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "sim_topk_cosine",
 ]
+
+FULL_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
 
 
 def main() -> None:
@@ -75,19 +90,33 @@ def main() -> None:
         except Exception as exc:  # one broken query must not sink the sweep
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Release whatever the operator layer cached so the next query
+        # starts from a clean slate (and the sweep never accumulates
+        # executor storage across 90+ queries).
+        spark.catalog.clearCache()
 
-    total = round(sum(t for n, t in timings.items() if n in HEADLINE and t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    headline_timings = {n: timings[n] for n in HEADLINE if n in timings}
+    headline_valid = all(t >= 0 for t in headline_timings.values()) and bool(headline_timings)
+    total = round(sum(headline_timings.values()), 3) if headline_valid else None
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": headline_timings,
+        "sf": sf,
+        "headline_valid": headline_valid,
+        "full": os.path.basename(FULL_OUT),
+    }
+    with open(FULL_OUT, "w") as f:
+        json.dump(
+            {**result, "queries": timings, "n_queries": len(timings)},
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -343,7 +343,7 @@ def test_sketches_within_error_bounds(spark, sf_dir):
     for k in exact:
         assert got[k].exact_users == exact[k]
         assert got[k].hll_within_5pct, (k, got[k])
-        assert got[k].p50_within_5pct, (k, got[k])
+        assert got[k].p50_rank_bounded, (k, got[k])
         assert got[k].p99_rank_bounded, (k, got[k])
 
 
