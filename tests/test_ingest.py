@@ -88,6 +88,29 @@ def test_cli_convert_byte_parity_with_reference_golden(tmp_path):
     assert got == ref
 
 
+def test_cli_convert_byte_parity_input2(tmp_path):
+    """Second byte-parity oracle: the reference converter run on its
+    ``input2.txt`` fixture (output captured by executing the reference
+    ``script.py`` — same ``json.dump(indent=2, ensure_ascii=False)``
+    serialization, no trailing newline — and committed as
+    ``input2_parsed2.reference.json``). Notably the documented N9
+    greedy-merge bug produces ``warranty_period: 2`` (the ``2 years``
+    string folded to an integer) on this input and our section pipeline
+    arrives at the same value through its own KV coercion, so full byte
+    parity holds with no deviation mask."""
+    from auraverse_etl_pipeline_spark.cli import main
+
+    src = tmp_path / "input2.txt"
+    src.write_text(_read("messy_doc_2.txt"), encoding="utf-8")
+    out = tmp_path / "out2.json"
+    assert main(["convert", str(src), str(out)]) == 0
+    got = out.read_bytes()
+    ref = (
+        open(os.path.join(FIXTURES, "input2_parsed2.reference.json"), "rb").read()
+    )
+    assert got == ref
+
+
 def test_merged_matches_reference_committed_golden():
     """The reference repo commits its own golden output
     (``input_parsed2.json`` = script.py run on input.txt); we must

@@ -163,6 +163,95 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert any(r.window_start.hour == 7 for r in rows)
 
 
+def test_session_window_late_row_dropped(spark, tmp_path):
+    """Session-window twin of the late-drop test: once the watermark
+    passed a closed session's end, a late row inside that session must
+    be ignored — the session finalized with its on-time events only and
+    its state was evicted (append mode: Spark rejects update mode for
+    streaming session windows). Were the late row accepted, it would
+    finalize immediately as an extra already-behind-watermark session
+    row — so its absence proves the drop."""
+    import pyspark.sql.functions as F2
+
+    from auraverse_etl_pipeline_spark.streaming.ops import sessionize_events_stream
+
+    def chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+        ).select(
+            "event_id",
+            (F2.unix_micros(F2.col("ts_s").cast("timestamp")) * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "late_sessions"))
+        import time
+
+        time.sleep(1.2)
+
+    # b0: a 2-event session at 00:00 for user 1, plus an advancing row
+    # (other user) pushing the watermark to 05:00
+    chunk([(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+           (2, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+           (3, "2024-01-01 06:00:00", 2, "click", 1.0, "{}")])
+    # b1: fresh row; user 1's closed session is evicted this batch
+    chunk([(4, "2024-01-01 07:00:00", 2, "click", 1.0, "{}")])
+    # b2: ONLY a late row that would extend user 1's 00:00 session
+    chunk([(5, "2024-01-01 00:20:00", 1, "click", 99.0, "{}")])
+
+    sev = stream_events(spark, str(tmp_path / "late_sessions"), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        sessionize_events_stream(sev, gap="30 minutes", watermark="1 hour"),
+        "append",
+        "t_late_sessions",
+    )
+    u1 = [r for r in out.collect() if r.user_id == 1]
+    # exactly one emission for user 1's session, from b0 only: 2 events,
+    # value 2.0, session end = last on-time event + gap — the late row
+    # (event 5, value 99) neither extended nor re-emitted it
+    assert [(r.n_events, float(r.sum_value)) for r in u1] == [(2, 2.0)], u1
+    assert u1[0].session_end.strftime("%H:%M") == "00:40"
+
+
+def test_dedup_state_evicted_after_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps dedup state only within the
+    watermark: a redelivery arriving AFTER the watermark passed the
+    original event's time must not be absorbed by (already-evicted)
+    state — Spark drops it as late data instead. Either way the row
+    emits at most once, and state provably did not outlive the
+    watermark (the stream would otherwise need unbounded memory)."""
+    import pyspark.sql.functions as F2
+
+    def chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+        ).select(
+            "event_id",
+            (F2.unix_micros(F2.col("ts_s").cast("timestamp")) * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "late_dedup"))
+        import time
+
+        time.sleep(1.2)
+
+    # b0: original event + advancing row -> watermark reaches 05:00
+    chunk([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+           (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}")])
+    # b1: fresh row; event 1's dedup state is evicted this batch
+    chunk([(3, "2024-01-01 07:00:00", 1, "click", 1.0, "{}")])
+    # b2: redelivery of event 1, far behind the watermark
+    chunk([(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}")])
+
+    sev = stream_events(spark, str(tmp_path / "late_dedup"), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        dedup_events_within_watermark(sev, watermark="1 hour"), "append", "t_late_dedup"
+    )
+    rows = out.collect()
+    # every id emitted exactly once; the post-eviction redelivery was
+    # dropped as late data, not deduped by retained state
+    assert sorted(r.event_id for r in rows) == [1, 2, 3], rows
+
+
 def test_left_outer_attribution_emits_unmatched_after_watermark(spark, tmp_path):
     """leftOuter stream-stream join semantics: matched purchases emit
     immediately; an unattributed purchase emits a NULL-view row only
