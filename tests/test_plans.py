@@ -45,6 +45,32 @@ def test_minhash_band_join_is_equality_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_minhash_band_table_is_cached(spark, sf_dir):
+    """The band table feeds the hot-bucket count plus both sides of the
+    self-join; losing the cache re-runs the minhash min-aggregation per
+    consumer (the round-2 bench regression)."""
+    plan = _plan(QS["dedup_minhash_pairs"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_sketch_aggs_never_mix_distinct_with_percentiles(spark, sf_dir):
+    """q28 keeps the distinct aggregate and the percentile family in
+    separate aggregations joined on the group key: one combined groupBy
+    forces an expand + sort-aggregate that drags every percentile
+    buffer through the distinct's row multiplication (measured 2-3x at
+    sf0.1)."""
+    plan = _plan(QS["q28_sketch_distinct_users"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+
+
+def test_percentile_ladder_is_single_histogram_pass(spark, sf_dir):
+    """q37 computes the whole ladder from one cumulative histogram —
+    the plan must carry no percentile_disc aggregate buffers."""
+    plan = _plan(QS["q37_percentile_ladder"].fn(spark, sf_dir))
+    assert "percentile_disc" not in plan
+
+
 def test_range_join_is_not_nested_loop(spark, sf_dir):
     """q26's bucketed range join exists precisely to avoid the BNLJ a
     naive theta join produces."""
