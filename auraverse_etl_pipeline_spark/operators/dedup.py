@@ -397,6 +397,66 @@ def decontaminate(
     return train.join(hits, id_col, "left_anti")
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    min_doc_frequency: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb curation
+    stage): delete every line that occurs in at least
+    ``min_doc_frequency`` distinct documents — navigation chrome,
+    cookie banners, copyright footers — and reassemble each document
+    from its surviving lines in original order. Output:
+    (id_col, text_col, n_lines_kept, n_lines_dropped).
+
+    Scale shape: the document-frequency aggregation groups on
+    ``md5(line)`` — a fixed-width 32-char key, partial-aggregated
+    map-side, so the shuffle carries hashes and counts, never the line
+    text; the line table then joins the (small — boilerplate is by
+    definition the repeated tail) over-threshold hash set. Reassembly
+    is one groupBy per document over (position, line) structs —
+    ``array_sort`` on the struct restores original order without a
+    sort exchange. Exact-match line dedup only; near-dup boilerplate
+    belongs to the MinHash/SimHash tiers above."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .groupBy(F.md5("line").alias("lh"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_frequency)
+        .select("lh")
+    )
+    tagged = lines.join(
+        F.broadcast(hot), F.md5(F.col("line")) == F.col("lh"), "left"
+    )
+    kept = tagged.withColumn("_drop", F.col("lh").isNotNull())
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_drop"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("_drop"), 1).otherwise(0)).alias("n_lines_kept"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col), text_col, "n_lines_kept", "n_lines_dropped"
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -29,6 +29,7 @@ from auraverse_etl_pipeline_spark.functions.text import (
     token_count,
 )
 from auraverse_etl_pipeline_spark.operators.dedup import (
+    drop_boilerplate_lines,
     exact_duplicate_groups,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -476,6 +477,66 @@ def dedup_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
     return drop_near_duplicates(corpus, pairs).select(
         "doc_id", F.md5("text").alias("content_md5")
+    )
+
+
+@query(
+    "text_line_dedup",
+    oracle="""
+    WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ACCEPT ALL COOKIES' || chr(10) ELSE '' END
+               || text || chr(10) || '(c) Example Corp - all rights reserved' AS text
+        FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+    l AS (
+        SELECT doc_id, pos, ls[pos] AS line
+        FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM split)
+    ),
+    hot AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS df
+            FROM l WHERE trim(line) <> '' GROUP BY line
+        ) WHERE df >= 10
+    ),
+    tagged AS (
+        SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS dropped
+        FROM l LEFT JOIN hot h ON l.line = h.line
+    )
+    SELECT doc_id,
+           md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '')) AS cleaned_md5,
+           CAST(COUNT(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_lines_dropped
+    FROM tagged
+    GROUP BY doc_id
+    """,
+    description="C4/RefinedWeb-style boilerplate line removal: lines "
+    "occurring in >= 10 distinct documents (injected cookie banner on "
+    "even doc_ids, copyright footer on all) are deleted and each "
+    "document reassembled from its surviving lines in original order; "
+    "content lines (document frequency 1) all survive. The document-"
+    "frequency shuffle carries md5(line) hashes, never line text",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ACCEPT ALL COOKIES\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.lit("\n(c) Example Corp - all rights reserved"),
+        ).alias("text"),
+    )
+    cleaned = drop_boilerplate_lines(docs2, min_doc_frequency=10)
+    return cleaned.select(
+        "doc_id",
+        F.md5("text").alias("cleaned_md5"),
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
     )
 
 

@@ -72,6 +72,7 @@ _NEEDS_FRESH_SCORE = (
     "q28_sketch_distinct_users",
     "q33_hll_sketch_union",
     "q46_approx_percentile_scale_path",
+    "text_line_dedup",  # new in round 3 — never enumerated before
     "dedup_minhash_pairs",
     "dedup_embedding_lsh",
     "sim_topk_ivf",

@@ -635,3 +635,29 @@ def test_resize_media_plumbing(spark, docs):
     # deterministic: same input -> same bytes
     again = {r.media_id: bytes(r.resized) for r in resize_media(media, 8, 4).collect()}
     assert all(bytes(r.resized) == again[r.media_id] for r in out)
+
+
+def test_drop_boilerplate_lines_order_and_edges(spark):
+    """Boilerplate removal must (a) drop exactly the over-threshold
+    lines, (b) preserve original line order across interleaved
+    boilerplate, (c) reduce an all-boilerplate document to empty text,
+    and (d) never count blank lines as boilerplate."""
+    from auraverse_etl_pipeline_spark.operators.dedup import drop_boilerplate_lines
+
+    footer = "FOOTER"
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\n{footer}\nbeta {i}\n\ngamma {i}") for i in range(10)]
+        + [(100, footer), (101, f"{footer}\n{footer}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_boilerplate_lines(docs, min_doc_frequency=5).collect()}
+    assert len(out) == 12
+    for i in range(10):
+        # order preserved, blank line kept, footer gone
+        assert out[i].text == f"alpha {i}\nbeta {i}\n\ngamma {i}"
+        assert (out[i].n_lines_kept, out[i].n_lines_dropped) == (4, 1)
+    assert out[100].text == "" and out[100].n_lines_dropped == 1
+    assert out[101].text == "" and out[101].n_lines_dropped == 2
+    # below threshold nothing is dropped
+    kept_all = drop_boilerplate_lines(docs, min_doc_frequency=50).collect()
+    assert all(r.n_lines_dropped == 0 for r in kept_all)
