@@ -110,7 +110,14 @@ def main() -> None:
     }
     with open(FULL_OUT, "w") as f:
         json.dump(
-            {**result, "queries": timings, "n_queries": len(timings)},
+            {
+                **result,
+                "queries": timings,
+                "n_queries": len(timings),
+                # ambient load matters when comparing rounds: other
+                # tenants on the box inflate every number (see SCALE.md)
+                "load_avg_1m": round(os.getloadavg()[0], 2),
+            },
             f,
             indent=1,
             sort_keys=True,

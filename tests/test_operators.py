@@ -661,3 +661,28 @@ def test_drop_boilerplate_lines_order_and_edges(spark):
     # below threshold nothing is dropped
     kept_all = drop_boilerplate_lines(docs, min_doc_frequency=50).collect()
     assert all(r.n_lines_dropped == 0 for r in kept_all)
+
+
+def test_operator_caches_have_paired_release(spark, docs):
+    """Every cache an LSH operator creates must be released by the
+    result's release_caches() handle — a long-running pipeline calling
+    dedup repeatedly must not accumulate executor storage. Pinned via
+    the session CacheManager: populated after the operator runs, empty
+    after release, idempotent on double release."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_candidate_pairs,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    for op in (
+        lambda d: minhash_near_duplicates(d, 0.5, n=3, max_bucket_size=1000),
+        lambda d: simhash_candidate_pairs(d, max_hamming=16),
+    ):
+        result = op(docs.limit(50))
+        result.count()
+        assert not cm.isEmpty(), "operator should cache its multi-consumer tables"
+        result.release_caches()
+        assert cm.isEmpty(), "release_caches() must unpersist every operator cache"
+        result.release_caches()  # idempotent
