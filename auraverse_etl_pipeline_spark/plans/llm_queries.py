@@ -365,6 +365,68 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT)
+                 AS stopword_hits
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_hits,
+           CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_length'
+                WHEN stopword_hits < 2 THEN 'stopwords'
+                ELSE 'ok' END AS fail_reason,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND stopword_hits >= 2 AS keep
+    FROM m
+    """,
+    description="Gopher-rules quality gate: the classic pretraining "
+    "document filter as a DECISION (keep + first failing rule), not "
+    "just raw metrics - word count in [50, 100k], mean word length in "
+    "[3, 10], >= 2 distinct common stopwords. Pure codegen'd column "
+    "algebra, zero shuffle: scales with scan bandwidth",
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("bigint")
+    mean_len = avg_token_len("text")
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in _EN_STOPS])
+        )
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stops.alias("stopword_hits"),
+    )
+    word_count_ok = F.col("n_words").between(50, 100000)
+    word_len_ok = F.col("mean_word_len").between(3.0, 10.0)
+    stops_ok = F.col("stopword_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stopword_hits",
+        F.when(~word_count_ok, F.lit("word_count"))
+        .when(~word_len_ok, F.lit("word_length"))
+        .when(~stops_ok, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+        .alias("fail_reason"),
+        (word_count_ok & word_len_ok & stops_ok).alias("keep"),
+    )
+
+
 def _hits_sql(words: tuple[str, ...]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
@@ -1049,6 +1111,83 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "text_pack_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n,
+               CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, source, n, cum_end - n AS cum_start, cum_end
+        FROM c WHERE n > 0
+    ),
+    e AS (
+        SELECT doc_id, source, cum_start, cum_end,
+               unnest(range(cum_start // {_PACK_BUDGET},
+                            (cum_end - 1) // {_PACK_BUDGET} + 1)) AS pack_id
+        FROM s
+    )
+    SELECT source,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           doc_id,
+           CAST(GREATEST(cum_start, pack_id * {_PACK_BUDGET}) - cum_start AS BIGINT)
+             AS token_start,
+           CAST(LEAST(cum_end, (pack_id + 1) * {_PACK_BUDGET}) - cum_start AS BIGINT)
+             AS token_end
+    FROM e
+    """,
+    description="exact sequence-packing manifest: every pack is exactly "
+    "2048 tokens (except each source's last) because documents "
+    "straddling a pack boundary SPLIT - one row per (doc, pack) with "
+    "the doc-relative [token_start, token_end) slice to write. The "
+    "production twin of text_pack_sequences' whole-doc plan: one "
+    "window + one explode over per-doc pack spans, no shuffle beyond "
+    "the per-source cumulative sum",
+)
+def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+    from pyspark.sql import Window as W
+
+    B = _PACK_BUDGET
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", token_count("text").alias("n"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum_end", F.sum("n").over(w)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("n")
+    )
+    s = c.filter(F.col("n") > 0)
+    e = s.select(
+        "doc_id",
+        "source",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                (F.col("cum_start") / B).cast("bigint"),
+                ((F.col("cum_end") - 1) / B).cast("bigint"),
+            )
+        ).alias("pack_id"),
+    )
+    return e.select(
+        "source",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "doc_id",
+        (F.greatest("cum_start", F.col("pack_id") * B) - F.col("cum_start"))
+        .cast("bigint")
+        .alias("token_start"),
+        (F.least("cum_end", (F.col("pack_id") + 1) * B) - F.col("cum_start"))
+        .cast("bigint")
+        .alias("token_end"),
     )
 
 

@@ -73,6 +73,8 @@ _NEEDS_FRESH_SCORE = (
     "q33_hll_sketch_union",
     "q46_approx_percentile_scale_path",
     "text_line_dedup",  # new in round 3 — never enumerated before
+    "text_gopher_filter",  # new in round 3
+    "text_pack_manifest",  # new in round 3
     "dedup_minhash_pairs",
     "dedup_embedding_lsh",
     "sim_topk_ivf",

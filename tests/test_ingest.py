@@ -226,6 +226,57 @@ def test_typed_records_infer_and_parse(spark):
     assert kv.count() > 0
 
 
+def test_typed_records_degrades_on_hostile_samples(spark):
+    """Inference must stay PERMISSIVE-spirited: empty-string data rows
+    are excluded from the sample (they would poison schema_of_json over
+    the concatenated array), and a sample that defeats inference
+    entirely degrades to the raw JSON string instead of raising."""
+    from auraverse_etl_pipeline_spark.ingest.pipeline import typed_records
+
+    # empty strings alongside good records: inference must succeed off
+    # the good ones and parse them; empty-data rows land as null records
+    records = spark.createDataFrame(
+        [
+            (1, "JSON", 0, 10, '{"a": 1}'),
+            (2, "JSON", 0, 10, ""),
+            (3, "JSON", 0, 10, '{"a": 2}'),
+        ],
+        "doc_id long, format string, start long, end long, data string",
+    )
+    typed = typed_records(records, "JSON")
+    assert typed.schema["record"].dataType.typeName() == "struct"
+    got = {r.doc_id: r.record for r in typed.collect()}
+    assert got[1]["a"] == 1 and got[3]["a"] == 2
+    # a format whose sample is pure garbage must not raise — fall back
+    # to the raw string column
+    garbage = spark.createDataFrame(
+        [(1, "JSON", 0, 10, "not json at all"), (2, "JSON", 0, 10, "{{{{")],
+        "doc_id long, format string, start long, end long, data string",
+    )
+    fb = typed_records(garbage, "JSON")
+    rows = {r.doc_id: r.record for r in fb.collect()}
+    assert isinstance(rows[1], str) or rows[1] is None  # degraded, no crash
+
+
+def test_ppm_decode_gated_on_image_kind():
+    """A non-image payload that happens to start with the P6 magic must
+    NOT be reinterpreted as pixels — decode_payload only decodes PPM
+    when the declared kind is image."""
+    import numpy as np
+    import pytest as _pytest
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_payload,
+        encode_ppm,
+    )
+
+    ppm = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    maxval, pix = decode_payload(ppm, "image")
+    assert pix.shape == (2, 2, 3)
+    with _pytest.raises(NotImplementedError):
+        decode_payload(ppm, "audio")  # P6-prefixed audio stays undecodable
+
+
 def test_corpus_scale_multiformat_pipeline(spark):
     """Distributed end-to-end over a SYNTHESIZED 300-doc mixed-format
     corpus (blocks drawn deterministically from the fixture formats):

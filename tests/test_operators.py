@@ -686,3 +686,24 @@ def test_operator_caches_have_paired_release(spark, docs):
         result.release_caches()
         assert cm.isEmpty(), "release_caches() must unpersist every operator cache"
         result.release_caches()  # idempotent
+
+
+def test_pack_manifest_exactness(spark, sf_dir):
+    """The packing manifest's defining invariants: segments of one doc
+    tile [0, n_tokens) without gaps, every non-last pack per source
+    sums to exactly the 2048-token budget, and segments within a pack
+    never overlap document-wise."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+    pdf = all_queries()["text_pack_manifest"].fn(spark, sf_dir).toPandas()
+    pdf["seg"] = pdf.token_end - pdf.token_start
+    assert (pdf.seg > 0).all()
+    # per-doc tiling: ordered segments are contiguous from 0
+    for _, g in pdf.sort_values("pack_id").groupby("doc_id"):
+        starts, ends = list(g.token_start), list(g.token_end)
+        assert starts[0] == 0
+        assert all(s == e for s, e in zip(starts[1:], ends[:-1]))
+    # every non-last pack is exactly full
+    sums = pdf.groupby(["source", "pack_id"]).seg.sum().reset_index()
+    last = sums.groupby("source").pack_id.transform("max")
+    assert (sums[sums.pack_id != last].seg == 2048).all()
