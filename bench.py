@@ -68,9 +68,45 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warmup: touch the fact table once so JVM startup / codegen noise
-    # stays out of per-query timings.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warmup: touch the fact table, then exercise the operator classes
+    # every real query leans on (hash aggregate with decimal sums,
+    # broadcast join, window) over a 2000-row slice — JVM/JIT and
+    # codegen-infrastructure startup amortizes here instead of
+    # inflating whichever query happens to run first. This warms
+    # operator classes, not any benchmark query's own plan.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from auraverse_etl_pipeline_spark.plans.analytics import dsum
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    small = li.limit(2000).cache()
+    small.count()
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    noop(small.groupBy("l_returnflag").agg(dsum("l_extendedprice", 6).alias("s")))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    noop(
+        small.join(F.broadcast(region), small.l_suppkey % 5 == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+    )
+    noop(
+        small.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")),
+        ).filter("rn <= 3")
+    )
+    small.unpersist()
+
+    # ... and spin up the Arrow Python workers once (one per core):
+    # their process fork + pandas import otherwise lands on the first
+    # mapInPandas query (the ingest detector).
+    def _ident(batches):
+        yield from batches
+
+    noop(spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long"))
+    spark.catalog.clearCache()
 
     headline_only = os.environ.get("SPARK_GRAFT_BENCH", "full") == "headline"
     names = [n for n in HEADLINE if n in registry] if headline_only else list(registry)
