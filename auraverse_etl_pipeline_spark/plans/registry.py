@@ -69,6 +69,9 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   carry the freshest evidence — they go last.
 #: - everything else was last scored in round 1 — middle.
 _NEEDS_FRESH_SCORE = (
+    # r2 scored this RED (oracle-side HUGEINT formatting); the oracle
+    # was fixed in r3 — it must be rescored to flip the row green
+    "text_pack_sequences",
     "q28_sketch_distinct_users",
     "q33_hll_sketch_union",
     "q46_approx_percentile_scale_path",
@@ -79,6 +82,11 @@ _NEEDS_FRESH_SCORE = (
     "dedup_embedding_lsh",
     "sim_topk_ivf",
     "multimodal_media_features",
+    # r2-green but reimplemented in r3 (band-table caching, explicit
+    # skew caps) — re-attest the new plans over re-scoring unchanged
+    # r1 queries
+    "dedup_simhash_pairs",
+    "dedup_minhash_md5_pairs",
 )
 
 _SCORED_R2 = frozenset({
