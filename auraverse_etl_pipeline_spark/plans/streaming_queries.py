@@ -226,3 +226,44 @@ def stream_ingest_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFram
     docs = stream_documents(spark, sf_dir)
     agg = summarize_fragments(detect_fragments(docs))
     return run_stream_to_memory(agg, "complete", "s_ingest_summary")
+
+
+def _incremental_minhash_oracle() -> str:
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _minhash_index_oracle_sql,
+    )
+
+    return _minhash_index_oracle_sql()
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle=_incremental_minhash_oracle(),
+    description="incremental dedup as a STREAMING job: new documents "
+    "land as micro-batches, compute stateless per-row MinHash "
+    "signatures, and band-join against the STATIC persisted corpus "
+    "index (stream-static join - no stream-stream state); the only "
+    "stateful operator is the per-pair dedup aggregate. Replayed over "
+    "the same injected-copy fixture it must equal the batch "
+    "dedup_incremental_minhash exactly (same md5 oracle)",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import minhash_index
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        stream_match_minhash_index,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    corpus = load_table(spark, sf_dir, "documents")
+    index = minhash_index(corpus, n=3, hash_fn="md5")
+
+    new_batch = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    matches = stream_match_minhash_index(
+        new_batch, index, est_threshold=0.5, n=3, hash_fn="md5"
+    )
+    return run_stream_to_memory(matches, "complete", "s_incremental_dedup")

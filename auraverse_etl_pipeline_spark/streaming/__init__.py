@@ -15,7 +15,9 @@ of them to completion with Trigger.AvailableNow for the oracle gate
 
 from auraverse_etl_pipeline_spark.streaming.ops import (
     dedup_events_within_watermark,
+    minhash_signature_expr,
     sessionize_events_stream,
+    stream_match_minhash_index,
     user_running_totals,
     windowed_event_counts,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_events_stream",
     "dedup_events_within_watermark",
+    "minhash_signature_expr",
+    "stream_match_minhash_index",
     "user_running_totals",
     "run_stream_to_memory",
 ]

@@ -138,6 +138,90 @@ def purchase_attribution_join(
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
+def minhash_signature_expr(
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+    hash_fn: str = "md5",
+):
+    """Stateless per-row MinHash signature column — the STREAMING
+    spelling. The batch tier (``operators.dedup minhash_signatures``)
+    folds minima through a partial-aggregated groupBy because that is
+    the fastest batch shape; a stream wants zero aggregation state
+    before the index join, so here each row computes its own signature
+    with interpreted higher-order expressions (slower per row,
+    documented trade — the stream's bottleneck is the micro-batch
+    cadence, not per-row CPU). Identical coefficients per seed, so
+    signatures interoperate with every batch tier and the persisted
+    :func:`~auraverse_etl_pipeline_spark.operators.dedup.minhash_index`."""
+    from auraverse_etl_pipeline_spark.functions.text import shingles
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        _MINHASH_P,
+        minhash_coeffs,
+    )
+
+    sh = shingles(text_col, n=n)
+    if hash_fn == "md5":
+        base = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    else:
+        base = lambda s: F.xxhash64(s, F.lit(seed))  # noqa: E731
+    coeffs = minhash_coeffs(num_hashes, seed)
+    p = F.lit(_MINHASH_P)
+
+    def affine(a: int, b: int):
+        # closure factory: a default-arg lambda would make PySpark
+        # treat a/b as higher-order-function arguments
+        return lambda s: F.pmod(F.lit(a) * F.pmod(base(s), p) + F.lit(b), p)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, affine(a, b))) for a, b in coeffs]
+    )
+
+
+def stream_match_minhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    est_threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming incremental dedup: a document stream matches a STATIC
+    persisted MinHash index via a stream-static band equality join —
+    corpus text is never read, no stream-stream state, and the only
+    stateful operator is the per-pair dedup aggregate (a pair matching
+    in k bands arrives k times; est_jaccard is identical on each, so
+    ``max`` dedups it). Output (complete/update mode):
+    (new_id, indexed_id, est_jaccard)."""
+    sig = minhash_signature_expr(
+        text_col, n=n, num_hashes=num_hashes, seed=seed, hash_fn=hash_fn
+    )
+    new_sig = new_docs.select(
+        F.col(id_col).alias("new_id"), sig.alias("nsig")
+    )
+    nb = new_sig.select("new_id", "nsig", F.posexplode("nsig").alias("band", "mh"))
+    ib = index.select(
+        F.col(id_col).alias("indexed_id"),
+        F.col("sig").alias("isig"),
+        F.posexplode("sig").alias("band", "mh"),
+    )
+    joined = nb.join(ib, ["band", "mh"])
+    agree = F.size(
+        F.filter(F.zip_with("nsig", "isig", lambda a, b: a == b), lambda x: x)
+    )
+    est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        joined.select("new_id", "indexed_id", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .groupBy("new_id", "indexed_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
 #: Output schema of user_running_totals.
 USER_TOTALS_SCHEMA = StructType(
     [

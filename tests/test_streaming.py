@@ -330,3 +330,44 @@ def test_streaming_ingest_accumulates_across_batches(spark, sf_dir, tmp_path):
     g = {(r.format_type, r.n_fragments) for r in got.collect()}
     e = {(r.format_type, r.n_fragments) for r in expect.collect()}
     assert g == e and len(g) > 0
+
+
+def test_stream_incremental_dedup_multi_batch(spark, sf_dir, tmp_path):
+    """The stream-static index match must be genuinely incremental:
+    new documents arriving in three micro-batches accumulate to exactly
+    the batch operator's answer against the same persisted index."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_match_index,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import stream_match_minhash_index
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    corpus = load_table(spark, sf_dir, "documents")
+    index = minhash_index(corpus, n=3, hash_fn="md5")
+    new_docs = corpus.filter("doc_id < 30").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+
+    chunk_dir = tmp_path / "new_doc_chunks"
+    for lo, hi in [(100000, 100010), (100010, 100020), (100020, 100030)]:
+        new_docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").withColumn(
+            "source", F.lit("s")
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).coalesce(1).write.mode("append").parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    sdocs = stream_documents(spark, str(chunk_dir), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        stream_match_minhash_index(sdocs, index, est_threshold=0.5, n=3, hash_fn="md5"),
+        "complete",
+        "t_stream_incr_dedup",
+    )
+    want = minhash_match_index(new_docs, index, est_threshold=0.5, n=3, hash_fn="md5")
+    g = {(r.new_id, r.indexed_id, r.est_jaccard) for r in got.collect()}
+    w = {(r.new_id, r.indexed_id, r.est_jaccard) for r in want.collect()}
+    assert g == w and len(g) >= 30
