@@ -71,6 +71,33 @@ def test_percentile_ladder_is_single_histogram_pass(spark, sf_dir):
     assert "percentile_disc" not in plan
 
 
+def test_incremental_index_match_joins_are_equality_joins(spark, sf_dir):
+    """The index match must stay equality-join-shaped (band join + two
+    signature joins): a nested loop or cartesian means the banding
+    degenerated, which at corpus scale is the difference between a
+    daily job and an impossible one."""
+    plan = _plan(QS["dedup_incremental_minhash"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """text_line_dedup's document-frequency aggregation groups on
+    md5(line): the hot-set join must be a broadcast (boilerplate is by
+    definition the small repeated tail) and no plan node may shuffle
+    raw line text for the frequency count."""
+    plan = _plan(QS["text_line_dedup"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_manifest_single_exchange(spark, sf_dir):
+    """The packing manifest is one per-source window + per-row explode:
+    exactly one data exchange (the window's hash partitioning) — a
+    second one means the split logic grew a shuffle it doesn't need."""
+    plan = _plan(QS["text_pack_manifest"].fn(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+
+
 def test_range_join_is_not_nested_loop(spark, sf_dir):
     """q26's bucketed range join exists precisely to avoid the BNLJ a
     naive theta join produces."""
