@@ -1114,6 +1114,45 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_manifest(t: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
+    """The manifest core over a (doc_id, source, n) token-count table:
+    one row per (doc, pack) with the doc-relative [token_start,
+    token_end) slice. Exposed separately from the registry query so
+    edge cases (budget-sized docs, multi-pack spans, empty docs) test
+    the windowing math directly."""
+    from pyspark.sql import Window as W
+
+    B = budget
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum_end", F.sum("n").over(w)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("n")
+    )
+    s = c.filter(F.col("n") > 0)
+    e = s.select(
+        "doc_id",
+        "source",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                (F.col("cum_start") / B).cast("bigint"),
+                ((F.col("cum_end") - 1) / B).cast("bigint"),
+            )
+        ).alias("pack_id"),
+    )
+    return e.select(
+        "source",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "doc_id",
+        (F.greatest("cum_start", F.col("pack_id") * B) - F.col("cum_start"))
+        .cast("bigint")
+        .alias("token_start"),
+        (F.least("cum_end", (F.col("pack_id") + 1) * B) - F.col("cum_start"))
+        .cast("bigint")
+        .alias("token_end"),
+    )
+
+
 @query(
     "text_pack_manifest",
     oracle=f"""
@@ -1156,39 +1195,10 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.functions.text import token_count
-    from pyspark.sql import Window as W
 
-    B = _PACK_BUDGET
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", token_count("text").alias("n"))
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = t.withColumn("cum_end", F.sum("n").over(w)).withColumn(
-        "cum_start", F.col("cum_end") - F.col("n")
-    )
-    s = c.filter(F.col("n") > 0)
-    e = s.select(
-        "doc_id",
-        "source",
-        "cum_start",
-        "cum_end",
-        F.explode(
-            F.sequence(
-                (F.col("cum_start") / B).cast("bigint"),
-                ((F.col("cum_end") - 1) / B).cast("bigint"),
-            )
-        ).alias("pack_id"),
-    )
-    return e.select(
-        "source",
-        F.col("pack_id").cast("bigint").alias("pack_id"),
-        "doc_id",
-        (F.greatest("cum_start", F.col("pack_id") * B) - F.col("cum_start"))
-        .cast("bigint")
-        .alias("token_start"),
-        (F.least("cum_end", (F.col("pack_id") + 1) * B) - F.col("cum_start"))
-        .cast("bigint")
-        .alias("token_end"),
-    )
+    return pack_manifest(t, _PACK_BUDGET)
 
 
 def _minhash_oracle_sql() -> str:

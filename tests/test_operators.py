@@ -734,3 +734,35 @@ def test_minhash_index_matches_batch_pipeline(spark, docs):
         assert pair in got and got[pair] == 1.0, f"copy {pair} not recovered"
     # estimator sanity: every reported estimate is a multiple of 1/8
     assert all(abs(v * 8 - round(v * 8)) < 1e-12 for v in got.values())
+
+
+def test_pack_manifest_edge_cases(spark):
+    """Windowing math at the boundaries: a doc of exactly the budget
+    fills one pack alone; a doc bigger than two budgets spans three
+    packs with full middle slices; zero-token docs vanish; a doc
+    starting exactly on a boundary opens the next pack."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import pack_manifest
+
+    B = 100
+    t = spark.createDataFrame(
+        [
+            (1, "s", 100),  # exactly one budget -> fills pack 0 alone
+            (2, "s", 250),  # spans packs 1,2,3: slices 100,100,50
+            (3, "s", 0),    # empty -> absent
+            (4, "s", 50),   # lands in pack 3 after doc 2's 50
+            (5, "t", 30),   # separate source restarts at pack 0
+        ],
+        "doc_id long, source string, n long",
+    )
+    rows = {
+        (r.doc_id, r.pack_id): (r.token_start, r.token_end)
+        for r in pack_manifest(t, budget=B).collect()
+    }
+    assert rows == {
+        (1, 0): (0, 100),
+        (2, 1): (0, 100),
+        (2, 2): (100, 200),
+        (2, 3): (200, 250),
+        (4, 3): (0, 50),
+        (5, 0): (0, 30),
+    }
