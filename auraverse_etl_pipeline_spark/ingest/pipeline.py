@@ -275,10 +275,11 @@ def typed_records(records: DataFrame, format_type: str, sample_size: int = 1000)
     spark = records.sparkSession
     agg = (
         data.select("data")
-        # empty strings pass isNotNull but poison schema_of_json over
-        # the concatenated array — filter both, like the PERMISSIVE
-        # reader's 'if r.data' guard this path replaced
-        .filter(F.col("data").isNotNull() & (F.length("data") > 0))
+        # empty/whitespace-only strings pass isNotNull but poison
+        # schema_of_json over the concatenated array — filter both,
+        # like the PERMISSIVE reader's 'if r.data' guard this path
+        # replaced
+        .filter(F.col("data").isNotNull() & (F.length(F.trim("data")) > 0))
         .limit(sample_size)
         .agg(
             F.concat(

@@ -339,10 +339,16 @@ def minhash_match_index(
     :func:`ngram_jaccard_pairs` on just the matched documents when
     exactness matters. ``max_bucket_size``: same opt-in skew cap as
     the batch tiers."""
+    # Both inputs are consumed twice (band explode + signature join) —
+    # cache them so a caller passing an unpersisted plan (e.g. an
+    # index built inline rather than read back from parquet) doesn't
+    # re-run the corpus minhash aggregation per consumer. Paired
+    # release via the result's release_caches().
     new_sig = minhash_index(
         new_docs, n=n, num_hashes=num_hashes, text_col=text_col,
         id_col=id_col, seed=seed, hash_fn=hash_fn,
-    )
+    ).cache()
+    index = index.cache()
     nb = new_sig.select(
         F.col("doc_id").alias("new_id"),
         F.posexplode("sig").alias("band", "mh"),
@@ -369,10 +375,11 @@ def minhash_match_index(
         F.filter(F.zip_with("nsig", "isig", lambda a, b: a == b), lambda x: x)
     )
     est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
-    return (
+    result = (
         pairs.select("new_id", "indexed_id", est)
         .filter(F.col("est_jaccard") >= est_threshold)
     )
+    return release_after(result, new_sig, index)
 
 
 def drop_near_duplicates(
@@ -625,7 +632,9 @@ def simhash_candidate_pairs(
     ).cache()
     bands = banded
     if max_bucket_size is not None:
-        bands = drop_hot_buckets(banded, ["band"], max_bucket_size)
+        # post-cap table also has two consumers (both self-join sides);
+        # cache it so the hot-bucket count + anti-join run once
+        bands = drop_hot_buckets(banded, ["band"], max_bucket_size).cache()
     a = bands.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band")
     b = bands.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band")
     pairs = (
@@ -635,4 +644,4 @@ def simhash_candidate_pairs(
     )
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
-    return release_after(pairs.distinct(), banded)
+    return release_after(pairs.distinct(), banded, bands)

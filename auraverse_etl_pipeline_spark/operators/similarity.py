@@ -201,7 +201,9 @@ def hyperplane_lsh_pairs(
     if max_bucket_size is not None:
         from auraverse_etl_pipeline_spark.operators.dedup import drop_hot_buckets
 
-        banded = drop_hot_buckets(banded_keys, ["band", "key"], max_bucket_size)
+        # post-cap table feeds both self-join sides — cache it so the
+        # hot-bucket count + anti-join run once (cf. minhash/simhash)
+        banded = drop_hot_buckets(banded_keys, ["band", "key"], max_bucket_size).cache()
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -223,7 +225,7 @@ def hyperplane_lsh_pairs(
         pairs.select("id1", "id2", batch_cosine("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return release_after(result, banded_keys)
+    return release_after(result, banded_keys, banded)
 
 
 def ivf_top_k(

@@ -1193,19 +1193,27 @@ def q37_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the builtin at 100 TB; for truly unbounded high-cardinality
     columns swap in approx_percentile (t-digest, bounded memory) and
     keep this as the exactness oracle at audit scale."""
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("c"))
+    # cache the histogram: both the cumulative window and the per-group
+    # totals derive from it, and without the cache each consumer would
+    # rescan + re-aggregate the fact table (n = sum of histogram counts
+    # — never a second fact scan)
+    hist = (
+        li.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("c")).cache()
+    )
     w = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("c").over(w))
-    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    counts = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
     rung = lambda p: F.min(  # noqa: E731
         F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("l_extendedprice"))
     ).cast("double")
-    return (
+    result = (
         cum.join(F.broadcast(counts), "l_returnflag")
         .groupBy("l_returnflag", "n")
         .agg(
@@ -1216,6 +1224,7 @@ def q37_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n", "p25", "p50", "p90", "p99")
     )
+    return release_after(result, hist)
 
 
 _CDC_CHANGES_SQL = """

@@ -1103,7 +1103,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
     assigned = c.select(
-        "source", ((F.col("cum") - 1) / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+        "source",
+        # integer DIV (exact past 2^53), matching the oracle's `//`
+        F.expr(f"(cum - 1) DIV {_PACK_BUDGET}").alias("pack_id"),
         "doc_id", "n_tokens",
     )
     return assigned.groupBy("source", "pack_id").agg(
@@ -1128,6 +1130,9 @@ def pack_manifest(t: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
         "cum_start", F.col("cum_end") - F.col("n")
     )
     s = c.filter(F.col("n") > 0)
+    # integer DIV, not float `/`+cast: cumulative token counts past
+    # 2^53 would lose precision in the double quotient — the oracle's
+    # `//` is exact, so the Spark side must be too
     e = s.select(
         "doc_id",
         "source",
@@ -1135,8 +1140,8 @@ def pack_manifest(t: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
         "cum_end",
         F.explode(
             F.sequence(
-                (F.col("cum_start") / B).cast("bigint"),
-                ((F.col("cum_end") - 1) / B).cast("bigint"),
+                F.expr(f"cum_start DIV {B}"),
+                F.expr(f"(cum_end - 1) DIV {B}"),
             )
         ).alias("pack_id"),
     )

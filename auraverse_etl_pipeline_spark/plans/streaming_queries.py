@@ -256,7 +256,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
 
     corpus = load_table(spark, sf_dir, "documents")
-    index = minhash_index(corpus, n=3, hash_fn="md5")
+    # cache the static side: every micro-batch's stream-static join
+    # consumes it (twice — band explode + signature join), and without
+    # the cache each batch would re-run the corpus minhash aggregation,
+    # defeating the operator's whole point. run_stream_to_memory is
+    # synchronous, so the release pairs cleanly after the replay.
+    index = minhash_index(corpus, n=3, hash_fn="md5").cache()
 
     new_batch = (
         stream_documents(spark, sf_dir)
@@ -266,4 +271,6 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = stream_match_minhash_index(
         new_batch, index, est_threshold=0.5, n=3, hash_fn="md5"
     )
-    return run_stream_to_memory(matches, "complete", "s_incremental_dedup")
+    result = run_stream_to_memory(matches, "complete", "s_incremental_dedup")
+    index.unpersist()
+    return result

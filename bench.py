@@ -144,21 +144,25 @@ def main() -> None:
         "headline_valid": headline_valid,
         "full": os.path.basename(FULL_OUT),
     }
-    with open(FULL_OUT, "w") as f:
-        json.dump(
-            {
-                **result,
-                "queries": timings,
-                "n_queries": len(timings),
-                # ambient load matters when comparing rounds: other
-                # tenants on the box inflate every number (see SCALE.md)
-                "load_avg_1m": round(os.getloadavg()[0], 2),
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-        f.write("\n")
+    # Only a FULL sweep may overwrite the committed round-over-round
+    # artifact — the headline fast-iteration mode would clobber it with
+    # a 9-query file.
+    if not headline_only:
+        with open(FULL_OUT, "w") as f:
+            json.dump(
+                {
+                    **result,
+                    "queries": timings,
+                    "n_queries": len(timings),
+                    # ambient load matters when comparing rounds: other
+                    # tenants on the box inflate every number (SCALE.md)
+                    "load_avg_1m": round(os.getloadavg()[0], 2),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     print(json.dumps(result))
     spark.stop()
 
