@@ -1002,6 +1002,97 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_component_labels(pairs)
 
 
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id < 15
+    ),
+    sh AS (SELECT doc_id, {_SH3} AS shingles FROM corpus),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS component FROM walk GROUP BY id),
+    tok AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM corpus),
+    j AS (
+        SELECT c.component, c.doc_id, t.n_tokens
+        FROM comp c JOIN tok t USING (doc_id)
+    ),
+    r AS (
+        SELECT component, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM j
+    )
+    SELECT component, doc_id AS kept_doc_id, n_tokens AS kept_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+    description="cluster-level representative selection: connected-"
+    "component labels over the near-dup graph, then per cluster keep "
+    "the HIGHEST-QUALITY member (most tokens, ties to lowest id) "
+    "instead of blindly keeping the smallest id - the curation policy "
+    "real pipelines want when duplicates differ in completeness. "
+    "Recursive-CTE + window oracle",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+    from auraverse_etl_pipeline_spark.operators.dedup import connected_component_labels
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 150).cache()
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            base.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+    labels = connected_component_labels(pairs)
+    scored = labels.join(
+        corpus.select("doc_id", token_count("text").alias("n_tokens")), "doc_id"
+    )
+    w = W.partitionBy("component").orderBy(F.col("n_tokens").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count("*").over(W.partitionBy("component"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking and sequence packing (pretraining data prep)
 # ---------------------------------------------------------------------------

@@ -80,6 +80,7 @@ _NEEDS_FRESH_SCORE = (
     "text_pack_manifest",  # new in round 3
     "dedup_incremental_minhash",  # new in round 3
     "stream_incremental_dedup",  # new in round 3
+    "dedup_cluster_representatives",  # new in round 3
     "dedup_minhash_pairs",
     "dedup_embedding_lsh",
     "sim_topk_ivf",
