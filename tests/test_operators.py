@@ -766,3 +766,25 @@ def test_pack_manifest_edge_cases(spark):
         (4, 3): (0, 50),
         (5, 0): (0, 30),
     }
+
+
+def test_hot_buckets_audit_surface(spark):
+    """hot_buckets must report exactly the over-cap bucket keys with
+    their member counts — the audit a capped LSH run records so dropped
+    buckets are never silent."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        drop_hot_buckets,
+        hot_buckets,
+    )
+
+    bands = spark.createDataFrame(
+        [(i, "hot") for i in range(10)] + [(i, f"cold{i}") for i in range(5)],
+        "doc_id long, band string",
+    )
+    hot = {(r.band, r.n_members) for r in hot_buckets(bands, ["band"], cap=5).collect()}
+    assert hot == {("hot", 10)}
+    kept = drop_hot_buckets(bands, ["band"], cap=5)
+    assert kept.count() == 5 and kept.filter("band = 'hot'").count() == 0
+    # below-cap: nothing reported, nothing dropped
+    assert hot_buckets(bands, ["band"], cap=100).count() == 0
+    assert drop_hot_buckets(bands, ["band"], cap=100).count() == 15
