@@ -1249,6 +1249,49 @@ def pack_manifest(t: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
     )
 
 
+def materialize_packs(
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute the packing manifest: (source, pack_id, tokens
+    array<string>, n_tokens) with every non-last pack per source
+    exactly ``budget`` tokens — straddling documents contribute their
+    manifest slice to each pack they span. One window + one join +
+    one groupBy; segment order inside a pack is restored with
+    ``array_sort`` over (doc_id, segment) structs, no sort exchange.
+    The writer-side twin of :func:`pack_manifest` — at scale you write
+    these rows out partitioned by source."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "source",
+        tokens(F.col(text_col)).alias("toks"),
+    ).withColumn("n", F.size("toks").cast("bigint"))
+    manifest = pack_manifest(t.select("doc_id", "source", "n"), budget)
+    seg = F.slice(
+        F.col("toks"),
+        F.col("token_start").cast("int") + 1,
+        (F.col("token_end") - F.col("token_start")).cast("int"),
+    )
+    segments = manifest.join(t.select("doc_id", "toks"), "doc_id").select(
+        "source", "pack_id", "doc_id", seg.alias("seg")
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "seg"))),
+            lambda x: x["seg"],
+        )
+    )
+    return (
+        segments.groupBy("source", "pack_id")
+        .agg(ordered.alias("tokens"))
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+    )
+
+
 @query(
     "text_pack_manifest",
     oracle=f"""

@@ -788,3 +788,40 @@ def test_hot_buckets_audit_surface(spark):
     # below-cap: nothing reported, nothing dropped
     assert hot_buckets(bands, ["band"], cap=100).count() == 0
     assert drop_hot_buckets(bands, ["band"], cap=100).count() == 15
+
+
+def test_materialize_packs_conservation(spark, sf_dir):
+    """Executing the manifest must conserve the token stream: every
+    non-last pack per source is exactly the budget, and concatenating
+    a source's packs in pack order reproduces the concatenation of its
+    documents' tokens in doc order — nothing lost, duplicated, or
+    reordered by the straddle splits."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.plans.llm_queries import materialize_packs
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    packs = materialize_packs(docs, budget=500).collect()
+    by_source = {}
+    for r in sorted(packs, key=lambda r: (r.source, r.pack_id)):
+        by_source.setdefault(r.source, []).append(r)
+    want = {
+        r.source: r.stream
+        for r in docs.select("source", "doc_id", tokens("text").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "t"))),
+                    lambda x: x["t"],
+                )
+            ).alias("stream")
+        )
+        .collect()
+    }
+    assert set(by_source) == set(want)
+    for src, rows in by_source.items():
+        for r in rows[:-1]:
+            assert r.n_tokens == 500, (src, r.pack_id, r.n_tokens)
+        stream = [tok for r in rows for tok in r.tokens]
+        assert stream == list(want[src]), f"token stream diverged for {src}"
