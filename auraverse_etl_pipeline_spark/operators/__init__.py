@@ -10,6 +10,7 @@ from auraverse_etl_pipeline_spark.operators.dedup import (
     drop_exact_duplicates,
     drop_hot_buckets,
     drop_near_duplicates,
+    drop_near_duplicates_by_cluster,
     exact_duplicate_groups,
     hot_buckets,
     minhash_index,
@@ -37,6 +38,7 @@ __all__ = [
     "drop_exact_duplicates",
     "drop_hot_buckets",
     "drop_near_duplicates",
+    "drop_near_duplicates_by_cluster",
     "exact_duplicate_groups",
     "hot_buckets",
     "ivf_top_k",

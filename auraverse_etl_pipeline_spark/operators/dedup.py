@@ -402,6 +402,38 @@ def drop_near_duplicates(
     return df.join(victims, id_col, "left_anti")
 
 
+def drop_near_duplicates_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware near-dup removal: label connected components over
+    the pair graph, keep the highest-``quality_col`` member per cluster
+    (ties to lowest id), drop the rest. The corpus transform behind the
+    ``dedup_cluster_representatives`` report — use it instead of
+    :func:`drop_near_duplicates` when duplicates differ in completeness
+    and "keep the smallest id" would throw away the best copy.
+    Documents not in any pair always survive."""
+    labels = connected_component_labels(pairs, id_col=id_col)
+    ranked = (
+        df.join(labels, id_col)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col(quality_col).desc(), F.col(id_col)
+                )
+            ),
+        )
+    )
+    victims = ranked.filter(F.col("_rn") > 1).select(id_col)
+    result = df.join(victims, id_col, "left_anti")
+    # propagate the label table's cache release to this result
+    result.release_caches = labels.release_caches
+    return result
+
+
 def connected_component_labels(
     pairs: DataFrame,
     id_col: str = "doc_id",

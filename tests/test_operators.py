@@ -825,3 +825,24 @@ def test_materialize_packs_conservation(spark, sf_dir):
             assert r.n_tokens == 500, (src, r.pack_id, r.n_tokens)
         stream = [tok for r in rows for tok in r.tokens]
         assert stream == list(want[src]), f"token stream diverged for {src}"
+
+
+def test_drop_near_duplicates_by_cluster_keeps_best(spark):
+    """Cluster-aware removal keeps the highest-quality member per
+    component (ties to lowest id) and never touches unpaired docs."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        drop_near_duplicates_by_cluster,
+    )
+
+    df = spark.createDataFrame(
+        # cluster {1,2,3} via chain 1-2, 2-3 (quality peaks at 2);
+        # cluster {4,5} (tie -> keep 4); 9 is unpaired
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7), (9, 1)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    kept = drop_near_duplicates_by_cluster(df, pairs, "quality")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 9]
+    kept.release_caches()
