@@ -444,15 +444,18 @@ def connected_component_labels(
     group-level upgrade of :func:`drop_near_duplicates`'s per-edge rule.
     Output: (id_col, component) for every vertex that appears in a pair.
 
-    Iterative min-label propagation: each round joins labels across
-    edges and keeps the per-vertex min (all codegen'd joins/aggregates;
-    the driver only checks the converged count). Rounds needed = graph
-    diameter, and dedup clusters are shallow (near-dup relations are
-    near-transitive), so this converges in a handful of rounds even at
-    corpus scale. Each round caches its label table and unpersists the
-    last — lineage stays O(1). At 1000-executor scale this is the
-    standard Pregel-style CC; swap in GraphFrames only if clusters are
-    adversarially chain-shaped."""
+    Iterative min-label propagation WITH path shortcutting: each round
+    (a) pulls the min label across edges, then (b) replaces every
+    vertex's label by its label's own label — pointer doubling, so the
+    distance a min label travels doubles per round and convergence is
+    O(log diameter) instead of O(diameter). Dedup clusters are shallow,
+    but adversarially chain-shaped graphs (k docs each a near-dup of
+    the next) would otherwise need k rounds. Each round materializes
+    through ``localCheckpoint`` — caching alone keeps the DATA but the
+    logical plan still grows per round, and ~60 uncheckpointed rounds
+    overflow the planner's tree walk (found the hard way on a 64-chain).
+    At 1000-executor scale this is the standard Pregel-style CC with
+    the two-phase shortcut of large-star/small-star algorithms."""
     # cache the pair list first: the bidirectional union consumes it
     # twice, and upstream pair generation (a shingle self-join) is the
     # expensive part of the whole operator
@@ -465,31 +468,44 @@ def connected_component_labels(
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     # Convergence probe: labels are monotonically non-increasing, so the
     # label-sum strictly decreases until the fixpoint — one cheap
     # aggregate per round instead of an old-vs-new join.
     label_sum = labels.agg(F.sum("component")).first()[0]
-    # That action materialized edges (and labels) into their caches, so
-    # the pair list has been consumed for good — release it now.
+    # That action materialized edges into cache, so the pair list has
+    # been consumed for good — release it now.
     pairs.unpersist()
     while True:
         neighbor = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), "component"
         )
-        new_labels = (
+        pulled = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).cache()
+        )
+        # pointer doubling: component <- component's own component.
+        # Every label value is itself a vertex id, so the lookup join
+        # always hits; left+coalesce keeps it robust anyway.
+        lookup = pulled.select(
+            F.col("id").alias("cid"), F.col("component").alias("cc")
+        )
+        new_labels = (
+            pulled.join(lookup, pulled.component == lookup.cid, "left")
+            .select("id", F.coalesce("cc", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
         new_sum = new_labels.agg(F.sum("component")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == label_sum:
             break
         label_sum = new_sum
     edges.unpersist()
-    return release_after(labels.select(F.col("id").alias(id_col), "component"), labels)
+    # checkpoint storage is reclaimed when the result is GC'd; the
+    # (no-op) release handle keeps the operator-family contract that
+    # every result exposes release_caches()
+    return release_after(labels.select(F.col("id").alias(id_col), "component"))
 
 
 def decontaminate(

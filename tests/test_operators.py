@@ -846,3 +846,21 @@ def test_drop_near_duplicates_by_cluster_keeps_best(spark):
     kept = drop_near_duplicates_by_cluster(df, pairs, "quality")
     assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 9]
     kept.release_caches()
+
+
+def test_connected_components_survive_long_chains(spark):
+    """Adversarially chain-shaped duplicate graphs must converge in
+    O(log diameter) rounds with bounded plan depth — the pre-shortcut
+    implementation overflowed the planner's tree walk at ~60 rounds on
+    exactly this shape."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    out = connected_component_labels(pairs).collect()
+    assert len(out) == n
+    assert {r.component for r in out} == {0}
