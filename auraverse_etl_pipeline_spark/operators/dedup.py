@@ -555,12 +555,16 @@ def drop_boilerplate_lines(
     Scale shape: the document-frequency aggregation groups on
     ``md5(line)`` — a fixed-width 32-char key, partial-aggregated
     map-side, so the shuffle carries hashes and counts, never the line
-    text; the line table then joins the (small — boilerplate is by
-    definition the repeated tail) over-threshold hash set. Reassembly
-    is one groupBy per document over (position, line) structs —
-    ``array_sort`` on the struct restores original order without a
-    sort exchange. Exact-match line dedup only; near-dup boilerplate
-    belongs to the MinHash/SimHash tiers above."""
+    text; the line table then left-joins the over-threshold hash set.
+    That set is NOT broadcast-hinted: on a web-scale corpus the
+    repeated tail is tens of millions of lines (C4 dropped billions) —
+    far past the broadcast limit — so the join is left to AQE, which
+    broadcasts when the set is genuinely small and falls back to a
+    hash-key shuffle when it is not. Reassembly is one groupBy per
+    document over (position, line) structs — ``array_sort`` on the
+    struct restores original order without a sort exchange.
+    Exact-match line dedup only; near-dup boilerplate belongs to the
+    MinHash/SimHash tiers above."""
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -572,9 +576,7 @@ def drop_boilerplate_lines(
         .filter(F.col("df") >= min_doc_frequency)
         .select("lh")
     )
-    tagged = lines.join(
-        F.broadcast(hot), F.md5(F.col("line")) == F.col("lh"), "left"
-    )
+    tagged = lines.join(hot, F.md5(F.col("line")) == F.col("lh"), "left")
     kept = tagged.withColumn("_drop", F.col("lh").isNotNull())
     return (
         kept.groupBy("doc_id")
