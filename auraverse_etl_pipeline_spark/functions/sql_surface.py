@@ -8,13 +8,16 @@ named functions a SQL user can call directly:
 - **Python UDTFs** (``LATERAL`` fan-out, Spark 3.5+):
   ``detect_fragments(text)`` and ``extract_records(text)`` — one call
   per document, one output row per fragment/record.
-- **Python scalar UDFs**: ``normalize_fragment(format, text)`` →
-  JSON string; ``repair_json(text)`` (reference
-  ``_attempt_repair_json``, etl_parser.py:972-982).
+- **Arrow-batched pandas UDF**: ``normalize_fragment(format, text)``
+  → JSON string (per-format Python normalizers are genuinely
+  imperative, but the transfer is Arrow-batched, never per-row).
 - **SQL UDFs** (pure-expression, no Python boundary): token counting,
-  quality ratios, fingerprints — the text-analysis column functions
-  from ``functions/text.py`` spelled as ``CREATE FUNCTION … RETURN``
-  so they stay whole-stage-codegen inside ``spark.sql`` queries.
+  quality ratios, fingerprints, AND ``repair_json`` — the reference's
+  ``_attempt_repair_json`` (etl_parser.py:972-982) is a pure
+  regex-substitution chain, so it compiles to three nested
+  ``regexp_replace`` calls (same regexes as
+  ``ingest/normalize.py:repair_json_text``, parity pinned in pytest)
+  and stays whole-stage-codegen inside ``spark.sql`` queries.
 
 After ``register_sql_surface(spark)``::
 
@@ -29,7 +32,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import udf, udtf
+from pyspark.sql.functions import pandas_udf, udtf
 
 from auraverse_etl_pipeline_spark.runtime import ship_package
 
@@ -78,23 +81,35 @@ class ExtractRecordsUDTF:
             )
 
 
-def _normalize_fragment_json(format_type: str, text: str) -> str | None:
+def _normalize_fragment_batch(fmts, texts):
+    """Arrow-batch kernel for ``normalize_fragment`` (module-level so
+    executors unpickle it by reference — needs ``ship_package``)."""
+    import pandas as pd
+
     from auraverse_etl_pipeline_spark.ingest.normalize import normalize_fragment
 
-    data = normalize_fragment(format_type or "", text or "", {})
-    return None if data is None else json.dumps(data, ensure_ascii=False)
-
-
-def _repair_json(text: str) -> str:
-    from auraverse_etl_pipeline_spark.ingest.normalize import repair_json_text
-
-    return repair_json_text(text or "")
+    out = []
+    for fmt, text in zip(fmts, texts):
+        data = normalize_fragment(fmt or "", text or "", {})
+        out.append(None if data is None else json.dumps(data, ensure_ascii=False))
+    return pd.Series(out, dtype=object)
 
 
 #: name → (CREATE FUNCTION arg list, RETURN expression). Pure SQL — these
 #: compile to the same native expressions as the Column functions in
-#: functions/text.py (kept textually in sync; parity pinned in pytest).
+#: functions/text.py and the repair chain in ingest/normalize.py (kept
+#: textually in sync; parity pinned in pytest).
 _SQL_UDFS: dict[str, tuple[str, str]] = {
+    # the three conservative repairs of normalize.repair_json_text, in
+    # the same order: trailing commas → single-quoted values → bare
+    # keys. coalesce keeps the old Python UDF's NULL → '' behavior.
+    "repair_json": (
+        "(t STRING) RETURNS STRING",
+        "regexp_replace(regexp_replace(regexp_replace(coalesce(t, ''), "
+        r"',\\s*(?=[}\\]])', ''), "
+        r"'(?<=[:\\s])\'([^\']*)\'', '\"$1\"'), "
+        r"'([{,\\s])([A-Za-z0-9_\\-]+)\\s*:', '$1\"$2\":')",
+    ),
     "token_count": (
         "(t STRING) RETURNS BIGINT",
         "size(split(trim(t), '\\\\s+'))",
@@ -120,8 +135,11 @@ def register_sql_surface(spark: SparkSession) -> list[str]:
     ship_package(spark)
     spark.udtf.register("detect_fragments", DetectFragmentsUDTF)
     spark.udtf.register("extract_records", ExtractRecordsUDTF)
-    spark.udf.register("normalize_fragment", udf(_normalize_fragment_json, "string"))
-    spark.udf.register("repair_json", udf(_repair_json, "string"))
+    # built lazily — a module-level pandas_udf would need a live
+    # SparkContext at import time (cf. similarity.batch_cosine)
+    spark.udf.register(
+        "normalize_fragment", pandas_udf(_normalize_fragment_batch, "string")
+    )
     for name, (signature, body) in _SQL_UDFS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}")
-    return ["detect_fragments", "extract_records", "normalize_fragment", "repair_json", *_SQL_UDFS]
+    return ["detect_fragments", "extract_records", "normalize_fragment", *_SQL_UDFS]

@@ -23,6 +23,7 @@ determinism.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 
 from auraverse_etl_pipeline_spark.functions.text import tokens
@@ -198,10 +199,13 @@ def drop_hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFra
     A bucket of size m yields m·(m-1)/2 candidate pairs, so one hot
     bucket (a boilerplate shingle/band value shared by thousands of
     documents) turns the band join quadratic — the classic skew killer
-    at corpus scale. Hot buckets are by construction rare, so the
-    filter is a broadcast anti-join against the (tiny) over-cap key
-    list: one map-side-combined count aggregation, zero extra shuffle
-    of the band table itself.
+    at corpus scale. The filter is an anti-join against the over-cap
+    key list, deliberately NOT broadcast-hinted: over-cap keys are
+    bounded by rows/cap per band, so at corpus scale with a small cap
+    the list can reach millions of keys — past broadcast comfort (the
+    same reasoning that keeps the C4 line-dedup hot set unhinted).
+    AQE broadcasts it when it is genuinely small and falls back to a
+    hash-key shuffle when it is not.
 
     RECALL CAVEAT: dropping a bucket drops ALL of its candidate pairs —
     a cluster of thousands of near-identical documents lands every
@@ -212,7 +216,7 @@ def drop_hot_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFra
     cap OFF by default (opt-in); capped pipelines should audit
     :func:`hot_buckets` for what a run skipped."""
     hot = hot_buckets(bands, key_cols, cap).select(*key_cols)
-    return bands.join(F.broadcast(hot), key_cols, "left_anti")
+    return bands.join(hot, key_cols, "left_anti")
 
 
 def minhash_near_duplicates(
@@ -339,16 +343,23 @@ def minhash_match_index(
     :func:`ngram_jaccard_pairs` on just the matched documents when
     exactness matters. ``max_bucket_size``: same opt-in skew cap as
     the batch tiers."""
-    # Both inputs are consumed twice (band explode + signature join) —
-    # cache them so a caller passing an unpersisted plan (e.g. an
-    # index built inline rather than read back from parquet) doesn't
-    # re-run the corpus minhash aggregation per consumer. Paired
-    # release via the result's release_caches().
+    # Both inputs are consumed twice (band explode + signature join).
+    # The batch signatures are operator-built, so cache them here; the
+    # index is CALLER-owned — only cache it when the caller hasn't
+    # already persisted it (a daily pipeline persists the index once
+    # and reuses it across batches; force-caching would make the first
+    # call's release_caches() silently unpersist the caller's copy,
+    # and at corpus scale a years-of-ingest index doesn't belong in
+    # executor memory at all — it stays a bucketed parquet scan).
+    # release_caches() releases only operator-created caches.
     new_sig = minhash_index(
         new_docs, n=n, num_hashes=num_hashes, text_col=text_col,
         id_col=id_col, seed=seed, hash_fn=hash_fn,
     ).cache()
-    index = index.cache()
+    owned = [new_sig]
+    if index.storageLevel == StorageLevel.NONE:
+        index = index.cache()
+        owned.append(index)
     nb = new_sig.select(
         F.col("doc_id").alias("new_id"),
         F.posexplode("sig").alias("band", "mh"),
@@ -379,7 +390,36 @@ def minhash_match_index(
         pairs.select("new_id", "indexed_id", est)
         .filter(F.col("est_jaccard") >= est_threshold)
     )
-    return release_after(result, new_sig, index)
+    return release_after(result, *owned)
+
+
+def merge_into_index(
+    new_sig: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index compaction — the write path of the incremental-dedup loop:
+    fold a new batch's :func:`minhash_index` signatures INTO the
+    persisted index, with dedup-on-``id_col`` semantics (the index
+    wins: a doc_id already present keeps its existing signature, so
+    re-ingesting a document is idempotent and the index row for a
+    given doc_id never churns). Output: the merged index, same schema
+    as :func:`minhash_index` — (doc_id, sig).
+
+    The daily pipeline is match → merge → persist:
+    ``minhash_match_index(batch, index)`` finds yesterday-vs-today
+    duplicates, then ``merge_into_index(minhash_index(batch), index)``
+    is what tomorrow's batch matches against.
+
+    Scale shape: one left-anti join of the (small) batch against the
+    index on the id — at corpus scale the index side is a bucketed
+    parquet table, so the anti-join is a per-bucket probe, and the
+    "merge" writes ONLY the surviving delta rows as new files next to
+    the existing index partitions (append, never rewrite). The union
+    here is the logical spelling; no index row is shuffled or
+    rewritten by it."""
+    delta = new_sig.join(index.select(id_col), id_col, "left_anti")
+    return index.unionByName(delta)
 
 
 def drop_near_duplicates(
@@ -437,6 +477,7 @@ def drop_near_duplicates_by_cluster(
 def connected_component_labels(
     pairs: DataFrame,
     id_col: str = "doc_id",
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     vertex gets ``component`` = the smallest id reachable from it, so a
@@ -451,11 +492,27 @@ def connected_component_labels(
     O(log diameter) instead of O(diameter). Dedup clusters are shallow,
     but adversarially chain-shaped graphs (k docs each a near-dup of
     the next) would otherwise need k rounds. Each round materializes
-    through ``localCheckpoint`` — caching alone keeps the DATA but the
+    through a checkpoint — caching alone keeps the DATA but the
     logical plan still grows per round, and ~60 uncheckpointed rounds
     overflow the planner's tree walk (found the hard way on a 64-chain).
     At 1000-executor scale this is the standard Pregel-style CC with
-    the two-phase shortcut of large-star/small-star algorithms."""
+    the two-phase shortcut of large-star/small-star algorithms.
+
+    ``reliable`` picks the checkpoint flavor. ``localCheckpoint``
+    (default on sessions with no checkpoint dir) writes round blocks to
+    executor-local storage — fine single-node, but on a real cluster
+    one lost executor invalidates a round's blocks and kills the
+    iterative job mid-flight. ``reliable=True`` (the 100 TB spelling,
+    and the default whenever ``SparkContext.setCheckpointDir`` has
+    been configured) uses fault-tolerant ``checkpoint()`` against that
+    directory instead, so the job survives executor loss at the cost
+    of a distributed write per round."""
+    if reliable is None:
+        reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     # cache the pair list first: the bidirectional union consumes it
     # twice, and upstream pair generation (a shingle self-join) is the
     # expensive part of the whole operator
@@ -466,9 +523,9 @@ def connected_component_labels(
         .distinct()
         .cache()
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    ).localCheckpoint(eager=True)
+    )
     # Convergence probe: labels are monotonically non-increasing, so the
     # label-sum strictly decreases until the fixpoint — one cheap
     # aggregate per round instead of an old-vs-new join.
@@ -491,10 +548,9 @@ def connected_component_labels(
         lookup = pulled.select(
             F.col("id").alias("cid"), F.col("component").alias("cc")
         )
-        new_labels = (
+        new_labels = _materialize(
             pulled.join(lookup, pulled.component == lookup.cid, "left")
             .select("id", F.coalesce("cc", "component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels

@@ -139,9 +139,16 @@ def hyperplane_lsh_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH, exact-cosine
     verified (Charikar signs — SimHash for vectors).
+
+    ``dim`` (optional) is the embedding width; when omitted it is
+    derived from the first Arrow batch on the executor — never via a
+    driver-side job, so constructing this operator launches no Spark
+    jobs. The hyperplanes are a deterministic function of (seed, dim),
+    so every batch regenerates the identical matrix.
 
     ``max_bucket_size`` drops any (band, key) bucket larger than the
     cap before the self-join (same skew guard as the text LSH tiers:
@@ -169,14 +176,21 @@ def hyperplane_lsh_pairs(
 
     ship_package(df.sparkSession)  # batch_cosine verify stage, see cosine_top_k
     n_bands = n_planes // band_bits
-    dim = len(df.select(vec_col).first()[0])
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
 
     e = _as_double(df, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def band_keys(batches):
+        planes = (
+            np.random.default_rng(seed).standard_normal((n_planes, dim))
+            if dim is not None
+            else None
+        )
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.stack(pdf["v"].to_numpy())  # (rows, dim)
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal((n_planes, mat.shape[1]))
             bits = (mat @ planes.T) >= 0  # (rows, n_planes)
             weights = (1 << np.arange(band_bits)).astype(np.int64)
             keys = [

@@ -837,11 +837,12 @@ def q27_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact answer and emits within-bound booleans; DuckDB asserts TRUE "
     "and hash-checks the exact distinct counts, so both sketch drift "
     "and count divergence are caught by the driver. Both percentile "
-    "bounds are rank-based against ONE exact sorted aggregate "
-    "(disc-p98) plus cheap min/max — a single full-state order "
-    "statistic validates both sketches, so the gate no longer costs "
-    "several times its subject (the r2 version also kept an exact "
-    "median, tripling the sorted state per group)",
+    "bounds are rank-based brackets from ONE exact sorted aggregate — "
+    "percentile(value, array(0.45, 0.55, 0.98)) shares a single "
+    "sort-based state — so ap50 must land inside the exact p45..p55 "
+    "rank bracket (a real median-drift gate, unlike the r3 [min, p98] "
+    "bound which any sub-p98 estimate satisfied) and ap99 inside "
+    "p98..max, while the gate still costs one sorted state per group",
 )
 def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -859,8 +860,8 @@ def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = events.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("ap99"),
-        F.expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY value)").alias("p98_disc"),
-        F.min("value").alias("vmin"),
+        # one sorted aggregate state yields all three exact brackets
+        F.expr("percentile(value, array(0.45, 0.55, 0.98))").alias("pb"),
         F.max("value").alias("vmax"),
     )
     agg = users.join(vals, "event_type")
@@ -871,10 +872,10 @@ def q28_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("hll_users").cast("double") - F.col("exact_users").cast("double"))
             <= 0.05 * F.col("exact_users").cast("double")
         ).alias("hll_within_5pct"),
-        ((F.col("ap50") >= F.col("vmin")) & (F.col("ap50") <= F.col("p98_disc"))).alias(
+        ((F.col("ap50") >= F.col("pb")[0]) & (F.col("ap50") <= F.col("pb")[1])).alias(
             "p50_rank_bounded"
         ),
-        ((F.col("ap99") >= F.col("p98_disc")) & (F.col("ap99") <= F.col("vmax"))).alias(
+        ((F.col("ap99") >= F.col("pb")[2]) & (F.col("ap99") <= F.col("vmax"))).alias(
             "p99_rank_bounded"
         ),
     )

@@ -28,6 +28,7 @@ from auraverse_etl_pipeline_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.operators.dedup import (
     drop_boilerplate_lines,
     exact_duplicate_groups,
@@ -999,7 +1000,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
-    return connected_component_labels(pairs)
+    # pair the base cache with a release on the returned plan (the
+    # labels' own release handle is a no-op — CC checkpoints instead)
+    return release_after(connected_component_labels(pairs), base)
 
 
 @query(
@@ -1082,7 +1085,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
         "n_members", F.count("*").over(W.partitionBy("component"))
     )
-    return (
+    result = (
         ranked.filter(F.col("rn") == 1)
         .select(
             "component",
@@ -1091,6 +1094,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+    return release_after(result, base)
 
 
 # ---------------------------------------------------------------------------
@@ -1470,6 +1474,90 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return minhash_match_index(
         new_batch, index, est_threshold=0.5, n=3, hash_fn="md5"
+    )
+
+
+def _merge_index_oracle_sql() -> str:
+    """DuckDB replica of the index compaction: corpus signatures, a
+    new batch (fresh shifted-id copies PLUS re-ingested doc_ids with
+    mutated text), merged with index-wins anti-join + union semantics —
+    the re-ingested rows must keep their ORIGINAL signatures."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    batch AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id, text || ' EXTRA' AS text FROM corpus WHERE doc_id < 25
+    ),
+    allsh AS (
+        SELECT 0 AS side, doc_id, {_SH3} AS sh FROM corpus
+        UNION ALL
+        SELECT 1 AS side, doc_id, {_SH3} AS sh FROM batch
+    ),
+    sh2 AS (SELECT side, doc_id, sh FROM allsh WHERE len(sh) > 0),
+    ex AS (SELECT side, doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT side, doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT side, doc_id,
+               {mins}
+        FROM h GROUP BY side, doc_id
+    ),
+    imins AS (SELECT * EXCLUDE side FROM mins WHERE side = 0),
+    bmins AS (SELECT * EXCLUDE side FROM mins WHERE side = 1)
+    SELECT * FROM imins
+    UNION ALL
+    SELECT * FROM bmins b
+    WHERE NOT EXISTS (SELECT 1 FROM imins i WHERE i.doc_id = b.doc_id)
+    """
+
+
+@query(
+    "dedup_merge_index",
+    oracle=_merge_index_oracle_sql(),
+    description="index compaction - the write path of the incremental "
+    "dedup loop: fold a new batch's signatures INTO the persisted "
+    "MinHash index with dedup-on-doc_id, index-wins semantics (a "
+    "re-ingested doc_id keeps its original signature, so ingest is "
+    "idempotent and index rows never churn). The batch carries both "
+    "genuinely-new shifted-id rows and re-ingested doc_ids with "
+    "mutated text; the oracle is the anti-join + union spelling. At "
+    "scale only the anti-join delta is appended to the bucketed index "
+    "table - no existing row is rewritten",
+)
+def dedup_merge_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        merge_into_index,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    index = minhash_index(corpus, n=3, hash_fn="md5")
+    batch = corpus.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        # re-ingest with mutated text: merged index must keep the
+        # ORIGINAL signature for these ids (index-wins idempotence)
+        corpus.filter(F.col("doc_id") < 25).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" EXTRA")).alias("text")
+        )
+    )
+    merged = merge_into_index(minhash_index(batch, n=3, hash_fn="md5"), index)
+    return merged.select(
+        "doc_id", *[F.col("sig")[i].cast("bigint").alias(f"m{i}") for i in range(8)]
     )
 
 

@@ -56,64 +56,64 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 91 queries full single-
+#: the registry (50 rows per round), so with ~97 queries full single-
 #: round attestation is impossible — the order rotates so the least-
 #: recently-scored queries enumerate first each round. Evidence ledger
-#: as of round 3:
+#: as of round 4:
 #:
-#: - ``_NEEDS_FRESH_SCORE``: either rewritten after their last green
-#:   driver row (q28/q33/q46 got bounded-oracle rewrites in round 2,
-#:   after round 1 scored their old versions) or never scored at all
-#:   (the four rows-only queries) — these go first.
-#: - names in ``_SCORED_R2`` (the 50 rows of CORRECTNESS_r02.json)
+#: - ``_NEEDS_FRESH_SCORE``: rewritten after their last green driver
+#:   row (the round-3 rewrites: connected components got pointer
+#:   doubling in ``401a95a`` after its r2 green; the multimodal digests
+#:   got PPM kind-gating; ``fixture_schema_field_types`` got inference
+#:   hardening; the cosine tiers sit in the touched ``similarity.py``)
+#:   or brand-new this round — these go first.
+#: - names in ``_SCORED_R3`` (the 50 rows of CORRECTNESS_r03.json)
 #:   carry the freshest evidence — they go last.
-#: - everything else was last scored in round 1 — middle.
+#: - everything else was last scored in round 1 or 2 — middle.
 _NEEDS_FRESH_SCORE = (
-    # r2 scored this RED (oracle-side HUGEINT formatting); the oracle
-    # was fixed in r3 — it must be rescored to flip the row green
-    "text_pack_sequences",
-    "q28_sketch_distinct_users",
-    "q33_hll_sketch_union",
-    "q46_approx_percentile_scale_path",
-    "text_line_dedup",  # new in round 3 — never enumerated before
-    "text_gopher_filter",  # new in round 3
-    "text_pack_manifest",  # new in round 3
-    "dedup_incremental_minhash",  # new in round 3
-    "stream_incremental_dedup",  # new in round 3
-    "dedup_cluster_representatives",  # new in round 3
-    "dedup_minhash_pairs",
-    "dedup_embedding_lsh",
-    "sim_topk_ivf",
-    "multimodal_media_features",
-    # r2-green but reimplemented in r3 (band-table caching, explicit
-    # skew caps) — re-attest the new plans over re-scoring unchanged
-    # r1 queries
-    "dedup_simhash_pairs",
-    "dedup_minhash_md5_pairs",
+    # r3 rewrites whose last driver row predates the rewrite
+    "dedup_connected_components",
+    "multimodal_feature_digest",
+    "multimodal_resize_digest",
+    "fixture_schema_field_types",
+    "sim_topk_cosine",
+    "dedup_embedding_cosine",
+    # r4 changes/new queries (kept current as the round progresses)
+    "dedup_merge_index",  # new in round 4 — index compaction
+    "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
+    "dedup_minhash_pairs",  # same plan change (rows-only twin)
+    "q28_sketch_distinct_users",  # p50 validation re-bracketed r4
+    "dedup_cluster_representatives",  # cache-release pairing r4
+    "dedup_incremental_minhash",  # match-index caching contract r4
+    "stream_incremental_dedup",  # consumes the same match path
+    "dedup_simhash_pairs",  # shares the hot-bucket cap path
 )
 
-_SCORED_R2 = frozenset({
-    "dedup_exact_stats", "dedup_exact_groups", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dedup_embedding_cosine", "sim_topk_cosine",
-    "text_token_stats", "text_quality_scores", "text_lang_guess",
-    "text_fingerprints", "dedup_corpus_clean", "text_bpe_token_budget",
-    "multimodal_feature_digest", "multimodal_resize_digest",
-    "text_pii_redaction", "text_repetition_filter", "dedup_decontaminate",
-    "text_vocab_topk", "mix_weighted_sample", "text_length_histogram",
-    "dedup_connected_components", "text_chunk_documents",
-    "text_pack_sequences", "dedup_minhash_md5_pairs",
-    "stream_hourly_event_windows", "stream_user_sessions",
-    "stream_dedup_events", "stream_user_running_totals",
-    "stream_sliding_windows", "stream_purchase_attribution",
-    "stream_enriched_segment_revenue", "stream_ingest_fragment_summary",
-    "fragment_summary", "fragment_spans", "converted_documents",
-    "fixture_fragment_summary", "fixture_record_summary",
-    "fixture_schema_field_types", "sql_lateral_fragment_summary",
-    "q01_pricing_summary", "q04_revenue_forecast", "q08_parts_by_brand",
-    "q14_rollup_priority_status", "q15_cube_flag_status",
-    "q03_region_nation_revenue", "q02_top_revenue_orders",
-    "q05_returned_customers", "q06_priority_with_big_items",
-    "q17_customers_without_orders", "q07_acctbal_by_region",
+_SCORED_R3 = frozenset({
+    "dedup_simhash_pairs", "text_gopher_filter", "text_line_dedup",
+    "dedup_cluster_representatives", "text_pack_sequences",
+    "text_pack_manifest", "dedup_incremental_minhash",
+    "dedup_minhash_md5_pairs", "stream_incremental_dedup",
+    "dedup_minhash_pairs", "dedup_embedding_lsh", "sim_topk_ivf",
+    "multimodal_media_features",
+    "q10_top3_orders_per_customer", "q11_running_revenue",
+    "q12_orders_monthly_kpis", "q13_order_count_histogram",
+    "q16_repeat_buyers_setop", "q18_large_quantity_orders",
+    "q19_event_lag_lead", "q20_hourly_event_windows",
+    "q21_churned_buyers_setop", "q22_asof_last_order",
+    "q23_events_json_extract", "q24_user_sessions",
+    "q25_salted_flag_totals", "q26_range_join_daytime_events",
+    "q27_rollup_cascade_daily", "q28_sketch_distinct_users",
+    "q29_sliding_event_windows", "q30_grouping_sets_revenue",
+    "q31_pivot_daily_event_matrix", "q32_variant_json_extract",
+    "q33_hll_sketch_union", "q34_full_outer_user_reconciliation",
+    "q35_profile_orders", "q36_trailing_7day_revenue",
+    "q37_percentile_ladder", "q38_changeset_apply", "q39_scd2_history",
+    "q40_referential_audit", "q41_unpivot_metrics",
+    "q42_customer_value_distribution", "q43_exact_correlation",
+    "q44_global_ids", "q45_messy_date_ladder",
+    "q46_approx_percentile_scale_path", "q47_cascade_delete_audit",
+    "q48_gap_filled_daily_revenue", "q49_shuffled_hash_strategy",
 })
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones
@@ -145,7 +145,7 @@ def all_queries() -> dict[str, QueryDef]:
         name, qd = item
         if name in _NEEDS_FRESH_SCORE:
             tier = 0
-        elif name not in _SCORED_R2:
+        elif name not in _SCORED_R3:
             tier = 1
         else:
             tier = 2

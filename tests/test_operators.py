@@ -790,6 +790,46 @@ def test_hot_buckets_audit_surface(spark):
     assert drop_hot_buckets(bands, ["band"], cap=100).count() == 15
 
 
+def test_hot_bucket_caps_unused_at_correctness_sf(spark):
+    """The capped pair queries (minhash/simhash, max_bucket_size=1000)
+    have oracles that do NOT model the cap; parity holds because no LSH
+    bucket exceeds the cap at the driver's correctness SF. Pin that
+    assumption: if regenerated testdata ever grows a >1000 bucket, this
+    fails here instead of silently flipping the driver rows red."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        hot_buckets,
+        minhash_index,
+        simhash_signatures,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    sf01 = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        bands = minhash_index(sf01, n=3, hash_fn=hash_fn).select(
+            "doc_id", F.posexplode("sig").alias("band", "mh")
+        )
+        assert hot_buckets(bands, ["band", "mh"], 1000).count() == 0, hash_fn
+    # simhash band keys: same 4x15-bit layout as simhash_candidate_pairs
+    banded = simhash_signatures(sf01).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
+                    F.shiftrightunsigned("simhash", i * 15).bitwiseAND(
+                        F.lit((1 << 15) - 1)
+                    ),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    )
+    assert hot_buckets(banded, ["band"], 1000).count() == 0
+
+
 def test_materialize_packs_conservation(spark, sf_dir):
     """Executing the manifest must conserve the token stream: every
     non-last pack per source is exactly the budget, and concatenating
@@ -864,3 +904,94 @@ def test_connected_components_survive_long_chains(spark):
     out = connected_component_labels(pairs).collect()
     assert len(out) == n
     assert {r.component for r in out} == {0}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The cluster-reliable path (fault-tolerant checkpoint() against a
+    configured checkpoint dir, instead of executor-local blocks) must
+    produce identical labels on the 256-chain, and must be auto-picked
+    when a checkpoint dir is configured."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        # reliable=None auto-detects the configured dir -> reliable path
+        out = connected_component_labels(pairs).collect()
+        assert len(out) == n and {r.component for r in out} == {0}
+        out = connected_component_labels(pairs, reliable=True).collect()
+        assert len(out) == n and {r.component for r in out} == {0}
+        # files actually landed in the reliable checkpoint dir
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        # session-scoped SparkContext: clear the dir so later tests keep
+        # exercising the localCheckpoint default (best-effort py4j poke)
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.apply(None)
+            )
+        except Exception:
+            pass
+
+
+def test_merge_into_index_multi_batch(spark, docs):
+    """Index compaction drives the day-over-day loop: day-2 copies of a
+    day-1 batch match ONLY via the merged index; re-merging the same
+    batch is a no-op; a re-ingested doc_id keeps its ORIGINAL signature
+    (index-wins idempotence)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        merge_into_index,
+        minhash_index,
+        minhash_match_index,
+    )
+
+    corpus = docs.limit(60).select("doc_id", "text")
+    index = minhash_index(corpus, n=3)
+    day1 = corpus.filter("doc_id < 10").select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    merged = merge_into_index(minhash_index(day1, n=3), index)
+    day2 = day1.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    res = minhash_match_index(day2, merged, est_threshold=0.99, n=3)
+    got = {(r.new_id, r.indexed_id) for r in res.collect() if r.indexed_id >= 5000}
+    res.release_caches()
+    assert got == {(i + 6000, i + 5000) for i in range(10)}
+    # idempotent re-merge: same rows, no duplicates
+    assert merge_into_index(minhash_index(day1, n=3), merged).count() == merged.count()
+    # index-wins: re-ingesting mutated text keeps the original signature
+    mutated = corpus.filter("doc_id < 5").select(
+        "doc_id", F.concat("text", F.lit(" mutated")).alias("text")
+    )
+    remerged = merge_into_index(minhash_index(mutated, n=3), index)
+    orig = {r.doc_id: r.sig for r in index.filter("doc_id < 5").collect()}
+    after = {r.doc_id: r.sig for r in remerged.filter("doc_id < 5").collect()}
+    assert orig == after
+
+
+def test_match_index_preserves_caller_persisted_index(spark, docs):
+    """A caller who persisted the index for reuse across daily batches
+    must not have it silently unpersisted by a match call's
+    release_caches() — the operator only caches (and releases) what it
+    created itself."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_match_index,
+    )
+
+    corpus = docs.limit(50).select("doc_id", "text")
+    index = minhash_index(corpus, n=3).cache()
+    index.count()
+    batch = corpus.filter("doc_id < 5").select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    res = minhash_match_index(batch, index, est_threshold=0.99, n=3)
+    assert res.count() >= 5
+    res.release_caches()
+    assert index.storageLevel.useMemory, "caller-owned persist was released"
+    index.unpersist()

@@ -66,3 +66,28 @@ def test_repair_json_udf(sql_docs, spark):
     import json
 
     assert json.loads(row.j) == {"a": 1}
+
+
+def test_repair_json_is_native_and_matches_python(sql_docs, spark):
+    """repair_json is a pure regexp_replace chain — no Python worker on
+    the repair path — and agrees with ingest.normalize.repair_json_text
+    on representative broken-JSON shapes."""
+    from auraverse_etl_pipeline_spark.ingest.normalize import repair_json_text
+
+    cases = [
+        "{a: 1,}",
+        "{'k': 'v'}",
+        '{"a": [1, 2,], "b": {c: 3,} }',
+        "{name: 'x', tags: ['a','b',],}",
+        "{a:1, b_2: 'two', c-d: 3}",
+        "plain text, no json at all",
+        "{nested: {deep: 'q',}, end: 7,}",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    df.createOrReplaceTempView("repair_cases")
+    got = spark.sql("SELECT t, repair_json(t) AS j FROM repair_cases")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for r in got.collect():
+        assert r.j == repair_json_text(r.t), r.t
