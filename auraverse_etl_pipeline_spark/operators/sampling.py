@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data mixing.
+
+``mix_weighted_sample`` (plans/llm_queries.py) draws at a RATE per
+stratum — the right tool when the mixture is specified as proportions
+and the output size can float. :func:`stratified_exact_sample` here
+draws an EXACT per-stratum quota — the tool when a data card promises
+"30k documents per language" and the count must be exact, reproducible,
+and stable under re-runs.
+
+Determinism: rows are ranked inside each stratum by a Knuth
+multiplicative hash of the id (then the id itself as tie-break), so the
+sample is a pure function of the data — no RNG state, identical under
+task retry at any parallelism, and adding new documents only perturbs
+the selection near quota boundaries instead of reshuffling everything.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: Knuth's multiplicative hash constant (2^32 / phi) — same generator
+#: as mix_weighted_sample so the two samplers agree on ordering.
+_KNUTH = 2654435761
+_HASH_MOD = 1_000_000_007
+
+
+def sample_hash(id_col: str | F.Column = "doc_id") -> F.Column:
+    """The deterministic per-row sort key both samplers rank by."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c.cast("bigint") * F.lit(_KNUTH)) % F.lit(_HASH_MOD)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``quotas[stratum]`` rows per stratum (``default_quota``
+    for strata not in the map; a stratum smaller than its quota yields
+    all of its rows). Output: the sampled rows plus ``sample_rank``
+    (1-based rank within the stratum).
+
+    Scale shape: one hash-partition shuffle on the stratum key, then a
+    bounded per-stratum top-k — Spark's window TopK pushes the rank
+    filter into the sort, so per-partition state is O(quota), not
+    O(stratum). A skewed stratum (one language dominating a web crawl)
+    concentrates its sort on one partition; when quota ≪ stratum, the
+    scalable refinement is a pre-filter on the same hash (keep buckets
+    below ~2× the expected quota rate) before the exact window — the
+    hash is uniform, so the pre-filter keeps every final winner with
+    overwhelming probability and the window then sees only a sliver.
+    That refinement changes no results, so it is left to the caller's
+    scale; the operator itself stays exact."""
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(sample_hash(id_col), F.col(id_col))
+    )
+    quota = F.lit(default_quota)
+    for stratum, k in quotas.items():
+        quota = F.when(F.col(strata_col) == stratum, F.lit(k)).otherwise(quota)
+    return (
+        df.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= quota)
+    )

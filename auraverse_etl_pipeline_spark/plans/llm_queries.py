@@ -428,6 +428,80 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rare_bigram_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t
+    ),
+    c AS (SELECT bg, COUNT(*) AS cnt FROM ex GROUP BY bg),
+    d AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM ex e JOIN c USING (bg)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           CAST(n_rare AS DOUBLE) / n_bigrams AS rare_ratio,
+           CAST(n_rare AS DOUBLE) / n_bigrams <= 0.5 AS keep
+    FROM d
+    """,
+    description="corpus-statistics fluency gate (count-based stand-in "
+    "for LM-perplexity filtering): the corpus bigram count table IS "
+    "the model, and a document whose bigrams are mostly corpus "
+    "singletons is likely garbled. Integer counts end-to-end so the "
+    "gate is engine-reproducible (a log-prob spelling would "
+    "hash-diverge on ln ulps); shuffle carries md5(bigram) hashes and "
+    "counts, never text",
+)
+def text_rare_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import rare_bigram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_bigram_stats(docs, rare_threshold=2, max_rare_ratio=0.5)
+
+
+@query(
+    "text_repeated_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 6),
+                                     i -> array_to_string(toks[i:i+7], ' '))) AS g
+        FROM t
+    ),
+    dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS gdf FROM ex GROUP BY g),
+    d AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN q.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        FROM ex e JOIN dfq q USING (g)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_grams, n_repeated,
+           CAST(n_repeated AS DOUBLE) / n_grams AS repeated_ratio
+    FROM d
+    """,
+    description="intra-corpus repeated-substring triage (the signal "
+    "motivating suffix-array dedup of training data): per document, "
+    "the fraction of its 8-gram instances occurring in >= 2 distinct "
+    "documents. High ratios flag templated/boilerplate documents for "
+    "span-level dedup; df aggregation groups on md5(gram), so the "
+    "shuffle never carries gram text",
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import repeated_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_stats(docs, n=8, min_df=2)
+
+
 def _hits_sql(words: tuple[str, ...]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
@@ -917,6 +991,45 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = F.when(F.col("lang") == lang, F.lit(w)).otherwise(rate)
     return docs.filter(bucket < rate).select(
         "doc_id", "lang", "source", bucket.alias("bucket")
+    )
+
+
+@query(
+    "mix_stratified_quota",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007,
+                            doc_id) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r
+    WHERE sample_rank <= CASE lang WHEN 'en' THEN 40
+                                   WHEN 'de' THEN 15
+                                   WHEN 'fr' THEN 15
+                                   ELSE 10 END
+    """,
+    description="exact-quota stratified sampling (the data-card "
+    "promise 'N documents per language', vs mix_weighted_sample's "
+    "rate-based draw): per-stratum rank by a Knuth hash of doc_id, "
+    "keep rank <= quota - RNG-free, retry-stable, reproducible at any "
+    "parallelism; per-stratum window state is O(quota) via the "
+    "window TopK pushdown",
+)
+def mix_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_exact_sample(
+        docs, "lang", {"en": 40, "de": 15, "fr": 15}, default_quota=10
+    )
+    return sampled.select(
+        "doc_id", "lang", "source", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
 
 
@@ -1573,4 +1686,68 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         docs, jaccard_threshold=0.5, n=3, hash_fn="md5", max_bucket_size=1000
+    )
+
+
+def _hot_bucket_audit_oracle_sql() -> str:
+    """DuckDB replica of the LSH hot-bucket audit under the md5 base
+    hash: band the corpus signatures, report every (band, minhash)
+    bucket above the cap with its member count."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SH3} AS sh FROM documents),
+    sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    )
+    SELECT CAST(i AS INTEGER) AS band, mh, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM bands GROUP BY i, mh HAVING COUNT(*) > 2
+    """
+
+
+@query(
+    "dedup_hot_bucket_audit",
+    oracle=_hot_bucket_audit_oracle_sql(),
+    description="the audit surface a capped LSH dedup run records: "
+    "every (band, minhash) bucket above the cap with its member count "
+    "(hot_buckets operator), so capped runs know exactly which "
+    "buckets - and how many candidate pairs - they skipped instead of "
+    "losing them silently. Cap 2 here so the audit is non-trivial at "
+    "the correctness SF (the real caps sit far above every bucket at "
+    "this scale - pinned in pytest); md5 base hash so it is oracle-gated",
+)
+def dedup_hot_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        hot_buckets,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_index(docs, n=3, hash_fn="md5")
+    bands = sig.select("doc_id", F.posexplode("sig").alias("band", "mh"))
+    return hot_buckets(bands, ["band", "mh"], cap=2).select(
+        F.col("band").cast("int").alias("band"),
+        "mh",
+        F.col("n_members").cast("bigint").alias("n_members"),
     )

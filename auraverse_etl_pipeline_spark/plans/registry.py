@@ -80,6 +80,10 @@ _NEEDS_FRESH_SCORE = (
     "dedup_embedding_cosine",
     # r4 changes/new queries (kept current as the round progresses)
     "dedup_merge_index",  # new in round 4 — index compaction
+    "text_rare_bigram_filter",  # new in round 4 — corpus-LM fluency gate
+    "text_repeated_ngrams",  # new in round 4 — substring-dedup triage
+    "mix_stratified_quota",  # new in round 4 — exact-quota sampling
+    "dedup_hot_bucket_audit",  # new in round 4 — capped-LSH audit
     "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
     "dedup_minhash_pairs",  # same plan change (rows-only twin)
     "q28_sketch_distinct_users",  # p50 validation re-bracketed r4

@@ -974,6 +974,68 @@ def test_merge_into_index_multi_batch(spark, docs):
     assert orig == after
 
 
+def test_rare_bigram_stats_counts(spark):
+    """Corpus bigram model semantics: counts are instance-level across
+    the whole corpus (own doc included), rare = count <= threshold,
+    keep gates on the ratio; sub-2-token docs are absent."""
+    from auraverse_etl_pipeline_spark.operators.quality import rare_bigram_stats
+
+    df = spark.createDataFrame(
+        # doc 1 bigrams: "a b","b a","a b"; doc 2: "a b","b c"
+        # corpus counts: "a b"=3, "b a"=1, "b c"=1
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in rare_bigram_stats(df, rare_threshold=2).collect()}
+    assert set(rows) == {1, 2}  # "solo" has no bigrams
+    assert (rows[1].n_bigrams, rows[1].n_rare) == (3, 1)  # only "b a" rare
+    assert abs(rows[1].rare_ratio - 1 / 3) < 1e-12 and rows[1].keep
+    assert (rows[2].n_bigrams, rows[2].n_rare) == (2, 1)  # only "b c" rare
+    assert rows[2].rare_ratio == 0.5 and rows[2].keep
+    strict = {r.doc_id: r.keep for r in rare_bigram_stats(df, max_rare_ratio=0.4).collect()}
+    assert strict == {1: True, 2: False}
+
+
+def test_repeated_ngram_stats_docfreq(spark):
+    """Repeated = the n-gram occurs in >= min_df DISTINCT docs — a gram
+    repeated within one doc only does not count."""
+    from auraverse_etl_pipeline_spark.operators.quality import repeated_ngram_stats
+
+    df = spark.createDataFrame(
+        # "x y" appears in docs 1 and 2 (cross-doc). "z z" only in doc 3
+        # (twice within it — must NOT count as repeated).
+        [(1, "x y p"), (2, "q x y"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repeated_ngram_stats(df, n=2, min_df=2).collect()}
+    assert (rows[1].n_grams, rows[1].n_repeated) == (2, 1)
+    assert (rows[2].n_grams, rows[2].n_repeated) == (2, 1)
+    assert (rows[3].n_grams, rows[3].n_repeated) == (2, 0)
+    assert rows[3].repeated_ratio == 0.0
+
+
+def test_stratified_exact_sample_quotas(spark):
+    """Exact quotas per stratum, all rows when the stratum is smaller
+    than its quota, deterministic across calls."""
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(55)],
+        "doc_id long, stratum string",
+    )
+    out = stratified_exact_sample(df, "stratum", {"big": 10}, default_quota=20)
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}  # small: 5 rows < quota 20
+    a = sorted((r.doc_id, r.sample_rank) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in stratified_exact_sample(df, "stratum", {"big": 10}, default_quota=20).collect()
+    )
+    assert a == b
+
+
 def test_match_index_preserves_caller_persisted_index(spark, docs):
     """A caller who persisted the index for reuse across daily batches
     must not have it silently unpersisted by a match call's
