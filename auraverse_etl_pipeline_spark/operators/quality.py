@@ -28,12 +28,20 @@ and counts, never gram text (same discipline as line-level dedup,
 gram-hash equality; hot grams (stopword pairs) skew it, which is AQE's
 skew-join case — deliberately no broadcast hint, since a web-corpus
 model table is far past broadcast limits.
+
+Every operator here consumes the exploded (doc_id[, pos], hash) gram
+table twice (model/df aggregate + membership join), so that table is
+cached with the repo's paired ``release_caches()`` discipline
+(``operators/caching.py``) — without the cache the tokenize+NGram
+pipeline, the expensive part, runs once per consumer.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
+
+from auraverse_etl_pipeline_spark.operators.caching import release_after
 
 
 def _gram_instances(
@@ -72,10 +80,10 @@ def rare_bigram_stats(
     from the output (they belong to a length gate, not a fluency one).
     """
     grams = _gram_instances(df, n=2, text_col=text_col, id_col=id_col)
-    ex = grams.select("doc_id", F.md5("gram").alias("gh"))
+    ex = grams.select("doc_id", F.md5("gram").alias("gh")).cache()
     model = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
     scored = ex.join(model, "gh")
-    return (
+    result = (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -93,6 +101,199 @@ def rare_bigram_stats(
             ),
         )
     )
+    return release_after(result, ex)
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 2,
+    max_rare_ratio: float = 0.5,
+) -> DataFrame:
+    """Whole-pipeline attrition report: run the corpus through the
+    standard curation gate sequence and count survivors at every stage —
+    the one-page answer to "where did my tokens go?" that every
+    training-data pipeline publishes next to its dataset card.
+
+    Stages (cumulative — a document must survive all earlier gates):
+
+    1. ``exact_dedup``  — keep-first per ``md5(text)`` group;
+    2. ``gopher``       — the Gopher quality rules (word count 50..100k,
+       mean word length 3..10, ≥ 2 distinct common stopwords);
+    3. ``lang_id``      — stopword-vote language ID resolves (≠ 'und');
+    4. ``fluency``      — corpus rare-bigram ratio ≤ ``max_rare_ratio``
+       (documents too short to have bigrams fail — they were already
+       gone at the gopher stage).
+
+    Output: (stage_id, stage, docs_in, docs_out, dropped), one row per
+    stage, ``docs_in`` of stage k = ``docs_out`` of stage k-1.
+
+    Scale shape: every per-document flag is a codegen'd column
+    expression; the exact-dedup canonical flag aggregates (md5, doc_id)
+    pairs — 40 bytes/row, text never shuffles — and joins back on the
+    hash; fluency reuses :func:`rare_bigram_stats` (md5(bigram)
+    shuffle). The final funnel is ONE single-row aggregate fanned out
+    to stage rows, so the report itself is free."""
+    from auraverse_etl_pipeline_spark.functions.text import (
+        LANG_STOPWORDS,
+        avg_token_len,
+        lang_guess,
+        tokens,
+    )
+
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    en_stops = LANG_STOPWORDS[0][1]
+    toks = tokens("text")
+    n_words = F.size(toks).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in en_stops]))
+    ).cast("bigint")
+    gopher = (
+        n_words.between(50, 100000)
+        & avg_token_len("text").between(3.0, 10.0)
+        & (stop_hits >= 2)
+    )
+    # consumed twice (canonical aggregate + join back) — cache the
+    # fixed-width flag rows, never the text (paired release below)
+    flags = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        gopher.alias("gopher"),
+        (lang_guess("text") != "und").alias("lang_ok"),
+    ).cache()
+    canon = flags.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    fluent_stats = rare_bigram_stats(
+        docs, rare_threshold=rare_threshold, max_rare_ratio=max_rare_ratio
+    )
+    fluent = fluent_stats.select("doc_id", F.col("keep").alias("fluent"))
+    joined = (
+        flags.join(canon, "h")
+        .withColumn("canonical", F.col("doc_id") == F.col("keep_id"))
+        .join(fluent, "doc_id", "left")
+        .withColumn("fluent", F.coalesce("fluent", F.lit(False)))
+    )
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("int")).cast("bigint")
+
+    c = F.col
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        _n(c("canonical")).alias("c1"),
+        _n(c("canonical") & c("gopher")).alias("c2"),
+        _n(c("canonical") & c("gopher") & c("lang_ok")).alias("c3"),
+        _n(c("canonical") & c("gopher") & c("lang_ok") & c("fluent")).alias("c4"),
+    )
+    stage_names = ("exact_dedup", "gopher", "lang_id", "fluency")
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage_id"),
+                F.lit(name).alias("stage"),
+                c(f"c{i}").alias("docs_in"),
+                c(f"c{i + 1}").alias("docs_out"),
+            )
+            for i, name in enumerate(stage_names)
+        ]
+    )
+    result = (
+        agg.select(F.explode(stages).alias("st"))
+        .select("st.*")
+        .withColumn("dropped", c("docs_in") - c("docs_out"))
+    )
+    result = release_after(result, flags)
+    # chain the fluency tier's own paired release (its gram cache)
+    own_release, inner_release = result.release_caches, fluent_stats.release_caches
+
+    def _release_all() -> None:
+        own_release()
+        inner_release()
+
+    result.release_caches = _release_all
+    return result
+
+
+def repeated_span_report(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the span-level
+    output :func:`repeated_ngram_stats` triages for (the Spark spelling
+    of suffix-array substring dedup at n-gram granularity, cf. Lee et
+    al. "Deduplicating Training Data Makes Language Models Better").
+
+    Every n-gram instance occurring in ≥ ``min_df`` distinct documents
+    marks its token interval [pos, pos+n-1] (1-based) as duplicated;
+    overlapping or adjacent marked intervals merge into maximal spans
+    (gaps-and-islands over a per-document window). A caller cuts these
+    spans out of the token stream to get the deduplicated document.
+
+    Output: (doc_id, span_start, span_end, span_tokens), one row per
+    maximal span.
+
+    Scale shape: the df aggregate and the membership join both key on
+    ``md5(gram)`` (fixed-width, partial-aggregated — text never
+    shuffles); the islands pass shuffles (doc_id, pos) pairs only,
+    partitioned by doc_id, and each document's interval list is tiny
+    (≤ its token count), so the window state is bounded per key."""
+    from pyspark.ml.feature import NGram
+
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(par, "doc_id")
+    ng = NGram(n=n, inputCol="_toks", outputCol="_ng").transform(base)
+    # 0-based gram index -> 1-based token interval [pos+1, pos+n]
+    ex = ng.select(
+        "doc_id", F.posexplode("_ng").alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("gh")).cache()
+    repeated = (
+        ex.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("gdf"))
+        .filter(F.col("gdf") >= min_df)
+        .select("gh")
+    )
+    spans = ex.join(repeated, "gh").select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("s"),
+        (F.col("pos") + n).cast("bigint").alias("e"),
+    )
+    prev_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(prev_w) + 1, 1)
+        .otherwise(F.when(F.max("e").over(prev_w).isNull(), 1).otherwise(0))
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn("gid", F.sum("new_island").over(run_w))
+    result = (
+        islands.groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    return release_after(result, ex)
 
 
 def repeated_ngram_stats(
@@ -114,10 +315,10 @@ def repeated_ngram_stats(
     distribution is extremely head-light — and the shuffle still
     carries only (hash, doc_id) pairs, never text."""
     grams = _gram_instances(df, n=n, text_col=text_col, id_col=id_col)
-    ex = grams.select("doc_id", F.md5("gram").alias("gh"))
+    ex = grams.select("doc_id", F.md5("gram").alias("gh")).cache()
     docfreq = ex.groupBy("gh").agg(F.count_distinct("doc_id").alias("gdf"))
     scored = ex.join(docfreq, "gh")
-    return (
+    result = (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -132,3 +333,4 @@ def repeated_ngram_stats(
             (F.col("n_repeated") / F.col("n_grams")).alias("repeated_ratio"),
         )
     )
+    return release_after(result, ex)

@@ -107,6 +107,45 @@ def cosine_top_k(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Radius (range) search: every corpus neighbor within a cosine
+    threshold of each query vector — the retrieval shape for "find ALL
+    sufficiently-similar documents" (dedup sweeps, recall-oriented
+    retrieval), where top-k's fixed k either truncates dense
+    neighborhoods or pads sparse ones.
+
+    Output: (query_id, neighbor_id, cosine), cosine ≥ threshold. Same
+    physical shape as :func:`cosine_top_k` minus the window: queries
+    broadcast, corpus scanned once with NO shuffle at all (the top-k
+    variant still shuffles by query_id for ranking; a pure radius
+    filter doesn't need to). At 100 TB this is the cheapest possible
+    retrieval plan — one scan, one broadcast, a codegen'd filter.
+    """
+    if not exact_fold:
+        ship_package(corpus.sparkSession)  # batch_cosine, see cosine_top_k
+    score = cosine_similarity_expr if exact_fold else batch_cosine
+    q = F.broadcast(
+        _as_double(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return (
+        c.crossJoin(q)
+        .select("query_id", "neighbor_id", score(F.col("qv"), F.col("cv")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

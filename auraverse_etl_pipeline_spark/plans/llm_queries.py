@@ -41,6 +41,7 @@ from auraverse_etl_pipeline_spark.operators.multimodal import (
     extract_media_features,
 )
 from auraverse_etl_pipeline_spark.operators.similarity import (
+    cosine_range_search,
     cosine_top_k,
     embedding_cosine_pairs,
     hyperplane_lsh_pairs,
@@ -1750,4 +1751,198 @@ def dedup_hot_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").cast("int").alias("band"),
         "mh",
         F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: span-level dedup, the curation funnel, radius
+# similarity search, and frame-sampling plumbing through the oracle gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+               i -> {{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')}})) AS u
+        FROM t
+    ),
+    pg AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM ex),
+    rep AS (SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    sp AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 7 AS BIGINT) AS e
+        FROM pg JOIN rep USING (g)
+    ),
+    fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM sp
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM fl
+    )
+    SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           MAX(e) - MIN(s) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, gid
+    """,
+    description="span-level substring dedup (the follow-up "
+    "text_repeated_ngrams triages for, cf. suffix-array dedup of "
+    "training corpora): token intervals of 8-gram instances shared by "
+    ">= 2 documents, merged into maximal duplicated spans per document "
+    "via a gaps-and-islands window. Cutting these spans out of the "
+    "token stream IS the dedup; df counts and the membership join key "
+    "on md5(gram) so text never shuffles",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import repeated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_report(docs, n=8, min_df=2)
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+    canon AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+    g AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mwl,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT) AS sh,
+               {_LANG_CASE} AS guessed
+        FROM documents
+    ),
+    bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bex AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM bt
+    ),
+    bc AS (SELECT bg, COUNT(*) AS cnt FROM bex GROUP BY bg),
+    flq AS (
+        SELECT e.doc_id,
+               CAST(SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 <= 0.5 AS fluent
+        FROM bex e JOIN bc c USING (bg) GROUP BY e.doc_id
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               d.doc_id = c.keep_id AS canonical,
+               (g.n_words BETWEEN 50 AND 100000)
+                 AND (g.mwl BETWEEN 3 AND 10) AND g.sh >= 2 AS gopher,
+               g.guessed <> 'und' AS lang_ok,
+               COALESCE(flq.fluent, FALSE) AS fluent
+        FROM d JOIN canon c USING (h) JOIN g USING (doc_id)
+        LEFT JOIN flq USING (doc_id)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN canonical AND gopher THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN canonical AND gopher AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN canonical AND gopher AND lang_ok AND fluent THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        FROM flags
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'exact_dedup' AS stage,
+           c0 AS docs_in, c1 AS docs_out, c0 - c1 AS dropped FROM agg
+    UNION ALL SELECT CAST(2 AS BIGINT), 'gopher', c1, c2, c1 - c2 FROM agg
+    UNION ALL SELECT CAST(3 AS BIGINT), 'lang_id', c2, c3, c2 - c3 FROM agg
+    UNION ALL SELECT CAST(4 AS BIGINT), 'fluency', c3, c4, c3 - c4 FROM agg
+    """,
+    description="whole-pipeline attrition report (the dataset-card "
+    "'where did my tokens go' table): exact dedup -> Gopher rules -> "
+    "language ID -> corpus-fluency gate, counted cumulatively in ONE "
+    "single-row aggregate fanned out to stage rows. Flags are "
+    "codegen'd column algebra; only (md5, doc_id) pairs and bigram "
+    "hashes ever shuffle",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import curation_funnel as funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return funnel(docs)
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+    FROM q, c
+    WHERE list_cosine_similarity(qv, cv) >= 0.3
+    """,
+    description="radius (range) similarity search: ALL corpus neighbors "
+    "within a cosine threshold of each query - the recall-oriented "
+    "retrieval shape top-k truncates. Queries broadcast, corpus "
+    "scanned once, ZERO shuffle (unlike top-k, which shuffles by "
+    "query_id to rank); threshold calibrated to the synthetic "
+    "embedding spread so the answer is non-trivial and bounded",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_range_search(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        threshold=0.3,
+        exact_fold=True,
+    )
+
+
+@query(
+    "multimodal_frame_manifest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND length(text) > 0 AND doc_id % 3 = 2
+    ),
+    f AS (
+        SELECT media_id, text,
+               unnest(range(0, least(CAST(ceil(n / 64.0) AS BIGINT), 8))) AS frame_index
+        FROM m
+    )
+    SELECT media_id, CAST(frame_index AS BIGINT) AS frame_index,
+           md5(substring(text, CAST(frame_index * 64 + 1 AS INT), 64)) AS frame_md5,
+           CAST(length(substring(text, CAST(frame_index * 64 + 1 AS INT), 64)) AS BIGINT)
+             AS n_bytes
+    FROM f
+    """,
+    description="video frame-sampling plumbing through the oracle gate: "
+    "strided byte-window fan-out (sample_frames - native sequence + "
+    "posexplode, no Python) over the synthetic media table's video "
+    "rows, digested per frame. The ASCII guard (octet_length = "
+    "char_length, enforced on BOTH sides) makes byte windows equal "
+    "char windows so DuckDB can replay the exact frame digests",
+)
+def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+    media = attach_fake_media(docs).filter(F.col("kind") == "video")
+    frames = sample_frames(media, frame_stride=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("bigint").alias("n_bytes"),
     )

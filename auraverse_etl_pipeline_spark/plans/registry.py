@@ -84,6 +84,10 @@ _NEEDS_FRESH_SCORE = (
     "text_repeated_ngrams",  # new in round 4 — substring-dedup triage
     "mix_stratified_quota",  # new in round 4 — exact-quota sampling
     "dedup_hot_bucket_audit",  # new in round 4 — capped-LSH audit
+    "text_span_dedup",  # new in round 4 — repeated-span islands
+    "curation_funnel",  # new in round 4 — pipeline attrition report
+    "sim_range_search",  # new in round 4 — radius cosine retrieval
+    "multimodal_frame_manifest",  # new in round 4 — frame fan-out gate
     "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
     "dedup_minhash_pairs",  # same plan change (rows-only twin)
     "q28_sketch_distinct_users",  # p50 validation re-bracketed r4

@@ -1057,3 +1057,74 @@ def test_match_index_preserves_caller_persisted_index(spark, docs):
     res.release_caches()
     assert index.storageLevel.useMemory, "caller-owned persist was released"
     index.unpersist()
+
+
+def test_repeated_span_report_merges_islands(spark):
+    """Two docs sharing an 8-gram run produce one maximal merged span
+    each (consecutive repeated grams overlap, hence one island); a doc
+    with two separated shared runs produces two spans with the clean
+    gap intact."""
+    from auraverse_etl_pipeline_spark.operators.quality import repeated_span_report
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens -> 3 8-grams
+    uniq = lambda p, k: " ".join(f"{p}{i}" for i in range(k))
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq('a', 12)} {shared}"),  # spans at both ends
+            (2, f"{uniq('b', 5)} {shared}"),
+            (3, uniq("c", 30)),  # no repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_span_report(df, n=8, min_df=2).collect()
+    }
+    # doc 1: tokens 1..10 and 23..32 duplicated, 12 unique tokens between
+    # doc 2: tokens 6..15 duplicated
+    assert spans == {(1, 1, 10, 10), (1, 23, 32, 10), (2, 6, 15, 10)}
+
+
+def test_curation_funnel_stage_conservation(spark, docs):
+    """Stage rows chain exactly (docs_in[k] = docs_out[k-1]), counts are
+    monotone non-increasing, and stage 1 matches the exact-dedup
+    operator's survivor count."""
+    from auraverse_etl_pipeline_spark.operators.dedup import drop_exact_duplicates
+    from auraverse_etl_pipeline_spark.operators.quality import curation_funnel
+
+    rows = sorted(curation_funnel(docs).collect(), key=lambda r: r.stage_id)
+    assert [r.stage for r in rows] == ["exact_dedup", "gopher", "lang_id", "fluency"]
+    assert rows[0].docs_in == docs.count()
+    assert rows[0].docs_out == drop_exact_duplicates(docs).count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_out
+    for r in rows:
+        assert r.dropped == r.docs_in - r.docs_out >= 0
+    assert rows[-1].docs_out > 0  # the funnel keeps a real corpus
+
+
+def test_cosine_range_search_matches_topk_prefix(spark, sf_dir):
+    """Range search at radius t returns exactly the top-k neighbors
+    whose cosine >= t (same scoring path), for k large enough to cover
+    the radius — and the arrow/fold spellings agree to 1e-12."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_top_k,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    rng = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_range_search(corpus, queries, threshold=0.3).collect()
+    }
+    topk = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_top_k(corpus, queries, k=490).collect()
+        if r.cosine >= 0.3
+    }
+    assert set(rng) == set(topk)
+    for pair, cos in topk.items():
+        assert abs(rng[pair] - cos) < 1e-12
