@@ -104,6 +104,50 @@ def rare_bigram_stats(
     return release_after(result, ex)
 
 
+def gopher_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rules quality gate as a per-document DECISION: (doc_id,
+    n_words, mean_word_len, stopword_hits, fail_reason, keep) with the
+    first failing rule named. One spelling shared by the batch query
+    (``text_gopher_filter``) and the streaming gate
+    (``stream_quality_gate``) — a pure stateless projection, so it is
+    legal on streaming DataFrames and costs one scan either way."""
+    from auraverse_etl_pipeline_spark.functions.text import (
+        LANG_STOPWORDS,
+        avg_token_len,
+        tokens,
+    )
+
+    en_stops = LANG_STOPWORDS[0][1]
+    toks = tokens(text_col)
+    n = F.size(toks).cast("bigint")
+    stops = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in en_stops]))
+    ).cast("bigint")
+    m = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        avg_token_len(text_col).alias("mean_word_len"),
+        stops.alias("stopword_hits"),
+    )
+    word_count_ok = F.col("n_words").between(50, 100000)
+    word_len_ok = F.col("mean_word_len").between(3.0, 10.0)
+    stops_ok = F.col("stopword_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stopword_hits",
+        F.when(~word_count_ok, F.lit("word_count"))
+        .when(~word_len_ok, F.lit("word_length"))
+        .when(~stops_ok, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+        .alias("fail_reason"),
+        (word_count_ok & word_len_ok & stops_ok).alias("keep"),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str = "text",

@@ -281,6 +281,73 @@ def hyperplane_lsh_pairs(
     return release_after(result, banded_keys, banded)
 
 
+def signbucket_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sign-bucket LSH: the engine-portable twin of
+    :func:`hyperplane_lsh_pairs`, with AXIS-ALIGNED hyperplanes (the
+    coordinate planes) instead of RNG Gaussians — so a SQL oracle can
+    replay every band key digit-for-digit, which the random-plane tier
+    by construction cannot.
+
+    Each vector's dimensions are cut into ``dim // band_bits``
+    consecutive bands; a band key bit-packs the component signs.
+    Vectors sharing ANY (band, key) become candidates; an exact-cosine
+    check (ordered fold — bit-identical to DuckDB's
+    ``list_cosine_similarity``) removes false positives. Output:
+    (id1, id2, cosine), id1 < id2, cosine ≥ threshold.
+
+    Trade-off vs the random-plane tier: axis-aligned planes are not
+    data-independent (correlated dimensions share bands), so recall at
+    a given band geometry is somewhat lower — measured 0.93 on the
+    perturbed-copy fixture at 8×8 vs ~0.99 for 32×12 random planes —
+    but the whole pipeline stays native codegen'd expressions (no
+    Python workers at all) and every stage is oracle-checkable. Same
+    scale shape: fixed-width (id, band, key) rows shuffle, band
+    equality joins, verify proportional to candidates; the band table
+    is cached with a paired release (multi-consumer self-join)."""
+    e = (
+        _as_double(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.size("v") >= band_bits)  # sequence(0,-1) guard
+    )
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(band_bits)])
+    n_bands = F.floor(F.size("v") / band_bits).cast("int")
+    band_arr = F.transform(
+        F.sequence(F.lit(0), n_bands - 1),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice("v", b * band_bits + 1, band_bits),
+                weights,
+                lambda x, w: F.when(x >= 0, w).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ),
+    )
+    banded = e.select("id", F.posexplode(band_arr).alias("band", "key")).cache()
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    pairs = cand.join(
+        e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
+    ).join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+    result = pairs.select(
+        "id1", "id2", cosine_similarity_expr("v1", "v2").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    return release_after(result, banded)
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -247,6 +247,43 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9, max_bucket_size=1000)
 
 
+@query(
+    "dedup_embedding_signlsh",
+    oracle=_PERTURBED_SQL.format(max_id=150)
+    + """
+    , b AS (
+        SELECT vec_id, CAST(r.i AS INTEGER) AS band,
+               CAST(list_sum(list_transform(range(1, 9), j ->
+                   CASE WHEN v[CAST(r.i * 8 + j AS INT)] >= 0
+                        THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS key
+        FROM corpus, range(0, 8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        FROM b a JOIN b b2 USING (band, key)
+        WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id1, id2, list_cosine_similarity(x.v, y.v) AS cosine
+    FROM cand JOIN corpus x ON x.vec_id = cand.id1
+              JOIN corpus y ON y.vec_id = cand.id2
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+    """,
+    description="deterministic sign-bucket embedding LSH, fully "
+    "oracle-gated (axis-aligned hyperplanes - the band keys are "
+    "engine-reproducible bit-packs of component signs, unlike the RNG "
+    "hyperplane tier which is rows-only by construction). 8 bands x 8 "
+    "bits over the 64-dim fixture; exact-cosine verified; recall vs "
+    "the exact tier pinned in pytest",
+)
+def dedup_embedding_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import signbucket_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return signbucket_lsh_pairs(
+        _with_perturbed_copies(emb, max_id=150), threshold=0.9, band_bits=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -395,38 +432,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebra, zero shuffle: scales with scan bandwidth",
 )
 def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n = F.size(toks).cast("bigint")
-    mean_len = avg_token_len("text")
-    stops = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(w) for w in _EN_STOPS])
-        )
-    ).cast("bigint")
-    m = docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        stops.alias("stopword_hits"),
-    )
-    word_count_ok = F.col("n_words").between(50, 100000)
-    word_len_ok = F.col("mean_word_len").between(3.0, 10.0)
-    stops_ok = F.col("stopword_hits") >= 2
-    return m.select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "stopword_hits",
-        F.when(~word_count_ok, F.lit("word_count"))
-        .when(~word_len_ok, F.lit("word_length"))
-        .when(~stops_ok, F.lit("stopwords"))
-        .otherwise(F.lit("ok"))
-        .alias("fail_reason"),
-        (word_count_ok & word_len_ok & stops_ok).alias("keep"),
-    )
+    return gopher_report(docs)
 
 
 @query(

@@ -274,3 +274,51 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_stream_to_memory(matches, "complete", "s_incremental_dedup")
     index.unpersist()
     return result
+
+
+def _quality_gate_oracle() -> str:
+    # same rule spelling as text_gopher_filter's oracle, aggregated
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _EN_LIST, _TOKS
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT)
+                 AS stopword_hits
+        FROM documents
+    )
+    SELECT fail_reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                    WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_length'
+                    WHEN stopword_hits < 2 THEN 'stopwords'
+                    ELSE 'ok' END AS fail_reason
+        FROM m
+    )
+    GROUP BY fail_reason
+    """
+
+
+@query(
+    "stream_quality_gate",
+    oracle=_quality_gate_oracle(),
+    description="the curation quality gate as a STREAMING job: "
+    "documents land as micro-batches, the Gopher decision "
+    "(operators/quality.py gopher_report - one stateless projection "
+    "shared with the batch query) runs per row, and a complete-mode "
+    "aggregate keeps the running reject tally by first failing rule. "
+    "Replayed over static files it must equal the batch gate exactly",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    gate = (
+        gopher_report(docs)
+        .groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return run_stream_to_memory(gate, "complete", "s_quality_gate")

@@ -1128,3 +1128,27 @@ def test_cosine_range_search_matches_topk_prefix(spark, sf_dir):
     assert set(rng) == set(topk)
     for pair, cos in topk.items():
         assert abs(rng[pair] - cos) < 1e-12
+
+
+def test_signbucket_lsh_recall_and_precision(spark, sf_dir):
+    """The deterministic sign-bucket tier must recall >= 85% of the
+    exact tier's pairs on the perturbed-copy fixture (measured ~0.93 at
+    8x8) with ZERO false positives (exact-cosine verify), and every
+    returned cosine must equal the exact tier's to 1e-12."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        signbucket_lsh_pairs,
+    )
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _with_perturbed_copies
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_perturbed_copies(emb, max_id=150)
+    exact = {(r.id1, r.id2): r.cosine for r in embedding_cosine_pairs(corpus, 0.9).collect()}
+    sign_df = signbucket_lsh_pairs(corpus, threshold=0.9, band_bits=8)
+    approx = {(r.id1, r.id2): r.cosine for r in sign_df.collect()}
+    sign_df.release_caches()
+    assert set(approx) <= set(exact), "sign-LSH produced a false positive"
+    assert len(approx) >= 0.85 * len(exact)
+    for pair, cos in approx.items():
+        assert abs(exact[pair] - cos) < 1e-12

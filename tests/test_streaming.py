@@ -371,3 +371,38 @@ def test_stream_incremental_dedup_multi_batch(spark, sf_dir, tmp_path):
     g = {(r.new_id, r.indexed_id, r.est_jaccard) for r in got.collect()}
     w = {(r.new_id, r.indexed_id, r.est_jaccard) for r in want.collect()}
     assert g == w and len(g) >= 30
+
+
+def test_stream_quality_gate_multi_batch(spark, sf_dir, tmp_path):
+    """The streaming Gopher gate replayed over three micro-batches must
+    equal the batch decision aggregate over the same documents."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 90")
+    chunk_dir = tmp_path / "gate_chunks"
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    sdocs = stream_documents(spark, str(chunk_dir), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        gopher_report(sdocs)
+        .groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
+        "complete",
+        "t_stream_gate",
+    )
+    want = (
+        gopher_report(docs)
+        .groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    g = {(r.fail_reason, r.n_docs) for r in got.collect()}
+    w = {(r.fail_reason, r.n_docs) for r in want.collect()}
+    assert g == w and sum(n for _, n in g) == 90
