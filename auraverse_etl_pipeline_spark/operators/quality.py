@@ -340,6 +340,93 @@ def repeated_span_report(
     return release_after(result, ex)
 
 
+def apply_span_dedup(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize span-level substring dedup with KEEP-FIRST semantics
+    (Lee et al. "Deduplicating Training Data" at n-gram granularity):
+    the globally first instance of every duplicated n-gram — ordered by
+    (doc_id, position) — survives; every later instance marks its token
+    interval for removal, except tokens that some kept (first-instance)
+    gram still covers, so novel text overlapping a duplicated run is
+    never destroyed.
+
+    Output: (doc_id, n_tokens, n_removed, clean_md5) where clean_md5
+    digests the surviving tokens joined by single spaces, NULL when a
+    document (an exact copy of an earlier one) loses every token.
+
+    Scale shape: the first-instance ranking windows on ``md5(gram)``
+    (fixed-width shuffle, text never moves); coverage explodes each
+    gram instance to its n token positions — the honest n× cost of
+    substring dedup, which is why :func:`repeated_ngram_stats` exists
+    as the cheap triage to run it only where it pays. Reassembly is a
+    hash aggregate with an in-group ``array_sort`` — no sort exchange
+    (same trick as line-level dedup). One skew caveat, documented not
+    hidden: a mega-hot boilerplate gram serializes its ranking window
+    into one partition; cap/salt before this operator if the corpus
+    has one."""
+    from pyspark.ml.feature import NGram
+
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # tokens feed both the gram pipeline and the reassembly — cache the
+    # tokenized form once (paired release below)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .repartition(par, "doc_id")
+        .cache()
+    )
+    ng = NGram(n=n, inputCol="_toks", outputCol="_ng").transform(base)
+    pg = ng.select("doc_id", F.posexplode("_ng").alias("p0", "gram")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh")
+    )
+    first_w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    inst = pg.withColumn("rn", F.row_number().over(first_w))
+    cov = inst.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("j"),
+        (F.col("rn") == 1).alias("kept"),
+        "pos",
+    ).select("doc_id", (F.col("pos") + F.col("j")).cast("bigint").alias("tpos"), "kept")
+    rm = (
+        cov.groupBy("doc_id", "tpos")
+        .agg(F.max("kept").alias("any_kept"), F.max(~F.col("kept")).alias("any_red"))
+        .filter(F.col("any_red") & ~F.col("any_kept"))
+        .select("doc_id", "tpos")
+    )
+    alltok = base.select(
+        "doc_id", F.posexplode("_toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("tpos"), "tok")
+    flagged = alltok.join(rm.withColumn("removed", F.lit(True)), ["doc_id", "tpos"], "left").withColumn(
+        "removed", F.coalesce("removed", F.lit(False))
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(~F.col("removed"), F.struct("tpos", "tok")))
+    )
+    result = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("removed").cast("int")).cast("bigint").alias("n_removed"),
+            kept_sorted.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.when(
+                F.size("_kept") > 0,
+                F.md5(F.array_join(F.transform("_kept", lambda x: x["tok"]), " ")),
+            ).alias("clean_md5"),
+        )
+    )
+    return release_after(result, base)
+
+
 def repeated_ngram_stats(
     df: DataFrame,
     n: int = 8,

@@ -1955,3 +1955,59 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("frame_bytes").alias("frame_md5"),
         F.length("frame_bytes").cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "text_span_dedup_apply",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+               i -> {{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')}})) AS u
+        FROM t
+    ),
+    pg AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM ex),
+    inst AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM pg
+    ),
+    cov AS (
+        SELECT doc_id, CAST(pos + r.j AS BIGINT) AS tpos, (rn = 1) AS kept
+        FROM inst, range(0, 8) r(j)
+    ),
+    tokf AS (
+        SELECT doc_id, tpos,
+               bool_or(kept) AS any_kept, bool_or(NOT kept) AS any_red
+        FROM cov GROUP BY doc_id, tpos
+    ),
+    rm AS (SELECT doc_id, tpos FROM tokf WHERE any_red AND NOT any_kept),
+    alltok AS (
+        SELECT tt.doc_id, u.pos AS tpos, u.tok
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS u FROM t) tt(doc_id, u)
+    ),
+    final AS (
+        SELECT a.doc_id, a.tpos, a.tok, (rm.tpos IS NOT NULL) AS removed
+        FROM alltok a LEFT JOIN rm ON a.doc_id = rm.doc_id AND a.tpos = rm.tpos
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(string_agg(CASE WHEN NOT removed THEN tok END, ' ' ORDER BY tpos))
+             AS clean_md5
+    FROM final GROUP BY doc_id
+    """,
+    description="span-level substring dedup MATERIALIZED with "
+    "keep-first semantics (Lee et al. at 8-gram granularity): the "
+    "globally first instance of each duplicated gram survives, later "
+    "instances lose their tokens unless a kept gram still covers them; "
+    "per-doc digest of the cleaned token stream. Ranking windows on "
+    "md5(gram); coverage explode is the honest n-x cost that "
+    "text_repeated_ngrams triages; reassembly is a hash aggregate with "
+    "in-group array_sort, no sort exchange",
+)
+def text_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import apply_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_span_dedup(docs, n=8)

@@ -1152,3 +1152,29 @@ def test_signbucket_lsh_recall_and_precision(spark, sf_dir):
     assert len(approx) >= 0.85 * len(exact)
     for pair, cos in approx.items():
         assert abs(exact[pair] - cos) < 1e-12
+
+
+def test_apply_span_dedup_keep_first_semantics(spark):
+    """First occurrence survives untouched; an exact copy loses every
+    token (NULL digest); a later doc sharing the run loses only the run;
+    short docs with no grams pass through whole."""
+    import hashlib
+
+    from auraverse_etl_pipeline_spark.operators.quality import apply_span_dedup
+
+    run = " ".join(f"s{i}" for i in range(10))
+    pre = " ".join(f"p{i}" for i in range(9))
+    short = "tiny doc here"
+    df = spark.createDataFrame(
+        [(1, f"{run} u10 u11"), (2, f"{run} u10 u11"), (3, f"{pre} {run}"), (4, short)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in apply_span_dedup(df, n=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1].n_removed == 0 and out[1].clean_md5 == md5(f"{run} u10 u11")
+    assert out[2].n_removed == 12 and out[2].clean_md5 is None
+    # doc 3: its unique prefix grams (everything starting before the
+    # run) are first instances and keep their coverage; only the pure
+    # run tail past every kept gram's reach is removed
+    assert 0 < out[3].n_removed < out[3].n_tokens
+    assert out[4].n_removed == 0 and out[4].clean_md5 == md5(short)

@@ -220,3 +220,62 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     dyn = fact.join(dim, "event_type").agg(F2.count("*"))
     dyn.collect()
     assert "dynamicpruning" in _plan(dyn), _plan(dyn)[:1500]
+
+
+def test_gram_operators_cache_the_exploded_table(spark, sf_dir):
+    """Each corpus-gram operator (bigram model, repeated n-grams, span
+    report) consumes the exploded gram table twice — the cache must be
+    in the executed plan or the tokenize+NGram stage runs per consumer
+    (the text_span_dedup 2x-scan regression caught in round 4)."""
+    for name in ("text_rare_bigram_filter", "text_repeated_ngrams", "text_span_dedup"):
+        plan = _plan(QS[name].fn(spark, sf_dir))
+        assert "InMemoryTableScan" in plan, name
+        spark.catalog.clearCache()
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The span report's shuffles carry (doc_id, pos, md5) triples; the
+    raw text/gram strings must never reach an Exchange."""
+    plan = _plan(QS["text_span_dedup"].fn(spark, sf_dir))
+    for exch in plan.split("Exchange hashpartitioning")[1:]:
+        keys = exch[:120]
+        assert "text" not in keys and "gram#" not in keys, keys
+    spark.catalog.clearCache()
+
+
+def test_range_search_is_broadcast_scan_only(spark, sf_dir):
+    """Radius search must stay a broadcast nested-loop over the corpus
+    scan with NO shuffle exchange — the zero-shuffle retrieval claim."""
+    plan = _plan(QS["sim_range_search"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_frame_manifest_has_no_exchange(spark, sf_dir):
+    """Frame fan-out is scan + generate: any Exchange is a regression."""
+    plan = _plan(QS["multimodal_frame_manifest"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_signbucket_lsh_stays_jvm_side(spark, sf_dir):
+    """The deterministic sign-LSH tier's selling point: banding, join
+    and verify all codegen'd — no Python workers, equality joins only,
+    band table cached for the self-join."""
+    plan = _plan(QS["dedup_embedding_signlsh"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_span_apply_reassembly_has_no_sort_exchange(spark, sf_dir):
+    """apply_span_dedup reassembles with a hash aggregate + in-group
+    array_sort; a global Sort before the final aggregate means someone
+    rewrote it with orderBy (the line-dedup lesson)."""
+    plan = _plan(QS["text_span_dedup_apply"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "InMemoryTableScan" in plan
+    final_agg = plan.split("HashAggregate")[0]  # text above the top agg
+    assert "Sort [doc_id" not in final_agg
+    spark.catalog.clearCache()
