@@ -101,8 +101,18 @@ def main() -> None:
 
     # ... and spin up the Arrow Python workers once (one per core):
     # their process fork + pandas import otherwise lands on the first
-    # mapInPandas query (the ingest detector).
+    # mapInPandas query (the ingest detector). Pre-import the engine
+    # package too — Python kernels are pickled by reference, so the
+    # first ingest/multimodal query otherwise pays the package import
+    # in every worker (measured ~3 s on fixture_schema_field_types's
+    # sweep slot). Workers are reused (spark.python.worker.reuse), so
+    # the import amortizes here. This is interpreter/session warmup;
+    # no benchmark query's plan executes.
     def _ident(batches):
+        import auraverse_etl_pipeline_spark.ingest.pipeline  # noqa: F401
+        import auraverse_etl_pipeline_spark.operators.multimodal  # noqa: F401
+        import auraverse_etl_pipeline_spark.operators.similarity  # noqa: F401
+
         yield from batches
 
     noop(spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long"))
