@@ -2011,3 +2011,56 @@ def text_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return apply_span_dedup(docs, n=8)
+
+
+@query(
+    "dedup_embedding_clean",
+    oracle=_PERTURBED_SQL.format(max_id=150)
+    + """
+    , b AS (
+        SELECT vec_id, CAST(r.i AS INTEGER) AS band,
+               CAST(list_sum(list_transform(range(1, 9), j ->
+                   CASE WHEN v[CAST(r.i * 8 + j AS INT)] >= 0
+                        THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS key
+        FROM corpus, range(0, 8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        FROM b a JOIN b b2 USING (band, key)
+        WHERE a.vec_id < b2.vec_id
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM cand JOIN corpus x ON x.vec_id = cand.id1
+                  JOIN corpus y ON y.vec_id = cand.id2
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+    )
+    SELECT vec_id, md5(array_to_string(list_transform(v, x -> format('{:.6f}', x)), ','))
+             AS vec_md5
+    FROM corpus
+    WHERE vec_id NOT IN (SELECT id2 FROM pairs)
+    """,
+    description="end-to-end semantic corpus cleaning (SemDeDup shape, "
+    "deterministic tier): sign-bucket LSH candidates -> exact-cosine "
+    "pairs -> keep-first representative per duplicate edge; survivors "
+    "digested by a fixed-precision vector rendering so the whole "
+    "cleaned corpus is hash-checked, not just counted",
+)
+def dedup_embedding_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import drop_near_duplicates
+    from auraverse_etl_pipeline_spark.operators.similarity import signbucket_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_perturbed_copies(emb, max_id=150)
+    pairs = signbucket_lsh_pairs(corpus, threshold=0.9, band_bits=8)
+    cleaned = drop_near_duplicates(corpus, pairs, id_col="vec_id")
+    result = cleaned.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform("embedding", lambda x: F.format_string("%.6f", x)), ","
+            )
+        ).alias("vec_md5"),
+    )
+    result.release_caches = pairs.release_caches
+    return result

@@ -92,6 +92,7 @@ _NEEDS_FRESH_SCORE = (
     "stream_quality_gate",  # new in round 4 — streaming Gopher gate
     "text_gopher_filter",  # body moved to quality.gopher_report r4
     "text_span_dedup_apply",  # new in round 4 — keep-first materialization
+    "dedup_embedding_clean",  # new in round 4 — semantic corpus cleaning
     "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
     "dedup_minhash_pairs",  # same plan change (rows-only twin)
     "q28_sketch_distinct_users",  # p50 validation re-bracketed r4

@@ -1178,3 +1178,16 @@ def test_apply_span_dedup_keep_first_semantics(spark):
     # run tail past every kept gram's reach is removed
     assert 0 < out[3].n_removed < out[3].n_tokens
     assert out[4].n_removed == 0 and out[4].clean_md5 == md5(short)
+
+
+def test_signlsh_band_geometry_assumption_pinned(spark, sf_dir):
+    """dedup_embedding_signlsh's oracle hardcodes 8 bands x 8 bits
+    (64-dim embeddings). The Spark side derives band count from the
+    vector width, so a regenerated testdata set with a different
+    embedding dim would silently diverge from the oracle - pin the
+    assumption here instead."""
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64]
