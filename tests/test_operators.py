@@ -1191,3 +1191,55 @@ def test_signlsh_band_geometry_assumption_pinned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r.d for r in dims] == [64]
+
+
+def test_span_family_invariants_on_random_corpus(spark):
+    """Seeded random corpus with forced collisions: the three span-
+    family operators must agree on structural invariants - merged spans
+    are disjoint, non-adjacent, >= n tokens, inside the document; a doc
+    has spans iff its repeated-instance count is nonzero; apply never
+    removes more tokens than the report marks and always conserves the
+    token count."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        apply_span_dedup,
+        repeated_ngram_stats,
+        repeated_span_report,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(20):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        rows.append((d, " ".join(toks)))
+    rows += [(100 + d, text) for d, text in rows[:5]]  # exact copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok_counts = {r[0]: len(r[1].split()) if r[1] else 1 for r in rows}
+
+    spans = sorted(
+        repeated_span_report(df, n=8, min_df=2).collect(),
+        key=lambda r: (r.doc_id, r.span_start),
+    )
+    by_doc: dict = {}
+    for r in spans:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= 8
+        assert 1 <= r.span_start <= r.span_end <= tok_counts[r.doc_id]
+        prev = by_doc.get(r.doc_id)
+        if prev is not None:
+            assert r.span_start > prev + 1, "adjacent spans must have merged"
+        by_doc[r.doc_id] = r.span_end
+
+    stats = {r.doc_id: r.n_repeated for r in repeated_ngram_stats(df, n=8, min_df=2).collect()}
+    for doc_id, n_rep in stats.items():
+        assert (n_rep > 0) == (doc_id in by_doc)
+
+    marked = {}
+    for r in spans:
+        marked[r.doc_id] = marked.get(r.doc_id, 0) + r.span_tokens
+    for r in apply_span_dedup(df, n=8).collect():
+        assert r.n_tokens == tok_counts[r.doc_id]
+        assert r.n_removed <= marked.get(r.doc_id, 0)
+        if r.n_removed == r.n_tokens:
+            assert r.clean_md5 is None
