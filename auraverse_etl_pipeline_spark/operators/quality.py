@@ -33,7 +33,11 @@ Every operator here consumes the exploded (doc_id[, pos], hash) gram
 table twice (model/df aggregate + membership join), so that table is
 cached with the repo's paired ``release_caches()`` discipline
 (``operators/caching.py``) — without the cache the tokenize+NGram
-pipeline, the expensive part, runs once per consumer.
+pipeline, the expensive part, runs once per consumer. The cache is a
+``cache_grams``/``cache_tokens`` OPT-OUT: the exploded table scales
+with the corpus TOKEN count, so at full 100 TB scale
+MEMORY_AND_DISK would spill corpus-sized state — there, pass False
+and pay the second tokenize scan (CPU, no executor storage) instead.
 """
 
 from __future__ import annotations
@@ -69,6 +73,7 @@ def rare_bigram_stats(
     max_rare_ratio: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_grams: bool = True,
 ) -> DataFrame:
     """Per-document rare-bigram statistics against the corpus bigram
     model: (doc_id, n_bigrams, n_rare, rare_ratio, keep) where a bigram
@@ -80,7 +85,9 @@ def rare_bigram_stats(
     from the output (they belong to a length gate, not a fluency one).
     """
     grams = _gram_instances(df, n=2, text_col=text_col, id_col=id_col)
-    ex = grams.select("doc_id", F.md5("gram").alias("gh")).cache()
+    ex = grams.select("doc_id", F.md5("gram").alias("gh"))
+    if cache_grams:
+        ex = ex.cache()
     model = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
     scored = ex.join(model, "gh")
     result = (
@@ -101,7 +108,7 @@ def rare_bigram_stats(
             ),
         )
     )
-    return release_after(result, ex)
+    return release_after(result, *( [ex] if cache_grams else [] ))
 
 
 def gopher_report(
@@ -264,6 +271,7 @@ def repeated_span_report(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_grams: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document — the span-level
     output :func:`repeated_ngram_stats` triages for (the Spark spelling
@@ -296,7 +304,9 @@ def repeated_span_report(
     # 0-based gram index -> 1-based token interval [pos+1, pos+n]
     ex = ng.select(
         "doc_id", F.posexplode("_ng").alias("pos", "gram")
-    ).select("doc_id", "pos", F.md5("gram").alias("gh")).cache()
+    ).select("doc_id", "pos", F.md5("gram").alias("gh"))
+    if cache_grams:
+        ex = ex.cache()
     repeated = (
         ex.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("gdf"))
@@ -337,7 +347,7 @@ def repeated_span_report(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
-    return release_after(result, ex)
+    return release_after(result, *( [ex] if cache_grams else [] ))
 
 
 def apply_span_dedup(
@@ -345,6 +355,7 @@ def apply_span_dedup(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """Materialize span-level substring dedup with KEEP-FIRST semantics
     (Lee et al. "Deduplicating Training Data" at n-gram granularity):
@@ -375,11 +386,11 @@ def apply_span_dedup(
     par = df.sparkSession.sparkContext.defaultParallelism
     # tokens feed both the gram pipeline and the reassembly — cache the
     # tokenized form once (paired release below)
-    base = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-        .repartition(par, "doc_id")
-        .cache()
-    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(par, "doc_id")
+    if cache_tokens:
+        base = base.cache()
     ng = NGram(n=n, inputCol="_toks", outputCol="_ng").transform(base)
     pg = ng.select("doc_id", F.posexplode("_ng").alias("p0", "gram")).select(
         "doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh")
@@ -424,7 +435,7 @@ def apply_span_dedup(
             ).alias("clean_md5"),
         )
     )
-    return release_after(result, base)
+    return release_after(result, *( [base] if cache_tokens else [] ))
 
 
 def repeated_ngram_stats(
@@ -433,6 +444,7 @@ def repeated_ngram_stats(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_grams: bool = True,
 ) -> DataFrame:
     """Per-document repeated-n-gram statistics: (doc_id, n_grams,
     n_repeated, repeated_ratio) where an n-gram instance counts as
@@ -446,7 +458,9 @@ def repeated_ngram_stats(
     distribution is extremely head-light — and the shuffle still
     carries only (hash, doc_id) pairs, never text."""
     grams = _gram_instances(df, n=n, text_col=text_col, id_col=id_col)
-    ex = grams.select("doc_id", F.md5("gram").alias("gh")).cache()
+    ex = grams.select("doc_id", F.md5("gram").alias("gh"))
+    if cache_grams:
+        ex = ex.cache()
     docfreq = ex.groupBy("gh").agg(F.count_distinct("doc_id").alias("gdf"))
     scored = ex.join(docfreq, "gh")
     result = (
@@ -464,4 +478,4 @@ def repeated_ngram_stats(
             (F.col("n_repeated") / F.col("n_grams")).alias("repeated_ratio"),
         )
     )
-    return release_after(result, ex)
+    return release_after(result, *( [ex] if cache_grams else [] ))

@@ -1243,3 +1243,34 @@ def test_span_family_invariants_on_random_corpus(spark):
         assert r.n_removed <= marked.get(r.doc_id, 0)
         if r.n_removed == r.n_tokens:
             assert r.clean_md5 is None
+
+
+def test_gram_cache_optout_matches_cached_results(spark):
+    """cache_grams/cache_tokens=False (the 100 TB spelling: recompute
+    instead of corpus-scale executor storage) must change the plan, not
+    the answer - and must leave the session cache empty."""
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        apply_span_dedup,
+        rare_bigram_stats,
+        repeated_span_report,
+    )
+
+    rows = [(d, " ".join(f"w{(d * 7 + i) % 11}" for i in range(20))) for d in range(12)]
+    rows += [(100 + d, t) for d, t in rows[:4]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+
+    for op, kw in (
+        (rare_bigram_stats, "cache_grams"),
+        (repeated_span_report, "cache_grams"),
+        (apply_span_dedup, "cache_tokens"),
+    ):
+        cached = op(df)
+        want = sorted(map(tuple, cached.collect()))
+        cached.release_caches()
+        plain = op(df, **{kw: False})
+        got = sorted(map(tuple, plain.collect()))
+        assert cm.isEmpty(), f"{op.__name__}: opt-out must not populate the cache"
+        assert got == want, op.__name__
+        plain.release_caches()  # still attached, must be a no-op
