@@ -116,6 +116,30 @@ def main() -> None:
         yield from batches
 
     noop(spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long"))
+
+    # ... and the Structured Streaming machinery (micro-batch planner,
+    # state store init, streaming Python workers): whichever streaming
+    # query runs first otherwise absorbs ~6 s of engine spinup that is
+    # session cost, not query cost. A 64-row identity replay over a
+    # throwaway parquet dir — no benchmark query's plan.
+    import shutil
+    import tempfile
+
+    stmp = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        spark.range(0, 64, 1, 8).write.mode("overwrite").parquet(stmp + "/d")
+        sq = (
+            spark.readStream.schema("id long")
+            .parquet(stmp + "/d")
+            .mapInPandas(_ident, "id long")
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", stmp + "/cp")
+            .start()
+        )
+        sq.awaitTermination()
+    finally:
+        shutil.rmtree(stmp, ignore_errors=True)
     spark.catalog.clearCache()
 
     headline_only = os.environ.get("SPARK_GRAFT_BENCH", "full") == "headline"
