@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udtf
 
@@ -95,6 +96,26 @@ def _normalize_fragment_batch(fmts, texts):
     return pd.Series(out, dtype=object)
 
 
+def _median_agg(v: pd.Series) -> float:
+    """GROUPED_AGG kernel: exact median. On integer inputs the
+    even-count midpoint is a half, exact in binary — so DuckDB's
+    ``median()`` reproduces it digit-for-digit (the same reason the
+    repo's other oracles avoid ``ln``-family floats)."""
+    import numpy as np
+
+    return float(np.median(v.to_numpy().astype("float64")))
+
+
+def _mad_agg(v: pd.Series) -> float:
+    """GROUPED_AGG kernel: median absolute deviation — DuckDB's
+    ``mad()``. Exact on integer inputs for the same half-is-exact
+    reason as :func:`_median_agg`."""
+    import numpy as np
+
+    a = v.to_numpy().astype("float64")
+    return float(np.median(np.abs(a - np.median(a))))
+
+
 #: name → (CREATE FUNCTION arg list, RETURN expression). Pure SQL — these
 #: compile to the same native expressions as the Column functions in
 #: functions/text.py and the repair chain in ingest/normalize.py (kept
@@ -140,6 +161,18 @@ def register_sql_surface(spark: SparkSession) -> list[str]:
     spark.udf.register(
         "normalize_fragment", pandas_udf(_normalize_fragment_batch, "string")
     )
+    # pandas GROUPED_AGG UDAFs (Arrow-batched aggregate extension point
+    # — the §2.5 category the detector/normalizer UDFs don't cover);
+    # the Series -> scalar type hints select the GROUPED_AGG eval type
+    spark.udf.register("median_agg", pandas_udf(_median_agg, "double"))
+    spark.udf.register("mad_agg", pandas_udf(_mad_agg, "double"))
     for name, (signature, body) in _SQL_UDFS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}")
-    return ["detect_fragments", "extract_records", "normalize_fragment", *_SQL_UDFS]
+    return [
+        "detect_fragments",
+        "extract_records",
+        "normalize_fragment",
+        "median_agg",
+        "mad_agg",
+        *_SQL_UDFS,
+    ]

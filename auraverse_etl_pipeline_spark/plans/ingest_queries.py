@@ -161,3 +161,29 @@ def sql_lateral_fragment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY f.format_type
         """
     )
+
+
+@query(
+    "sql_udaf_source_stats",
+    oracle="""
+    SELECT source, median(n_chars) AS med_chars, mad(n_chars) AS mad_chars
+    FROM documents GROUP BY source
+    """,
+    description="pandas GROUPED_AGG UDAF surface (SURVEY §2.5's "
+    "aggregate extension point): exact median + median-absolute-"
+    "deviation per source, registered as SQL-callable aggregates and "
+    "invoked from spark.sql. Integer inputs keep the even-count "
+    "midpoints exact in binary, so DuckDB's native median()/mad() "
+    "reproduce the Arrow-batched kernels digit-for-digit",
+)
+def sql_udaf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+
+    register_sql_surface(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udaf")
+    return spark.sql(
+        """
+        SELECT source, median_agg(n_chars) AS med_chars, mad_agg(n_chars) AS mad_chars
+        FROM _docs_udaf GROUP BY source
+        """
+    )

@@ -93,6 +93,7 @@ _NEEDS_FRESH_SCORE = (
     "text_gopher_filter",  # body moved to quality.gopher_report r4
     "text_span_dedup_apply",  # new in round 4 — keep-first materialization
     "dedup_embedding_clean",  # new in round 4 — semantic corpus cleaning
+    "sql_udaf_source_stats",  # new in round 4 — GROUPED_AGG UDAF surface
     "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
     "dedup_minhash_pairs",  # same plan change (rows-only twin)
     "q28_sketch_distinct_users",  # p50 validation re-bracketed r4

@@ -91,3 +91,30 @@ def test_repair_json_is_native_and_matches_python(sql_docs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for r in got.collect():
         assert r.j == repair_json_text(r.t), r.t
+
+
+def test_grouped_agg_udafs_match_native_exact(spark, sf_dir):
+    """median_agg/mad_agg (pandas GROUPED_AGG) must equal the exact
+    percentile spellings of the same statistics, digit for digit."""
+    from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    register_sql_surface(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udaf_t")
+    got = {
+        r.source: (r.med, r.mad)
+        for r in spark.sql(
+            "SELECT source, median_agg(n_chars) AS med, mad_agg(n_chars) AS mad "
+            "FROM _docs_udaf_t GROUP BY source"
+        ).collect()
+    }
+    want = {
+        r.source: r.med
+        for r in spark.sql(
+            "SELECT source, percentile(n_chars, 0.5) AS med FROM _docs_udaf_t GROUP BY source"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for src, med in want.items():
+        assert got[src][0] == med
+        assert got[src][1] >= 0.0
