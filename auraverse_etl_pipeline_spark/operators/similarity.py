@@ -287,6 +287,7 @@ def signbucket_lsh_pairs(
     band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Deterministic sign-bucket LSH: the engine-portable twin of
     :func:`hyperplane_lsh_pairs`, with AXIS-ALIGNED hyperplanes (the
@@ -309,7 +310,18 @@ def signbucket_lsh_pairs(
     Python workers at all) and every stage is oracle-checkable. Same
     scale shape: fixed-width (id, band, key) rows shuffle, band
     equality joins, verify proportional to candidates; the band table
-    is cached with a paired release (multi-consumer self-join)."""
+    is cached with a paired release (multi-consumer self-join).
+
+    SIZE THE BAND GEOMETRY TO THE CORPUS: a band has only
+    ``2^band_bits`` buckets, so expected occupancy is n / 2^band_bits
+    and verify cost grows as bands × n² / 2^band_bits — at 8 bits the
+    candidate set is fine at thousands of vectors and quadratic death
+    at millions (measured: 20× corpus → 12× wall at 8 bits, vs ~2× for
+    the 12-bit random-plane tier). Raise ``band_bits`` to keep
+    n / 2^band_bits around a few hundred, and/or set
+    ``max_bucket_size`` (same opt-in skew cap + ``hot_buckets`` audit
+    contract as the MinHash tier: capped buckets drop whole duplicate
+    clusters, so cap only after exact dedup ran)."""
     e = (
         _as_double(df, vec_col)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -329,7 +341,12 @@ def signbucket_lsh_pairs(
             lambda acc, y: acc + y,
         ),
     )
-    banded = e.select("id", F.posexplode(band_arr).alias("band", "key")).cache()
+    banded_keys = e.select("id", F.posexplode(band_arr).alias("band", "key")).cache()
+    banded = banded_keys
+    if max_bucket_size is not None:
+        from auraverse_etl_pipeline_spark.operators.dedup import drop_hot_buckets
+
+        banded = drop_hot_buckets(banded_keys, ["band", "key"], max_bucket_size).cache()
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -345,7 +362,7 @@ def signbucket_lsh_pairs(
     result = pairs.select(
         "id1", "id2", cosine_similarity_expr("v1", "v2").alias("cosine")
     ).filter(F.col("cosine") >= threshold)
-    return release_after(result, banded)
+    return release_after(result, banded_keys, banded)
 
 
 def ivf_top_k(
