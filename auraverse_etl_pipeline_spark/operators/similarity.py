@@ -15,10 +15,12 @@ Two paths:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from auraverse_etl_pipeline_spark.runtime import ship_package
 
@@ -365,59 +367,177 @@ def signbucket_lsh_pairs(
     return release_after(result, banded_keys, banded)
 
 
-def ivf_top_k(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
+@dataclass
+class IvfIndex:
+    """The persistable IVF index — the embedding-tier twin of the
+    MinHash ``index``/``match``/``merge`` triple.
+
+    Two tables, both plain data:
+
+    - ``centroids`` — (cell int, centroid array<double>): the coarse
+      quantizer. nlist rows; always broadcast at query time.
+    - ``assignments`` — (id, v array<double>, cell int): the inverted
+      file — every corpus vector with its cell label.
+
+    :meth:`save` writes both as parquet, the assignments PARTITIONED BY
+    ``cell``, so a probed search scans only the probed cells' partition
+    directories (the probe set joins as a broadcast against the
+    partition column — dynamic partition pruning territory) and a daily
+    pipeline appends :func:`ivf_assign` deltas as new files inside the
+    cells they land in, never rewriting the index. A retrieval or
+    SemDeDup pipeline builds this ONCE (:func:`ivf_index`), then every
+    run is :meth:`load` + :func:`ivf_search` — no quantizer refit."""
+
+    centroids: DataFrame
+    assignments: DataFrame
+
+    def save(self, path: str, mode: str = "overwrite") -> "IvfIndex":
+        self.centroids.write.mode(mode).parquet(f"{path}/centroids")
+        (
+            self.assignments.write.mode(mode)
+            .partitionBy("cell")
+            .parquet(f"{path}/assignments")
+        )
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
+        return cls(
+            centroids=spark.read.parquet(f"{path}/centroids"),
+            assignments=spark.read.parquet(f"{path}/assignments"),
+        )
+
+
+def ivf_assign(
+    batch: DataFrame,
+    centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
-    exact_fold: bool = False,
-    max_iter: int = 8,
 ) -> DataFrame:
-    """IVF-flat approximate top-k cosine neighbors.
+    """Assign vectors to their nearest centroid (max cosine, ties to
+    the lowest cell) WITHOUT touching the quantizer — the incremental
+    write path: new documents get cells against yesterday's centroids
+    and append into the persisted index's cell partitions. Output:
+    (id, v, cell, centroid_cos).
 
-    Build: KMeans(nlist) over L2-normalized vectors assigns every corpus
-    vector to a cell (this is the index — at scale you persist it,
-    partitioned by cell). Query: score the ``nprobe`` nearest centroids
-    per query, then brute-force only vectors in probed cells. Same
-    output shape as :func:`cosine_top_k`; recall < 1 by construction.
+    Scale shape: centroids broadcast (nlist rows), the batch is scanned
+    once, and the argmax is a ``max_by`` hash aggregate — partial
+    map-side combine, so the shuffle carries ONE fixed-width row per
+    vector, never the batch×nlist scored expansion. The cosine is the
+    ordered native fold (:func:`cosine_similarity_expr`), so every
+    assignment is engine-reproducible — a SQL oracle replays the cell
+    labels digit-for-digit."""
+    b = _as_double(batch, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cent = F.broadcast(centroids.select("cell", "centroid"))
+    scored = b.crossJoin(cent).select(
+        "id",
+        "v",
+        "cell",
+        cosine_similarity_expr("v", "centroid").alias("centroid_cos"),
+    )
+    best = F.max_by(
+        F.struct("cell", "centroid_cos", "v"),
+        F.struct(F.col("centroid_cos"), (-F.col("cell")).alias("neg_cell")),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(best.alias("_best"))
+        .select("id", "_best.v", "_best.cell", "_best.centroid_cos")
+    )
 
-    ``max_iter`` bounds the quantizer's Lloyd iterations (each is a
-    distributed job). A coarse quantizer only needs rough convergence —
-    recall is governed by nprobe/nlist, not centroid polish — and the
-    default (8, vs pyspark.ml's 20) halves index build time with no
-    measurable recall change on the pinned tests; FAISS's IVF trainers
-    default to 10 for the same reason.
 
-    In-cell scoring (the hot loop at scale) uses the Arrow-batched
-    cosine by default; ``exact_fold=True`` restores the interpreted
-    fold for oracle bit-parity. Centroid probing is queries×nlist —
-    tiny — and keeps the native fold either way so the probe stage
-    stays JVM-side with no Python worker round-trip."""
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    quantizer: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build the IVF coarse quantizer + inverted file over a corpus.
+
+    ``quantizer``:
+
+    - ``"kmeans"`` — KMeans(nlist) over L2-normalized vectors (best
+      recall per probe; centroids are data once built, but the BUILD is
+      RNG/ml-dependent, so pipelines that need engine-reproducible
+      indexes use the other mode). ``max_iter`` bounds the Lloyd
+      iterations (each is a distributed job): a coarse quantizer only
+      needs rough convergence — recall is governed by nprobe/nlist, not
+      centroid polish — and 8 (vs pyspark.ml's 20) halves build time
+      with no measurable recall change on the pinned tests; FAISS's IVF
+      trainers default to 10 for the same reason.
+    - ``"sample"`` — the nlist lowest-id corpus vectors ARE the
+      centroids (a deterministic sample quantizer — random-sample
+      centroids are a standard cheap coarse quantizer, made
+      reproducible by sampling on the id order). Assignment is
+      :func:`ivf_assign`'s exact-fold cosine argmax, so index build AND
+      search replay digit-for-digit in any engine with a list cosine —
+      the oracle-gated tier.
+
+    Both modes return the same schema, so :func:`ivf_search` and the
+    persistence contract don't care which built the index."""
+    c = _as_double(corpus, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if quantizer == "sample":
+        w = Window.orderBy("id")
+        cent = (
+            c.orderBy("id")
+            .limit(nlist)
+            .select(
+                (F.row_number().over(w) - 1).cast("int").alias("cell"),
+                F.col("v").alias("centroid"),
+            )
+        )
+        assignments = ivf_assign(c, cent, id_col="id", vec_col="v").select("id", "v", "cell")
+        return IvfIndex(centroids=cent, assignments=assignments)
+    if quantizer != "kmeans":
+        raise ValueError(f"unknown quantizer {quantizer!r}; use 'kmeans' or 'sample'")
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    if not exact_fold:
-        ship_package(corpus.sparkSession)  # batch_cosine, see cosine_top_k
-    c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
     c_vec = Normalizer(inputCol="raw_vec", outputCol="unit_vec").transform(
-        c.withColumn("raw_vec", array_to_vector("cv"))
+        c.withColumn("raw_vec", array_to_vector("v"))
     )
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="unit_vec", predictionCol="cell")
     model = km.fit(c_vec)
-    indexed = model.transform(c_vec).select("neighbor_id", "cv", "cell")
-
+    assignments = model.transform(c_vec).select("id", "v", "cell")
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
-    cent_df = F.broadcast(
-        indexed.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
-    )
+    cent = corpus.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
+    return IvfIndex(centroids=cent, assignments=assignments)
 
+
+def ivf_search(
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Probe an :class:`IvfIndex`: score the ``nprobe`` nearest
+    centroids per query, brute-force only the vectors assigned to
+    probed cells. Same output shape as :func:`cosine_top_k` —
+    (query_id, neighbor_id, rank, cosine); recall < 1 by construction,
+    tunable via nprobe/nlist.
+
+    No refit, no corpus scan: the quantizer is read, not trained, so a
+    daily retrieval pipeline pays only the probe join against a
+    cell-partitioned assignments table (nprobe/nlist of the corpus).
+    In-cell scoring (the hot loop at scale) uses the Arrow-batched
+    cosine by default; ``exact_fold=True`` restores the native ordered
+    fold for oracle bit-parity. Centroid probing is queries×nlist —
+    tiny — and keeps the native fold either way so the probe stage
+    stays JVM-side with no Python worker round-trip."""
+    if not exact_fold:
+        ship_package(queries.sparkSession)  # batch_cosine, see cosine_top_k
+    indexed = index.assignments.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    cent_df = F.broadcast(index.centroids.select("cell", "centroid"))
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -439,4 +559,31 @@ def ivf_top_k(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exact_fold: bool = False,
+    max_iter: int = 8,
+) -> DataFrame:
+    """One-shot IVF-flat approximate top-k: :func:`ivf_index` (KMeans
+    quantizer) + :func:`ivf_search` composed — the exploratory spelling
+    when no index exists yet. Anything that runs more than once should
+    build the index once, ``.save()`` it, and call :func:`ivf_search`
+    against the loaded index instead of refitting per run."""
+    index = ivf_index(
+        corpus, nlist=nlist, quantizer="kmeans", seed=seed, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_search(
+        queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        exact_fold=exact_fold,
     )

@@ -344,6 +344,130 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+#: Shared CTE block for the persistable-IVF oracles: corpus/query split,
+#: deterministic sample quantizer (the nlist lowest-id corpus vectors
+#: ARE the centroids), exact-fold cosine assignment with ties to the
+#: lowest cell — replays operators/similarity.py ivf_index(quantizer=
+#: "sample") digit-for-digit.
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+_IVF_CTES = f"""
+    WITH c AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT {_IVF_NLIST})
+    )
+"""
+
+
+@query(
+    "sim_ivf_index_search",
+    oracle=_IVF_CTES
+    + f"""
+    , assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.centroid) DESC,
+                                cent.cell) AS pr
+            FROM q CROSS JOIN cent
+        ) WHERE pr <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.id) AS rank
+        FROM probes p JOIN assigned a USING (cell)
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM scored WHERE rank <= 5
+    """,
+    description="the PERSISTED-index ANN path end to end: ivf_index "
+    "(deterministic sample quantizer - the nlist lowest-id corpus "
+    "vectors are the centroids, so the build is engine-reproducible "
+    "unlike the KMeans tier) -> save to a cell-partitioned parquet "
+    "index -> load -> ivf_search, no quantizer refit. The oracle "
+    "replays quantizer, assignment, probe ranking and in-cell scoring "
+    "digit-for-digit; the KMeans-quantizer twin (sim_topk_ivf) keeps "
+    "its recall pinned in pytest",
+)
+def sim_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)  # search hits ONLY the persisted tables
+    out = ivf_search(
+        emb.filter(F.col("vec_id") < 10), loaded, k=5, nprobe=_IVF_NPROBE,
+        exact_fold=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "sim_ivf_assign",
+    oracle=_IVF_CTES
+    + """
+    SELECT id AS vec_id, cell, centroid_cos FROM (
+        SELECT q.query_id AS id, cent.cell,
+               list_cosine_similarity(q.qv, cent.centroid) AS centroid_cos,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, cent.centroid) DESC,
+                            cent.cell) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn = 1
+    """,
+    description="the IVF index's incremental WRITE path: a new vector "
+    "batch gets cells against the persisted centroids (ivf_assign - "
+    "broadcast centroids, max_by hash aggregate, one fixed-width row "
+    "per vector on the shuffle) with NO quantizer refit; appended into "
+    "the index's cell partitions it becomes searchable tomorrow - the "
+    "embedding twin of dedup_merge_index",
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    new_batch = emb.filter(F.col("vec_id") < 10)
+    return ivf_assign(new_batch, idx.centroids).select(
+        F.col("id").alias("vec_id"), "cell", "centroid_cos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

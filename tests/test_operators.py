@@ -97,6 +97,65 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
             assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_ivf_index_two_phase_search_without_refit(spark, sf_dir, tmp_path):
+    """The persistable-index contract: build ONCE, save, then every
+    search runs against the loaded parquet tables with no quantizer
+    refit — loaded-search results must equal in-memory-search results
+    exactly, for both quantizer modes, and ivf_assign must give new
+    vectors the same cells the index build gave them."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    for quantizer in ("sample", "kmeans"):
+        idx = ivf_index(corpus, nlist=8, quantizer=quantizer)
+        in_mem = sorted(
+            tuple(r) for r in ivf_search(queries, idx, k=5, nprobe=3).collect()
+        )
+        path = str(tmp_path / f"ivf_{quantizer}")
+        idx.save(path)
+        loaded = IvfIndex.load(spark, path)
+        # phase 2: two searches against ONLY the persisted tables
+        for _ in range(2):
+            from_disk = sorted(
+                tuple(r) for r in ivf_search(queries, loaded, k=5, nprobe=3).collect()
+            )
+            assert from_disk == in_mem, quantizer
+        # the saved assignments are cell-partitioned (prunable layout)
+        assigned = {(r.id, r.cell) for r in loaded.assignments.collect()}
+        # incremental path: re-assigning corpus vectors against the
+        # loaded centroids must reproduce the sample build's own cells
+        if quantizer == "sample":
+            re_assigned = {
+                (r.id, r.cell)
+                for r in ivf_assign(corpus, loaded.centroids).collect()
+            }
+            assert re_assigned == assigned
+
+
+def test_ivf_saved_assignments_partitioned_by_cell(spark, sf_dir, tmp_path):
+    """IvfIndex.save must lay assignments out partitioned by cell, so a
+    probed search scans only probed cells' directories."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 10")
+    path = str(tmp_path / "ivf_layout")
+    ivf_index(emb, nlist=4, quantizer="sample").save(path)
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(f"{path}/assignments") if d.startswith("cell=")
+    )
+    assert cells == ["cell=0", "cell=1", "cell=2", "cell=3"]
+
+
 def test_asof_join_matches_native(spark):
     from auraverse_etl_pipeline_spark.operators.asof import as_of_join, as_of_join_native
 
