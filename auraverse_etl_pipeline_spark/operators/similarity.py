@@ -283,13 +283,37 @@ def hyperplane_lsh_pairs(
     return release_after(result, banded_keys, banded)
 
 
+def signbucket_band_bits(n_vectors: int, target_occupancy: int = 16) -> int:
+    """Derive a sign-bucket band width from the corpus size: the
+    smallest ``band_bits`` keeping expected bucket occupancy
+    (n / 2^band_bits) at or below ``target_occupancy``, floored at 8
+    and capped at 16.
+
+    The default target (16) holds verify cost near-linear in n: each
+    candidate bucket contributes occupancy²/2 pairs, so constant
+    occupancy ⇒ pairs ∝ n (one extra band bit per corpus doubling
+    past ~4k vectors). The round-4 stress measured exactly this
+    failure at a fixed width — occupancy 156 at 8 bits cost 12× wall
+    for 20× data, while re-derived geometry stays ~linear (SCALE.md).
+    The 16-bit cap exists because the derived width must not exceed
+    real embedding dims; past ~1M vectors occupancy creeps up again —
+    there, pass an explicit ``band_bits`` ≤ dim or use the
+    random-plane tier, whose bit count is decoupled from the vector
+    width."""
+    import math
+
+    need = math.ceil(math.log2(max(n_vectors, 1) / target_occupancy)) if n_vectors > target_occupancy else 0
+    return min(16, max(8, need))
+
+
 def signbucket_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    band_bits: int = 8,
+    band_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Deterministic sign-bucket LSH: the engine-portable twin of
     :func:`hyperplane_lsh_pairs`, with AXIS-ALIGNED hyperplanes (the
@@ -314,20 +338,39 @@ def signbucket_lsh_pairs(
     equality joins, verify proportional to candidates; the band table
     is cached with a paired release (multi-consumer self-join).
 
-    SIZE THE BAND GEOMETRY TO THE CORPUS: a band has only
+    THE BAND GEOMETRY IS SIZED TO THE CORPUS: a band has only
     ``2^band_bits`` buckets, so expected occupancy is n / 2^band_bits
-    and verify cost grows as bands × n² / 2^band_bits — at 8 bits the
-    candidate set is fine at thousands of vectors and quadratic death
-    at millions (measured: 20× corpus → 12× wall at 8 bits, vs ~2× for
-    the 12-bit random-plane tier). Raise ``band_bits`` to keep
-    n / 2^band_bits around a few hundred, and/or set
-    ``max_bucket_size`` (same opt-in skew cap + ``hot_buckets`` audit
-    contract as the MinHash tier: capped buckets drop whole duplicate
-    clusters, so cap only after exact dedup ran)."""
+    and verify cost grows as bands × n² / 2^band_bits — a fixed 8 bits
+    is fine at thousands of vectors and quadratic death at millions
+    (measured: 20× corpus → 12× wall at 8 bits, vs ~2× for the 12-bit
+    random-plane tier). ``band_bits=None`` (the default) therefore
+    derives the width from the corpus size via
+    :func:`signbucket_band_bits` — from ``approx_count`` when the
+    caller knows it (a table statistic; keeps the operator job-free),
+    else from one exact ``df.count()`` (deterministic, one cheap
+    count job before planning). Pass ``band_bits`` explicitly only
+    when an oracle/baseline pins the geometry, and then also set
+    ``max_bucket_size`` at scale (same opt-in skew cap +
+    ``hot_buckets`` audit contract as the MinHash tier: capped
+    buckets drop whole duplicate clusters, so cap only after exact
+    dedup ran).
+
+    SHORT/ODD VECTOR WIDTHS: a vector with fewer than ``band_bits``
+    components forms no band at all and is FILTERED OUT — it vanishes
+    from the pair output (it can never collide), so mixed-width
+    corpora should gate on ``size(vec) >= band_bits`` upstream where
+    that's a data bug rather than intent. When the width is not a
+    multiple of ``band_bits``, the trailing ``dim % band_bits``
+    dimensions are ignored for bucketing (they still count in the
+    exact-cosine verify), mildly raising collision rates — harmless
+    for recall, never for precision."""
+    if band_bits is None:
+        n_vectors = approx_count if approx_count is not None else df.count()
+        band_bits = signbucket_band_bits(n_vectors)
     e = (
         _as_double(df, vec_col)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .filter(F.size("v") >= band_bits)  # sequence(0,-1) guard
+        .filter(F.size("v") >= band_bits)  # sequence(0,-1) guard; see docstring
     )
     weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(band_bits)])
     n_bands = F.floor(F.size("v") / band_bits).cast("int")

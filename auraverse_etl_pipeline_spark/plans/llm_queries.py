@@ -247,22 +247,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9, max_bucket_size=1000)
 
 
-@query(
-    "dedup_embedding_signlsh",
-    oracle=_PERTURBED_SQL.format(max_id=150)
-    + """
+#: Sign-bucket LSH oracle geometry — ONE definition shared by the Spark
+#: query functions (explicit band_bits) and both oracle SQL blocks, so
+#: a geometry change touches only these constants (the fixture
+#: embeddings are 64-dim ⇒ the operator's width-derived band count is
+#: dim // band_bits).
+_SIGNLSH_BAND_BITS = 8
+_SIGNLSH_N_BANDS = 64 // _SIGNLSH_BAND_BITS
+
+
+def _signlsh_cand_sql(n_bands: int = _SIGNLSH_N_BANDS, band_bits: int = _SIGNLSH_BAND_BITS) -> str:
+    """DuckDB CTEs ``b`` (band keys: bit-packed component signs) and
+    ``cand`` (band-collision candidate pairs) over a CTE named
+    ``corpus`` — replays operators/similarity.py signbucket_lsh_pairs
+    digit-for-digit at the given geometry."""
+    return f"""
     , b AS (
         SELECT vec_id, CAST(r.i AS INTEGER) AS band,
-               CAST(list_sum(list_transform(range(1, 9), j ->
-                   CASE WHEN v[CAST(r.i * 8 + j AS INT)] >= 0
+               CAST(list_sum(list_transform(range(1, {band_bits + 1}), j ->
+                   CASE WHEN v[CAST(r.i * {band_bits} + j AS INT)] >= 0
                         THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS key
-        FROM corpus, range(0, 8) r(i)
+        FROM corpus, range(0, {n_bands}) r(i)
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
         FROM b a JOIN b b2 USING (band, key)
         WHERE a.vec_id < b2.vec_id
     )
+"""
+
+
+@query(
+    "dedup_embedding_signlsh",
+    oracle=_PERTURBED_SQL.format(max_id=150)
+    + _signlsh_cand_sql()
+    + """
     SELECT id1, id2, list_cosine_similarity(x.v, y.v) AS cosine
     FROM cand JOIN corpus x ON x.vec_id = cand.id1
               JOIN corpus y ON y.vec_id = cand.id2
@@ -279,8 +298,12 @@ def dedup_embedding_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.operators.similarity import signbucket_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # explicit band_bits: the oracle pins this geometry (production
+    # callers omit it and get the corpus-sized derivation)
     return signbucket_lsh_pairs(
-        _with_perturbed_copies(emb, max_id=150), threshold=0.9, band_bits=8
+        _with_perturbed_copies(emb, max_id=150),
+        threshold=0.9,
+        band_bits=_SIGNLSH_BAND_BITS,
     )
 
 
@@ -2140,20 +2163,9 @@ def text_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_clean",
     oracle=_PERTURBED_SQL.format(max_id=150)
+    + _signlsh_cand_sql()
     + """
-    , b AS (
-        SELECT vec_id, CAST(r.i AS INTEGER) AS band,
-               CAST(list_sum(list_transform(range(1, 9), j ->
-                   CASE WHEN v[CAST(r.i * 8 + j AS INT)] >= 0
-                        THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS key
-        FROM corpus, range(0, 8) r(i)
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
-        FROM b a JOIN b b2 USING (band, key)
-        WHERE a.vec_id < b2.vec_id
-    ),
-    pairs AS (
+    , pairs AS (
         SELECT id1, id2
         FROM cand JOIN corpus x ON x.vec_id = cand.id1
                   JOIN corpus y ON y.vec_id = cand.id2
@@ -2176,7 +2188,7 @@ def dedup_embedding_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = _with_perturbed_copies(emb, max_id=150)
-    pairs = signbucket_lsh_pairs(corpus, threshold=0.9, band_bits=8)
+    pairs = signbucket_lsh_pairs(corpus, threshold=0.9, band_bits=_SIGNLSH_BAND_BITS)
     cleaned = drop_near_duplicates(corpus, pairs, id_col="vec_id")
     result = cleaned.select(
         "vec_id",

@@ -1213,6 +1213,51 @@ def test_signbucket_lsh_recall_and_precision(spark, sf_dir):
         assert abs(exact[pair] - cos) < 1e-12
 
 
+def test_signbucket_band_bits_sized_to_corpus():
+    """The derived geometry keeps expected bucket occupancy ≤ 16 (the
+    level at which verify cost stays near-linear in n — see SCALE.md's
+    measured 12× blowup at occupancy 156): floor 8 bits for small
+    corpora, one extra bit per doubling past ~4k vectors, capped at 16
+    (past ~1M vectors the caller passes an explicit width ≤ dim or
+    moves to the random-plane tier)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import signbucket_band_bits
+
+    assert signbucket_band_bits(300) == 8
+    assert signbucket_band_bits(4096) == 8
+    assert signbucket_band_bits(8192) == 9
+    assert signbucket_band_bits(40_000) == 12
+    assert signbucket_band_bits(1_000_000) == 16
+    assert signbucket_band_bits(10**9) == 16
+
+
+def test_signbucket_default_geometry_derives_from_count(spark, sf_dir):
+    """band_bits=None (the default) must size itself: on the 300-vector
+    fixture that derives the 8-bit floor (== the explicit-8 result);
+    with a caller-supplied approx_count of a million-vector corpus it
+    widens the bands, stays false-positive-free, and never needs a
+    count job."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        signbucket_lsh_pairs,
+    )
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _with_perturbed_copies
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_perturbed_copies(emb, max_id=150)
+    explicit = signbucket_lsh_pairs(corpus, threshold=0.9, band_bits=8)
+    derived = signbucket_lsh_pairs(corpus, threshold=0.9)  # count → 8 bits
+    assert sorted(map(tuple, derived.collect())) == sorted(map(tuple, explicit.collect()))
+    explicit.release_caches()
+    derived.release_caches()
+
+    wide = signbucket_lsh_pairs(corpus, threshold=0.9, approx_count=1_000_000)
+    exact = {(r.id1, r.id2) for r in embedding_cosine_pairs(corpus, 0.9).collect()}
+    got = {(r.id1, r.id2) for r in wide.collect()}
+    wide.release_caches()
+    assert got <= exact  # 16-bit bands: still exact-verified, no FPs
+
+
 def test_apply_span_dedup_keep_first_semantics(spark):
     """First occurrence survives untouched; an exact copy loses every
     token (NULL digest); a later doc sharing the run loses only the run;
