@@ -360,6 +360,28 @@ def minhash_match_index(
     if index.storageLevel == StorageLevel.NONE:
         index = index.cache()
         owned.append(index)
+    result = match_signature_tables(
+        new_sig, index,
+        est_threshold=est_threshold, num_hashes=num_hashes,
+        max_bucket_size=max_bucket_size,
+    )
+    return release_after(result, *owned)
+
+
+def match_signature_tables(
+    new_sig: DataFrame,
+    index: DataFrame,
+    est_threshold: float = 0.5,
+    num_hashes: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The signature-level core of :func:`minhash_match_index`: both
+    sides are already (doc_id, sig) tables — band-explode each,
+    equality-join on (band, minhash), estimate Jaccard as the
+    agreeing-minhash fraction. Exposed separately so pipelines that
+    already HOLD signatures (the streaming compaction loop, an
+    index-vs-index audit) never recompute them from text. Output:
+    (new_id, indexed_id, est_jaccard ≥ est_threshold)."""
     nb = new_sig.select(
         F.col("doc_id").alias("new_id"),
         F.posexplode("sig").alias("band", "mh"),
@@ -386,11 +408,10 @@ def minhash_match_index(
         F.filter(F.zip_with("nsig", "isig", lambda a, b: a == b), lambda x: x)
     )
     est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
-    result = (
+    return (
         pairs.select("new_id", "indexed_id", est)
         .filter(F.col("est_jaccard") >= est_threshold)
     )
-    return release_after(result, *owned)
 
 
 def merge_into_index(

@@ -1720,6 +1720,64 @@ def _minhash_index_oracle_sql() -> str:
     """
 
 
+def _stream_compaction_oracle_sql() -> str:
+    """DuckDB replica of the closed streaming compaction loop: because
+    every batch matches against index-so-far ∪ itself and the output is
+    canonicalized (id1 < id2), the total match set is invariant to how
+    the stream was split into batches — it equals ALL canonical
+    signature pairs of the full corpus (documents ∪ shifted-id copies
+    of doc_id < 50) with estimated Jaccard ≥ 0.5 under the md5 base
+    hash. That batching-invariance is exactly what this oracle
+    checks."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    agree = " + ".join(f"CAST(a.m{i} = b.m{i} AS BIGINT)" for i in range(8))
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    sh AS (
+        SELECT doc_id, {_SH3} AS sh FROM base
+    ),
+    sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.i = b.i AND a.mh = b.mh
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2, ({agree}) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN mins a ON a.doc_id = c.id1
+    JOIN mins b ON b.doc_id = c.id2
+    WHERE ({agree}) / 8.0 >= 0.5
+    """
+
+
 @query(
     "dedup_incremental_minhash",
     oracle=_minhash_index_oracle_sql(),

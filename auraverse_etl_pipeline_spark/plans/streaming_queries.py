@@ -276,6 +276,57 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _compaction_oracle() -> str:
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _stream_compaction_oracle_sql,
+    )
+
+    return _stream_compaction_oracle_sql()
+
+
+@query(
+    "stream_compaction_dedup",
+    oracle=_compaction_oracle(),
+    description="the CLOSED incremental-dedup loop as a streaming "
+    "job (foreachBatch): each micro-batch matches against the "
+    "parquet index as of batches 1..N-1 plus itself, then appends "
+    "its own signature delta into the index - so a batch-2 duplicate "
+    "of a batch-1 document IS caught, where stream_incremental_dedup "
+    "only ever matches a static day-1 index. Matches are "
+    "canonicalized (id1 < id2, max-est), making the total output "
+    "invariant to batch boundaries; the oracle replays the full "
+    "corpus-wide canonical pair set under the md5 base hash",
+)
+def stream_compaction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        run_stream_dedup_compaction,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = stream_documents(spark, sf_dir).select("doc_id", "text")
+    copies = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    root = tempfile.mkdtemp(prefix="compaction_")
+    run_stream_dedup_compaction(
+        docs.unionByName(copies),
+        index_path=f"{root}/index",
+        matches_path=f"{root}/matches",
+        est_threshold=0.5,
+        n=3,
+        hash_fn="md5",
+    )
+    return (
+        spark.read.parquet(f"{root}/matches")
+        .groupBy("id1", "id2")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
 def _quality_gate_oracle() -> str:
     # same rule spelling as text_gopher_filter's oracle, aggregated
     from auraverse_etl_pipeline_spark.plans.llm_queries import _EN_LIST, _TOKS

@@ -222,6 +222,107 @@ def stream_match_minhash_index(
     )
 
 
+def run_stream_dedup_compaction(
+    new_docs: DataFrame,
+    index_path: str,
+    matches_path: str,
+    est_threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 600,
+    max_bucket_size: int | None = None,
+) -> None:
+    """The CLOSED incremental-dedup loop as a streaming job: each
+    micro-batch (a) matches against the index as of batches 1..N-1
+    PLUS itself, then (b) compacts its own signatures into the index —
+    so batch N's duplicates of batch-1 documents are caught, and so
+    are duplicates arriving within one batch. This is the
+    ``foreachBatch`` twin of the batch daily loop
+    (``minhash_match_index`` → ``merge_into_index``), where
+    :func:`stream_match_minhash_index` only ever matches a STATIC
+    index.
+
+    Per batch, in order:
+
+    1. read the persisted index (parquet at ``index_path``; absent on
+       the first batch ⇒ empty),
+    2. batch signatures once (``minhash_index``, cached — consumed by
+       the match and the delta write),
+    3. match batch signatures against index ∪ batch
+       (``match_signature_tables``), drop self-matches, CANONICALIZE
+       as (id1 < id2) with a max-est groupBy — a within-batch pair is
+       discovered in both directions, and canonical pairs make the
+       total output invariant to how the stream was batched (the
+       property the oracle gate checks),
+    4. append matches to ``matches_path``,
+    5. append the signature DELTA (left-anti on the id — the
+       materialized spelling of ``merge_into_index``: index rows never
+       rewrite, re-ingested ids add nothing) to ``index_path``.
+
+    Scale shape: identical to the batch loop — the index stays a
+    parquet table on disk (never executor memory), only fixed-width
+    signature rows move, each batch appends only its delta files, and
+    the matches sink is append-only. ``max_bucket_size``: same opt-in
+    skew cap as the batch tiers. The match (4) is materialized before
+    the delta append (5) so a batch never band-joins against files it
+    is itself writing."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        match_signature_tables,
+        minhash_index,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_index(
+            batch_df, n=n, num_hashes=num_hashes, text_col=text_col,
+            id_col=id_col, seed=seed, hash_fn=hash_fn,
+        ).cache()
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame([], sigs.schema)
+        merged = index.unionByName(sigs)
+        matches = (
+            match_signature_tables(
+                sigs, merged,
+                est_threshold=est_threshold, num_hashes=num_hashes,
+                max_bucket_size=max_bucket_size,
+            )
+            .filter(F.col("new_id") != F.col("indexed_id"))
+            .select(
+                F.least("new_id", "indexed_id").alias("id1"),
+                F.greatest("new_id", "indexed_id").alias("id2"),
+                "est_jaccard",
+            )
+            .groupBy("id1", "id2")
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+        )
+        matches.write.mode("append").parquet(matches_path)
+        delta = sigs.join(index.select("doc_id"), "doc_id", "left_anti")
+        delta.write.mode("append").parquet(index_path)
+        sigs.unpersist()
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_compaction_")
+    q = (
+        new_docs.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 #: Output schema of user_running_totals.
 USER_TOTALS_SCHEMA = StructType(
     [

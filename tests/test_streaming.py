@@ -373,6 +373,56 @@ def test_stream_incremental_dedup_multi_batch(spark, sf_dir, tmp_path):
     assert g == w and len(g) >= 30
 
 
+def test_stream_compaction_dedup_catches_cross_batch_duplicates(spark, tmp_path):
+    """The closed loop's defining property, which the static-index
+    stream cannot have: a batch-2 duplicate of a batch-1 document is
+    caught, because batch 1 compacted its signatures into the index
+    before batch 2 matched. Also: within-batch duplicates are caught,
+    canonical output carries no self/duplicate rows, and the persisted
+    index ends with exactly one signature row per unique doc_id."""
+    import time
+
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        run_stream_dedup_compaction,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy sleeping dog today"
+    text_b = "completely different content about distributed query engines and shuffles"
+    text_c = "a third unrelated document mentioning parquet files and row groups"
+    batch1 = [(1, text_a), (2, text_b), (7, text_b)]  # 2↔7: within-batch dup
+    batch2 = [(3, text_a), (4, text_c)]  # 3: cross-batch dup of 1
+    schema = "doc_id long, text string"
+    chunk_dir = tmp_path / "doc_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(chunk_dir)
+        )
+        time.sleep(1.2)
+
+    root = tmp_path / "compaction"
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    run_stream_dedup_compaction(
+        sdocs,
+        index_path=str(root / "index"),
+        matches_path=str(root / "matches"),
+        est_threshold=0.5,
+        n=3,
+        hash_fn="md5",
+    )
+    got = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in spark.read.parquet(str(root / "matches")).collect()
+    }
+    assert got == {(1, 3): 1.0, (2, 7): 1.0}
+    index = spark.read.parquet(str(root / "index"))
+    assert index.count() == 5  # one signature row per unique doc
+    assert index.select("doc_id").distinct().count() == 5
+
+
 def test_stream_quality_gate_multi_batch(spark, sf_dir, tmp_path):
     """The streaming Gopher gate replayed over three micro-batches must
     equal the batch decision aggregate over the same documents."""
