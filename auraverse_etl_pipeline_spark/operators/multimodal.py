@@ -57,23 +57,183 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def decode_payload(payload: bytes, kind: str):
-    """Codec hook. Binary PPM (P6) decodes for real — a complete pure
-    stdlib+numpy raster codec, so the resize/feature path is exercised
-    on genuine pixel data with zero third-party image libraries.
-    Everything else (JPEG/WAV/MP4...) needs PIL / soundfile / pyav,
-    absent in this runtime, and raises ``NotImplementedError`` so
-    downstream code falls back to the deterministic byte-level fake.
+#: PNG file signature.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    The PPM path is gated on the declared ``kind`` as well as the magic
-    bytes: an audio/video payload that happens to start with ``P6``
-    must not be silently reinterpreted as pixels."""
+
+def decode_payload(payload: bytes, kind: str):
+    """Codec hook. Binary PPM (P6) and PNG (8-bit RGB/RGBA,
+    non-interlaced) decode for real — complete pure stdlib(+zlib)+numpy
+    raster codecs, so the resize/feature path is exercised on genuine
+    pixel data with zero third-party image libraries. Everything else
+    (JPEG/WAV/MP4...) needs PIL / soundfile / pyav, absent in this
+    runtime, and raises ``NotImplementedError`` so downstream code
+    falls back to the deterministic byte-level fake.
+
+    Both image paths are gated on the declared ``kind`` as well as the
+    magic bytes: an audio/video payload that happens to start with
+    ``P6`` or the PNG signature must not be silently reinterpreted as
+    pixels."""
     if kind == "image" and payload[:2] == b"P6":
         return decode_ppm(payload)
+    if kind == "image" and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no {kind} decoder available in this runtime; "
         "install pillow/soundfile/pyav and implement decode_payload"
     )
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, row_filters=None) -> bytes:
+    """(h, w, 3) uint8 array → PNG bytes (8-bit truecolor RGB,
+    non-interlaced). ``row_filters`` optionally picks a PNG filter type
+    (0..4) per scanline — the test hook that makes the decoder's
+    unfilter pass exercisable on every filter, not just the type-0
+    rows this encoder would otherwise emit."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    bpp = 3
+    if row_filters is None:
+        row_filters = [0] * h
+    raw = np.asarray(pixels, dtype=np.uint8)
+    out_rows = []
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = raw[y].reshape(-1).astype(np.int64)
+        f = row_filters[y]
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            filt = (row - left) % 256
+        elif f == 2:  # Up
+            filt = (row - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            filt = (row - (left + prior) // 2) % 256
+        elif f == 4:  # Paeth
+            filt = np.empty_like(row)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                filt[i] = (row[i] - _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out_rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG → (maxval=255, (h, w, 3) uint8 array). Pure stdlib ``zlib``
+    + numpy: chunk walk, IDAT concatenation, inflate, per-scanline
+    unfilter (all five PNG filter types). Supports 8-bit truecolor
+    (color type 2) and truecolor+alpha (type 6 — alpha dropped, the
+    standard convention for RGB feature extractors), non-interlaced.
+    Strict like :func:`decode_ppm`: malformed headers, unsupported
+    variants, and truncated rasters raise ValueError — a training
+    pipeline wants corrupt media surfaced, not guessed at."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: serial in x
+            rec = np.empty_like(row)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    pixels = out.reshape(h, w, bpp)[:, :, :3]
+    return 255, np.ascontiguousarray(pixels)
 
 
 def encode_ppm(pixels, maxval: int = 255) -> bytes:
@@ -183,6 +343,51 @@ def attach_ppm_media(
             F.lit("image/x-portable-pixmap").alias("mime"),
             F.length("payload").cast("long").alias("n_bytes"),
             F.lit("synthetic-ppm").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_png_media(
+    docs: DataFrame, width: int = 16, height: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL PNG table: the :func:`attach_ppm_media`
+    gradient formula (pixel = 1 + (media_id + 3x + 7y + c) mod 127),
+    zlib-compressed through :func:`encode_png` with the scanline filter
+    cycling over all five PNG filter types — so the full decode path
+    (inflate + every unfilter) runs on every payload, and because the
+    DECODED raster is closed-form, a SQL oracle can recompute the
+    feature stats without ever touching zlib. (Payload LENGTH is
+    compression-dependent, so oracles gate the decoded-raster stats,
+    never n_bytes/sha256.)"""
+    import numpy as np
+
+    ship_package(docs.sparkSession)
+
+    def make_png(ids: pd.Series) -> pd.Series:
+        x = np.arange(width)[None, :, None] * 3
+        y = np.arange(height)[:, None, None] * 7
+        c = np.arange(3)[None, None, :]
+        filters = [(i % 5) for i in range(height)]
+        return pd.Series(
+            [
+                encode_png(
+                    (1 + (int(mid) + x + y + c) % PPM_MAXVAL).astype(np.uint8),
+                    row_filters=filters,
+                )
+                for mid in ids
+            ]
+        )
+
+    payload = F.pandas_udf(make_png, "binary")(F.col(id_col))
+    out = docs.select(F.col(id_col).alias("media_id"), payload.alias("payload"))
+    return out.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("synthetic-png").alias("origin"),
         ).alias("media_meta"),
     )
 

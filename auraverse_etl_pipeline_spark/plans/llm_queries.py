@@ -935,6 +935,44 @@ def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_png_features",
+    # The payloads are REAL PNGs (zlib DEFLATE, scanline filters
+    # cycling all five types), so n_bytes/sha256 are compression-
+    # dependent and stay out of the oracle; the DECODED raster is the
+    # closed-form gradient 1 + (id + 3x + 7y + c) mod 127 over a 16x8
+    # image, which SQL recomputes without touching zlib. byte_mean /
+    # entropy / frame count are stats of the decoded raster (384
+    # bytes), so a wrong unfilter pass would shift every value.
+    oracle="""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+    px AS (
+        SELECT media_id, 1 + ((media_id + 3*x.i + 7*y.i + c.i) % 127) AS b
+        FROM ids, range(0, 16) x(i), range(0, 8) y(i), range(0, 3) c(i)
+    )
+    SELECT media_id,
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS byte_mean,
+           CAST(COUNT(DISTINCT b) AS DOUBLE) / 256.0 AS byte_entropy_proxy,
+           CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS n_frames_sampled
+    FROM px GROUP BY media_id
+    """,
+    description="a REAL compressed-image corpus through the codec "
+    "hook: stdlib-zlib PNG decode (inflate + all five PNG scanline "
+    "unfilters) feeds the Arrow-batched feature extractor, and the "
+    "decoded-raster stats must match SQL's closed-form recomputation "
+    "of the pixels - proving the pipeline runs decode -> features on "
+    "compressed media rather than the byte-stat fallback",
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import attach_png_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    feats = extract_media_features(attach_png_media(docs, width=16, height=8))
+    return feats.select(
+        "media_id", "byte_mean", "byte_entropy_proxy", "n_frames_sampled"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: PII scrub, quality filter, decontamination, vocab,
 # mixture sampling, length profiling

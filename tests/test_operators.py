@@ -679,6 +679,90 @@ def test_ppm_codec_roundtrip_and_real_resize(spark, docs):
                     assert pix[y, x, c] == 1 + (mid + 3 * sx + 7 * sy + c) % PPM_MAXVAL
 
 
+def test_png_codec_roundtrip_all_filters(spark):
+    """The stdlib-zlib PNG codec must roundtrip exactly through every
+    scanline filter type, drop RGBA alpha, gate on declared kind, and
+    surface corruption as ValueError rather than guessed pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_payload,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    # every filter type exercised, including mid-image transitions
+    blob = encode_png(img, row_filters=[0, 1, 2, 3, 4, 4, 3])
+    maxval, back = decode_png(blob)
+    assert maxval == 255 and np.array_equal(back, img)
+    # default (all type-0 rows) roundtrips too
+    assert np.array_equal(decode_png(encode_png(img))[1], img)
+
+    # RGBA: alpha dropped, RGB exact
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    rows = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0)
+    rgba_png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(rgba_png)[1], rgba[:, :, :3])
+
+    # kind gating: an audio payload starting with the PNG magic must
+    # NOT be reinterpreted as pixels
+    assert np.array_equal(decode_payload(blob, "image")[1], img)
+    with pytest.raises(NotImplementedError):
+        decode_payload(blob, "audio")
+
+    # corruption surfaces, never guesses
+    with pytest.raises(ValueError):
+        decode_png(blob[:-20])  # truncated IEND/IDAT
+    broken = bytearray(blob)
+    broken[len(PNG_MAGIC) + 8 + 30] ^= 0xFF  # flip a DEFLATE byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(broken))
+    with pytest.raises(ValueError):  # interlaced: unsupported variant
+        bad_ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
+        decode_png(PNG_MAGIC + _png_chunk(b"IHDR", bad_ihdr) + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b""))
+
+
+def test_png_media_features_use_decoded_raster(spark, docs):
+    """extract_media_features over real PNGs must compute stats from
+    the DECODED pixels (the closed-form gradient), not the compressed
+    payload bytes — the proof the codec path, not the fallback, ran."""
+    import numpy as np
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        PPM_MAXVAL,
+        attach_png_media,
+        extract_media_features,
+    )
+
+    media = attach_png_media(docs.filter("doc_id < 16"), width=16, height=8)
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert len(feats) == 16
+    x = np.arange(16)[None, :, None] * 3
+    y = np.arange(8)[:, None, None] * 7
+    c = np.arange(3)[None, None, :]
+    for mid, r in feats.items():
+        raster = (1 + (mid + x + y + c) % PPM_MAXVAL).astype(np.uint8)
+        flat = raster.reshape(-1)
+        assert r.byte_mean == flat.sum() / flat.size
+        assert r.byte_entropy_proxy == len(set(flat.tolist())) / 256.0
+        assert r.n_frames_sampled == (flat.size + 63) // 64
+        # n_bytes is the COMPRESSED payload: smaller than the raster
+        assert 0 < r.n_bytes < flat.size
+
+
 def test_resize_media_plumbing(spark, docs):
     from auraverse_etl_pipeline_spark.operators.multimodal import (
         attach_fake_media,
