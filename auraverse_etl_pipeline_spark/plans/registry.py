@@ -56,79 +56,105 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with ~97 queries full single-
+#: the registry (50 rows per round), so with 115+ queries full single-
 #: round attestation is impossible — the order rotates so the least-
 #: recently-scored queries enumerate first each round. Evidence ledger
-#: as of round 4:
+#: as of round 5:
 #:
-#: - ``_NEEDS_FRESH_SCORE``: rewritten after their last green driver
-#:   row (the round-3 rewrites: connected components got pointer
-#:   doubling in ``401a95a`` after its r2 green; the multimodal digests
-#:   got PPM kind-gating; ``fixture_schema_field_types`` got inference
-#:   hardening; the cosine tiers sit in the touched ``similarity.py``)
-#:   or brand-new this round — these go first.
-#: - names in ``_SCORED_R3`` (the 50 rows of CORRECTNESS_r03.json)
-#:   carry the freshest evidence — they go last.
-#: - everything else was last scored in round 1 or 2 — middle.
+#: - ``_NEEDS_FRESH_SCORE``: brand-new since the round-4 scoring run,
+#:   or rewritten after their last green driver row — these go first.
+#: - everything else is ordered by ``_LAST_GREEN`` (the latest round
+#:   whose CORRECTNESS_r0N.json carries a green — or, for the four
+#:   rows-only-by-design names, a rows-recorded — row for the name):
+#:   oldest evidence enumerates first, round-4 greens last.
 _NEEDS_FRESH_SCORE = (
-    # r3 rewrites whose last driver row predates the rewrite
-    "dedup_connected_components",
-    "multimodal_feature_digest",
-    "multimodal_resize_digest",
-    "fixture_schema_field_types",
-    "sim_topk_cosine",
-    "dedup_embedding_cosine",
-    # r4 changes/new queries (kept current as the round progresses)
-    "dedup_merge_index",  # new in round 4 — index compaction
-    "text_rare_bigram_filter",  # new in round 4 — corpus-LM fluency gate
-    "text_repeated_ngrams",  # new in round 4 — substring-dedup triage
-    "mix_stratified_quota",  # new in round 4 — exact-quota sampling
-    "dedup_hot_bucket_audit",  # new in round 4 — capped-LSH audit
-    "text_span_dedup",  # new in round 4 — repeated-span islands
-    "curation_funnel",  # new in round 4 — pipeline attrition report
-    "sim_range_search",  # new in round 4 — radius cosine retrieval
-    "multimodal_frame_manifest",  # new in round 4 — frame fan-out gate
-    "dedup_embedding_signlsh",  # new in round 4 — oracle-gated sign LSH
-    "stream_quality_gate",  # new in round 4 — streaming Gopher gate
-    "text_gopher_filter",  # body moved to quality.gopher_report r4
-    "text_span_dedup_apply",  # new in round 4 — keep-first materialization
-    "dedup_embedding_clean",  # new in round 4 — semantic corpus cleaning
-    "sql_udaf_source_stats",  # new in round 4 — GROUPED_AGG UDAF surface
-    "dedup_minhash_md5_pairs",  # hot-bucket anti-join hint dropped r4
-    "dedup_minhash_pairs",  # same plan change (rows-only twin)
-    "q28_sketch_distinct_users",  # p50 validation re-bracketed r4
-    "dedup_cluster_representatives",  # cache-release pairing r4
-    "dedup_incremental_minhash",  # match-index caching contract r4
-    "stream_incremental_dedup",  # consumes the same match path
-    "dedup_simhash_pairs",  # shares the hot-bucket cap path
+    # brand-new after the r4 scoring run (r4 tail + round 5)
+    "sim_ivf_index_search",  # persistable IVF triple: index+search
+    "sim_ivf_assign",  # IVF incremental assignment, no refit
+    "multimodal_png_features",  # stdlib-zlib PNG decode→features
+    "stream_compaction_dedup",  # foreachBatch match+merge loop
+    # rewritten after their r4 green row (r4 tail + round 5)
+    "dedup_embedding_signlsh",  # corpus-sized band geometry + shared SQL frag
+    "dedup_embedding_clean",  # consumes the re-geometried sign LSH
+    "sim_topk_ivf",  # ivf_top_k refactored onto the index triple
+    "dedup_incremental_minhash",  # match path split into match_signature_tables
+    "stream_incremental_dedup",  # consumes the same refactored match path
+    "multimodal_feature_digest",  # decode dispatcher gained the PNG branch
+    "multimodal_resize_digest",  # same shared dispatcher
+    "text_gopher_filter",  # Gopher keep-rule factored into shared helper (r5)
+    "stream_quality_gate",  # same shared rule spelling (r5)
+    "curation_funnel",  # shared rule + release_after chaining (r5)
+    "mix_stratified_quota",  # string-safe sample_hash rewrite (r5)
+    "mix_weighted_sample",  # same sampling helper (r5)
 )
 
-_SCORED_R3 = frozenset({
-    "dedup_simhash_pairs", "text_gopher_filter", "text_line_dedup",
-    "dedup_cluster_representatives", "text_pack_sequences",
-    "text_pack_manifest", "dedup_incremental_minhash",
-    "dedup_minhash_md5_pairs", "stream_incremental_dedup",
-    "dedup_minhash_pairs", "dedup_embedding_lsh", "sim_topk_ivf",
-    "multimodal_media_features",
-    "q10_top3_orders_per_customer", "q11_running_revenue",
-    "q12_orders_monthly_kpis", "q13_order_count_histogram",
-    "q16_repeat_buyers_setop", "q18_large_quantity_orders",
-    "q19_event_lag_lead", "q20_hourly_event_windows",
-    "q21_churned_buyers_setop", "q22_asof_last_order",
-    "q23_events_json_extract", "q24_user_sessions",
-    "q25_salted_flag_totals", "q26_range_join_daytime_events",
-    "q27_rollup_cascade_daily", "q28_sketch_distinct_users",
-    "q29_sliding_event_windows", "q30_grouping_sets_revenue",
-    "q31_pivot_daily_event_matrix", "q32_variant_json_extract",
-    "q33_hll_sketch_union", "q34_full_outer_user_reconciliation",
-    "q35_profile_orders", "q36_trailing_7day_revenue",
-    "q37_percentile_ladder", "q38_changeset_apply", "q39_scd2_history",
-    "q40_referential_audit", "q41_unpivot_metrics",
-    "q42_customer_value_distribution", "q43_exact_correlation",
-    "q44_global_ids", "q45_messy_date_ladder",
-    "q46_approx_percentile_scale_path", "q47_cascade_delete_audit",
-    "q48_gap_filled_daily_revenue", "q49_shuffled_hash_strategy",
-})
+#: name → latest round with a green (or rows-only-recorded) driver row,
+#: from CORRECTNESS_r0{1..4}.json. Regenerate each round with
+#: ``tools/refresh_ledger.py``. Names absent here and not in
+#: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
+_LAST_GREEN = {
+    # round 2
+    "converted_documents": 2, "fixture_fragment_summary": 2,
+    "fixture_record_summary": 2, "fragment_spans": 2,
+    "fragment_summary": 2, "q01_pricing_summary": 2,
+    "q02_top_revenue_orders": 2, "q03_region_nation_revenue": 2,
+    "q04_revenue_forecast": 2, "q05_returned_customers": 2,
+    "q06_priority_with_big_items": 2, "q07_acctbal_by_region": 2,
+    "q08_parts_by_brand": 2, "q14_rollup_priority_status": 2,
+    "q15_cube_flag_status": 2, "q17_customers_without_orders": 2,
+    "sql_lateral_fragment_summary": 2,
+    "stream_enriched_segment_revenue": 2,
+    "stream_ingest_fragment_summary": 2,
+    # round 3
+    "dedup_embedding_lsh": 3, "multimodal_media_features": 3,
+    "q10_top3_orders_per_customer": 3, "q11_running_revenue": 3,
+    "q12_orders_monthly_kpis": 3, "q13_order_count_histogram": 3,
+    "q16_repeat_buyers_setop": 3, "q18_large_quantity_orders": 3,
+    "q19_event_lag_lead": 3, "q20_hourly_event_windows": 3,
+    "q21_churned_buyers_setop": 3, "q22_asof_last_order": 3,
+    "q23_events_json_extract": 3, "q24_user_sessions": 3,
+    "q25_salted_flag_totals": 3, "q26_range_join_daytime_events": 3,
+    "q27_rollup_cascade_daily": 3, "q29_sliding_event_windows": 3,
+    "q30_grouping_sets_revenue": 3, "q31_pivot_daily_event_matrix": 3,
+    "q32_variant_json_extract": 3, "q33_hll_sketch_union": 3,
+    "q34_full_outer_user_reconciliation": 3, "q35_profile_orders": 3,
+    "q36_trailing_7day_revenue": 3, "q37_percentile_ladder": 3,
+    "q38_changeset_apply": 3, "q39_scd2_history": 3,
+    "q40_referential_audit": 3, "q41_unpivot_metrics": 3,
+    "q42_customer_value_distribution": 3, "q43_exact_correlation": 3,
+    "q44_global_ids": 3, "q45_messy_date_ladder": 3,
+    "q46_approx_percentile_scale_path": 3,
+    "q47_cascade_delete_audit": 3, "q48_gap_filled_daily_revenue": 3,
+    "q49_shuffled_hash_strategy": 3, "sim_topk_ivf": 3,
+    "text_line_dedup": 3, "text_pack_manifest": 3,
+    "text_pack_sequences": 3,
+    # round 4
+    "curation_funnel": 4, "dedup_cluster_representatives": 4,
+    "dedup_connected_components": 4, "dedup_corpus_clean": 4,
+    "dedup_decontaminate": 4, "dedup_embedding_clean": 4,
+    "dedup_embedding_cosine": 4, "dedup_embedding_signlsh": 4,
+    "dedup_exact_groups": 4, "dedup_exact_stats": 4,
+    "dedup_hot_bucket_audit": 4, "dedup_incremental_minhash": 4,
+    "dedup_merge_index": 4, "dedup_minhash_md5_pairs": 4,
+    "dedup_minhash_pairs": 4, "dedup_ngram_jaccard": 4,
+    "dedup_simhash_pairs": 4, "fixture_schema_field_types": 4,
+    "mix_stratified_quota": 4, "mix_weighted_sample": 4,
+    "multimodal_feature_digest": 4, "multimodal_frame_manifest": 4,
+    "multimodal_resize_digest": 4, "q28_sketch_distinct_users": 4,
+    "sim_range_search": 4, "sim_topk_cosine": 4,
+    "sql_udaf_source_stats": 4, "stream_dedup_events": 4,
+    "stream_hourly_event_windows": 4, "stream_incremental_dedup": 4,
+    "stream_purchase_attribution": 4, "stream_quality_gate": 4,
+    "stream_sliding_windows": 4, "stream_user_running_totals": 4,
+    "stream_user_sessions": 4, "text_bpe_token_budget": 4,
+    "text_chunk_documents": 4, "text_fingerprints": 4,
+    "text_gopher_filter": 4, "text_lang_guess": 4,
+    "text_length_histogram": 4, "text_pii_redaction": 4,
+    "text_quality_scores": 4, "text_rare_bigram_filter": 4,
+    "text_repeated_ngrams": 4, "text_repetition_filter": 4,
+    "text_span_dedup": 4, "text_span_dedup_apply": 4,
+    "text_token_stats": 4, "text_vocab_topk": 4,
+}
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones
 #: (a rows-only row is the weakest evidence, so it should never crowd
@@ -159,10 +185,9 @@ def all_queries() -> dict[str, QueryDef]:
         name, qd = item
         if name in _NEEDS_FRESH_SCORE:
             tier = 0
-        elif name not in _SCORED_R3:
-            tier = 1
         else:
-            tier = 2
+            # never-scored → 1; then oldest green evidence first.
+            tier = _LAST_GREEN.get(name, 0) + 1
         module = qd.fn.__module__.rsplit(".", 1)[-1]
         return (tier, 0 if qd.oracle is not None else 1, _MODULE_PRIORITY.get(module, 9))
 
