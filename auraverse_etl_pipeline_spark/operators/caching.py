@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame
 def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Attach ``result.release_caches()`` which unpersists ``cached``.
 
+    An item that itself carries a ``release_caches`` handle (the result
+    of another paired-release operator, consumed as an input here) has
+    that inner handle chained as well — composing operators never needs
+    hand-rolled release closures at the call site.
+
     Idempotent; swallows errors from an already-stopped session (there
     is nothing left to release then)."""
     released = False
@@ -41,8 +46,14 @@ def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
             return
         released = True
         for df in cached:
+            inner = getattr(df, "release_caches", None)
+            if callable(inner):
+                try:
+                    inner()
+                except Exception:
+                    pass
             try:
-                df.unpersist()
+                df.unpersist()  # no-op when the item was never persisted
             except Exception:
                 pass  # session already stopped — nothing to release
 

@@ -111,15 +111,19 @@ def rare_bigram_stats(
     return release_after(result, *( [ex] if cache_grams else [] ))
 
 
-def gopher_report(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher-rules quality gate as a per-document DECISION: (doc_id,
-    n_words, mean_word_len, stopword_hits, fail_reason, keep) with the
-    first failing rule named. One spelling shared by the batch query
-    (``text_gopher_filter``) and the streaming gate
-    (``stream_quality_gate``) — a pure stateless projection, so it is
-    legal on streaming DataFrames and costs one scan either way."""
+#: Gopher rule constants — the ONE place the thresholds live. Batch
+#: gate, streaming gate and curation funnel all build their keep
+#: condition from these via :func:`gopher_metrics` / :func:`gopher_rules`,
+#: and the DuckDB oracles splice the same numbers via
+#: :func:`gopher_keep_sql` / :func:`gopher_fail_reason_sql`.
+GOPHER_WORD_COUNT = (50, 100000)
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_metrics(text_col: str | Column) -> tuple[Column, Column, Column]:
+    """The three Gopher metric Columns ``(n_words, mean_word_len,
+    stopword_hits)`` for a text column — pure codegen'd expressions."""
     from auraverse_etl_pipeline_spark.functions.text import (
         LANG_STOPWORDS,
         avg_token_len,
@@ -132,15 +136,69 @@ def gopher_report(
     stops = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in en_stops]))
     ).cast("bigint")
+    return n, avg_token_len(text_col), stops
+
+
+def gopher_rules(
+    n_words: Column, mean_word_len: Column, stopword_hits: Column
+) -> tuple[Column, Column, Column]:
+    """Per-rule boolean Columns ``(word_count_ok, word_len_ok,
+    stops_ok)`` over already-computed metric Columns."""
+    return (
+        n_words.between(*GOPHER_WORD_COUNT),
+        mean_word_len.between(*GOPHER_MEAN_WORD_LEN),
+        stopword_hits >= GOPHER_MIN_STOPWORDS,
+    )
+
+
+def gopher_keep_sql(
+    n_words: str = "n_words", mean_word_len: str = "mean_word_len",
+    stopword_hits: str = "stopword_hits",
+) -> str:
+    """The keep condition as an ANSI-SQL fragment with the same
+    constants, for splicing into DuckDB oracles."""
+    lo, hi = GOPHER_WORD_COUNT
+    a, b = GOPHER_MEAN_WORD_LEN
+    return (
+        f"({n_words} BETWEEN {lo} AND {hi}) AND ({mean_word_len} BETWEEN {a:g} AND {b:g}) "
+        f"AND {stopword_hits} >= {GOPHER_MIN_STOPWORDS}"
+    )
+
+
+def gopher_fail_reason_sql(
+    n_words: str = "n_words", mean_word_len: str = "mean_word_len",
+    stopword_hits: str = "stopword_hits",
+) -> str:
+    """The first-failing-rule CASE expression for DuckDB oracles."""
+    lo, hi = GOPHER_WORD_COUNT
+    a, b = GOPHER_MEAN_WORD_LEN
+    return (
+        f"CASE WHEN {n_words} < {lo} OR {n_words} > {hi} THEN 'word_count' "
+        f"WHEN {mean_word_len} < {a:g} OR {mean_word_len} > {b:g} THEN 'word_length' "
+        f"WHEN {stopword_hits} < {GOPHER_MIN_STOPWORDS} THEN 'stopwords' "
+        "ELSE 'ok' END"
+    )
+
+
+def gopher_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rules quality gate as a per-document DECISION: (doc_id,
+    n_words, mean_word_len, stopword_hits, fail_reason, keep) with the
+    first failing rule named. One spelling shared by the batch query
+    (``text_gopher_filter``) and the streaming gate
+    (``stream_quality_gate``) — a pure stateless projection, so it is
+    legal on streaming DataFrames and costs one scan either way."""
+    n, mwl, stops = gopher_metrics(text_col)
     m = df.select(
         F.col(id_col).alias("doc_id"),
         n.alias("n_words"),
-        avg_token_len(text_col).alias("mean_word_len"),
+        mwl.alias("mean_word_len"),
         stops.alias("stopword_hits"),
     )
-    word_count_ok = F.col("n_words").between(50, 100000)
-    word_len_ok = F.col("mean_word_len").between(3.0, 10.0)
-    stops_ok = F.col("stopword_hits") >= 2
+    word_count_ok, word_len_ok, stops_ok = gopher_rules(
+        F.col("n_words"), F.col("mean_word_len"), F.col("stopword_hits")
+    )
     return m.select(
         "doc_id",
         "n_words",
@@ -186,25 +244,11 @@ def curation_funnel(
     hash; fluency reuses :func:`rare_bigram_stats` (md5(bigram)
     shuffle). The final funnel is ONE single-row aggregate fanned out
     to stage rows, so the report itself is free."""
-    from auraverse_etl_pipeline_spark.functions.text import (
-        LANG_STOPWORDS,
-        avg_token_len,
-        lang_guess,
-        tokens,
-    )
+    from auraverse_etl_pipeline_spark.functions.text import lang_guess
 
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    en_stops = LANG_STOPWORDS[0][1]
-    toks = tokens("text")
-    n_words = F.size(toks).cast("bigint")
-    stop_hits = F.size(
-        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in en_stops]))
-    ).cast("bigint")
-    gopher = (
-        n_words.between(50, 100000)
-        & avg_token_len("text").between(3.0, 10.0)
-        & (stop_hits >= 2)
-    )
+    wc_ok, wl_ok, st_ok = gopher_rules(*gopher_metrics("text"))
+    gopher = wc_ok & wl_ok & st_ok
     # consumed twice (canonical aggregate + join back) — cache the
     # fixed-width flag rows, never the text (paired release below)
     flags = docs.select(
@@ -253,16 +297,9 @@ def curation_funnel(
         .select("st.*")
         .withColumn("dropped", c("docs_in") - c("docs_out"))
     )
-    result = release_after(result, flags)
-    # chain the fluency tier's own paired release (its gram cache)
-    own_release, inner_release = result.release_caches, fluent_stats.release_caches
-
-    def _release_all() -> None:
-        own_release()
-        inner_release()
-
-    result.release_caches = _release_all
-    return result
+    # fluent_stats carries its own paired release (the gram cache);
+    # release_after chains it automatically
+    return release_after(result, flags, fluent_stats)
 
 
 def repeated_span_report(

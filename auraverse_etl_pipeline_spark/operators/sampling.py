@@ -25,9 +25,19 @@ _KNUTH = 2654435761
 _HASH_MOD = 1_000_000_007
 
 
-def sample_hash(id_col: str | F.Column = "doc_id") -> F.Column:
-    """The deterministic per-row sort key both samplers rank by."""
+def sample_hash(id_col: str | F.Column = "doc_id", string_ids: bool = False) -> F.Column:
+    """The deterministic per-row sort key both samplers rank by.
+
+    Numeric ids multiply straight into the Knuth generator. String ids
+    (``string_ids=True``) first collapse to a 60-bit integer via an
+    md5 prefix — chosen over ``xxhash64`` because DuckDB replays it
+    digit-for-digit (``('0x' || substr(md5(id),1,15))::BIGINT``), so
+    string-keyed samples stay oracle-gated — then reduce mod the prime
+    before the multiply so the product stays inside BIGINT."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if string_ids:
+        bucket = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(_HASH_MOD)
+        return (bucket * F.lit(_KNUTH)) % F.lit(_HASH_MOD)
     return (c.cast("bigint") * F.lit(_KNUTH)) % F.lit(_HASH_MOD)
 
 
@@ -54,8 +64,19 @@ def stratified_exact_sample(
     overwhelming probability and the window then sees only a sliver.
     That refinement changes no results, so it is left to the caller's
     scale; the operator itself stays exact."""
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type is None:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    numeric = id_type in {"tinyint", "smallint", "int", "bigint"} or id_type.startswith("decimal")
+    if not numeric and id_type != "string":
+        raise TypeError(
+            f"id column {id_col!r} has type {id_type}; sample_hash needs an "
+            "integer/decimal or string id (a float id would round-trip lossily)"
+        )
     rk = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(sample_hash(id_col), F.col(id_col))
+        Window.partitionBy(strata_col).orderBy(
+            sample_hash(id_col, string_ids=not numeric), F.col(id_col)
+        )
     )
     quota = F.lit(default_quota)
     for stratum, k in quotas.items():

@@ -29,6 +29,10 @@ from auraverse_etl_pipeline_spark.functions.text import (
     token_count,
 )
 from auraverse_etl_pipeline_spark.operators.caching import release_after
+from auraverse_etl_pipeline_spark.operators.quality import (
+    gopher_fail_reason_sql as _gopher_fail_reason_sql,
+    gopher_keep_sql as _gopher_keep_sql,
+)
 from auraverse_etl_pipeline_spark.operators.dedup import (
     drop_boilerplate_lines,
     exact_duplicate_groups,
@@ -563,13 +567,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_words, mean_word_len, stopword_hits,
-           CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
-                WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_length'
-                WHEN stopword_hits < 2 THEN 'stopwords'
-                ELSE 'ok' END AS fail_reason,
-           (n_words BETWEEN 50 AND 100000)
-             AND (mean_word_len BETWEEN 3 AND 10)
-             AND stopword_hits >= 2 AS keep
+           {_gopher_fail_reason_sql()} AS fail_reason,
+           {_gopher_keep_sql()} AS keep
     FROM m
     """,
     description="Gopher-rules quality gate: the classic pretraining "
@@ -2090,8 +2089,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags AS (
         SELECT d.doc_id,
                d.doc_id = c.keep_id AS canonical,
-               (g.n_words BETWEEN 50 AND 100000)
-                 AND (g.mwl BETWEEN 3 AND 10) AND g.sh >= 2 AS gopher,
+               {_gopher_keep_sql("g.n_words", "g.mwl", "g.sh")} AS gopher,
                g.guessed <> 'und' AS lang_ok,
                COALESCE(flq.fluent, FALSE) AS fluent
         FROM d JOIN canon c USING (h) JOIN g USING (doc_id)
@@ -2294,5 +2292,4 @@ def dedup_embedding_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vec_md5"),
     )
-    result.release_caches = pairs.release_caches
-    return result
+    return release_after(result, pairs)

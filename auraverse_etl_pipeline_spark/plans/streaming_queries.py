@@ -328,7 +328,9 @@ def stream_compaction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_gate_oracle() -> str:
-    # same rule spelling as text_gopher_filter's oracle, aggregated
+    # same rule spelling as text_gopher_filter's oracle, aggregated;
+    # thresholds come from quality.py's shared constants
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_fail_reason_sql
     from auraverse_etl_pipeline_spark.plans.llm_queries import _EN_LIST, _TOKS
 
     return f"""
@@ -341,13 +343,7 @@ def _quality_gate_oracle() -> str:
         FROM documents
     )
     SELECT fail_reason, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM (
-        SELECT CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
-                    WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_length'
-                    WHEN stopword_hits < 2 THEN 'stopwords'
-                    ELSE 'ok' END AS fail_reason
-        FROM m
-    )
+    FROM (SELECT {gopher_fail_reason_sql()} AS fail_reason FROM m)
     GROUP BY fail_reason
     """
 

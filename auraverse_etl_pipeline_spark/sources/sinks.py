@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
 
 
 def write_json(
@@ -173,14 +175,14 @@ def write_zordered_parquet(
 def merged_json_pretty(converted: DataFrame, doc_id_col: str = "doc_id", merged_col: str = "merged") -> DataFrame:
     """(doc_id, pretty) — re-render each merged document with the
     reference's exact output options (indent=2, ensure_ascii=False;
-    script.py:572-573). Python UDF by necessity: Spark's ``to_json``
-    has no indent option."""
-
-    @F.udf("string")
-    def pretty(s: str) -> str | None:
-        if s is None:
-            return None
-        return json.dumps(json.loads(s), indent=2, ensure_ascii=False)
+    script.py:572-573). Python by necessity (Spark's ``to_json`` has no
+    indent option), but Arrow-batched via ``pandas_udf`` rather than a
+    row-at-a-time interpreted UDF."""
+    @pandas_udf("string")
+    def pretty(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else json.dumps(json.loads(v), indent=2, ensure_ascii=False)
+        )
 
     return converted.select(F.col(doc_id_col).alias("doc_id"), pretty(merged_col).alias("pretty"))
 

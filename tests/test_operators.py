@@ -1179,6 +1179,45 @@ def test_stratified_exact_sample_quotas(spark):
     assert a == b
 
 
+def test_stratified_exact_sample_string_ids(spark):
+    """String doc_ids rank by the md5-prefix hash instead of silently
+    casting to NULL (which collapsed the whole ordering); the sample is
+    exact, deterministic, and every sampled id is non-null."""
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}", "big" if i < 50 else "small") for i in range(55)],
+        "doc_id string, stratum string",
+    )
+    out = stratified_exact_sample(df, "stratum", {"big": 10}, default_quota=20)
+    rows = out.collect()
+    assert all(r.doc_id is not None for r in rows)
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}
+    again = stratified_exact_sample(df, "stratum", {"big": 10}, default_quota=20).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in rows) == sorted(
+        (r.doc_id, r.sample_rank) for r in again
+    )
+    # the winners are a hash-scattered subset, not a prefix of the
+    # lexicographic id order (the old NULL-cast degenerated to that)
+    big = sorted(r.doc_id for r in rows if r.stratum == "big")
+    assert big != [f"doc-{i:04d}" for i in range(10)]
+
+
+def test_stratified_exact_sample_rejects_float_ids(spark):
+    import pytest as _pytest
+
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame([(1.5, "a")], "doc_id double, stratum string")
+    with _pytest.raises(TypeError, match="double"):
+        stratified_exact_sample(df, "stratum", {"a": 1})
+
+
 def test_match_index_preserves_caller_persisted_index(spark, docs):
     """A caller who persisted the index for reuse across daily batches
     must not have it silently unpersisted by a match call's
