@@ -3,6 +3,12 @@ from auraverse_etl_pipeline_spark.operators.changeset import (
     apply_changeset,
     scd2_history,
 )
+from auraverse_etl_pipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_decontaminate,
+    bloom_might_contain,
+    bloom_parameters,
+)
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.operators.dedup import (
     connected_component_labels,
@@ -31,6 +37,10 @@ __all__ = [
     "apply_changeset",
     "as_of_join",
     "assign_global_ids",
+    "bloom_build",
+    "bloom_decontaminate",
+    "bloom_might_contain",
+    "bloom_parameters",
     "connected_component_labels",
     "cosine_similarity_expr",
     "cosine_top_k",

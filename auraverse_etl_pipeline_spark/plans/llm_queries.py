@@ -1131,6 +1131,96 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned Bloom geometry for the oracle-gated build-parity query (the
+#: decontamination query derives its geometry from bloom_parameters
+#: instead — the verify pass makes the result geometry-independent).
+_BLOOM_BITS = 63 * 64
+_BLOOM_HASHES = 5
+
+
+@query(
+    "dedup_bloom_bits",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_sh_sql(8)}) AS shingle
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    pos AS (
+        SELECT ('0x' || substr(md5(shingle || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                 % {_BLOOM_BITS} AS p
+        FROM ev, range({_BLOOM_HASHES}) r(i)
+    )
+    SELECT p // 63 AS word,
+           bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+    FROM pos GROUP BY 1
+    """,
+    description="distributed Bloom filter BUILD parity: the eval "
+    "corpus's 8-gram shingle set hashed into a (word, bits) filter "
+    "table - md5-prefix bit positions, 63-bit words, one bit_or "
+    "shuffle - and DuckDB replays every bit of the filter "
+    "digit-for-digit. The filter is the broadcast-sized stand-in for "
+    "a blocklist too large to broadcast raw (100M-key n-gram "
+    "decontamination), persistable to parquet and mergeable by "
+    "re-bit_or like the MinHash index",
+)
+def dedup_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bloom import bloom_build
+    from auraverse_etl_pipeline_spark.operators.dedup import _shingle_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    ev_sh = (
+        _shingle_table(ev, n=8, text_col="text", id_col="doc_id")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    return bloom_build(ev_sh, "shingle", _BLOOM_BITS, _BLOOM_HASHES)
+
+
+@query(
+    "dedup_bloom_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_sh_sql(8)}) AS shingle
+        FROM documents WHERE doc_id % 89 = 0
+    ),
+    train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 89 = 0
+    ),
+    hits AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest({_sh_sql(8)}) AS shingle FROM train) t
+        JOIN ev USING (shingle)
+    )
+    SELECT doc_id, md5(text) AS content_md5
+    FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    description="test-set decontamination through the Bloom filter "
+    "scale path (operators/bloom.py bloom_decontaminate): eval "
+    "shingles hash into the filter, training shingles probe it "
+    "map-side against the broadcast words, and only flagged documents "
+    "pay the exact verify join - zero false negatives, so the result "
+    "must hash-match exact n-gram decontamination, which is precisely "
+    "what the oracle replays. The regime where this beats the "
+    "broadcast variant is a blocklist too large to ship raw; the "
+    "verify step keeps the semantics exact either way",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bloom import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0).unionByName(
+        ev.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    )
+    return bloom_decontaminate(train, ev, n=8, fpp=0.01, expected_keys=5000).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+
+
 @query(
     "text_vocab_topk",
     oracle=f"""

@@ -86,6 +86,8 @@ _NEEDS_FRESH_SCORE = (
     "curation_funnel",  # shared rule + release_after chaining (r5)
     "mix_stratified_quota",  # string-safe sample_hash rewrite (r5)
     "mix_weighted_sample",  # same sampling helper (r5)
+    "dedup_bloom_bits",  # new in round 5 — Bloom filter build parity
+    "dedup_bloom_decontaminate",  # new in round 5 — Bloom scale path
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1501,3 +1501,74 @@ def test_gram_cache_optout_matches_cached_results(spark):
         assert cm.isEmpty(), f"{op.__name__}: opt-out must not populate the cache"
         assert got == want, op.__name__
         plain.release_caches()  # still attached, must be a no-op
+
+
+def test_bloom_no_false_negatives_and_word_bound(spark, docs):
+    """Every key that went into the filter must probe True (Bloom's
+    core guarantee), and the filter can never exceed num_bits/63 word
+    rows."""
+    from auraverse_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    keys = docs.select(F.md5("text").alias("k")).limit(200)
+    num_bits, num_hashes = bloom_parameters(200, fpp=0.01)
+    bloom = bloom_build(keys, "k", num_bits, num_hashes)
+    assert bloom.count() <= num_bits // 63
+    probed = bloom_might_contain(keys, bloom, "k", num_bits, num_hashes)
+    assert probed.filter("NOT bloom_hit").count() == 0
+    # a definitely-absent key space must be mostly rejected (FPR sanity,
+    # not exactness: 1% nominal, give it wide slack)
+    absent = spark.range(1000).select(F.md5(F.concat(F.lit("absent:"), "id")).alias("k"))
+    fp = bloom_might_contain(absent, bloom, "k", num_bits, num_hashes).filter("bloom_hit").count()
+    assert fp < 100
+
+
+def test_bloom_merge_equals_bloom_of_union(spark, docs):
+    """bit_or-merging two filters equals building one filter over the
+    union of their key sets — the property that makes the filter an
+    incremental index (daily blocklist append without a rebuild)."""
+    from auraverse_etl_pipeline_spark.operators.bloom import bloom_build
+
+    a = docs.filter("doc_id % 2 = 0").select(F.md5("text").alias("k"))
+    b = docs.filter("doc_id % 2 = 1").select(F.md5("text").alias("k"))
+    num_bits, num_hashes = 63 * 32, 4
+    merged = (
+        bloom_build(a, "k", num_bits, num_hashes)
+        .unionByName(bloom_build(b, "k", num_bits, num_hashes))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = bloom_build(a.unionByName(b), "k", num_bits, num_hashes)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want
+
+
+def test_bloom_decontaminate_matches_broadcast_variant(spark, docs):
+    """With verify=True the Bloom path must return EXACTLY the
+    broadcast decontaminate's survivors (zero false negatives + exact
+    re-check of flagged docs); verify=False may only over-drop."""
+    from auraverse_etl_pipeline_spark.operators.bloom import bloom_decontaminate
+    from auraverse_etl_pipeline_spark.operators.dedup import decontaminate
+
+    d = docs.select("doc_id", "text")
+    ev = d.filter("doc_id % 7 = 0")
+    train = d.filter("doc_id % 7 != 0").unionByName(
+        ev.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    exact = {r.doc_id for r in decontaminate(train, ev, n=8).select("doc_id").collect()}
+    got = {
+        r.doc_id
+        for r in bloom_decontaminate(train, ev, n=8, fpp=0.01).select("doc_id").collect()
+    }
+    assert got == exact
+    loose = {
+        r.doc_id
+        for r in bloom_decontaminate(train, ev, n=8, fpp=0.01, verify=False)
+        .select("doc_id")
+        .collect()
+    }
+    assert loose <= exact
