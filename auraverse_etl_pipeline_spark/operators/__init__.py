@@ -31,6 +31,10 @@ from auraverse_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
     cosine_top_k,
     ivf_top_k,
+    pq_codebooks,
+    pq_encode,
+    pq_search,
+    pq_topk_rerank,
 )
 
 __all__ = [
@@ -57,6 +61,10 @@ __all__ = [
     "release_after",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_search",
+    "pq_topk_rerank",
     "scd2_history",
     "sessionize",
     "simhash_candidate_pairs",

@@ -495,6 +495,148 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Product-quantization geometry for the oracle-gated tier: 64-dim
+#: embeddings cut into 16 subspaces of 4 components, 64 sample
+#: centroids each (the ksub lowest-id corpus vectors — deterministic,
+#: like the IVF sample quantizer). ADC shortlists 50, exact re-rank
+#: keeps 5 (recall of exact top-5 pinned in pytest).
+_PQ_M = 16
+_PQ_KSUB = 64
+_PQ_DSUB = 64 // _PQ_M
+_PQ_SHORTLIST = 50
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """DuckDB spelling of the ordered squared-L2 fold — bit-identical
+    to similarity.l2_sq_expr's native fold (sequential accumulation)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j])))"
+    )
+
+
+_PQ_CTES = f"""
+    WITH c AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    sr AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS sub),
+    cb AS (
+        SELECT sr.sub, b.code,
+               b.v[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS centroid
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS code, v
+              FROM (SELECT id, v FROM c ORDER BY id LIMIT {_PQ_KSUB})) b
+        CROSS JOIN sr
+    ),
+    subs AS (
+        SELECT id, sr.sub,
+               v[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS subv
+        FROM c CROSS JOIN sr
+    ),
+    enc AS (
+        SELECT id, sub, code FROM (
+            SELECT subs.id, subs.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY subs.id, subs.sub
+                       ORDER BY {_l2sq_sql("subv", "centroid")} ASC, cb.code) AS rn
+            FROM subs JOIN cb USING (sub)
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "sim_pq_codes",
+    oracle=_PQ_CTES
+    + """
+    SELECT id AS vec_id, sub, code FROM enc
+    """,
+    description="product-quantization ENCODE parity: 64-dim vectors "
+    "cut into 16 subspaces, each mapped to its nearest of 64 sample "
+    "centroids (min ordered-fold L2^2, ties to the lowest code) - 16 "
+    "small ints replace 64 floats, the 8-16x compression that lets a "
+    "100 TB embedding corpus ANN-scan from compressed codes. Codebooks "
+    "broadcast, argmin is a map-side-combined max_by; DuckDB replays "
+    "codebook construction and every code digit-for-digit",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cb = pq_codebooks(corpus, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
+    return pq_encode(corpus, cb, m=_PQ_M, dim=64).select(
+        F.col("id").alias("vec_id"), "sub", "code"
+    )
+
+
+@query(
+    "sim_pq_search",
+    oracle=_PQ_CTES
+    + f"""
+    , lut AS (
+        SELECT q2.query_id, cb.sub, cb.code, {_l2sq_sql("qsub", "centroid")} AS pd
+        FROM (SELECT query_id, sr.sub,
+                     qv[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS qsub
+              FROM q CROSS JOIN sr) q2
+        JOIN cb ON q2.sub = cb.sub
+    ),
+    adc AS (
+        SELECT l.query_id, e.id AS neighbor_id,
+               CAST(SUM(CAST(l.pd AS DECIMAL(38,12))) AS DOUBLE) AS approx_dist
+        FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, l2_sq FROM (
+        SELECT s.query_id, s.neighbor_id, {_l2sq_sql("q.qv", "c.v")} AS l2_sq,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {_l2sq_sql("q.qv", "c.v")} ASC, s.neighbor_id) AS rank
+        FROM short s
+        JOIN c ON c.id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ) WHERE rank <= 5
+    """,
+    description="PQ retrieval end to end, the production shape: ADC "
+    "over the compressed codes shortlists 50 candidates per query "
+    "(LUT broadcast, the raw corpus never read; per-pair sums are "
+    "DECIMAL partials so the hash aggregate is order-independent), "
+    "then exact L2^2 re-ranks the true top-5 over only the shortlist. "
+    "Generate-then-verify, same contract as the LSH tiers; recall of "
+    "the exact top-5 pinned in pytest. DuckDB replays codebooks, "
+    "codes, LUT, shortlist and re-rank digit-for-digit",
+)
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = pq_codebooks(corpus, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
+    codes = pq_encode(corpus, cb, m=_PQ_M, dim=64)
+    out = pq_topk_rerank(
+        queries, codes, cb, corpus, k=5, shortlist=_PQ_SHORTLIST
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

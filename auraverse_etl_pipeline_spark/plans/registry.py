@@ -88,6 +88,8 @@ _NEEDS_FRESH_SCORE = (
     "mix_weighted_sample",  # same sampling helper (r5)
     "dedup_bloom_bits",  # new in round 5 — Bloom filter build parity
     "dedup_bloom_decontaminate",  # new in round 5 — Bloom scale path
+    "sim_pq_codes",  # new in round 5 — PQ encode parity
+    "sim_pq_search",  # new in round 5 — PQ ADC + exact re-rank
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1572,3 +1572,67 @@ def test_bloom_decontaminate_matches_broadcast_variant(spark, docs):
         .collect()
     }
     assert loose <= exact
+
+
+def test_pq_encode_shape_and_range(spark, sf_dir):
+    """Every corpus vector gets exactly m codes, each in [0, ksub)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ksub = 8, 16
+    cb = pq_codebooks(emb, m=m, ksub=ksub, dim=64)
+    assert cb.count() == m * ksub
+    codes = pq_encode(emb, cb, m=m, dim=64)
+    n = emb.count()
+    assert codes.count() == n * m
+    stats = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"),
+        F.countDistinct("id").alias("ids"),
+    ).collect()[0]
+    assert stats.lo >= 0 and stats.hi < ksub and stats.ids == n
+
+
+def test_pq_rerank_recalls_exact_topk(spark, sf_dir):
+    """The registered geometry (m=16, ksub=64, shortlist 50) must
+    recall >= 0.9 of the exact L2 top-5 — the pin that makes the
+    ADC-shortlist + exact-rerank claim honest. ADC ranks and exact
+    re-ranked L2 must also agree on the distances it reports."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_rerank,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id >= 10").cache()
+    queries = emb.filter("vec_id < 10")
+    cb = pq_codebooks(corpus, m=16, ksub=64, dim=64)
+    codes = pq_encode(corpus, cb, m=16, dim=64)
+    got = {}
+    res = pq_topk_rerank(queries, codes, cb, corpus, k=5, shortlist=50)
+    for r in res.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.l2_sq))
+    qs = {r.vec_id: list(r.embedding) for r in queries.collect()}
+    cs = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    hits = tot = 0
+    for qid, qv in qs.items():
+        exact = sorted(cs, key=lambda i: (l2(qv, cs[i]), i))[:5]
+        found = [n for n, _ in got[qid]]
+        hits += len(set(exact) & set(found))
+        tot += 5
+        for n, d in got[qid]:  # reported distances are the exact fold
+            assert abs(d - l2(qv, cs[n])) < 1e-9
+    assert hits / tot >= 0.9
+    corpus.unpersist()
