@@ -26,6 +26,11 @@ from auraverse_etl_pipeline_spark.operators.dedup import (
     simhash_candidate_pairs,
 )
 from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
+from auraverse_etl_pipeline_spark.operators.sampling import (
+    cluster_balanced_sample,
+    stratified_exact_sample,
+    token_budget_plan,
+)
 from auraverse_etl_pipeline_spark.operators.sessionize import sessionize
 from auraverse_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
@@ -45,6 +50,7 @@ __all__ = [
     "bloom_decontaminate",
     "bloom_might_contain",
     "bloom_parameters",
+    "cluster_balanced_sample",
     "connected_component_labels",
     "cosine_similarity_expr",
     "cosine_top_k",
@@ -68,4 +74,6 @@ __all__ = [
     "scd2_history",
     "sessionize",
     "simhash_candidate_pairs",
+    "stratified_exact_sample",
+    "token_budget_plan",
 ]

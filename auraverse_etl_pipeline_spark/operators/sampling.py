@@ -85,3 +85,79 @@ def stratified_exact_sample(
         df.withColumn("sample_rank", rk)
         .filter(F.col("sample_rank") <= quota)
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-coverage subsampling: assign every vector to its
+    nearest centroid (:func:`operators.similarity.ivf_assign` — no
+    quantizer refit, centroids broadcast) and keep an exact per-cell
+    quota via the deterministic Knuth ranking — so the sample spans
+    the embedding space's regions instead of letting the head cluster
+    swamp it (the anti-mode-collapse draw a curated pretraining mix
+    wants). Output: (id, cell, centroid_cos, sample_rank).
+
+    Scale shape: ivf_assign's one fixed-width row per vector into the
+    argmax aggregate, then one hash-partition shuffle on the cell with
+    O(per_cell) window state per cell. Deterministic end to end: same
+    centroids + same ids ⇒ same sample under any parallelism."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        "id", "cell", "centroid_cos"
+    )
+    return stratified_exact_sample(
+        assigned, "cell", {}, default_quota=per_cell, id_col="id"
+    )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-card math of a pretraining mixture: given per-stratum
+    target WEIGHTS and a total token budget, report what each stratum
+    must contribute against what it has. Output per stratum:
+    (stratum, n_docs, available_tokens, weight, target_tokens, epochs,
+    sample_fraction) where ``epochs`` > 1 means the stratum repeats to
+    meet its target (the up-sampling a small high-quality source gets)
+    and ``sample_fraction`` = min(1, epochs) is the rate a downstream
+    :func:`mix`-style sampler should draw at. Strata absent from
+    ``weights`` get weight 0 (excluded from the mix, still reported).
+
+    One aggregation pass over the corpus; weights normalize to 1 so
+    callers can pass unnormalized relative weights."""
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+
+    wsum = float(sum(weights.values())) or 1.0
+    w = F.lit(0.0)
+    for stratum, wt in weights.items():
+        w = F.when(F.col("stratum") == stratum, F.lit(wt / wsum)).otherwise(w)
+    return (
+        df.select(F.col(strata_col).alias("stratum"), token_count(text_col).alias("t"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("available_tokens"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "available_tokens",
+            w.alias("weight"),
+            (w * F.lit(float(total_tokens))).alias("target_tokens"),
+            (w * F.lit(float(total_tokens)) / F.col("available_tokens")).alias("epochs"),
+            F.least(
+                F.lit(1.0),
+                w * F.lit(float(total_tokens)) / F.col("available_tokens"),
+            ).alias("sample_fraction"),
+        )
+    )

@@ -637,6 +637,112 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+#: Mixture-planner constants shared by the Spark query and its oracle
+#: (weights already sum to 1 so both sides skip renormalization noise).
+_BUDGET_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+_BUDGET_TOTAL = 1_000_000
+
+
+def _budget_weight_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in _BUDGET_WEIGHTS.items()
+    )
+    return f"CASE stratum {arms} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@query(
+    "mix_token_budget",
+    oracle=f"""
+    WITH a AS (
+        SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang
+    ),
+    b AS (SELECT *, {_budget_weight_sql()} AS weight FROM a)
+    SELECT stratum, n_docs, available_tokens, weight,
+           weight * CAST({_BUDGET_TOTAL} AS DOUBLE) AS target_tokens,
+           weight * CAST({_BUDGET_TOTAL} AS DOUBLE) / available_tokens AS epochs,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 weight * CAST({_BUDGET_TOTAL} AS DOUBLE) / available_tokens)
+             AS sample_fraction
+    FROM b
+    """,
+    description="pretraining-mixture token-budget planner (the data-"
+    "card math): per-stratum token supply vs the mixture's target, "
+    "with epochs > 1 marking strata that must repeat (up-sampled "
+    "high-quality sources) and sample_fraction the rate a downstream "
+    "deterministic sampler draws at. One aggregation pass; at 100 TB "
+    "this is the cheap planning query that sizes every later sweep",
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import token_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_plan(
+        docs, _BUDGET_WEIGHTS, _BUDGET_TOTAL, strata_col="lang"
+    )
+
+
+@query(
+    "mix_cluster_balanced",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT {_IVF_NLIST})
+    ),
+    assigned AS (
+        SELECT id, cell, centroid_cos FROM (
+            SELECT c.id, cent.cell,
+                   list_cosine_similarity(c.v, cent.centroid) AS centroid_cos,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    r AS (
+        SELECT id, cell, centroid_cos,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY (CAST(id AS BIGINT) * 2654435761) % 1000000007,
+                            id) AS sample_rank
+        FROM assigned
+    )
+    SELECT id AS vec_id, cell, centroid_cos,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 5
+    """,
+    description="cluster-balanced subsampling (semantic-coverage "
+    "draw): ivf_assign every vector to its nearest sample-quantizer "
+    "centroid, then an exact per-cell Knuth-ranked quota - the sample "
+    "spans embedding-space regions instead of letting the head "
+    "cluster swamp it. Broadcast centroids + one fixed-width argmax "
+    "row per vector + O(quota) window state per cell; deterministic "
+    "end to end, and DuckDB replays assignment and ranking exactly",
+)
+def mix_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_index(emb, nlist=_IVF_NLIST, quantizer="sample").centroids
+    out = cluster_balanced_sample(emb, centroids, per_cell=5)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        # centroids ARE corpus members here, so self-similarity hits the
+        # fold's 1.0000000000000002; DuckDB's list_cosine_similarity
+        # clamps at 1.0 — align on the clamp
+        F.least(F.lit(1.0), F.col("centroid_cos")).alias("centroid_cos"),
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

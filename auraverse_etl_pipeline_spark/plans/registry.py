@@ -90,6 +90,8 @@ _NEEDS_FRESH_SCORE = (
     "dedup_bloom_decontaminate",  # new in round 5 — Bloom scale path
     "sim_pq_codes",  # new in round 5 — PQ encode parity
     "sim_pq_search",  # new in round 5 — PQ ADC + exact re-rank
+    "mix_token_budget",  # new in round 5 — mixture token-budget planner
+    "mix_cluster_balanced",  # new in round 5 — semantic-coverage sampling
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1636,3 +1636,42 @@ def test_pq_rerank_recalls_exact_topk(spark, sf_dir):
             assert abs(d - l2(qv, cs[n])) < 1e-9
     assert hits / tot >= 0.9
     corpus.unpersist()
+
+
+def test_token_budget_plan_math(spark):
+    """Targets split by normalized weight; epochs > 1 flags repeat
+    strata; unweighted strata report weight 0 but stay in the output."""
+    from auraverse_etl_pipeline_spark.operators.sampling import token_budget_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "p q"), (3, "b", "m n o p"), (4, "c", "s")],
+        "doc_id long, src string, text string",
+    )
+    rows = {
+        r.stratum: r
+        for r in token_budget_plan(
+            df, {"a": 3.0, "b": 1.0}, total_tokens=40, strata_col="src"
+        ).collect()
+    }
+    assert rows["a"].available_tokens == 5 and rows["a"].weight == 0.75
+    assert rows["a"].target_tokens == 30.0 and rows["a"].epochs == 6.0
+    assert rows["a"].sample_fraction == 1.0  # capped: must repeat, not subsample
+    assert rows["b"].target_tokens == 10.0 and rows["b"].epochs == 2.5
+    assert rows["c"].weight == 0.0 and rows["c"].sample_fraction == 0.0
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
+    from auraverse_etl_pipeline_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_index(emb, nlist=8, quantizer="sample").centroids
+    out = cluster_balanced_sample(emb, centroids, per_cell=3)
+    per_cell = {r.cell: r.n for r in out.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in per_cell.values())
+    a = sorted((r.id, r.cell) for r in out.collect())
+    b = sorted((r.id, r.cell) for r in cluster_balanced_sample(emb, centroids, per_cell=3).collect())
+    assert a == b
