@@ -10,6 +10,11 @@ from auraverse_etl_pipeline_spark.operators.bloom import (
     bloom_parameters,
 )
 from auraverse_etl_pipeline_spark.operators.caching import release_after
+from auraverse_etl_pipeline_spark.operators.classifier import (
+    nb_score,
+    nb_train,
+    token_bucket,
+)
 from auraverse_etl_pipeline_spark.operators.dedup import (
     connected_component_labels,
     decontaminate,
@@ -66,6 +71,9 @@ __all__ = [
     "minhash_match_index",
     "release_after",
     "minhash_near_duplicates",
+    "nb_score",
+    "nb_train",
+    "token_bucket",
     "ngram_jaccard_pairs",
     "pq_codebooks",
     "pq_encode",

@@ -743,6 +743,102 @@ def mix_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic classifier fixture: the synthetic corpus's 31-token
+#: vocabulary is label-independent, so (same pattern as the PII and
+#: perturbed-embedding fixtures) both engines append the same
+#: class-marker tokens before training — doc_id % 3 == 0 is the
+#: "quality" class. num_buckets and the alpha=1 smoothing are shared
+#: with the oracle below.
+_NB_BUCKETS = 4096
+_NB_POS_SUFFIX = " quality education learning insight reference"
+_NB_NEG_SUFFIX = " casino spam clickbait lottery promo"
+
+
+@query(
+    "text_nb_classifier",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN '{_NB_POS_SUFFIX}'
+                            ELSE '{_NB_NEG_SUFFIX}' END AS text,
+               doc_id % 3 = 0 AS pos
+        FROM documents
+    ),
+    inst AS (
+        SELECT pos, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_NB_BUCKETS} AS bucket
+        FROM (SELECT pos, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM d)
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+               CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_n
+        FROM inst GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos_n) AS BIGINT) AS pos_tot,
+               CAST(SUM(neg_n) AS BIGINT) AS neg_tot
+        FROM counts
+    ),
+    w AS (
+        SELECT bucket,
+               ln((pos_n + CAST(1.0 AS DOUBLE)) / (pos_tot + CAST({_NB_BUCKETS}.0 AS DOUBLE)))
+             - ln((neg_n + CAST(1.0 AS DOUBLE)) / (neg_tot + CAST({_NB_BUCKETS}.0 AS DOUBLE)))
+                 AS log_odds
+        FROM counts, tot
+    ),
+    pr AS (
+        SELECT ln((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + CAST(1.0 AS DOUBLE))
+                / (SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + CAST(1.0 AS DOUBLE)))
+                 AS prior
+        FROM d
+    ),
+    si AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_NB_BUCKETS} AS bucket
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM d)
+    ),
+    sums AS (
+        SELECT si.doc_id,
+               CAST(SUM(CAST(COALESCE(w.log_odds, CAST(0.0 AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)
+                 AS tok_sum
+        FROM si LEFT JOIN w USING (bucket) GROUP BY si.doc_id
+    )
+    SELECT d.doc_id AS id,
+           pr.prior + COALESCE(s.tok_sum, CAST(0.0 AS DOUBLE)) AS score,
+           (pr.prior + COALESCE(s.tok_sum, CAST(0.0 AS DOUBLE))) > 0 AS predicted
+    FROM (SELECT DISTINCT doc_id FROM d) d
+    CROSS JOIN pr
+    LEFT JOIN sums s USING (doc_id)
+    """,
+    description="model-based quality gate, trained AND scored in-"
+    "engine: binary multinomial Naive Bayes over md5-hashed token "
+    "buckets (one aggregation pass to train - the model is a "
+    "num_buckets-row broadcast table; per-bucket logs run in an "
+    "Arrow batch with Python libm because JVM Math.log disagrees "
+    "with DuckDB ln in the last ulp on ~2% of inputs, measured), "
+    "scoring = broadcast join + order-independent DECIMAL sum per "
+    "document. The (bucket, log_odds) contract accepts weights from "
+    "any external linear model (fasttext-style) unchanged; training "
+    "accuracy on the separable fixture pinned in pytest",
+)
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.classifier import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_NB_POS_SUFFIX)).otherwise(
+                F.lit(_NB_NEG_SUFFIX)
+            ),
+        ).alias("text"),
+    )
+    model = nb_train(
+        docs, F.col("doc_id") % 3 == 0, True, num_buckets=_NB_BUCKETS
+    )
+    return nb_score(docs, model, num_buckets=_NB_BUCKETS)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

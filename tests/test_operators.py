@@ -1675,3 +1675,45 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
     a = sorted((r.id, r.cell) for r in out.collect())
     b = sorted((r.id, r.cell) for r in cluster_balanced_sample(emb, centroids, per_cell=3).collect())
     assert a == b
+
+
+def test_nb_classifier_learns_separable_fixture(spark, sf_dir):
+    """Training accuracy on the marker-token fixture must be ~perfect
+    (the signal is fully separable), and every class-marker bucket's
+    log_odds must point the right way."""
+    from auraverse_etl_pipeline_spark.operators.classifier import nb_score, nb_train
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" quality education")).otherwise(
+                F.lit(" casino spam")
+            ),
+        ).alias("text"),
+    )
+    model = nb_train(docs, F.col("doc_id") % 3 == 0, True, num_buckets=1024)
+    scored = nb_score(docs, model, num_buckets=1024)
+    acc = (
+        scored.withColumn("want", F.col("id") % 3 == 0)
+        .select(F.avg((F.col("predicted") == F.col("want")).cast("double")).alias("a"))
+        .first()
+        .a
+    )
+    assert acc >= 0.99
+
+
+def test_nb_score_empty_doc_gets_prior(spark):
+    from auraverse_etl_pipeline_spark.operators.classifier import nb_score, nb_train
+
+    df = spark.createDataFrame(
+        [(1, "good good good", 1), (2, "bad bad bad", 0), (3, "", 0)],
+        "doc_id long, text string, y int",
+    )
+    model = nb_train(df.filter("doc_id < 3"), F.col("y") == 1, True, num_buckets=64)
+    rows = {r.id: r for r in nb_score(df, model, num_buckets=64).collect()}
+    # doc 3 has no tokens -> bare class prior (equal counts -> ln(1) = 0)
+    assert rows[3].score == 0.0 and rows[3].predicted is False
+    assert rows[1].score > 0 and rows[1].predicted
+    assert rows[2].score < 0 and not rows[2].predicted
