@@ -132,12 +132,16 @@ def bloom_decontaminate(
     fixed-width rows (raw text never shuffles); the exact verify join
     touches only flagged documents' shingles — at a 1% shingle FPR
     that is ~1% of the corpus volume, not 100%."""
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
     from auraverse_etl_pipeline_spark.operators.dedup import _shingle_table
 
+    # consumed up to three times (count, build, exact verify) — cache
+    # the eval shingles (the SMALL side by contract), paired release
     ev_sh = (
         _shingle_table(eval_docs, n=n, text_col=text_col, id_col=id_col)
         .select(F.explode("sh").alias("shingle"))
         .distinct()
+        .cache()
     )
     nk = expected_keys if expected_keys is not None else ev_sh.count()
     num_bits, num_hashes = bloom_parameters(nk, fpp)
@@ -176,8 +180,9 @@ def bloom_decontaminate(
         .select("doc_id")
     )
     if not verify:
-        return train.join(
-            flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        return release_after(
+            train.join(flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"),
+            ev_sh,
         )
     # exact re-check: only flagged documents' shingles meet the eval
     # set (no broadcast hint — the candidate side is small, AQE picks)
@@ -185,6 +190,7 @@ def bloom_decontaminate(
     confirmed = (
         cand_sh.join(ev_sh, "shingle").select("doc_id").distinct()
     )
-    return train.join(
-        confirmed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    return release_after(
+        train.join(confirmed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"),
+        ev_sh,
     )

@@ -123,8 +123,10 @@ def nb_score(
     fixed-width (id, bucket) rows, the per-document sum is a hash
     aggregate over DECIMAL(38,12) partials (order-independent — the
     joined doubles are identical across engines, a double SUM would
-    depend on partial order). Documents with no tokens score the bare
-    prior (left join back to the id list)."""
+    depend on partial order). ``explode_outer`` keeps NULL-text
+    documents as a null-bucket row, so every id reaches the aggregate
+    and scores at least the bare prior — no second corpus-sized join
+    to backfill missing ids."""
     from auraverse_etl_pipeline_spark.functions.text import tokens
 
     w = F.broadcast(model.filter(F.col("bucket") >= 0))
@@ -134,7 +136,7 @@ def nb_score(
         )
     )
     inst = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+        F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("tok")
     ).select("id", token_bucket(F.col("tok"), num_buckets).alias("bucket"))
     sums = (
         inst.join(w, "bucket", "left")
@@ -145,15 +147,10 @@ def nb_score(
             .alias("tok_sum")
         )
     )
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(sums, "id", "left")
-        .crossJoin(prior)
-        .select(
-            "id",
-            (F.col("prior") + F.coalesce(F.col("tok_sum"), F.lit(0.0))).alias("score"),
-            ((F.col("prior") + F.coalesce(F.col("tok_sum"), F.lit(0.0))) > 0).alias(
-                "predicted"
-            ),
-        )
+    return sums.crossJoin(prior).select(
+        "id",
+        (F.col("prior") + F.coalesce(F.col("tok_sum"), F.lit(0.0))).alias("score"),
+        ((F.col("prior") + F.coalesce(F.col("tok_sum"), F.lit(0.0))) > 0).alias(
+            "predicted"
+        ),
     )

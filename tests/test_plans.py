@@ -279,3 +279,34 @@ def test_span_apply_reassembly_has_no_sort_exchange(spark, sf_dir):
     final_agg = plan.split("HashAggregate")[0]  # text above the top agg
     assert "Sort [doc_id" not in final_agg
     spark.catalog.clearCache()
+
+
+def test_bloom_probe_broadcasts_filter_words(spark, sf_dir):
+    """The Bloom words table must broadcast to the probe join (that IS
+    the operator's reason to exist), the verify join must not broadcast
+    the corpus side, and the whole path stays JVM-side."""
+    plan = _plan(QS["dedup_bloom_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_pq_search_broadcasts_lut_and_stays_jvm_side(spark, sf_dir):
+    """ADC must scan only the code table with the per-query LUT
+    broadcast — no Python workers, no cartesian expansion, decimal
+    partials in the aggregate."""
+    plan = _plan(QS["sim_pq_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_score_broadcasts_model(spark, sf_dir):
+    """The classifier model (num_buckets rows) broadcasts; the only
+    Python in the plan is the Arrow batch over the model table's logs,
+    never over corpus-sized rows."""
+    plan = _plan(QS["text_nb_classifier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
