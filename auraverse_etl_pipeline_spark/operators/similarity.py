@@ -750,7 +750,12 @@ def pq_search(
     bit-identical across engines but a double SUM would depend on
     partial-aggregation order), then top-k via the rank-pushdown
     window. Compose with an IVF cell filter on the code table for
-    IVF-PQ: probe cells first, ADC-score only their codes."""
+    IVF-PQ: probe cells first, ADC-score only their codes.
+
+    PERSIST THE CODES: ``codes`` is the index — write it to parquet
+    once per corpus and search the stored table. Passing the lazy
+    :func:`pq_encode` plan re-encodes the corpus inside every search
+    job (measured 42 s vs 4 s at 40k vectors, SCALE.md round 5)."""
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
