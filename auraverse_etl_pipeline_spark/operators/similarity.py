@@ -823,3 +823,96 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: "IvfIndex",
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the complete compressed-domain ANN pipeline. Probe the
+    ``nprobe`` nearest cells per query (the :class:`IvfIndex`'s own
+    cosine geometry), ADC-score ONLY the probed cells' PQ codes
+    (broadcast per-query LUT, DECIMAL partials), keep a ``shortlist``;
+    with ``corpus`` given, exact-L2² refine the true top-``k``
+    (FAISS's IVFPQR shape), else return ADC ranks directly. Output:
+    (query_id, neighbor_id, rank, l2_sq) — or ``approx_dist`` in
+    place of ``l2_sq`` without refinement.
+
+    This is the 100 TB retrieval posture in one operator: the scan
+    touches nprobe/nlist of the CODE table (m small-ints per vector —
+    the raw corpus is read only for the shortlist × |Q| refine rows),
+    both the cell filter and the ADC join are equality joins on
+    broadcast-able sides, and every stage is deterministic. Persist
+    ``codes`` and ``index`` to parquet; neither is refit per query
+    (:func:`ivf_assign` / :func:`pq_encode` append new batches).
+
+    Metric note: candidate generation follows the index's cosine
+    cells while ADC/refine score L2² — coherent when vectors are
+    length-normalized (then the two orders agree); on unnormalized
+    data size nprobe/shortlist against the pinned recall test."""
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cent_df = F.broadcast(index.centroids.select("cell", "centroid"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(cent_df)
+        .select(
+            "query_id", "qv", "cell",
+            cosine_similarity_expr("qv", "centroid").alias("centroid_cos"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    m = codebooks.select(F.max("sub")).first()[0] + 1
+    dsub = codebooks.select(F.size("centroid").alias("s")).limit(1).first()[0]
+    lut = (
+        q.select("query_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "qv")
+        .select("query_id", "sub", F.slice("qv", F.col("sub") * dsub + 1, dsub).alias("qsub"))
+        .join(F.broadcast(codebooks), "sub")
+        .select("query_id", "sub", "code", l2_sq_expr("qsub", "centroid").alias("pd"))
+    )
+    cand = probes.select("query_id", "cell").join(
+        index.assignments.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
+    ).select("query_id", "neighbor_id")
+    adc = (
+        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("pd").cast("decimal(38,12)")).cast("double").alias("approx_dist")
+        )
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rank", F.row_number().over(short_w))
+        .filter(F.col("rank") <= (shortlist if corpus is not None else k))
+    )
+    if corpus is None:
+        return short.select("query_id", "neighbor_id", "rank", "approx_dist")
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    rer_w = Window.partitionBy("query_id").orderBy(F.col("l2_sq").asc(), F.col("neighbor_id"))
+    return (
+        short.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .withColumn("rank", F.row_number().over(rer_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2_sq")
+    )

@@ -1489,23 +1489,26 @@ _BLOOM_HASHES = 5
         SELECT DISTINCT unnest({_sh_sql(8)}) AS shingle
         FROM documents WHERE doc_id % 97 = 0
     ),
-    pos AS (
-        SELECT ('0x' || substr(md5(shingle || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
-                 % {_BLOOM_BITS} AS p
-        FROM ev, range({_BLOOM_HASHES}) r(i)
+    wm AS (
+        SELECT ('0x' || substr(md5(shingle || ':0'), 1, 15))::BIGINT
+                 % {_BLOOM_BITS // 63} AS word,
+               CAST(list_sum(list_distinct(list_transform(range(1, {_BLOOM_HASHES + 1}),
+                   i -> 1::BIGINT << CAST(('0x' || substr(md5(shingle || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                                          % 63 AS INT)))) AS BIGINT) AS m
+        FROM ev
     )
-    SELECT p // 63 AS word,
-           bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
-    FROM pos GROUP BY 1
+    SELECT word, bit_or(m) AS bits FROM wm GROUP BY word
     """,
-    description="distributed Bloom filter BUILD parity: the eval "
-    "corpus's 8-gram shingle set hashed into a (word, bits) filter "
-    "table - md5-prefix bit positions, 63-bit words, one bit_or "
-    "shuffle - and DuckDB replays every bit of the filter "
-    "digit-for-digit. The filter is the broadcast-sized stand-in for "
-    "a blocklist too large to broadcast raw (100M-key n-gram "
-    "decontamination), persistable to parquet and mergeable by "
-    "re-bit_or like the MinHash index",
+    description="register-blocked Bloom filter BUILD parity: each "
+    "eval 8-gram selects ONE 63-bit word by its block hash and all "
+    "its bits land inside it (sum-of-distinct-powers mask = bitwise "
+    "OR), so a probe later costs one fixed-width row and one "
+    "(bits & mask) = mask comparison instead of k exploded rows - "
+    "and DuckDB replays every bit of the filter digit-for-digit. "
+    "The filter is the broadcast-sized stand-in for a blocklist too "
+    "large to broadcast raw (100M-key n-gram decontamination), "
+    "persistable to parquet and mergeable by re-bit_or like the "
+    "MinHash index",
 )
 def dedup_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.operators.bloom import bloom_build
