@@ -41,6 +41,7 @@ from auraverse_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
     cosine_top_k,
     ivf_top_k,
+    ivfpq_search,
     pq_codebooks,
     pq_encode,
     pq_search,
@@ -67,6 +68,7 @@ __all__ = [
     "exact_duplicate_groups",
     "hot_buckets",
     "ivf_top_k",
+    "ivfpq_search",
     "minhash_index",
     "minhash_match_index",
     "release_after",

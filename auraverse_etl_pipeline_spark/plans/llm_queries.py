@@ -637,6 +637,100 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@query(
+    "sim_ivfpq_search",
+    oracle=_PQ_CTES
+    + f"""
+    , cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT {_IVF_NLIST})
+    ),
+    assigned AS (
+        SELECT id, cell FROM (
+            SELECT c.id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.centroid) DESC,
+                                cent.cell) AS pr
+            FROM q CROSS JOIN cent
+        ) WHERE pr <= {_IVF_NPROBE}
+    ),
+    lut AS (
+        SELECT q2.query_id, cb.sub, cb.code, {_l2sq_sql("qsub", "centroid")} AS pd
+        FROM (SELECT query_id, sr.sub,
+                     qv[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS qsub
+              FROM q CROSS JOIN sr) q2
+        JOIN cb ON q2.sub = cb.sub
+    ),
+    cand AS (
+        SELECT p.query_id, a.id AS neighbor_id
+        FROM probes p JOIN assigned a USING (cell)
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(SUM(CAST(l.pd AS DECIMAL(38,12))) AS DOUBLE) AS approx_dist
+        FROM cand cd
+        JOIN enc e ON e.id = cd.neighbor_id
+        JOIN lut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.code = e.code
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, l2_sq FROM (
+        SELECT s.query_id, s.neighbor_id, {_l2sq_sql("q.qv", "c.v")} AS l2_sq,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {_l2sq_sql("q.qv", "c.v")} ASC, s.neighbor_id) AS rank
+        FROM short s
+        JOIN c ON c.id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ) WHERE rank <= 5
+    """,
+    description="IVF-PQ with refinement, the complete compressed-"
+    "domain ANN pipeline: probe the nprobe nearest cells, ADC-score "
+    "ONLY the probed cells' PQ codes (nprobe/nlist of the code table "
+    "- m small-ints per vector - is ALL the corpus-sized data the "
+    "scan touches), shortlist, exact-L2^2 refine the top-5 over just "
+    "those candidates. Persisted index + persisted codes, nothing "
+    "refit per query; DuckDB replays probing, cell assignment, "
+    "encoding, LUT sums, shortlist and refinement digit-for-digit. "
+    "Full-probe equivalence to pq_topk_rerank pinned in pytest",
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = ivf_index(corpus, nlist=_IVF_NLIST, quantizer="sample")
+    cb = pq_codebooks(corpus, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
+    codes = pq_encode(corpus, cb, m=_PQ_M, dim=64)
+    out = ivfpq_search(
+        queries, idx, codes, cb, corpus=corpus,
+        k=5, nprobe=_IVF_NPROBE, shortlist=_PQ_SHORTLIST,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 #: Mixture-planner constants shared by the Spark query and its oracle
 #: (weights already sum to 1 so both sides skip renormalization noise).
 _BUDGET_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}

@@ -93,6 +93,7 @@ _NEEDS_FRESH_SCORE = (
     "mix_token_budget",  # new in round 5 — mixture token-budget planner
     "mix_cluster_balanced",  # new in round 5 — semantic-coverage sampling
     "text_nb_classifier",  # new in round 5 — in-engine NB quality gate
+    "sim_ivfpq_search",  # new in round 5 — IVF-PQ with refinement
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1717,3 +1717,48 @@ def test_nb_score_empty_doc_gets_prior(spark):
     assert rows[3].score == 0.0 and rows[3].predicted is False
     assert rows[1].score > 0 and rows[1].predicted
     assert rows[2].score < 0 and not rows[2].predicted
+
+
+def test_ivfpq_full_probe_equals_pq_rerank(spark, sf_dir):
+    """With nprobe = nlist the cell filter admits everything, so
+    IVF-PQ must return EXACTLY pq_topk_rerank's answer — the cell
+    truncation is the only approximation the composition adds. At the
+    standard nprobe the recall floor tracks probe coverage (this
+    corpus is near-structureless, so cells behave like a random
+    partition — nprobe/nlist is the honest expectation, same as the
+    existing IVF pin)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_rerank,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id >= 10").cache()
+    queries = emb.filter("vec_id < 10")
+    idx = ivf_index(corpus, nlist=16, quantizer="sample")
+    cb = pq_codebooks(corpus, m=16, ksub=64, dim=64)
+    codes = pq_encode(corpus, cb, m=16, dim=64).cache()
+    full = ivfpq_search(
+        queries, idx, codes, cb, corpus=corpus, k=5, nprobe=16, shortlist=50
+    )
+    ref = pq_topk_rerank(queries, codes, cb, corpus, k=5, shortlist=50)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in ref.collect())
+    assert a == b
+    # coverage-level recall at the standard setting
+    part = ivfpq_search(
+        queries, idx, codes, cb, corpus=corpus, k=5, nprobe=8, shortlist=50
+    )
+    got = {}
+    for r in part.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in b:
+        want.setdefault(r[0], set()).add(r[1])
+    hits = sum(len(got.get(q, set()) & ns) for q, ns in want.items())
+    assert hits / sum(len(ns) for ns in want.values()) >= 0.5
+    codes.unpersist(); corpus.unpersist()
