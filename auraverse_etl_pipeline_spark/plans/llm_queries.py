@@ -933,6 +933,70 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score(docs, model, num_buckets=_NB_BUCKETS)
 
 
+#: Deterministic Unicode fixture: the synthetic corpus is pure ASCII,
+#: so both engines append the same DECOMPOSED sequences (combining
+#: accents, ligatures) before normalizing — NFC must change the bytes.
+#: One Python constant feeds the Spark literal AND the SQL literal, so
+#: the fixtures cannot drift. (No Greek capitals: DuckDB lowers final
+#: Σ positionally differently from Python — functions/unicode.py.)
+_UNI_SUFFIXES = (
+    " Cafe\u0301 pin\u0303ata",  # e+combining-acute, n+combining-tilde
+    " \ufb01ance\u0301 nai\u0308ve",  # fi-ligature, combining diaeresis
+    " U\u0308rdu\u0304 deja\u0300 vu",  # combining umlaut/macron/grave
+)
+
+
+@query(
+    "text_unicode_normalize",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               text || CASE doc_id % 3
+                       WHEN 0 THEN '{_UNI_SUFFIXES[0]}'
+                       WHEN 1 THEN '{_UNI_SUFFIXES[1]}'
+                       ELSE '{_UNI_SUFFIXES[2]}' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(text)) AS nfc_md5,
+           md5(lower(strip_accents(nfc_normalize(text)))) AS folded_md5,
+           nfc_normalize(text) <> text AS changed
+    FROM d
+    """,
+    description="Unicode canonicalization (the pre-tokenization step "
+    "every multilingual corpus needs - composed and decomposed "
+    "spellings of the same text hash differently, silently defeating "
+    "exact dedup, MinHash shingles and token bucketing): NFC "
+    "normalization plus an accent-fold+lower matching key, as "
+    "Arrow-batched unicodedata kernels whose tables match DuckDB's "
+    "utf8proc codepoint-for-codepoint (tested; one known final-sigma "
+    "divergence documented). Fixture appends deterministic DECOMPOSED "
+    "sequences so NFC provably changes bytes on every document",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.unicode import normalized_columns
+    from auraverse_etl_pipeline_spark.runtime import ship_package
+
+    ship_package(spark)  # module-level pandas_udf kernels
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.element_at(
+                F.array(*[F.lit(s) for s in _UNI_SUFFIXES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    nfc, folded = normalized_columns("text")
+    return docs.select(
+        "doc_id",
+        F.md5(nfc).alias("nfc_md5"),
+        F.md5(folded).alias("folded_md5"),
+        (nfc != F.col("text")).alias("changed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

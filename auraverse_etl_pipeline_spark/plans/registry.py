@@ -94,6 +94,7 @@ _NEEDS_FRESH_SCORE = (
     "mix_cluster_balanced",  # new in round 5 — semantic-coverage sampling
     "text_nb_classifier",  # new in round 5 — in-engine NB quality gate
     "sim_ivfpq_search",  # new in round 5 — IVF-PQ with refinement
+    "text_unicode_normalize",  # new in round 5 — NFC + accent-fold keys
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1762,3 +1762,23 @@ def test_ivfpq_full_probe_equals_pq_rerank(spark, sf_dir):
     hits = sum(len(got.get(q, set()) & ns) for q, ns in want.items())
     assert hits / sum(len(ns) for ns in want.values()) >= 0.5
     codes.unpersist(); corpus.unpersist()
+
+
+def test_unicode_normalization_semantics(spark):
+    """NFC composes combining sequences; fold strips accents and
+    lowers; dedup keys that differed only by composition now agree."""
+    from auraverse_etl_pipeline_spark.functions.unicode import (
+        fold_text,
+        nfc_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Café"), (3, "CAFÉ"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", nfc_text("text").alias("nfc"), fold_text("text").alias("folded")
+    ).collect()}
+    assert rows[1].nfc == rows[2].nfc == "Café"  # composed
+    assert rows[1].folded == rows[2].folded == rows[3].folded == "cafe"
+    assert rows[4].nfc is None and rows[4].folded is None
