@@ -37,6 +37,7 @@ from auraverse_etl_pipeline_spark.operators.sampling import (
     token_budget_plan,
 )
 from auraverse_etl_pipeline_spark.operators.sessionize import sessionize
+from auraverse_etl_pipeline_spark.operators.sketches import cms_build, cms_lookup
 from auraverse_etl_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
     cosine_top_k,
@@ -57,6 +58,8 @@ __all__ = [
     "bloom_might_contain",
     "bloom_parameters",
     "cluster_balanced_sample",
+    "cms_build",
+    "cms_lookup",
     "connected_component_labels",
     "cosine_similarity_expr",
     "cosine_top_k",

@@ -997,6 +997,70 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@query(
+    "text_cms_token_counts",
+    oracle=f"""
+    WITH inst AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ),
+    pos AS (
+        SELECT tok, i AS row,
+               ('0x' || substr(md5(tok || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                 % {_CMS_WIDTH} AS bucket
+        FROM inst, range({_CMS_DEPTH}) r(i)
+    ),
+    cms AS (
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY row, bucket
+    ),
+    keys AS (SELECT DISTINCT tok FROM inst),
+    probes AS (
+        SELECT tok, i AS row,
+               ('0x' || substr(md5(tok || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                 % {_CMS_WIDTH} AS bucket
+        FROM keys, range({_CMS_DEPTH}) r(i)
+    ),
+    est AS (
+        SELECT p.tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+        FROM probes p LEFT JOIN cms c USING (row, bucket)
+        GROUP BY p.tok
+    ),
+    exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM inst GROUP BY tok)
+    SELECT e.tok, e.est_count, x.true_count,
+           e.est_count >= x.true_count AS never_under
+    FROM est e JOIN exact x USING (tok)
+    """,
+    description="count-min sketch frequency estimation: token counts "
+    "in depth x width integers TOTAL, regardless of vocabulary size - "
+    "the fixed-memory twin of text_vocab_topk for corpora whose "
+    "dictionary itself is too big to materialize (URL/n-gram "
+    "frequencies at 100 TB). Linear sketch: daily increments merge by "
+    "summing cells, like the Bloom and MinHash indexes. The query "
+    "builds the sketch, looks every token back up, and checks the "
+    "one-sided guarantee (estimates never undercount); DuckDB replays "
+    "every cell and every estimate digit-for-digit",
+)
+def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.sketches import cms_build, cms_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(F.explode(tokens("text")).alias("tok"))
+    cms = cms_build(inst, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = inst.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    est = cms_lookup(exact, cms, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.select(
+        "tok",
+        "est_count",
+        "true_count",
+        (F.col("est_count") >= F.col("true_count")).alias("never_under"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

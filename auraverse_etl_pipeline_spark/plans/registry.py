@@ -95,6 +95,7 @@ _NEEDS_FRESH_SCORE = (
     "text_nb_classifier",  # new in round 5 — in-engine NB quality gate
     "sim_ivfpq_search",  # new in round 5 — IVF-PQ with refinement
     "text_unicode_normalize",  # new in round 5 — NFC + accent-fold keys
+    "text_cms_token_counts",  # new in round 5 — count-min frequency sketch
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1782,3 +1782,28 @@ def test_unicode_normalization_semantics(spark):
     assert rows[1].nfc == rows[2].nfc == "Café"  # composed
     assert rows[1].folded == rows[2].folded == rows[3].folded == "cafe"
     assert rows[4].nfc is None and rows[4].folded is None
+
+
+def test_cms_never_undercounts_and_merges(spark, docs):
+    """The count-min guarantees: estimates >= true counts always;
+    sketches of disjoint halves merged by cell-summing equal the
+    sketch of the whole; unseen keys estimate 0."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.sketches import cms_build, cms_lookup
+
+    inst = docs.select(F.explode(tokens("text")).alias("tok"), "doc_id")
+    depth, width = 4, 64  # narrow width -> forced collisions
+    cms = cms_build(inst, "tok", depth=depth, width=width)
+    assert cms.count() <= depth * width
+    exact = inst.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    looked = cms_lookup(exact, cms, "tok", depth=depth, width=width)
+    assert looked.filter("est_count < n").count() == 0
+    # linearity: sum of half-sketch cells == whole-sketch cells
+    a = cms_build(inst.filter("doc_id % 2 = 0"), "tok", depth=depth, width=width)
+    b = cms_build(inst.filter("doc_id % 2 = 1"), "tok", depth=depth, width=width)
+    merged = (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, cms.collect()))
+    unseen = spark.createDataFrame([("zzz-never-seen-key",)], "tok string")
+    assert cms_lookup(unseen, cms, "tok", depth=depth, width=width).first().est_count == 0
