@@ -227,3 +227,63 @@ def test_scd2_history_matches_model(spark):
         assert got == expect, (uniq, got, expect)
 
     prop()
+
+
+def test_bloom_matches_model(spark):
+    """Property: for randomized key sets, every inserted key probes
+    True (no false negatives — Bloom's defining guarantee), and the
+    filter never exceeds its word budget. Runs one geometry per
+    example to cover parameter derivation too."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.text(alphabet="abcxyz:0123", min_size=0, max_size=8),
+                      min_size=1, max_size=20),
+        fpp=st.sampled_from([0.3, 0.05, 0.01]),
+    )
+    def prop(keys, fpp):
+        num_bits, num_hashes = bloom_parameters(len(set(keys)), fpp)
+        kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+        bloom = bloom_build(kdf, "k", num_bits, num_hashes)
+        assert bloom.count() <= num_bits // 63
+        probed = bloom_might_contain(kdf, bloom, "k", num_bits, num_hashes)
+        assert probed.filter("NOT bloom_hit").count() == 0
+
+    prop()
+
+
+def test_cms_matches_model(spark):
+    """Property: for randomized key multisets, every estimate is >=
+    the true multiplicity (one-sided guarantee) at ANY width, and at
+    generous width the estimates are exact."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.sketches import cms_build, cms_lookup
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "#", ""]),
+                      min_size=1, max_size=30),
+        width=st.sampled_from([2, 8, 512]),
+    )
+    def prop(keys, width):
+        true = Counter(keys)
+        inst = spark.createDataFrame([(k,) for k in keys], "k string")
+        cms = cms_build(inst, "k", depth=3, width=width)
+        uniq = spark.createDataFrame([(k,) for k in true], "k string")
+        got = {r.k: r.est_count for r in cms_lookup(uniq, cms, "k", depth=3, width=width).collect()}
+        for k, n in true.items():
+            assert got[k] >= n, (k, got[k], n, width)
+        if width == 512:  # effectively collision-free at this size
+            assert all(got[k] == n for k, n in true.items())
+
+    prop()
