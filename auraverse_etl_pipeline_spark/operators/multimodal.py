@@ -62,13 +62,14 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_payload(payload: bytes, kind: str):
-    """Codec hook. Binary PPM (P6) and PNG (8-bit RGB/RGBA,
-    non-interlaced) decode for real — complete pure stdlib(+zlib)+numpy
-    raster codecs, so the resize/feature path is exercised on genuine
-    pixel data with zero third-party image libraries. Everything else
-    (JPEG/WAV/MP4...) needs PIL / soundfile / pyav, absent in this
-    runtime, and raises ``NotImplementedError`` so downstream code
-    falls back to the deterministic byte-level fake.
+    """Codec hook. Binary PPM (P6), PNG (8-bit RGB/RGBA,
+    non-interlaced) and WAV (16-bit PCM mono) decode for real —
+    complete pure stdlib(+zlib/struct)+numpy codecs, so the
+    resize/feature path is exercised on genuine pixel/sample data with
+    zero third-party media libraries. Everything else (JPEG/MP3/MP4…)
+    needs PIL / soundfile / pyav, absent in this runtime, and raises
+    ``NotImplementedError`` so downstream code falls back to the
+    deterministic byte-level fake.
 
     Both image paths are gated on the declared ``kind`` as well as the
     magic bytes: an audio/video payload that happens to start with
@@ -78,6 +79,8 @@ def decode_payload(payload: bytes, kind: str):
         return decode_ppm(payload)
     if kind == "image" and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(payload)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no {kind} decoder available in this runtime; "
         "install pillow/soundfile/pyav and implement decode_payload"
@@ -506,3 +509,141 @@ def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> Da
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("sum_squares", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """int16 1-D array → RIFF/WAVE bytes (16-bit PCM mono). Pure
+    stdlib ``struct`` — the audio twin of :func:`encode_png`."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE (16-bit PCM mono) → (sample_rate, int16 array).
+    Strict: non-PCM formats, multi-channel audio and truncated data
+    chunks raise ValueError — corrupt media gets surfaced, not
+    guessed at. Walks the chunk list, so extra chunks (LIST, fact)
+    between fmt and data are tolerated like any real reader."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            if len(body) != size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV layout (format={audio_format}, channels={channels}, bits={bits})"
+        )
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def attach_wav_media(
+    docs: DataFrame, n_samples: int = 256, sample_rate: int = 8000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL WAV table: sample[t] = ((media_id·37 + t·13)
+    mod 1024) − 512 as 16-bit PCM — closed-form, so a SQL oracle
+    recomputes every waveform statistic from (media_id, t) arithmetic
+    without parsing RIFF, while the Spark side must run the real
+    decode path to see the samples at all."""
+    import numpy as np
+
+    ship_package(docs.sparkSession)
+
+    def make_wav(ids: pd.Series) -> pd.Series:
+        t = np.arange(n_samples, dtype=np.int64)
+        return pd.Series(
+            [
+                encode_wav((((int(mid) * 37 + t * 13) % 1024) - 512).astype(np.int16), sample_rate)
+                for mid in ids
+            ]
+        )
+
+    payload = F.pandas_udf(make_wav, "binary")(F.col(id_col))
+    out = docs.select(F.col(id_col).alias("media_id"), payload.alias("payload"))
+    return out.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("synthetic-wav").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched waveform statistics through the REAL WAV decode:
+    (media_id, n_samples, sample_rate, sum_squares, zero_crossings,
+    peak) — all integers (16-bit samples square and sum exactly in
+    int64), so the features are engine-reproducible with no float
+    tolerance. ``zero_crossings`` counts sign flips between adjacent
+    samples with sign(x) = x >= 0.
+
+    Same scale shape as :func:`extract_media_features`: payloads
+    never shuffle (features are computed in the scan's Arrow batch),
+    one fixed-width row out per media row."""
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            rows = []
+            for rec in batch.itertuples(index=False):
+                rate, s = decode_wav(bytes(rec.payload))
+                s64 = s.astype(np.int64)
+                nonneg = s64 >= 0
+                rows.append(
+                    {
+                        "media_id": rec.media_id,
+                        "n_samples": len(s64),
+                        "sample_rate": rate,
+                        "sum_squares": int((s64 * s64).sum()),
+                        "zero_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+                        "peak": int(np.abs(s64).max()) if len(s64) else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, WAV_SCHEMA)

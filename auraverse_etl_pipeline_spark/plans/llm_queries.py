@@ -997,6 +997,48 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: WAV fixture geometry (attach_wav_media's closed-form waveform).
+_WAV_N = 256
+_WAV_RATE = 8000
+_WAV_S = "((doc_id*37 + {t}*13) % 1024 - 512)"
+
+
+@query(
+    "multimodal_wav_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(range(0, {_WAV_N}),
+                t -> {_WAV_S.format(t="t")} * {_WAV_S.format(t="t")})) AS BIGINT)
+             AS sum_squares,
+           CAST(len(list_filter(range(1, {_WAV_N}),
+                t -> ({_WAV_S.format(t="t")} >= 0) <> ({_WAV_S.format(t="(t-1)")} >= 0))) AS BIGINT)
+             AS zero_crossings,
+           CAST(list_max(list_transform(range(0, {_WAV_N}),
+                t -> abs({_WAV_S.format(t="t")}))) AS BIGINT) AS peak
+    FROM documents WHERE doc_id < 200
+    """,
+    description="REAL audio decode path: deterministic 16-bit PCM "
+    "mono WAVs (closed-form waveform) built per document, parsed by "
+    "the stdlib-struct RIFF decoder (chunk walk, strict PCM-mono "
+    "validation), waveform statistics extracted in the Arrow batch - "
+    "all INTEGER features (int16 samples square exactly in int64), "
+    "so DuckDB recomputes every stat from (media_id, t) arithmetic "
+    "without parsing a byte of RIFF. Payloads never shuffle; the "
+    "audio twin of multimodal_png_features",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_wav_media(docs, n_samples=_WAV_N, sample_rate=_WAV_RATE)
+    return audio_features(media)
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 

@@ -96,6 +96,7 @@ _NEEDS_FRESH_SCORE = (
     "sim_ivfpq_search",  # new in round 5 — IVF-PQ with refinement
     "text_unicode_normalize",  # new in round 5 — NFC + accent-fold keys
     "text_cms_token_counts",  # new in round 5 — count-min frequency sketch
+    "multimodal_wav_features",  # new in round 5 — stdlib WAV decode path
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

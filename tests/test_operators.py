@@ -1807,3 +1807,28 @@ def test_cms_never_undercounts_and_merges(spark, docs):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, cms.collect()))
     unseen = spark.createDataFrame([("zzz-never-seen-key",)], "tok string")
     assert cms_lookup(unseen, cms, "tok", depth=depth, width=width).first().est_count == 0
+
+
+def test_wav_codec_roundtrip_and_strictness(spark):
+    """encode→decode preserves samples exactly; truncated or non-PCM
+    payloads raise instead of guessing; decode_payload only routes
+    RIFF under kind='audio'."""
+    import numpy as np
+    import pytest as _pytest
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_payload,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = (((np.arange(256) * 13 + 259) % 1024) - 512).astype(np.int16)
+    wav = encode_wav(s, 8000)
+    rate, back = decode_wav(wav)
+    assert rate == 8000 and np.array_equal(s, back)
+    rate2, back2 = decode_payload(wav, "audio")
+    assert rate2 == 8000 and np.array_equal(s, back2)
+    with _pytest.raises(ValueError):
+        decode_wav(wav[:-3])
+    with _pytest.raises(NotImplementedError):
+        decode_payload(wav, "video")  # kind gate, not just magic bytes
