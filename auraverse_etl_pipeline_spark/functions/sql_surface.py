@@ -147,6 +147,17 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "(t STRING) RETURNS STRING",
         "md5(array_join(array_sort(array_distinct(split(trim(t), '\\\\s+'))), ' '))",
     ),
+    # round-5 additions: the deterministic sampling key and the hashed
+    # feature bucket, so ad-hoc SQL can reproduce the engine's sampling
+    # and classifier decisions exactly
+    "sample_key": (
+        "(id BIGINT) RETURNS BIGINT",
+        "(id * 2654435761) % 1000000007",
+    ),
+    "feature_bucket": (
+        "(t STRING, width INT) RETURNS BIGINT",
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % width",
+    ),
 }
 
 
@@ -166,6 +177,12 @@ def register_sql_surface(spark: SparkSession) -> list[str]:
     # the Series -> scalar type hints select the GROUPED_AGG eval type
     spark.udf.register("median_agg", pandas_udf(_median_agg, "double"))
     spark.udf.register("mad_agg", pandas_udf(_mad_agg, "double"))
+    # Unicode canonicalization (Arrow-batched unicodedata kernels —
+    # functions/unicode.py documents the DuckDB parity contract)
+    from auraverse_etl_pipeline_spark.functions.unicode import fold_text, nfc_text
+
+    spark.udf.register("nfc_text", nfc_text)
+    spark.udf.register("fold_text", fold_text)
     for name, (signature, body) in _SQL_UDFS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}")
     return [
@@ -174,5 +191,7 @@ def register_sql_surface(spark: SparkSession) -> list[str]:
         "normalize_fragment",
         "median_agg",
         "mad_agg",
+        "nfc_text",
+        "fold_text",
         *_SQL_UDFS,
     ]

@@ -118,3 +118,42 @@ def test_grouped_agg_udafs_match_native_exact(spark, sf_dir):
     for src, med in want.items():
         assert got[src][0] == med
         assert got[src][1] >= 0.0
+
+
+def test_sql_sample_key_and_feature_bucket_match_operators(spark, sf_dir):
+    """The SQL spellings must reproduce the engine's deterministic
+    decisions exactly: sample_key == sampling.sample_hash, and
+    feature_bucket == classifier.token_bucket."""
+    from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+    from auraverse_etl_pipeline_spark.operators.classifier import token_bucket
+    from auraverse_etl_pipeline_spark.operators.sampling import sample_hash
+
+    register_sql_surface(spark)
+    rows = spark.sql(
+        "SELECT sample_key(id) AS k, feature_bucket(CAST(id AS STRING), 97) AS b, id "
+        "FROM range(50)"
+    ).collect()
+    import pyspark.sql.functions as F
+
+    want = {
+        r.id: (r.k, r.b)
+        for r in spark.range(50)
+        .select(
+            "id",
+            sample_hash("id").alias("k"),
+            token_bucket(F.col("id").cast("string"), 97).alias("b"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert (r.k, r.b) == want[r.id]
+
+
+def test_sql_unicode_functions(spark):
+    from auraverse_etl_pipeline_spark.functions.sql_surface import register_sql_surface
+
+    register_sql_surface(spark)
+    row = spark.sql(
+        "SELECT nfc_text('Café') AS nfc, fold_text('CAFÉ') AS folded"
+    ).first()
+    assert row.nfc == "Café" and row.folded == "cafe"
