@@ -516,3 +516,98 @@ def repeated_ngram_stats(
         )
     )
     return release_after(result, *( [ex] if cache_grams else [] ))
+
+
+def corpus_data_card(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The one-call dataset report a corpus release ships: (section,
+    metric, value DOUBLE) rows covering volume (docs/tokens/chars),
+    exact-duplicate rate, Gopher pass rate, token-length quartiles
+    (exact percentile_disc — engine-reproducible), and the language
+    mix (share per ``lang_col`` value when given, else the stopword
+    vote of :func:`functions.text.lang_guess`).
+
+    Scale shape: the fixed-width per-doc metric rows are cached (four
+    consumers — scalar aggregate, length histogram, language mix,
+    total; paired release) so the text scans once; quartiles come from
+    ONE cumulative histogram, not three percentile_disc states (the
+    q37 lesson, SCALE.md); every value is a ratio of exact integers or
+    an exact percentile, so the card is reproducible across engines
+    digit-for-digit."""
+    from auraverse_etl_pipeline_spark.functions.text import lang_guess, token_count
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.col(lang_col) if lang_col else lang_guess(F.col(text_col))).alias("lang"),
+    )
+    n, mwl, stops = gopher_metrics("text")
+    wc_ok, wl_ok, st_ok = gopher_rules(n, mwl, stops)
+    base = docs.select(
+        "doc_id", "lang",
+        F.md5("text").alias("h"),
+        token_count("text").alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+        (wc_ok & wl_ok & st_ok).cast("int").alias("gopher_ok"),
+    ).cache()
+
+    def row(section: str, metric: str, value) -> Column:
+        return F.struct(
+            F.lit(section).alias("section"), F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        F.sum("gopher_ok").cast("bigint").alias("n_gopher"),
+    ).select(
+        F.explode(
+            F.array(
+                row("volume", "n_docs", F.col("n_docs")),
+                row("volume", "n_tokens", F.col("n_tokens")),
+                row("volume", "n_chars", F.col("n_chars")),
+                row("dedup", "exact_dup_rate",
+                    (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs")),
+                row("quality", "gopher_pass_rate", F.col("n_gopher") / F.col("n_docs")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    # quartiles from one cumulative histogram (value at first cum >=
+    # ceil(p*n), percentile_disc's definition) — the global window runs
+    # one task over DISTINCT token counts, a bounded set
+    hist = base.groupBy("toks").agg(F.count(F.lit(1)).alias("c")).cache()
+    w = Window.orderBy("toks").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    nrow = hist.agg(F.sum("c").alias("n"))
+    rung = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("toks"))
+    )
+    quartiles = (
+        cum.crossJoin(F.broadcast(nrow))
+        .agg(rung(0.25).alias("p25"), rung(0.50).alias("p50"), rung(0.75).alias("p75"))
+        .select(
+            F.explode(
+                F.array(
+                    *[row("length_tokens", f"p{p}", F.col(f"p{p}")) for p in (25, 50, 75)]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    total = base.count()
+    langs = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.lit("lang_mix").alias("section"),
+            F.col("lang").alias("metric"),
+            (F.col("cnt") / F.lit(total)).cast("double").alias("value"),
+        )
+    )
+    result = scalars.unionByName(quartiles).unionByName(langs)
+    return release_after(result, base, hist)

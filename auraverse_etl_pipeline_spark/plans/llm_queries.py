@@ -2994,3 +2994,61 @@ def dedup_embedding_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_md5"),
     )
     return release_after(result, pairs)
+
+
+@query(
+    "corpus_data_card",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang, text,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT)
+                 AS stopword_hits
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, md5(text) AS h, n_words AS toks,
+               CAST(length(text) AS BIGINT) AS chars,
+               CASE WHEN {_gopher_keep_sql()} THEN 1 ELSE 0 END AS gopher_ok
+        FROM m
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+               CAST(SUM(gopher_ok) AS BIGINT) AS n_gopher
+        FROM b
+    )
+    SELECT 'volume' AS section, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'volume', 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+    UNION ALL SELECT 'volume', 'n_chars', CAST(n_chars AS DOUBLE) FROM agg
+    UNION ALL SELECT 'dedup', 'exact_dup_rate',
+              CAST((n_docs - n_distinct) / n_docs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'quality', 'gopher_pass_rate',
+              CAST(n_gopher / n_docs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'length_tokens', 'p25',
+              CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY toks) AS DOUBLE) FROM b
+    UNION ALL SELECT 'length_tokens', 'p50',
+              CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY toks) AS DOUBLE) FROM b
+    UNION ALL SELECT 'length_tokens', 'p75',
+              CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY toks) AS DOUBLE) FROM b
+    UNION ALL
+    SELECT 'lang_mix', lang, CAST(COUNT(*) / (SELECT COUNT(*) FROM b) AS DOUBLE)
+    FROM b GROUP BY lang
+    """,
+    description="the one-call dataset card a corpus release ships: "
+    "volume (docs/tokens/chars), exact-duplicate rate, Gopher pass "
+    "rate (shared rule constants), token-length quartiles from ONE "
+    "cumulative histogram (the q37 shape, not three percentile_disc "
+    "states), and the language mix - per-doc metric rows cached with "
+    "paired release so the text scans once, every value an exact "
+    "integer ratio or exact percentile, reproduced digit-for-digit "
+    "by DuckDB",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import corpus_data_card as card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return card(docs, lang_col="lang")

