@@ -1852,3 +1852,55 @@ def test_corpus_data_card_internal_consistency(spark, docs):
     assert p25 <= p50 <= p75
     card.release_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty() or True  # no-throw
+
+
+def test_bloom_parquet_roundtrip(spark, docs, tmp_path):
+    """The filter IS an index: build once, write parquet, load
+    tomorrow, probe — loaded results equal in-memory results exactly."""
+    from auraverse_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    keys = docs.select(F.md5("text").alias("k"))
+    num_bits, num_hashes = bloom_parameters(600, 0.01)
+    bloom = bloom_build(keys, "k", num_bits, num_hashes)
+    path = str(tmp_path / "bloom")
+    bloom.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    a = sorted(
+        map(tuple, bloom_might_contain(keys, bloom, "k", num_bits, num_hashes).collect())
+    )
+    b = sorted(
+        map(tuple, bloom_might_contain(keys, loaded, "k", num_bits, num_hashes).collect())
+    )
+    assert a == b
+
+
+def test_pq_codes_parquet_roundtrip_search_without_reencode(spark, sf_dir, tmp_path):
+    """PQ's persistence contract: codes + codebooks written to parquet
+    and searched tomorrow give exactly the in-memory answer, with no
+    re-encode (the loaded plan never touches the raw corpus until the
+    refine step)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_search,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id < 10")
+    cb = pq_codebooks(corpus, m=8, ksub=32, dim=64)
+    codes = pq_encode(corpus, cb, m=8, dim=64)
+    cb.write.parquet(str(tmp_path / "cb"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    cb2 = spark.read.parquet(str(tmp_path / "cb"))
+    codes2 = spark.read.parquet(str(tmp_path / "codes"))
+    a = sorted(map(tuple, pq_search(queries, codes, cb, k=5).collect()))
+    b = sorted(map(tuple, pq_search(queries, codes2, cb2, k=5).collect()))
+    assert a == b
+    plan = pq_search(queries, codes2, cb2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan or plan.count("embeddings.parquet") <= 1
