@@ -6,6 +6,7 @@ from auraverse_etl_pipeline_spark.operators.changeset import (
 from auraverse_etl_pipeline_spark.operators.bloom import (
     bloom_build,
     bloom_decontaminate,
+    bloom_flag_report,
     bloom_might_contain,
     bloom_parameters,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "assign_global_ids",
     "bloom_build",
     "bloom_decontaminate",
+    "bloom_flag_report",
     "bloom_might_contain",
     "bloom_parameters",
     "cluster_balanced_sample",

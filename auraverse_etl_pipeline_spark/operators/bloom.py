@@ -236,3 +236,79 @@ def bloom_decontaminate(
         train.join(confirmed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"),
         ev_sh,
     )
+
+
+def bloom_flag_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    fpp: float = 0.01,
+    expected_keys: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row audit of a :func:`bloom_decontaminate` run: how many
+    documents the filter flagged vs how many the exact re-check
+    confirmed — the observability surface that quantifies exactly what
+    ``verify=False`` would have over-dropped (the same role
+    ``hot_buckets`` plays for the capped LSH tiers: a lossy knob gets
+    an audit query, never silent behavior). Output: (n_train,
+    n_flagged, n_confirmed, n_false_flagged, flag_precision).
+
+    Cost: the same probe + verify joins the decontaminate run does —
+    run it on a sample or alongside the real pass, not as a second
+    full pass at 100 TB."""
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+    from auraverse_etl_pipeline_spark.operators.dedup import _shingle_table
+
+    ev_sh = (
+        _shingle_table(eval_docs, n=n, text_col=text_col, id_col=id_col)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .cache()
+    )
+    nk = expected_keys if expected_keys is not None else ev_sh.count()
+    num_bits, num_hashes = bloom_parameters(nk, fpp)
+    num_words = num_bits // 63
+    bloom = bloom_build(ev_sh, "shingle", num_bits, num_hashes)
+    tr_sh = _shingle_table(train, n=n, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    flagged = (
+        tr_sh.select(
+            "doc_id",
+            _block_word(F.col("shingle"), num_words).alias("word"),
+            _block_mask(F.col("shingle"), num_hashes).alias("m"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m"))
+                == F.col("m")
+            ).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_or("hit").alias("doc_hit"))
+        .filter("doc_hit")
+        .select("doc_id")
+        .cache()
+    )
+    confirmed = tr_sh.join(flagged, "doc_id").join(ev_sh, "shingle").select("doc_id").distinct()
+    n_train = train.select(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    n_fl = flagged.select(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    n_cf = confirmed.select(F.count(F.lit(1)).cast("bigint").alias("n_confirmed"))
+    result = (
+        n_train.crossJoin(n_fl)
+        .crossJoin(n_cf)
+        .select(
+            "n_train",
+            "n_flagged",
+            "n_confirmed",
+            (F.col("n_flagged") - F.col("n_confirmed")).alias("n_false_flagged"),
+            F.when(F.col("n_flagged") > 0, F.col("n_confirmed") / F.col("n_flagged"))
+            .otherwise(F.lit(1.0))
+            .alias("flag_precision"),
+        )
+    )
+    return release_after(result, ev_sh, flagged)

@@ -1746,6 +1746,21 @@ _BLOOM_BITS = 63 * 64
 _BLOOM_HASHES = 5
 
 
+def _bloom_word_sql(key: str, num_words: int) -> str:
+    """DuckDB spelling of operators/bloom._block_word."""
+    return f"('0x' || substr(md5({key} || ':0'), 1, 15))::BIGINT % {num_words}"
+
+
+def _bloom_mask_sql(key: str, num_hashes: int) -> str:
+    """DuckDB spelling of operators/bloom._block_mask (sum of DISTINCT
+    powers of two == bitwise OR)."""
+    return (
+        f"CAST(list_sum(list_distinct(list_transform(range(1, {num_hashes + 1}), "
+        f"i -> 1::BIGINT << CAST(('0x' || substr(md5({key} || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT "
+        f"% 63 AS INT)))) AS BIGINT)"
+    )
+
+
 @query(
     "dedup_bloom_bits",
     oracle=f"""
@@ -1754,11 +1769,8 @@ _BLOOM_HASHES = 5
         FROM documents WHERE doc_id % 97 = 0
     ),
     wm AS (
-        SELECT ('0x' || substr(md5(shingle || ':0'), 1, 15))::BIGINT
-                 % {_BLOOM_BITS // 63} AS word,
-               CAST(list_sum(list_distinct(list_transform(range(1, {_BLOOM_HASHES + 1}),
-                   i -> 1::BIGINT << CAST(('0x' || substr(md5(shingle || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
-                                          % 63 AS INT)))) AS BIGINT) AS m
+        SELECT {_bloom_word_sql("shingle", _BLOOM_BITS // 63)} AS word,
+               {_bloom_mask_sql("shingle", _BLOOM_HASHES)} AS m
         FROM ev
     )
     SELECT word, bit_or(m) AS bits FROM wm GROUP BY word
@@ -1830,6 +1842,79 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(train, ev, n=8, fpp=0.01, expected_keys=5000).select(
         "doc_id", F.md5("text").alias("content_md5")
     )
+
+
+#: dedup_bloom_audit's geometry: bloom_parameters(5000, 0.01) — pinned
+#: here so the oracle replays the exact filter the operator derives.
+_BAUDIT_WORDS = 47943 // 63
+_BAUDIT_HASHES = 7
+
+
+@query(
+    "dedup_bloom_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_sh_sql(8)}) AS shingle
+        FROM documents WHERE doc_id % 89 = 0
+    ),
+    train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 89 = 0
+    ),
+    bloom AS (
+        SELECT word, bit_or(m) AS bits FROM (
+            SELECT {_bloom_word_sql("shingle", _BAUDIT_WORDS)} AS word,
+                   {_bloom_mask_sql("shingle", _BAUDIT_HASHES)} AS m
+            FROM ev
+        ) GROUP BY word
+    ),
+    tsh AS (
+        SELECT doc_id, unnest({_sh_sql(8)}) AS shingle FROM train
+    ),
+    flagged AS (
+        SELECT doc_id FROM (
+            SELECT t.doc_id,
+                   bool_or((COALESCE(b.bits, 0) & t.m) = t.m) AS hit
+            FROM (SELECT doc_id,
+                         {_bloom_word_sql("shingle", _BAUDIT_WORDS)} AS word,
+                         {_bloom_mask_sql("shingle", _BAUDIT_HASHES)} AS m
+                  FROM tsh) t
+            LEFT JOIN bloom b USING (word)
+            GROUP BY t.doc_id
+        ) WHERE hit
+    ),
+    confirmed AS (
+        SELECT DISTINCT t.doc_id FROM tsh t
+        JOIN flagged USING (doc_id) JOIN ev USING (shingle)
+    ),
+    c AS (
+        SELECT CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS n_train,
+               CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_flagged,
+               CAST((SELECT COUNT(*) FROM confirmed) AS BIGINT) AS n_confirmed
+    )
+    SELECT n_train, n_flagged, n_confirmed,
+           n_flagged - n_confirmed AS n_false_flagged,
+           CASE WHEN n_flagged > 0 THEN n_confirmed / n_flagged
+                ELSE CAST(1.0 AS DOUBLE) END AS flag_precision
+    FROM c
+    """,
+    description="the Bloom tier's audit surface (the hot_buckets "
+    "pattern: every lossy knob gets an observability query): how many "
+    "documents the filter flagged vs how many the exact re-check "
+    "confirmed - flag_precision quantifies exactly what verify=False "
+    "would over-drop at this geometry. DuckDB replays the blocked "
+    "filter, every flag decision and the confirmation join",
+)
+def dedup_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bloom import bloom_flag_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0).unionByName(
+        ev.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    )
+    return bloom_flag_report(train, ev, n=8, fpp=0.01, expected_keys=5000)
 
 
 @query(

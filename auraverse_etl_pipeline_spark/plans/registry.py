@@ -98,6 +98,7 @@ _NEEDS_FRESH_SCORE = (
     "text_cms_token_counts",  # new in round 5 — count-min frequency sketch
     "multimodal_wav_features",  # new in round 5 — stdlib WAV decode path
     "corpus_data_card",  # new in round 5 — one-call dataset report
+    "dedup_bloom_audit",  # new in round 5 — Bloom flag-precision audit
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
