@@ -34,6 +34,7 @@ from auraverse_etl_pipeline_spark.operators.dedup import (
 from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
 from auraverse_etl_pipeline_spark.operators.sampling import (
     cluster_balanced_sample,
+    curriculum_order,
     stratified_exact_sample,
     token_budget_plan,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "bloom_parameters",
     "cluster_balanced_sample",
     "cms_build",
+    "curriculum_order",
     "cms_lookup",
     "connected_component_labels",
     "cosine_similarity_expr",

@@ -161,3 +161,58 @@ def token_budget_plan(
             ).alias("sample_fraction"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering for training: bin documents by a difficulty
+    score (ascending — bin 1 is easiest) and give each bin a
+    deterministic Knuth-shuffled serving order. Output: the input rows
+    plus (bin, bin_rank); consumers emit training order by
+    ``ORDER BY bin, bin_rank``.
+
+    Bins are VALUE-deterministic, not row-split: the b-th threshold is
+    the exact ``percentile_disc(b/n_bins)`` of the score (computed from
+    one cumulative histogram over DISTINCT score values — never a
+    global sort of the data), and a document's bin is the first
+    threshold at or above its score. Equal scores therefore always
+    share a bin — reproducible under any parallelism, unlike
+    ``ntile``'s arbitrary tie splitting. Intra-bin order is the same
+    RNG-free Knuth hash as every sampler here, so the curriculum is a
+    pure function of the data.
+
+    Scale shape: one partial-aggregated histogram shuffle + a window
+    over its distinct values, thresholds carried as ONE broadcast
+    n_bins-element array row, one bin-partitioned ranking window —
+    the corpus itself is never globally sorted."""
+    hist = df.groupBy(F.col(score_col).alias("_s")).agg(F.count(F.lit(1)).alias("_c")).cache()
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    nrow = hist.agg(F.sum("_c").alias("_n"))
+    rungs = cum.crossJoin(F.broadcast(nrow)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(b / n_bins) * F.col("_n")), F.col("_s")
+                )
+            ).alias(f"_t{b}")
+            for b in range(1, n_bins + 1)
+        ]
+    ).select(F.array(*[f"_t{b}" for b in range(1, n_bins + 1)]).alias("_thresholds"))
+    binned = df.crossJoin(F.broadcast(rungs)).withColumn(
+        "bin",
+        (
+            1
+            + F.size(F.filter("_thresholds", lambda t: t < F.col(score_col)))
+        ).cast("int"),
+    ).drop("_thresholds")
+    rk = F.row_number().over(
+        Window.partitionBy("bin").orderBy(sample_hash(id_col), F.col(id_col))
+    )
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+    return release_after(binned.withColumn("bin_rank", rk.cast("bigint")), hist)

@@ -1844,6 +1844,51 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_curriculum_order",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS score FROM documents
+    ),
+    t AS (
+        SELECT [percentile_disc(0.2) WITHIN GROUP (ORDER BY score),
+                percentile_disc(0.4) WITHIN GROUP (ORDER BY score),
+                percentile_disc(0.6) WITHIN GROUP (ORDER BY score),
+                percentile_disc(0.8) WITHIN GROUP (ORDER BY score),
+                percentile_disc(1.0) WITHIN GROUP (ORDER BY score)] AS arr
+        FROM b
+    ),
+    binned AS (
+        SELECT doc_id, score,
+               CAST(1 + len(list_filter(t.arr, x -> x < score)) AS INTEGER) AS bin
+        FROM b, t
+    )
+    SELECT doc_id, score, bin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bin
+               ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007, doc_id)
+             AS BIGINT) AS bin_rank
+    FROM binned
+    """,
+    description="curriculum ordering: documents binned by difficulty "
+    "score (token count here; ascending - bin 1 easiest) at exact "
+    "percentile_disc thresholds from ONE cumulative histogram (never "
+    "a global sort; ntile's arbitrary tie-splitting rejected for "
+    "value-deterministic bins), Knuth-shuffled serving order within "
+    "each bin - the training order is a pure RNG-free function of "
+    "the data, reproduced exactly by DuckDB",
+)
+def mix_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+    from auraverse_etl_pipeline_spark.operators.sampling import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("score")
+    )
+    return curriculum_order(docs, "score", n_bins=5).select(
+        "doc_id", "score", "bin", "bin_rank"
+    )
+
+
 #: dedup_bloom_audit's geometry: bloom_parameters(5000, 0.01) — pinned
 #: here so the oracle replays the exact filter the operator derives.
 _BAUDIT_WORDS = 47943 // 63

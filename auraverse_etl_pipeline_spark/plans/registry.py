@@ -99,6 +99,7 @@ _NEEDS_FRESH_SCORE = (
     "multimodal_wav_features",  # new in round 5 — stdlib WAV decode path
     "corpus_data_card",  # new in round 5 — one-call dataset report
     "dedup_bloom_audit",  # new in round 5 — Bloom flag-precision audit
+    "mix_curriculum_order",  # new in round 5 — deterministic curriculum
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1904,3 +1904,35 @@ def test_pq_codes_parquet_roundtrip_search_without_reencode(spark, sf_dir, tmp_p
     assert a == b
     plan = pq_search(queries, codes2, cb2, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "embeddings.parquet" not in plan or plan.count("embeddings.parquet") <= 1
+
+
+def test_curriculum_order_bins_and_determinism(spark):
+    """Value-deterministic bins (equal scores share a bin), monotone
+    bin boundaries, every bin Knuth-ranked from 1, deterministic
+    across calls."""
+    from auraverse_etl_pipeline_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(300)], "doc_id long, score long"
+    )
+    out = curriculum_order(df, "score", n_bins=4)
+    rows = out.collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    assert sorted(by_bin) == [1, 2, 3, 4]
+    for b in range(1, 4):  # monotone boundaries
+        assert max(r.score for r in by_bin[b]) <= min(
+            max(r.score for r in by_bin[b + 1]), 10**9
+        )
+    score_to_bin = {}
+    for r in rows:  # equal scores never split across bins
+        assert score_to_bin.setdefault(r.score, r.bin) == r.bin
+    for b, rs in by_bin.items():
+        assert sorted(r.bin_rank for r in rs) == list(range(1, len(rs) + 1))
+    again = sorted(
+        (r.doc_id, r.bin, r.bin_rank)
+        for r in curriculum_order(df, "score", n_bins=4).collect()
+    )
+    assert again == sorted((r.doc_id, r.bin, r.bin_rank) for r in rows)
+    out.release_caches()
