@@ -651,6 +651,9 @@ def pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     dim: int | None = None,
+    quantizer: str = "sample",
+    seed: int = 42,
+    max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -658,12 +661,19 @@ def pq_codebooks(
     vector space cut into ``m`` consecutive subspaces of ``dim/m``
     components, each with ``ksub`` centroids.
 
-    Deterministic sample codebooks (the ``ksub`` lowest-id corpus
-    vectors' subvectors are the centroids), mirroring the IVF
-    ``quantizer="sample"`` tier: build, encode and search all replay
-    digit-for-digit in a SQL oracle. At real scale you would train
-    per-subspace KMeans for tighter cells — the schema is the same, so
-    :func:`pq_encode` / :func:`pq_search` don't care which built it.
+    Two quantizer modes, mirroring the IVF tier:
+
+    - ``"sample"`` (default) — the ``ksub`` lowest-id corpus vectors'
+      subvectors are the centroids: deterministic, so build, encode
+      and search all replay digit-for-digit in a SQL oracle.
+    - ``"kmeans"`` — one KMeans(ksub) fit PER SUBSPACE over that
+      subspace's subvectors (classic PQ training): tighter cells,
+      measurably better raw-ADC ranking (pytest pins the improvement),
+      but ``m`` driver-coordinated fits and RNG/partitioning-dependent
+      centroids — the offline-build mode, not the oracle-gated one.
+
+    The schema is identical either way, so :func:`pq_encode` /
+    :func:`pq_search` don't care which built it.
 
     ``dim`` avoids the one-row lookup job when the caller knows the
     width (a table statistic); trailing ``dim % m`` components are
@@ -675,6 +685,36 @@ def pq_codebooks(
     dsub = dim // m
     if dsub < 1:
         raise ValueError(f"m={m} exceeds vector width {dim}")
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        subv = (
+            _as_double(corpus, vec_col)
+            .select(F.col(vec_col).alias("v"))
+            .select(F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v")
+            .select("sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv"))
+            .withColumn("fv", array_to_vector("subv"))
+            .cache()
+        )
+        spark = corpus.sparkSession
+        parts = []
+        for s in range(m):
+            km = KMeans(k=ksub, seed=seed + s, maxIter=max_iter, featuresCol="fv")
+            model = km.fit(subv.filter(F.col("sub") == s))
+            parts.append(
+                spark.createDataFrame(
+                    [(s, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+                    "sub int, code int, centroid array<double>",
+                )
+            )
+        subv.unpersist()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    if quantizer != "sample":
+        raise ValueError(f"unknown quantizer {quantizer!r}; use 'sample' or 'kmeans'")
     w = Window.orderBy("id")
     base = (
         _as_double(corpus, vec_col)
