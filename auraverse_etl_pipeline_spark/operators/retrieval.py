@@ -1,0 +1,218 @@
+"""BM25 lexical retrieval: persistable inverted index + top-k search.
+
+The lexical half of a curation pipeline's retrieval stack (the embedding
+half is ``operators/similarity.py``): retrieval-based decontamination
+("which training docs does this benchmark query retrieve?"), seed-set
+expansion for classifier training, and plain corpus search all run on
+the same two-table index built here. (The reference has no retrieval
+tier at all; this generalizes its free-text scan, ``script.py:425``, the
+way the similarity tier generalizes its equality matching.)
+
+Scale shape, deliberately Lucene-like:
+
+- the index is ONE explode + ONE partial-aggregated shuffle on
+  ``(doc, term)``; document length is denormalized into every posting
+  (Lucene's ``norms``) so search never joins the corpus-sized
+  doc-length table;
+- the document-frequency table is vocabulary-sized, built once at index
+  time, and only ever probed with a broadcast of the query terms;
+- search scans postings ONCE (the query-term join is a broadcast — zero
+  shuffle on the corpus side), aggregates fixed-width
+  ``(query, doc, partial)`` rows, and top-k's per query. Nothing
+  corpus-sized ever shuffles except that fixed-width aggregate.
+
+Engine parity: the scoring expression tree is spelled identically here
+and in the DuckDB oracle (same literal constants, same operation order —
+IEEE doubles are deterministic), per-term ``idf`` logs run through the
+same Python-libm pandas_udf as the NB classifier (JVM ``Math.log``
+disagrees with DuckDB ``ln`` in the last ulp on ~2% of inputs) over the
+query-terms table only, and per-document sums are order-independent
+DECIMAL(38,12) partials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from auraverse_etl_pipeline_spark.operators.caching import release_after
+from auraverse_etl_pipeline_spark.runtime import ship_package
+
+#: Lucene's BM25 defaults; shared with the oracle SQL in
+#: ``plans/llm_queries.py`` so the two spellings cannot drift.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@dataclass(frozen=True)
+class Bm25Index:
+    """The persistable BM25 index — three plain-data tables:
+
+    - ``postings`` — (term, id, tf, dl): every (document, term) pair
+      with its term frequency and the document's total token count
+      (denormalized, so search needs no corpus-side length join).
+    - ``dfs`` — (term, df): vocabulary-sized document frequencies.
+    - ``stats`` — single row (n_docs, total_len): corpus size and the
+      token total that yields ``avgdl`` at search time.
+
+    :meth:`save` writes all three as parquet, postings repartitioned by
+    ``term`` so each query term's postings cluster into few files (on a
+    real cluster, bucket the saved table by ``term`` for a shuffle-free
+    probe). A daily pipeline builds this ONCE, then every run is
+    :meth:`load` + :func:`bm25_search`; a new batch with fresh doc ids
+    appends its own ``bm25_index`` postings/dfs as new files and the
+    tiny stats row is re-summed — the corpus text is never re-read."""
+
+    postings: DataFrame
+    dfs: DataFrame
+    stats: DataFrame
+    #: Set only by ``bm25_index(cache=True)``: the persisted (id, term,
+    #: tf) table every index table derives from. Pass it through
+    #: :func:`release_after` on whatever result consumes the index.
+    cache_handle: DataFrame | None = None
+
+    def save(self, path: str, mode: str = "overwrite") -> "Bm25Index":
+        (
+            self.postings.repartition("term")
+            .write.mode(mode)
+            .parquet(f"{path}/postings")
+        )
+        self.dfs.write.mode(mode).parquet(f"{path}/dfs")
+        self.stats.write.mode(mode).parquet(f"{path}/stats")
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Bm25Index":
+        return cls(
+            postings=spark.read.parquet(f"{path}/postings"),
+            dfs=spark.read.parquet(f"{path}/dfs"),
+            stats=spark.read.parquet(f"{path}/stats"),
+        )
+
+
+def bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache: bool = False,
+) -> Bm25Index:
+    """Build the inverted index from ``(id, text)`` documents.
+
+    One token explode into fixed-width ``(id, term)`` rows, one
+    partial-aggregated count shuffle keyed ``(id, term)`` (a document's
+    tokens are co-partitioned with it, so the map-side combine does
+    most of the counting), a self-join length denormalization on the
+    aggregate's own output, and a vocabulary-sized second aggregate for
+    ``dfs``. The corpus text is read exactly once.
+
+    ``cache=True`` persists the shared (id, term, tf) table all three
+    index tables derive from — for inline build-then-search sessions
+    (pair it with ``release_after(result, idx.cache_handle)``).
+    Persisted pipelines should leave it off and :meth:`Bm25Index.save`
+    instead: a saved index is a parquet scan, not executor storage."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    if cache:
+        tf.persist()
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    postings = tf.join(dl, "id").select("term", "id", "tf", "dl")
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    return Bm25Index(
+        postings=postings, dfs=dfs, stats=stats, cache_handle=tf if cache else None
+    )
+
+
+def bm25_search(
+    queries: DataFrame,
+    index: Bm25Index,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query: ``(query_id, doc_id, score, rank)``.
+
+    Lucene-style BM25: per matched (query term, posting)
+
+    ``idf(t) * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))``
+
+    with ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive). Distinct query terms score once each; terms absent from
+    the corpus contribute nothing (inner join against ``dfs``).
+
+    Plan: query terms (tiny) probe ``dfs`` with a broadcast, idf runs
+    through the Python-libm pandas_udf over that tiny match table, the
+    weighted term table broadcasts against ``postings`` (the only
+    corpus-sized scan — NO shuffle), per-(query, doc) sums are
+    DECIMAL(38,12) partials, and the top-k window partitions by query
+    with a deterministic (score desc, doc asc) tie-break."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.classifier import _ln
+
+    ship_package(queries.sparkSession)  # _ln is pickled by reference
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    qidf = (
+        index.dfs.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(index.stats))
+        .select(
+            "query_id",
+            "term",
+            _ln(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+            (
+                F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    contrib = index.postings.join(F.broadcast(qidf), "term").select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        (
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("w"),
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("score")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+__all__ = [
+    "BM25_B",
+    "BM25_K1",
+    "Bm25Index",
+    "bm25_index",
+    "bm25_search",
+    "release_after",
+]

@@ -3182,3 +3182,144 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return card(docs, lang_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+from auraverse_etl_pipeline_spark.operators.retrieval import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+)
+
+#: Deterministic retrieval fixture: literal query strings over the
+#: synthetic corpus's vocabulary — a common-terms query, a longer one,
+#: one mixing the rare 'dup' (df≈25/500, high idf) with an absent term
+#: ('zebra' must contribute nothing), and a stopword-ish query. One
+#: Python constant feeds the Spark literal frame AND the SQL VALUES.
+_BM25_QUERIES = (
+    (0, "hash join table"),
+    (1, "window sort merge stream"),
+    (2, "dup spark zebra"),
+    (3, "the a customer"),
+)
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+@query(
+    "text_bm25_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MAX(tf) AS BIGINT) AS max_tf
+    FROM tf GROUP BY term
+    """,
+    description="BM25 inverted-index build parity: the postings table "
+    "(term, doc, tf, denormalized doc length - Lucene's norms pattern, "
+    "so search never joins a corpus-sized length table) rolled up to "
+    "per-term document frequency / total and max term frequency. One "
+    "token explode + one partial-aggregated (doc, term) shuffle builds "
+    "the whole persistable index; DuckDB replays the vocabulary stats "
+    "exactly",
+)
+def text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs, cache=True)
+    out = idx.postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )
+    return release_after(out, idx.cache_handle)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q(query_id, text) AS (VALUES {_BM25_VALUES}),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    post AS (SELECT term, tf.id, tf.tf, dl.dl FROM tf JOIN dl USING (id)),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    qt AS (
+        SELECT DISTINCT query_id, term
+        FROM (SELECT query_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM q)
+    ),
+    qidf AS (
+        SELECT query_id, term,
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE))) AS idf,
+               CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        FROM dfs JOIN qt USING (term) CROSS JOIN stats
+    ),
+    contrib AS (
+        SELECT query_id, post.id AS doc_id,
+               idf * (tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                   / (tf + CAST({BM25_K1!r} AS DOUBLE)
+                          * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                             + CAST({BM25_B!r} AS DOUBLE) * dl / avgdl)) AS w
+        FROM post JOIN qidf USING (term)
+    ),
+    scores AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS score
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scores
+    ) WHERE rank <= 10
+    """,
+    description="BM25 top-k retrieval over the persistable inverted "
+    "index: query terms probe the vocabulary-sized df table with a "
+    "broadcast, per-term idf = ln(1 + (N-df+0.5)/(df+0.5)) runs in the "
+    "Python-libm Arrow batch over the tiny query-term table (JVM "
+    "Math.log vs DuckDB ln last-ulp rule), the weighted terms "
+    "broadcast against postings so the corpus side never shuffles, "
+    "per-doc sums are order-independent DECIMAL partials, top-k ties "
+    "break on doc id. Absent query terms ('zebra') drop out in the "
+    "inner df join; DuckDB replays scores digit-for-digit",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id bigint, text string"
+    )
+    idx = bm25_index(docs, cache=True)
+    out = bm25_search(queries, idx, k=10)
+    return release_after(out, idx.cache_handle)

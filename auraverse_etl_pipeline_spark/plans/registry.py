@@ -100,6 +100,8 @@ _NEEDS_FRESH_SCORE = (
     "corpus_data_card",  # new in round 5 — one-call dataset report
     "dedup_bloom_audit",  # new in round 5 — Bloom flag-precision audit
     "mix_curriculum_order",  # new in round 5 — deterministic curriculum
+    "text_bm25_index",  # new in round 5 — BM25 inverted-index build
+    "text_bm25_search",  # new in round 5 — BM25 top-k retrieval
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1975,3 +1975,100 @@ def test_pq_kmeans_codebooks_beat_sample_on_adc(spark, sf_dir):
     assert r_kmeans >= r_sample - 0.02, (r_sample, r_kmeans)
     assert r_kmeans >= 0.15
     corpus.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_index_build_and_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Index tables are plain data: save → load → search must equal
+    inline search exactly (proving search never refits anything)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_index,
+        bm25_search,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "hash join table"), (1, "dup spark")], "query_id bigint, text string"
+    )
+    idx = bm25_index(docs, cache=True)
+    inline = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_search(queries, idx, k=5).collect()
+    }
+    path = str(tmp_path / "bm25")
+    idx.save(path)
+    idx.cache_handle.unpersist()
+    loaded = Bm25Index.load(spark, path)
+    assert loaded.cache_handle is None
+    reloaded = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_search(queries, loaded, k=5).collect()
+    }
+    assert inline == reloaded and len(inline) == 10
+    # postings carry the denormalized dl: every (id, dl) pair is
+    # consistent with the sum of the id's tfs.
+    bad = (
+        loaded.postings.groupBy("id", "dl")
+        .agg(F.sum("tf").alias("s"))
+        .filter(F.col("s") != F.col("dl"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bm25_scoring_semantics(spark, sf_dir):
+    """Rare terms dominate ranking (idf), absent terms contribute
+    nothing, and every score is positive (Lucene +1 idf form)."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs, cache=True)
+    queries = spark.createDataFrame(
+        [(0, "dup the"), (1, "dup the zebra"), (2, "zebra")],
+        "query_id bigint, text string",
+    )
+    out = bm25_search(queries, idx, k=500).collect()
+    idx.cache_handle.unpersist()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = (r.score, r.rank)
+    # absent-everywhere query retrieves nothing at all
+    assert 2 not in by_q
+    # 'zebra' being absent from the corpus must not change any score
+    assert {d: s for d, (s, _) in by_q[0].items()} == {
+        d: s for d, (s, _) in by_q[1].items()
+    }
+    assert all(s > 0 for s, _ in by_q[0].values())
+    # the rare term's documents outrank docs matching only 'the':
+    # every doc containing 'dup' sorts strictly above every doc that
+    # matches the query on 'the' alone.
+    dup_docs = {
+        r.doc_id
+        for r in docs.filter(F_contains_word(docs, "dup")).select("doc_id").collect()
+    }
+    scores = by_q[0]
+    worst_dup = min(s for d, (s, _) in scores.items() if d in dup_docs)
+    best_nondup = max(
+        (s for d, (s, _) in scores.items() if d not in dup_docs), default=0.0
+    )
+    assert worst_dup > best_nondup
+
+
+def F_contains_word(docs, word):
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    return F.array_contains(tokens("text"), word)

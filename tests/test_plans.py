@@ -310,3 +310,19 @@ def test_nb_score_broadcasts_model(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_bm25_search_broadcasts_query_terms(spark, sf_dir):
+    """BM25 search: the corpus-sized postings scan joins the weighted
+    query terms as a BROADCAST (no corpus-side shuffle before the
+    fixed-width score aggregate), the idf logs are the only Python
+    (Arrow batch over the tiny query-term table), and nothing is a
+    sort-merge or nested-loop join."""
+    plan = _plan(QS["text_bm25_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row corpus-stats crossJoin on the
+    # tiny query-term side — never against anything corpus-sized.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
