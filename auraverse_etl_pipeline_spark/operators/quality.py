@@ -611,3 +611,79 @@ def corpus_data_card(
     )
     result = scalars.unionByName(quartiles).unionByName(langs)
     return release_after(result, base, hist)
+
+
+def pmi_phrases(
+    df: DataFrame,
+    min_count: int = 5,
+    delta: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_unigrams: bool = True,
+) -> DataFrame:
+    """word2phrase collocation mining (Mikolov et al. 2013): score each
+    adjacent word pair by ``(pair_count - δ) · N / (count(w1) ·
+    count(w2))`` — a discounted pointwise-mutual-information ratio —
+    returning ``(w1, w2, pair_count, w1_count, w2_count, score)`` for
+    pairs seen at least ``min_count`` times. High-scoring pairs are the
+    multi-word units ("new york") a tokenizer or dedup shingler should
+    treat as one token; the discount ``δ`` kills rare-pair noise.
+
+    Counts stay exact BIGINTs; the score converts each factor to
+    DOUBLE BEFORE multiplying (a BIGINT product of two web-scale
+    unigram counts would overflow; the double product is
+    engine-identical IEEE), so the ranking is reproducible anywhere.
+
+    Scale shape: one pass builds bigram instances JVM-side (NGram — no
+    corpus self-join on positions), one pass explodes unigrams; both
+    aggregates partial-combine map-side, and the join back is
+    vocabulary-sized × bigram-vocabulary-sized with AQE free to
+    broadcast the unigram side (no hint — a web corpus's unigram table
+    can be past broadcast limits). Unlike the hash-shuffle operators
+    above, the shuffle key here is the word itself — the output needs
+    the text, and both tables are vocabulary-bounded, not
+    corpus-bounded. The unigram count table is consumed twice (w1 and
+    w2 joins) plus the token total, so it is cached by default with
+    the paired ``release_caches()`` discipline."""
+    grams = _gram_instances(df, n=2, text_col=text_col, id_col=id_col)
+    pair_counts = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .select(
+            F.substring_index("gram", " ", 1).alias("w1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+            "pair_count",
+        )
+    )
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    if cache_unigrams:
+        uni = uni.cache()
+    totals = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    scored = (
+        pair_counts.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("w1_count")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("w2_count")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            (
+                (F.col("pair_count") - F.lit(delta)).cast("double")
+                * F.col("n_tok").cast("double")
+                / (
+                    F.col("w1_count").cast("double")
+                    * F.col("w2_count").cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    return release_after(scored, *([uni] if cache_unigrams else []))

@@ -3323,3 +3323,57 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = bm25_index(docs, cache=True)
     out = bm25_search(queries, idx, k=10)
     return release_after(out, idx.cache_handle)
+
+
+_PMI_MIN_COUNT = 5
+_PMI_DELTA = 5
+
+
+@query(
+    "text_pmi_phrases",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM t
+    ),
+    pc AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM bg GROUP BY g HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    ),
+    pcs AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+               pair_count
+        FROM pc
+    ),
+    uc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc)
+    SELECT w1, w2, pair_count,
+           a.c AS w1_count, b.c AS w2_count,
+           CAST(pair_count - {_PMI_DELTA} AS DOUBLE) * CAST(n_tok AS DOUBLE)
+             / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
+    FROM pcs
+    JOIN uc a ON pcs.w1 = a.w
+    JOIN uc b ON pcs.w2 = b.w
+    CROSS JOIN n
+    """,
+    description="word2phrase collocation mining (discounted-PMI score "
+    "(pair-delta)*N/(c1*c2) over adjacent word pairs): the multi-word-"
+    "unit detector a tokenizer or shingler runs before training. "
+    "Bigram instances build JVM-side (NGram - no positional corpus "
+    "self-join), counts stay exact BIGINTs partial-aggregated map-"
+    "side, the score multiplies DOUBLE-converted factors so web-scale "
+    "unigram products cannot overflow, and the vocabulary-sized "
+    "unigram table (consumed by both the w1 and w2 joins) is cached "
+    "with paired release; AQE left free to broadcast - no hint, a web "
+    "corpus's unigram table can exceed broadcast limits",
+)
+def text_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import pmi_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_phrases(docs, min_count=_PMI_MIN_COUNT, delta=_PMI_DELTA)

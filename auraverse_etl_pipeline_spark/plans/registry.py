@@ -102,6 +102,7 @@ _NEEDS_FRESH_SCORE = (
     "mix_curriculum_order",  # new in round 5 — deterministic curriculum
     "text_bm25_index",  # new in round 5 — BM25 inverted-index build
     "text_bm25_search",  # new in round 5 — BM25 top-k retrieval
+    "text_pmi_phrases",  # new in round 5 — word2phrase collocations
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -2072,3 +2072,25 @@ def F_contains_word(docs, word):
     from auraverse_etl_pipeline_spark.functions.text import tokens
 
     return F.array_contains(tokens("text"), word)
+
+
+def test_pmi_phrases_hand_computed(spark):
+    """Score formula against hand counts: corpus of 'new york' runs —
+    (pair-δ)·N/(c1·c2) with double-converted factors, min_count filter,
+    paired release handle present."""
+    from auraverse_etl_pipeline_spark.operators.quality import pmi_phrases
+
+    docs = spark.createDataFrame(
+        [(0, "new york new york new york"), (1, "old york new day")],
+        "doc_id bigint, text string",
+    )
+    out = pmi_phrases(docs, min_count=2, delta=1)
+    rows = {(r.w1, r.w2): r for r in out.collect()}
+    out.release_caches()
+    # bigram instances: doc0: (new,york)x3, (york,new)x2; doc1:
+    # (old,york), (york,new), (new,day) → pair_count≥2: (new,york)=3,
+    # (york,new)=3. unigrams: new=4, york=4, old=1, day=1; N=10.
+    assert set(rows) == {("new", "york"), ("york", "new")}
+    r = rows[("new", "york")]
+    assert (r.pair_count, r.w1_count, r.w2_count) == (3, 4, 4)
+    assert r.score == (3 - 1) * 10.0 / (4.0 * 4.0)
