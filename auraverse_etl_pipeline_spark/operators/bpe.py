@@ -1,0 +1,236 @@
+"""In-engine BPE tokenizer training and encoding.
+
+Byte-pair encoding (Sennrich et al. 2016) learned FROM the corpus, in
+the engine: the merge table a real tokenizer ships is itself a data
+artifact, and training it is the canonical "iterative algorithm over an
+aggregate" the reference engine cannot express at all (its token logic
+stops at regex splitting, ``script.py:425``; this repo's
+``text_bpe_token_budget`` is the counting proxy — here the actual
+merges are learned).
+
+The key scale property of word-level BPE: after ONE corpus scan that
+counts word frequencies, training state is the WORD VOCABULARY
+(vocabulary-bounded, never corpus-bounded — ~100M rows for a web
+corpus, weighted by frequency), so the merge loop's per-round shuffles
+move vocabulary-sized symbol tables, and the corpus text is never read
+again. Each round is: adjacent-pair counts (``lead`` window + one
+partial-aggregated sum), a 1-row argmax collected to the driver (the
+same driver-side control as connected components' convergence check —
+one row, not data), and a greedy non-overlapping merge application
+spelled entirely in window functions (runs of consecutive match
+positions keep even offsets — left-to-right greedy, exactly the
+reference BPE semantics). Lineage is cut per round with
+``localCheckpoint`` on the vocabulary-sized state, the previous round's
+cache released eagerly.
+
+Determinism/parity: ties in the argmax break on (count DESC, left ASC,
+right ASC) — a documented deviation from insertion-order tie-breaking
+in some reference implementations, chosen because it is reproducible
+in ANY engine; the DuckDB oracle replays every round digit-for-digit
+as an unrolled CTE chain. Character splitting is per UTF-16 code unit
+on the JVM vs per codepoint in DuckDB — identical on ASCII corpora
+(the multimodal frame-manifest ASCII guard applies; non-BMP input
+would diverge).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from auraverse_etl_pipeline_spark.runtime import ship_package
+
+#: Merge-table schema: one row per learned merge, in order.
+MERGES_SCHEMA = "step bigint, lhs string, rhs string, pair_count bigint"
+
+
+def word_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, freq) — the ONE corpus scan BPE training needs."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Explode each vocabulary word into (word, freq, i, sym) char
+    rows — the mutable training state, vocabulary-bounded."""
+    return words.select(
+        "word",
+        "freq",
+        F.posexplode(F.split("word", "")).alias("i", "sym"),
+    ).select("word", "freq", (F.col("i") + 1).cast("bigint").alias("i"), "sym")
+
+
+def _apply_merge(syms: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of (lhs, rhs)
+    over the exploded symbol state. Overlaps only chain through runs
+    of CONSECUTIVE match positions (a match at i consumes i and i+1),
+    so greedy == keep even offsets within each such run — pure window
+    algebra, no per-row Python."""
+    w = Window.partitionBy("word").orderBy("i")
+    p = syms.withColumn("nxt", F.lead("sym").over(w))
+    matches = p.filter((F.col("sym") == lhs) & (F.col("nxt") == rhs)).select(
+        "word", "i"
+    )
+    mw = Window.partitionBy("word").orderBy("i")
+    isl = matches.withColumn("isl", F.col("i") - F.row_number().over(mw))
+    iw = Window.partitionBy("word", "isl")
+    # kept derives FROM p: alias its columns before re-joining them to
+    # p, or the equality would resolve to the same attribute ids (the
+    # trivially-true self-join condition trap).
+    kept = (
+        isl.withColumn("off", F.col("i") - F.min("i").over(iw))
+        .filter(F.col("off") % 2 == 0)
+        .select(F.col("word").alias("kw"), F.col("i").alias("ki"))
+    )
+    merged = (
+        p.join(
+            kept,
+            (F.col("word") == F.col("kw")) & (F.col("i") == F.col("ki")),
+            "left",
+        )
+        .withColumn("merge_here", F.col("ki").isNotNull())
+        .drop("kw", "ki")
+    )
+    consumed = kept.select(
+        F.col("kw").alias("cw"), (F.col("ki") + 1).alias("ci")
+    )
+    rebuilt = (
+        merged.join(
+            consumed,
+            (F.col("word") == F.col("cw")) & (F.col("i") == F.col("ci")),
+            "left_anti",
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.when(F.col("merge_here"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .withColumn(
+            "i", F.row_number().over(Window.partitionBy("word").orderBy("i")).cast("bigint")
+        )
+    )
+    return rebuilt
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    ordered merge table ``(step, lhs, rhs, pair_count)`` (driver-side
+    model data, like KMeans centroids — ``num_merges`` rows).
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (weighted by word frequency) — merging
+    noise pairs only bloats the vocab. Per-round state is
+    vocabulary-bounded and checkpointed; the corpus is scanned once."""
+    spark = docs.sparkSession
+    syms = _initial_symbols(word_freqs(docs, text_col, id_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(num_merges):
+            w = Window.partitionBy("word").orderBy("i")
+            pairs = (
+                syms.withColumn("nxt", F.lead("sym").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy("sym", "nxt")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            )
+            best = pairs.orderBy(
+                F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc()
+            ).limit(1).collect()
+            if not best or best[0]["cnt"] < min_pair_count:
+                break
+            lhs, rhs, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
+            merges.append((step, lhs, rhs, cnt))
+            nxt_state = _apply_merge(syms, lhs, rhs).localCheckpoint()
+            syms.unpersist()
+            syms = nxt_state
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge table: ``(doc_id, pieces
+    array<string>, n_pieces)``. The merge table collects to a
+    rank dict (model-sized, like the NB weights) closed over an
+    Arrow-batched pandas_udf; encoding is the standard lowest-rank-
+    first merge loop per word, memoized per batch — embarrassingly
+    parallel over the corpus, no shuffle at all."""
+    ship_package(docs.sparkSession)
+    ranks = {
+        (r["lhs"], r["rhs"]): int(r["step"])
+        for r in merges.select("step", "lhs", "rhs").collect()
+    }
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            ranked = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not ranked:
+                break
+            rank = min(r for r, _ in ranked)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and ranks.get((syms[i], syms[i + 1])) == rank
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return texts.map(
+            lambda t: [
+                piece
+                for wrd in (t or "").strip().split()
+                for piece in _encode_word(wrd, memo)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _encode(F.col(text_col)).alias("pieces")
+    ).withColumn("n_pieces", F.size("pieces").cast("bigint"))
+
+
+__all__ = ["MERGES_SCHEMA", "bpe_encode", "bpe_train", "word_freqs"]

@@ -3377,3 +3377,103 @@ def text_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_phrases(docs, min_count=_PMI_MIN_COUNT, delta=_PMI_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_MERGES = 6
+
+
+def _bpe_train_oracle(m: int) -> str:
+    """Unrolled round-for-round DuckDB replay of :func:`bpe_train`:
+    each learned merge is three window/aggregate CTEs (pair counts +
+    deterministic argmax, greedy non-overlap via consecutive-run even
+    offsets, rebuild with renumbered positions) — plain chained CTEs,
+    generated from the same round template the Spark loop executes, so
+    a geometry change touches one definition."""
+    sql = [
+        f"""
+    WITH wf AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+        SELECT word, freq, CAST(u.i AS BIGINT) AS i, u.sym
+        FROM (SELECT word, freq,
+                     unnest(list_transform(range(1, len(string_split(word, '')) + 1),
+                            i -> {{'i': i, 'sym': string_split(word, '')[i]}})) AS u
+              FROM wf) t(word, freq, u)
+    )"""
+    ]
+    for r in range(m):
+        sql.append(
+            f""",
+    p{r} AS MATERIALIZED (
+        SELECT word, freq, i, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+        FROM s{r}
+    ),
+    c{r} AS (
+        SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT lhs, rhs, cnt FROM c{r}
+        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+    ),
+    m{r} AS (
+        SELECT p.word, p.i FROM p{r} p, b{r} b
+        WHERE p.sym = b.lhs AND p.nxt = b.rhs
+    ),
+    k{r} AS MATERIALIZED (
+        SELECT word, i FROM (
+            SELECT word, i, i - MIN(i) OVER (PARTITION BY word, isl) AS off
+            FROM (SELECT word, i,
+                         i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+                  FROM m{r})
+        ) WHERE off % 2 = 0
+    ),
+    s{r + 1} AS MATERIALIZED (
+        SELECT p.word, p.freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.i)
+                    AS BIGINT) AS i,
+               CASE WHEN k1.i IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+        FROM p{r} p
+        LEFT JOIN k{r} k1 ON p.word = k1.word AND p.i = k1.i
+        LEFT JOIN k{r} k2 ON p.word = k2.word AND p.i = k2.i + 1
+        WHERE k2.i IS NULL
+    )"""
+        )
+    sql.append(
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM b{r}"
+            for r in range(m)
+        )
+    )
+    return "".join(sql)
+
+
+@query(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_MERGES),
+    description="BPE tokenizer training IN the engine (Sennrich-style "
+    "word-level merges): after ONE corpus scan counts word "
+    "frequencies, training state is the word VOCABULARY (never the "
+    "corpus), each round = vocabulary-sized pair-count aggregate + "
+    "1-row argmax to the driver (the connected-components control "
+    "pattern) + greedy non-overlapping merge spelled as pure window "
+    "algebra (consecutive-run even offsets), state localCheckpointed "
+    "per round. Deterministic (count, lhs, rhs) tie-break so ANY "
+    "engine reproduces the merge table; DuckDB replays all rounds "
+    "digit-for-digit from an unrolled CTE chain generated by the same "
+    "round template",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=_BPE_TRAIN_MERGES)

@@ -2094,3 +2094,108 @@ def test_pmi_phrases_hand_computed(spark):
     r = rows[("new", "york")]
     assert (r.pair_count, r.w1_count, r.w2_count) == (3, 4, 4)
     assert r.score == (3 - 1) * 10.0 / (4.0 * 4.0)
+
+
+# ---------------------------------------------------------------------------
+# BPE training/encoding (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_train(texts, num_merges, min_pair_count=2):
+    """Pure-Python reference implementation (word-level BPE, greedy
+    left-to-right merges, (count desc, lhs, rhs) tie-break)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.strip().split() if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for step in range(num_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((step, l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_train
+
+    texts = ["low lower lowest low low", "newer new newest lower"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, num_merges=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe_train(texts, 6)
+
+
+def test_bpe_greedy_overlap_and_early_stop(spark):
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame([(0, "aaaa aaa")], "doc_id bigint, text string")
+    m = bpe_train(docs, num_merges=4, min_pair_count=1)
+    got = [(r.step, r.lhs, r.rhs, r.pair_count) for r in m.orderBy("step").collect()]
+    # round 0: (a,a) appears 3x in aaaa + 2x in aaa (overlapping counts);
+    # greedy application leaves [aa,aa] and [aa,a]
+    assert got == _ref_bpe_train(["aaaa aaa"], 4, min_pair_count=1)
+    assert got[0] == (0, "a", "a", 5)
+    # rank-order encoding replays the merge history: aaaa chains
+    # (a,a)→(aa,aa); aaa gets (a,a) then (aa,a)
+    assert bpe_encode(docs, m).collect()[0].pieces == ["aaaa", "aaa"]
+    m2 = bpe_train(docs, num_merges=2, min_pair_count=1)
+    assert bpe_encode(docs, m2).collect()[0].pieces == ["aa", "aa", "aaa"]
+    # early stop: demanding pair_count >= 6 stops before the first merge
+    assert bpe_train(docs, num_merges=4, min_pair_count=6).count() == 0
+
+
+def test_bpe_encode_consistency(spark, sf_dir):
+    """Encoding invariants on real data: pieces concatenate back to
+    the source tokens, and encoding the TRAINING corpus with the
+    learned merges reproduces training's final vocabulary state
+    (rank-order encoding replays the merge history per word)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train(docs, num_merges=5)
+    assert merges.count() == 5
+    enc = bpe_encode(docs, merges)
+    joined = docs.join(enc, "doc_id").select(
+        (
+            F.concat_ws("", F.flatten(F.array(F.col("pieces"))))
+            == F.regexp_replace(F.trim("text"), r"\s+", "")
+        ).alias("ok"),
+        # piece count sits between the word count (≥1 piece per word)
+        # and the character count (every piece is ≥1 char)
+        (F.col("n_pieces") >= F.size(F.split(F.trim("text"), r"\s+"))).alias(
+            "ge_words"
+        ),
+        (
+            F.col("n_pieces")
+            <= F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+        ).alias("le_chars"),
+    )
+    rows = joined.collect()
+    assert all(r.ok for r in rows)
+    assert all(r.ge_words for r in rows)
+    assert all(r.le_chars for r in rows)
