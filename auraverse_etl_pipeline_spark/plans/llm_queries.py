@@ -3477,3 +3477,60 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, num_merges=_BPE_TRAIN_MERGES)
+
+
+def _bpe_encode_oracle(m: int) -> str:
+    """Encode-path oracle: the final training state ``s{m}`` IS the
+    piece sequence of every training-corpus word (rank-order encoding
+    replays the merge history — pinned in pytest), so the per-document
+    piece stream is tokens-in-order joined to per-word piece strings,
+    digested per document."""
+    chain = _bpe_train_oracle(m)
+    chain = chain[: chain.index("\n    SELECT CAST(0 AS BIGINT) AS step")]
+    return (
+        chain
+        + f""",
+    wp AS (
+        SELECT word, string_agg(sym, ' ' ORDER BY i) AS pieces,
+               CAST(COUNT(*) AS BIGINT) AS n FROM s{m} GROUP BY word
+    ),
+    alltok AS (
+        SELECT doc_id, u.pos AS tpos, u.tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKS}) + 1),
+                            i -> {{'pos': i, 'tok': ({_TOKS})[i]}})) AS u
+              FROM documents) t(doc_id, u)
+        WHERE u.tok <> ''
+    )
+    SELECT a.doc_id,
+           CAST(SUM(w.n) AS BIGINT) AS n_pieces,
+           md5(string_agg(w.pieces, ' ' ORDER BY a.tpos)) AS pieces_md5
+    FROM alltok a JOIN wp w ON a.tok = w.word
+    GROUP BY a.doc_id
+    """
+    )
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_TRAIN_MERGES),
+    description="corpus tokenization with the learned BPE merges, "
+    "oracle-gated end-to-end: the merge table collects to a rank dict "
+    "(model-sized, the NB-weights pattern) closed over a memoized "
+    "Arrow-batched kernel - embarrassingly parallel, no shuffle on "
+    "the corpus side; DuckDB replays it from the training chain's "
+    "final vocabulary state (rank-order encoding reproduces the merge "
+    "history per word), comparing per-document piece count AND the "
+    "md5 of the space-joined piece stream",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_TRAIN_MERGES)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_md5"),
+    )

@@ -104,6 +104,7 @@ _NEEDS_FRESH_SCORE = (
     "text_bm25_search",  # new in round 5 — BM25 top-k retrieval
     "text_pmi_phrases",  # new in round 5 — word2phrase collocations
     "text_bpe_train",  # new in round 5 — in-engine BPE merge learning
+    "text_bpe_encode",  # new in round 5 — learned-merge tokenization
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
