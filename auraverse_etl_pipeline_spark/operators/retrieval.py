@@ -216,3 +216,41 @@ __all__ = [
     "bm25_search",
     "release_after",
 ]
+
+
+def tfidf_keywords(
+    index: Bm25Index, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by
+    ``tf · ln(N/df)`` — ``(doc_id, term, tf, tfidf, rank)``. The
+    summarization / topic-labeling primitive a corpus card or
+    curriculum builder runs on the same inverted index retrieval uses.
+
+    Plan: idf over the vocabulary-sized df table (Python-libm Arrow
+    batch — the last-ulp ln rule), broadcast-joined into the postings
+    scan (no corpus-side shuffle), then ONE top-k window per document
+    (fixed-width rows; WindowGroupLimit prunes to k per partition
+    before the exchange). Ties break on the term itself."""
+    from auraverse_etl_pipeline_spark.operators.classifier import _ln
+
+    ship_package(index.postings.sparkSession)
+    idf = index.dfs.crossJoin(F.broadcast(index.stats)).select(
+        "term",
+        _ln(F.col("n_docs").cast("double") / F.col("df").cast("double")).alias(
+            "idf"
+        ),
+    )
+    scored = index.postings.join(F.broadcast(idf), "term").select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )

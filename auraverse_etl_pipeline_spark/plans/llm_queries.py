@@ -3534,3 +3534,51 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.md5(F.concat_ws(" ", "pieces")).alias("pieces_md5"),
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs FROM tf),
+    idf AS (
+        SELECT term, ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+        FROM dfs CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT tf.id AS doc_id, tf.term, tf.tf,
+               CAST(tf.tf AS DOUBLE) * idf.idf AS tfidf
+        FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+        SELECT doc_id, term, tf, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    description="per-document keyword extraction: top-3 terms by "
+    "tf*ln(N/df) over the same persistable inverted index the BM25 "
+    "tier builds - idf in the Python-libm Arrow batch over the "
+    "vocabulary-sized df table, broadcast into the postings scan (no "
+    "corpus-side shuffle), ONE top-k window per document with "
+    "WindowGroupLimit pruning and term-name tie-break",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        tfidf_keywords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs, cache=True)
+    return release_after(tfidf_keywords(idx, k=3), idx.cache_handle)

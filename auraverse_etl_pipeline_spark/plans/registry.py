@@ -105,6 +105,7 @@ _NEEDS_FRESH_SCORE = (
     "text_pmi_phrases",  # new in round 5 — word2phrase collocations
     "text_bpe_train",  # new in round 5 — in-engine BPE merge learning
     "text_bpe_encode",  # new in round 5 — learned-merge tokenization
+    "text_tfidf_keywords",  # new in round 5 — per-doc tf-idf keywords
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
