@@ -213,8 +213,10 @@ __all__ = [
     "BM25_K1",
     "Bm25Index",
     "bm25_index",
+    "bm25_merge",
     "bm25_search",
     "release_after",
+    "tfidf_keywords",
 ]
 
 
@@ -253,4 +255,64 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_merge(index: Bm25Index, batch: Bm25Index) -> Bm25Index:
+    """Index compaction — the lexical twin of the MinHash
+    ``merge_into_index`` / IVF ``ivf_assign`` write paths: fold a new
+    batch's index into an existing one with INDEX-WINS idempotence (a
+    re-ingested document keeps its indexed postings; only genuinely new
+    doc ids land).
+
+    Lucene's segment-merge identity makes this delta-only: for
+    disjoint doc sets, ``df`` and the corpus stats ADD — so the merge
+    is an anti-join on the doc id (new docs only), a union of postings
+    (logical — parquet append at scale), a full-outer SUM of the two
+    vocabulary-sized df tables, and a 1-row stats add. The existing
+    corpus's postings are never re-aggregated, so a daily ingest loop
+    costs O(batch), not O(corpus)."""
+    # direct left-anti on the id: duplicate build-side keys (one per
+    # term of an indexed doc) don't change anti-join semantics, and
+    # skipping the two distinct aggregates saves two shuffles — at
+    # index scale, feed a dedicated live-ids table here instead.
+    delta = batch.postings.join(index.postings.select("id"), "id", "left_anti")
+    delta_dfs = delta.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    merged_dfs = (
+        index.dfs.select("term", F.col("df").alias("df_a"))
+        .join(delta_dfs.select("term", F.col("df").alias("df_b")), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("df"),
+        )
+    )
+    delta_stats = delta.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    merged_stats = (
+        index.stats.select(
+            F.col("n_docs").alias("na"), F.col("total_len").alias("la")
+        )
+        .crossJoin(
+            delta_stats.select(
+                F.col("n_docs").alias("nb"), F.col("total_len").alias("lb")
+            )
+        )
+        .select(
+            (F.col("na") + F.col("nb")).cast("bigint").alias("n_docs"),
+            (F.col("la") + F.col("lb")).cast("bigint").alias("total_len"),
+        )
+    )
+    return Bm25Index(
+        postings=index.postings.unionByName(delta),
+        dfs=merged_dfs,
+        stats=merged_stats,
     )

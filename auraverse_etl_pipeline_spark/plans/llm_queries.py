@@ -3245,9 +3245,10 @@ def text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_after(out, idx.cache_handle)
 
 
-@query(
-    "text_bm25_search",
-    oracle=f"""
+#: Shared with the streaming twin (stream_bm25_index): a streaming-
+#: segment-built index searched with the same queries must produce
+#: exactly this batch answer.
+_BM25_SEARCH_ORACLE = f"""
     WITH q(query_id, text) AS (VALUES {_BM25_VALUES}),
     toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -3299,7 +3300,12 @@ def text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS rank
         FROM scores
     ) WHERE rank <= 10
-    """,
+    """
+
+
+@query(
+    "text_bm25_search",
+    oracle=_BM25_SEARCH_ORACLE,
     description="BM25 top-k retrieval over the persistable inverted "
     "index: query terms probe the vocabulary-sized df table with a "
     "broadcast, per-term idf = ln(1 + (N-df+0.5)/(df+0.5)) runs in the "
@@ -3582,3 +3588,89 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = bm25_index(docs, cache=True)
     return release_after(tfidf_keywords(idx, k=3), idx.cache_handle)
+
+
+@query(
+    "text_bm25_merge",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS df_postings,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MAX(tf) AS BIGINT) AS max_tf,
+           CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+    FROM tf CROSS JOIN stats
+    GROUP BY term, total_len, n_docs
+    """,
+    description="BM25 index compaction - the lexical twin of "
+    "dedup_merge_index / ivf_assign, closing the daily-loop write "
+    "path: day-1 index + a re-ingest batch (overlap plus new docs) "
+    "merge with index-wins idempotence, delta-only cost (anti-join on "
+    "the doc id, postings union is logical, Lucene's segment identity "
+    "sums the two vocabulary-sized df tables, 1-row stats add - the "
+    "existing corpus is never re-aggregated). The oracle is the "
+    "INVARIANT: merged index == the index built on the full corpus, "
+    "checked per-term over df from BOTH the merged df table and the "
+    "merged postings, tf rollups, and the merged avgdl",
+)
+def text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_merge,
+    )
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import Bm25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one tokenize for both sides: the batch re-ingests everything, and
+    # day-1's independently-built index equals the batch index filtered
+    # to day-1 ids (same texts), so derive it from the SAME cached
+    # postings — a real daily loop LOADS both as parquet scans instead.
+    batch = bm25_index(docs, cache=True)  # re-ingests day1 + new docs
+    batch.postings.persist()
+    p1 = batch.postings.filter(F.col("id") % 3 != 0).persist()
+    idx1 = Bm25Index(
+        postings=p1,
+        dfs=p1.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df")),
+        stats=p1.groupBy("id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_len"),
+        ),
+    )
+    merged = bm25_merge(idx1, batch)
+    roll = merged.postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_postings"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )
+    out = (
+        merged.dfs.join(roll, "term")
+        .crossJoin(
+            F.broadcast(
+                merged.stats.select(
+                    (
+                        F.col("total_len").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ).alias("avgdl")
+                )
+            )
+        )
+        .select("term", "df", "df_postings", "total_tf", "max_tf", "avgdl")
+    )
+    return release_after(out, batch.cache_handle, batch.postings, p1)

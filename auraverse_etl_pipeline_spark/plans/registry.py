@@ -106,6 +106,8 @@ _NEEDS_FRESH_SCORE = (
     "text_bpe_train",  # new in round 5 — in-engine BPE merge learning
     "text_bpe_encode",  # new in round 5 — learned-merge tokenization
     "text_tfidf_keywords",  # new in round 5 — per-doc tf-idf keywords
+    "text_bm25_merge",  # new in round 5 — lexical index compaction
+    "stream_bm25_index",  # new in round 5 — streaming segment indexing
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -369,3 +369,55 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return run_stream_to_memory(gate, "complete", "s_quality_gate")
+
+
+def _stream_bm25_oracle() -> str:
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _BM25_SEARCH_ORACLE,
+    )
+
+    return _BM25_SEARCH_ORACLE
+
+
+@query(
+    "stream_bm25_index",
+    oracle=_stream_bm25_oracle(),
+    description="continuous lexical indexing (foreachBatch): each "
+    "micro-batch folds into a growing BM25 index laid out as Lucene-"
+    "style append-only segments (postings delta + vocabulary-sized df "
+    "segment + 1-row stats segment; within-batch first-writer-wins, "
+    "index-wins anti-join against batches 1..N-1 - re-ingested docs "
+    "add nothing), consolidated at read time by the segment identity "
+    "(disjoint doc sets => dfs and stats ADD). The oracle is the "
+    "INVARIANT: searching the streaming-built index must equal "
+    "text_bm25_search's batch answer on the same corpus, despite the "
+    "batching and the injected re-ingest duplicates",
+)
+def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_search
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _BM25_QUERIES
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        load_stream_bm25_index,
+        run_stream_bm25_indexing,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = stream_documents(spark, sf_dir).select("doc_id", "text")
+    # re-ingest the first 50 documents under their ORIGINAL ids: the
+    # index-wins path must drop them or dl/df/avgdl would all shift
+    copies = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="bm25_stream_")
+    run_stream_bm25_indexing(
+        docs.unionByName(copies), index_path=f"{root}/index"
+    )
+    idx = load_stream_bm25_index(spark, f"{root}/index")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id bigint, text string"
+    )
+    return bm25_search(queries, idx, k=10)

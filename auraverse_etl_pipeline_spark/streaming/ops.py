@@ -376,3 +376,101 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_stream_bm25_indexing(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 600,
+) -> None:
+    """Continuous lexical indexing — the retrieval twin of
+    :func:`run_stream_dedup_compaction`: each micro-batch of documents
+    folds into a growing BM25 index laid out as Lucene-style SEGMENTS,
+    every write append-only:
+
+    1. within-batch first-writer-wins (deterministic ``min(text)`` per
+       id — a crawl can deliver the same id twice in one batch),
+    2. index-wins against batches 1..N-1 (left-anti on ids already in
+       the postings segments — re-ingested ids add nothing, the
+       ``bm25_merge`` idempotence),
+    3. the batch delta's postings, its vocabulary-sized df segment,
+       and a 1-row stats segment each APPEND as new files; nothing is
+       ever rewritten, and the segment identity (disjoint doc sets ⇒
+       df and stats ADD) makes read-time consolidation a
+       vocabulary-sized sum (:func:`load_stream_bm25_index`).
+
+    Scale shape: per batch the corpus-sized work is one tokenize +
+    one (id, term) aggregate of the BATCH only; the existing index is
+    touched only as an id-projection parquet scan for the anti-join."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        uniq = batch_df.groupBy(F.col(id_col).alias("doc_id")).agg(
+            F.min(text_col).alias("text")
+        )
+        idx = bm25_index(uniq, text_col="text", id_col="doc_id", cache=True)
+        try:
+            seen = spark.read.parquet(f"{index_path}/postings").select("id")
+        except AnalysisException:  # first batch: no segments yet
+            seen = None
+        delta = (
+            idx.postings
+            if seen is None
+            else idx.postings.join(seen.distinct(), "id", "left_anti")
+        )
+        # EAGER lineage cut, not .cache(): the postings append below
+        # auto-refreshes cached plans that read index_path, so a cached
+        # delta would recompute against the new listing — and anti-join
+        # away the very docs it just wrote — before the df/stats writes.
+        delta = delta.localCheckpoint()
+        delta.write.mode("append").parquet(f"{index_path}/postings")
+        delta.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        ).write.mode("append").parquet(f"{index_path}/dfs")
+        delta.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_len"),
+        ).fillna(0).write.mode("append").parquet(f"{index_path}/stats")
+        delta.unpersist()
+        if idx.cache_handle is not None:
+            idx.cache_handle.unpersist()
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_bm25_")
+    q = (
+        new_docs.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def load_stream_bm25_index(spark: SparkSession, index_path: str):
+    """Consolidate the streaming segments into a queryable
+    :class:`~auraverse_etl_pipeline_spark.operators.retrieval.Bm25Index`:
+    postings are the raw segment scan, per-segment dfs sum per term,
+    per-segment stats sum into the single corpus row (the Lucene
+    segment identity — possible ONLY because the writer enforced
+    disjoint doc sets across segments)."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import Bm25Index
+
+    return Bm25Index(
+        postings=spark.read.parquet(f"{index_path}/postings"),
+        dfs=spark.read.parquet(f"{index_path}/dfs")
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df")),
+        stats=spark.read.parquet(f"{index_path}/stats").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_len").cast("bigint").alias("total_len"),
+        ),
+    )

@@ -2199,3 +2199,32 @@ def test_bpe_encode_consistency(spark, sf_dir):
     assert all(r.ok for r in rows)
     assert all(r.ge_words for r in rows)
     assert all(r.le_chars for r in rows)
+
+
+def test_bm25_merge_index_wins_and_delta_only(spark):
+    """Re-ingested docs keep their INDEXED postings (idempotent
+    index-wins, even when the batch text changed); genuinely new docs
+    append; dfs/stats reflect the merged corpus exactly."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_merge,
+    )
+
+    day1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "CHANGED text"), (2, "alpha delta")], "doc_id bigint, text string"
+    )
+    merged = bm25_merge(bm25_index(day1), bm25_index(batch))
+    postings = {
+        (r.id, r.term): (r.tf, r.dl) for r in merged.postings.collect()
+    }
+    # doc 1 keeps the day-1 postings; 'CHANGED' never enters the index
+    assert (1, "beta") in postings and (1, "gamma") in postings
+    assert not any(t in ("CHANGED", "text") for _, t in postings)
+    assert (2, "alpha") in postings and (2, "delta") in postings
+    dfs = {r.term: r.df for r in merged.dfs.collect()}
+    assert dfs == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+    stats = merged.stats.collect()[0]
+    assert (stats.n_docs, stats.total_len) == (3, 6)

@@ -456,3 +456,46 @@ def test_stream_quality_gate_multi_batch(spark, sf_dir, tmp_path):
     g = {(r.fail_reason, r.n_docs) for r in got.collect()}
     w = {(r.fail_reason, r.n_docs) for r in want.collect()}
     assert g == w and sum(n for _, n in g) == 90
+
+
+def test_stream_bm25_indexing_multi_batch_index_wins(spark, tmp_path):
+    """Segment-building property: a batch-2 re-ingest of a batch-1
+    document (even with changed text) adds NOTHING — doc ids stay
+    unique across segments, so the read-time segment sums reproduce
+    the exact single-build index over first-seen texts."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        load_stream_bm25_index,
+        run_stream_bm25_indexing,
+    )
+
+    batch1 = [(1, "alpha beta beta"), (2, "beta gamma")]
+    batch2 = [(2, "CHANGED text entirely"), (3, "alpha delta")]
+    schema = "doc_id long, text string"
+    chunk_dir = tmp_path / "bm25_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(chunk_dir)
+        )
+        time.sleep(1.2)
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    run_stream_bm25_indexing(sdocs, index_path=str(tmp_path / "idx"))
+    idx = load_stream_bm25_index(spark, str(tmp_path / "idx"))
+    postings = {(r.id, r.term): (r.tf, r.dl) for r in idx.postings.collect()}
+    expected_docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma"), (3, "alpha delta")], schema
+    )
+    ref = bm25_index(expected_docs)
+    assert postings == {
+        (r.id, r.term): (r.tf, r.dl) for r in ref.postings.collect()
+    }
+    assert {r.term: r.df for r in idx.dfs.collect()} == {
+        r.term: r.df for r in ref.dfs.collect()
+    }
+    assert idx.stats.collect() == ref.stats.collect()
