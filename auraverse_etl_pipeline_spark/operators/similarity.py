@@ -956,3 +956,67 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
     )
+
+
+def projection_signs(in_dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 Achlioptas/JL sign matrix, derived from md5 so
+    any engine (or auditor) can re-derive it from (seed, d, i) alone —
+    the same engine-reproducibility contract as the sign-bucket LSH
+    tier, with no RNG state to ship. Row ``d`` holds the ``in_dim``
+    signs of output dimension ``d``."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}_{d}_{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for d in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): ``proj[d] = Σ_i v[i]·s(d,i) / √out_dim``,
+    emitted as exploded ``(id, dim, value)`` rows.
+
+    The cheap pre-step before any dense-vector tier: a 64→16 projection
+    cuts PQ/IVF/LSH input width 4× while approximately preserving
+    pairwise distances (quality pinned in pytest). Everything is one
+    narrow projection per row — codegen'd ordered left-folds over the
+    vector, NO shuffle, no Python — and the matrix itself is data
+    (:func:`projection_signs`), never weights to distribute.
+
+    Engine parity: the fold is the same ordered left-fold as
+    :func:`cosine_similarity_expr` (matches DuckDB's sequential list
+    fold bit-for-bit); ``1/√out_dim`` is applied as a literal computed
+    once in Python so both engines scale by the identical double."""
+    signs = projection_signs(in_dim, out_dim, seed)
+    inv = 1.0 / (out_dim**0.5)
+    zero = F.lit(0.0).cast("double")
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(s) for s in signs[d]]),
+                lambda x, s: x * s,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        * F.lit(inv)
+        for d in range(out_dim)
+    ]
+    return _as_double(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*comps)).alias("dim", "value"),
+    ).select("id", F.col("dim").cast("bigint").alias("dim"), "value")

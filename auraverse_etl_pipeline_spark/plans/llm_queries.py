@@ -3674,3 +3674,59 @@ def text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "df_postings", "total_tf", "max_tf", "avgdl")
     )
     return release_after(out, batch.cache_handle, batch.postings, p1)
+
+
+_RP_OUT_DIM = 16
+_RP_SEED = 42
+
+
+def _random_projection_oracle() -> str:
+    """The ±1 JL sign matrix is pure data (md5-derived), so it embeds
+    as a SQL literal generated from the SAME projection_signs call the
+    Spark operator uses; the per-dim fold is DuckDB's sequential
+    list_reduce, matching Spark's ordered left-fold bit-for-bit."""
+    from auraverse_etl_pipeline_spark.operators.similarity import projection_signs
+
+    signs = projection_signs(64, _RP_OUT_DIM, _RP_SEED)
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+            for row in signs
+        )
+        + "]"
+    )
+    inv = repr(1.0 / (_RP_OUT_DIM**0.5))
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(0, {_RP_OUT_DIM})) AS dim),
+    m AS (SELECT {mat}::DOUBLE[][] AS mat)
+    SELECT id, CAST(dim AS BIGINT) AS dim,
+           list_reduce(list_transform(range(1, 65),
+                                      i -> v.v[i] * mat[dim + 1][i]),
+                       (a, b) -> a + b) * CAST({inv} AS DOUBLE) AS value
+    FROM v CROSS JOIN dims CROSS JOIN m
+    """
+
+
+@query(
+    "sim_random_projection",
+    oracle=_random_projection_oracle(),
+    description="Johnson-Lindenstrauss dimensionality reduction with "
+    "a deterministic md5-derived +-1 sign matrix (Achlioptas): 64->16 "
+    "dims per vector as codegen'd ordered left-folds - NO shuffle, no "
+    "Python, and the matrix is engine-re-derivable data, not shipped "
+    "weights. The cheap pre-step that cuts PQ/IVF/LSH input width 4x; "
+    "pairwise-distance preservation pinned in pytest, every projected "
+    "component replayed digit-for-digit by DuckDB's sequential list "
+    "fold",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, in_dim=64, out_dim=_RP_OUT_DIM, seed=_RP_SEED
+    )

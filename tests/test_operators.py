@@ -2228,3 +2228,29 @@ def test_bm25_merge_index_wins_and_delta_only(spark):
     assert dfs == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
     stats = merged.stats.collect()[0]
     assert (stats.n_docs, stats.total_len) == (3, 6)
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property on real embeddings: 64→16 sign projection keeps
+    pairwise L2 distances within loose multiplicative bounds, tight in
+    the mean (deterministic — fixed data, md5-derived signs)."""
+    import math
+
+    from auraverse_etl_pipeline_spark.operators.similarity import random_projection
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 40")
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    proj_rows = random_projection(emb, in_dim=64, out_dim=16).collect()
+    proj: dict = {}
+    for r in proj_rows:
+        proj.setdefault(r.id, [0.0] * 16)[r.dim] = r.value
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_orig = math.dist(orig[a], orig[b])
+        d_proj = math.dist(proj[a], proj[b])
+        ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
+    assert all(0.4 < r < 1.8 for r in ratios)
