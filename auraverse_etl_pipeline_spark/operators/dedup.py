@@ -772,3 +772,108 @@ def simhash_candidate_pairs(
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
     return release_after(pairs.distinct(), banded, bands)
+
+
+def lsh_quality_audit(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Evaluation harness for the MinHash-LSH tier, in-engine: one row
+    ``(n_truth, n_candidates, tp, fp, fn, candidate_precision,
+    recall)`` comparing the band join's CANDIDATE pairs against exact
+    ground truth (every pair with exact shingle Jaccard ≥ threshold).
+
+    A pipeline owner tunes (num_hash_tables, shingle n, caps) against
+    measured recall, not theory; this makes that measurement a query.
+    ``candidate_precision`` is the verify-stage cost signal (what
+    fraction of candidate pairs survive exact verification);
+    ``recall`` is the loss signal (true pairs the banding never saw —
+    after verification, recall is the ONLY approximation in the tier).
+
+    Run it on a bounded SLICE (the caller filters ids): ground truth
+    needs the sparse all-pairs shingle join, which is exactly the cost
+    LSH exists to avoid — a sampled audit slice is the point.
+
+    Plan: ONE shingle table cached and consumed by signatures, the
+    sparse truth join, and both jaccard lookups; the pair universe is
+    (pairs sharing ≥1 shingle) FULL OUTER (band candidates) — a
+    candidate pair sharing zero shingles (affine hash collision)
+    counts as a false positive with jaccard 0. All counts exact
+    BIGINTs; ratios are the only doubles."""
+    sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).cache()
+    mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed, hash_fn=hash_fn)
+    banded = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_m{i}") for i in range(num_hash_tables)])
+        ).alias("band", "mh"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "mh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+        .withColumn("is_cand", F.lit(True))
+    )
+    ex = sh.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"),
+                   F.explode("sh").alias("shingle"))
+    sharing = (
+        ex.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"), "shingle")
+        .join(
+            ex.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n1") + F.col("n2") - F.col("n_shared")),
+        )
+        .select("id1", "id2", "jaccard")
+    )
+    universe = sharing.join(cand, ["id1", "id2"], "full_outer").select(
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    thr = F.lit(jaccard_threshold)
+    counts = universe.agg(
+        F.sum(F.when(F.col("jaccard") >= thr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truth"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_cand") & (F.col("jaccard") >= thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_cand") & (F.col("jaccard") < thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("is_cand") & (F.col("jaccard") >= thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    result = counts.select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        # NULL, not an ANSI divide-by-zero, when a slice has no
+        # candidates / no true pairs (same CASE spelling as the oracle)
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("tp").cast("double") / F.col("n_candidates").cast("double"),
+        ).alias("candidate_precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("tp").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
+    )
+    return release_after(result, sh)

@@ -3730,3 +3730,96 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         emb, in_dim=64, out_dim=_RP_OUT_DIM, seed=_RP_SEED
     )
+
+
+def _lsh_audit_oracle_sql() -> str:
+    """DuckDB replica of the LSH evaluation harness on the audit
+    slice: the md5 MinHash band pipeline for candidates, the sparse
+    all-pairs shingle join for ground truth, FULL OUTER confusion."""
+    from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH3} AS sh FROM documents WHERE doc_id < 150
+    ),
+    sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    lens AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh2),
+    pairs AS (
+        SELECT e1.doc_id AS id1, e2.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+        GROUP BY 1, 2
+    ),
+    sharing AS (
+        SELECT id1, id2, n_shared / (l1.n_sh + l2.n_sh - n_shared) AS jaccard
+        FROM pairs
+        JOIN lens l1 ON pairs.id1 = l1.doc_id
+        JOIN lens l2 ON pairs.id2 = l2.doc_id
+    ),
+    uni AS (
+        SELECT COALESCE(s.jaccard, CAST(0.0 AS DOUBLE)) AS jaccard,
+               (c.id1 IS NOT NULL) AS is_cand
+        FROM sharing s FULL OUTER JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN is_cand AND jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN is_cand AND jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT is_cand AND jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM uni
+    )
+    SELECT n_truth, n_candidates, tp, fp, fn,
+           CASE WHEN n_candidates > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+             AS candidate_precision,
+           CASE WHEN n_truth > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+    FROM counts
+    """
+
+
+@query(
+    "dedup_lsh_quality_audit",
+    oracle=_lsh_audit_oracle_sql(),
+    description="the LSH evaluation harness as a query: band-join "
+    "CANDIDATES vs exact shingle-Jaccard ground truth on a bounded "
+    "audit slice - one confusion row (n_truth, n_candidates, tp, fp, "
+    "fn, candidate_precision, recall). candidate_precision is the "
+    "verify-stage cost signal, recall is the only approximation left "
+    "after exact verification; a pipeline owner tunes band count / "
+    "shingle n / caps against THIS measurement, in-engine, instead of "
+    "theory. Shingle table cached once for signatures + truth join + "
+    "lookups; counts exact BIGINTs",
+)
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import lsh_quality_audit
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return lsh_quality_audit(docs, jaccard_threshold=0.5, n=3, hash_fn="md5")

@@ -109,6 +109,7 @@ _NEEDS_FRESH_SCORE = (
     "text_bm25_merge",  # new in round 5 — lexical index compaction
     "stream_bm25_index",  # new in round 5 — streaming segment indexing
     "sim_random_projection",  # new in round 5 — deterministic JL reduce
+    "dedup_lsh_quality_audit",  # new in round 5 — LSH eval harness
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
