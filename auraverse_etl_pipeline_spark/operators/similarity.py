@@ -1020,3 +1020,122 @@ def random_projection(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*comps)).alias("dim", "value"),
     ).select("id", F.col("dim").cast("bigint").alias("dim"), "value")
+
+
+def embedding_data_card(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """The embedding-table twin of ``operators.quality
+    corpus_data_card``: one call → ``(section, metric, value DOUBLE)``
+    rows a vector-corpus release ships — volume (count, dim), the L2
+    norm distribution (mean + exact quartiles; un-normalized vectors
+    break cosine tiers silently, this is the audit that catches it),
+    the centroid norm (embedding collapse / anisotropy smell: healthy
+    spread ⇒ near zero, collapsed corpus ⇒ near the mean norm), and
+    the label mix.
+
+    Engine-exactness discipline: per-vector norms are ordered left-
+    folds (bit-equal to DuckDB's sequential list fold); every
+    cross-ROW aggregate — mean norm, per-dimension centroid sums, the
+    centroid's own norm — runs through order-independent
+    DECIMAL(38,12) partials, because double sums across an unordered
+    corpus are partial-order-dependent. Quartiles come from ONE
+    cumulative histogram over distinct norms (the q37 shape) — NOTE:
+    unlike token counts, distinct doubles are corpus-bounded, so at
+    real scale swap the rungs for the q46 approx-percentile path."""
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+    vecs = _as_double(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(label_col).alias("label")] if label_col else [] ),
+    )
+    zero = F.lit(0.0).cast("double")
+    base = vecs.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), zero, lambda a, x: a + x * x)),
+    ).withColumn("dim", F.size("v").cast("bigint")).cache()
+
+    def row(section: str, metric, value) -> Column:
+        metric = F.lit(metric) if isinstance(metric, str) else metric
+        return F.struct(
+            F.lit(section).alias("section"),
+            metric.alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("dim"),
+        F.sum(F.col("norm").cast("decimal(38,12)")).cast("double").alias("norm_sum"),
+    ).select(
+        F.explode(
+            F.array(
+                row("volume", "n_vectors", F.col("n_vectors")),
+                row("volume", "dim", F.col("dim")),
+                row("norm", "mean", F.col("norm_sum") / F.col("n_vectors")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    hist = base.groupBy("norm").agg(F.count(F.lit(1)).alias("c")).cache()
+    w = Window.orderBy("norm").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    nrow = hist.agg(F.sum("c").alias("n"))
+    rung = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("norm"))
+    )
+    quartiles = (
+        cum.crossJoin(F.broadcast(nrow))
+        .agg(rung(0.25).alias("p25"), rung(0.50).alias("p50"), rung(0.75).alias("p75"))
+        .select(
+            F.explode(
+                F.array(*[row("norm", f"p{p}", F.col(f"p{p}")) for p in (25, 50, 75)])
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    dimsums = (
+        base.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"))
+    )
+    centroid = (
+        dimsums.crossJoin(
+            F.broadcast(base.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+        )
+        .agg(
+            F.sqrt(
+                F.sum(
+                    ((F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+            ).alias("centroid_norm")
+        )
+        .select(
+            F.explode(F.array(row("geometry", "centroid_norm", F.col("centroid_norm"))))
+            .alias("r")
+        )
+        .select("r.*")
+    )
+    parts = [scalars, quartiles, centroid]
+    if label_col:
+        total = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        labels = (
+            base.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit("label_mix").alias("section"),
+                F.col("label").cast("string").alias("metric"),
+                (F.col("cnt") / F.col("n")).cast("double").alias("value"),
+            )
+        )
+        parts.append(labels)
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return release_after(result, base, hist)

@@ -3823,3 +3823,68 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return lsh_quality_audit(docs, jaccard_threshold=0.5, n=3, hash_fn="md5")
+
+
+@query(
+    "embedding_data_card",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, c) -> a + c)) AS norm,
+               CAST(len(v) AS BIGINT) AS dim,
+               v
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(MIN(dim) AS BIGINT) AS dim,
+               CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE) AS norm_sum
+        FROM b
+    ),
+    dimsums AS (
+        SELECT d, CAST(SUM(CAST(b.v[d] AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+        GROUP BY d
+    ),
+    cn AS (
+        SELECT sqrt(CAST(SUM(CAST((s / n_vectors) * (s / n_vectors)
+                                  AS DECIMAL(38,12))) AS DOUBLE))
+                 AS centroid_norm
+        FROM dimsums CROSS JOIN agg
+    )
+    SELECT 'volume' AS section, 'n_vectors' AS metric,
+           CAST(n_vectors AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'volume', 'dim', CAST(dim AS DOUBLE) FROM agg
+    UNION ALL SELECT 'norm', 'mean', norm_sum / n_vectors FROM agg
+    UNION ALL SELECT 'norm', 'p25',
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY norm) FROM b
+    UNION ALL SELECT 'norm', 'p50',
+              percentile_disc(0.50) WITHIN GROUP (ORDER BY norm) FROM b
+    UNION ALL SELECT 'norm', 'p75',
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY norm) FROM b
+    UNION ALL SELECT 'geometry', 'centroid_norm', centroid_norm FROM cn
+    UNION ALL
+    SELECT 'label_mix', CAST(label AS VARCHAR),
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM b)
+    FROM b GROUP BY label
+    """,
+    description="the embedding-table twin of corpus_data_card: one "
+    "call -> (section, metric, value) rows covering volume, the L2 "
+    "norm distribution (mean + exact quartiles from ONE cumulative "
+    "histogram - un-normalized vectors silently break cosine tiers, "
+    "this catches them), centroid norm (embedding-collapse smell), "
+    "label mix. Per-vector norms are ordered left-folds matching "
+    "DuckDB's sequential list fold; every cross-row aggregate runs "
+    "DECIMAL(38,12) partials so the card is engine-exact",
+)
+def embedding_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_data_card as card,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return card(emb)

@@ -110,6 +110,7 @@ _NEEDS_FRESH_SCORE = (
     "stream_bm25_index",  # new in round 5 — streaming segment indexing
     "sim_random_projection",  # new in round 5 — deterministic JL reduce
     "dedup_lsh_quality_audit",  # new in round 5 — LSH eval harness
+    "embedding_data_card",  # new in round 5 — vector-corpus report
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
