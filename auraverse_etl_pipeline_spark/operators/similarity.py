@@ -984,6 +984,7 @@ def random_projection(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exploded: bool = True,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
     matrix (Achlioptas 2003): ``proj[d] = Σ_i v[i]·s(d,i) / √out_dim``,
@@ -1016,7 +1017,14 @@ def random_projection(
         * F.lit(inv)
         for d in range(out_dim)
     ]
-    return _as_double(df, vec_col).select(
+    src = _as_double(df, vec_col)
+    if not exploded:
+        # array output: feeds straight back into the LSH/IVF/PQ tiers
+        # as the (id, vec) contract
+        return src.select(
+            F.col(id_col).alias("id"), F.array(*comps).alias("proj")
+        )
+    return src.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*comps)).alias("dim", "value"),
     ).select("id", F.col("dim").cast("bigint").alias("dim"), "value")

@@ -2254,3 +2254,43 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
     assert all(0.4 < r < 1.8 for r in ratios)
+
+
+def test_random_projection_composes_with_sign_lsh(spark, sf_dir):
+    """Tier composition: JL-project 64→16 then run the deterministic
+    sign-bucket LSH on the PROJECTED vectors — near-duplicate pairs
+    (a perturbed-copy fixture) must still surface, i.e. the reduction
+    preserves enough geometry for the downstream candidate tier."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        random_projection,
+        signbucket_lsh_pairs,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
+    # perturbed near-copies under shifted ids (the sign-LSH fixture
+    # pattern): tiny perturbation on one component
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + F.lit(1e-4)).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label").unionByName(copies)
+    proj = random_projection(both, in_dim=64, out_dim=16, exploded=False)
+    pairs = signbucket_lsh_pairs(
+        proj.select(F.col("id").alias("vec_id"), F.col("proj").alias("embedding")),
+        threshold=0.95,
+        band_bits=8,
+    )
+    got = {(r.id1, r.id2) for r in pairs.select("id1", "id2").collect()}
+    pairs.release_caches()
+    expected = {(i, i + 100000) for i in range(100)}
+    found = len(expected & got)
+    # sign-LSH on 16 projected dims must recover the vast majority of
+    # the planted near-identical pairs
+    assert found >= 90
