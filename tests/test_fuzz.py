@@ -287,3 +287,121 @@ def test_cms_matches_model(spark):
             assert all(got[k] == n for k, n in true.items())
 
     prop()
+
+
+def test_bpe_train_matches_model(spark):
+    """Property: the window-algebra BPE trainer == a pure-Python
+    reference (greedy left-to-right merges, (count desc, lhs, rhs)
+    tie-break), for randomized small corpora including pathological
+    repeated-character words where overlap handling matters."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_train
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    def ref(texts, num_merges):
+        wf = Counter(w for t in texts for w in t.strip().split() if w)
+        vocab = {w: list(w) for w in wf}
+        merges = []
+        for step in range(num_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wf[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            merges.append((step, l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=3))
+    def prop(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        got = [
+            (r.step, r.lhs, r.rhs, r.pair_count)
+            for r in bpe_train(docs, num_merges=3).orderBy("step").collect()
+        ]
+        assert got == ref(texts, 3)
+
+    prop()
+
+
+def test_bm25_matches_model(spark):
+    """Property: bm25_search == a pure-Python BM25 scorer (same idf
+    form, same constants) on randomized tiny corpora/queries — scores
+    compared to 1e-9 relative (Python sums in float order; the
+    operator sums DECIMAL partials)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_index,
+        bm25_search,
+    )
+
+    word = st.sampled_from(["fox", "dog", "cat", "run", "sleep"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    def ref(texts, query, k1=BM25_K1, b=BM25_B):
+        toks = [t.split() for t in texts]
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks) / n
+        dfs: dict = {}
+        for t in toks:
+            for w in set(t):
+                dfs[w] = dfs.get(w, 0) + 1
+        out = {}
+        for i, t in enumerate(toks):
+            s = 0.0
+            for w in set(query.split()):
+                if w not in dfs or w not in t:
+                    continue
+                tf = t.count(w)
+                idf = math.log(1.0 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(t) / avgdl)
+                )
+            if s > 0:
+                out[i] = s
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=5),
+        query=st.lists(word, min_size=1, max_size=3).map(" ".join),
+    )
+    def prop(texts, query):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        idx = bm25_index(docs)
+        queries = spark.createDataFrame([(0, query)], "query_id bigint, text string")
+        got = {r.doc_id: r.score for r in bm25_search(queries, idx, k=100).collect()}
+        expected = ref(texts, query)
+        assert set(got) == set(expected)
+        for d, s in expected.items():
+            assert abs(got[d] - s) <= 1e-9 * max(1.0, abs(s))
+
+    prop()
