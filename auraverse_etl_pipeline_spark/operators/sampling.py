@@ -216,3 +216,59 @@ def curriculum_order(
     from auraverse_etl_pipeline_spark.operators.caching import release_after
 
     return release_after(binned.withColumn("bin_rank", rk.cast("bigint")), hist)
+
+
+def length_bucket_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = 1 << 20,
+) -> DataFrame:
+    """Length-bucketed batching plan: assign every document to the
+    smallest power-of-two bucket holding its token count and report,
+    per bucket, the padding economics a training dataloader will pay —
+    ``(bucket, n_docs, total_tokens, padded_tokens, waste_ratio)``
+    where ``padded_tokens = n_docs · bucket`` (every sequence in a
+    bucket pads to the bucket length) and ``waste_ratio`` is the
+    fraction of padded positions that are padding.
+
+    Bucketing by length is how real dataloaders cut padding waste
+    without packing; this report is the measurement that chooses
+    between bucketing and :func:`~auraverse_etl_pipeline_spark
+    .operators.quality` sequence packing (which trades shuffle cost
+    for zero waste).
+
+    Engine-exactness: the bucket is 2^bit_length(n-1) computed via the
+    BINARY-STRING length (``conv``/``bin``) — no ``log2``, whose
+    last-ulp behavior on exact powers differs across libms; 2^k stays
+    exact in a double through 2^62 (the shiftleft rule), cast back to
+    BIGINT. One token-count scan, one vocabulary-of-buckets aggregate
+    (≤ ~20 distinct buckets), everything map-side combined."""
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+
+    n = token_count(text_col)
+    bucket = (
+        F.when(n <= 1, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.pow(F.lit(2.0), F.length(F.conv((n - 1).cast("string"), 10, 2)))
+            .cast("bigint")
+        )
+        .alias("bucket")
+    )
+    per_doc = df.select(bucket, n.alias("toks"))
+    agg = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        agg.filter(F.col("bucket") <= max_bucket)
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket")).cast("bigint").alias("padded_tokens"),
+            (
+                (F.col("n_docs") * F.col("bucket") - F.col("total_tokens")).cast("double")
+                / (F.col("n_docs") * F.col("bucket")).cast("double")
+            ).alias("waste_ratio"),
+        )
+    )

@@ -3888,3 +3888,43 @@ def embedding_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return card(emb)
+
+
+@query(
+    "mix_length_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(len({_TOKS}) AS BIGINT) AS toks FROM documents
+    ),
+    b AS (
+        SELECT toks,
+               CASE WHEN toks <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(pow(2, length(bin(toks - 1))) AS BIGINT) END AS bucket
+        FROM d
+    ),
+    agg AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, total_tokens,
+           CAST(n_docs * bucket AS BIGINT) AS padded_tokens,
+           CAST(n_docs * bucket - total_tokens AS DOUBLE)
+             / CAST(n_docs * bucket AS DOUBLE) AS waste_ratio
+    FROM agg
+    """,
+    description="length-bucketed batching plan: every document lands "
+    "in the smallest power-of-two bucket holding its token count "
+    "(2^bit_length(n-1) via the BINARY-STRING length - no log2, whose "
+    "exact-power ulp behavior differs across libms), and the report "
+    "prices the padding a dataloader pays per bucket - the "
+    "measurement that chooses between bucketing and exact sequence "
+    "packing. One token-count scan, a <=20-row aggregate, exact "
+    "integers end-to-end",
+)
+def mix_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import length_bucket_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_plan(docs)

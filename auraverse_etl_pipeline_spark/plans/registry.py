@@ -111,6 +111,7 @@ _NEEDS_FRESH_SCORE = (
     "sim_random_projection",  # new in round 5 — deterministic JL reduce
     "dedup_lsh_quality_audit",  # new in round 5 — LSH eval harness
     "embedding_data_card",  # new in round 5 — vector-corpus report
+    "mix_length_buckets",  # new in round 5 — padding-waste planner
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
