@@ -316,3 +316,53 @@ def bm25_merge(index: Bm25Index, batch: Bm25Index) -> Bm25Index:
         dfs=merged_dfs,
         stats=merged_stats,
     )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack et
+    al. 2009 — the standard hybrid-search combiner): both inputs are
+    ``(query_id, doc_id, rank)``, the fused score is
+    ``Σ 1/(rrf_k + rank)`` over the systems that returned the doc, and
+    the output is the fused top-``k`` per query.
+
+    RRF needs no score calibration between systems (only ranks), which
+    is exactly why it is the default fusion for BM25 + embedding
+    retrieval. Engine-exact by construction: each term is one double
+    division of exact integers, summed in a fixed two-term order.
+
+    Plan shape: both inputs are already top-k-per-query (tiny relative
+    to the corpus — the expensive work happened inside each retriever),
+    so the full-outer join and re-rank window are bounded by
+    queries × (k_lex + k_dense)."""
+    lex = lexical.select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    den = dense.select("query_id", "doc_id", F.col("rank").alias("dense_rank"))
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

@@ -3928,3 +3928,131 @@ def mix_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return length_bucket_plan(docs)
+
+
+_HYBRID_QUERY_IDS = (3, 47, 101)
+_RRF_K = 60
+
+
+@query(
+    "sim_hybrid_search",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    q AS (
+        SELECT doc_id AS query_id, text, v
+        FROM corpus WHERE doc_id IN {_HYBRID_QUERY_IDS}
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM corpus)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    post AS (SELECT term, tf.id, tf.tf, dl.dl FROM tf JOIN dl USING (id)),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    qt AS (
+        SELECT DISTINCT query_id, term
+        FROM (SELECT query_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM q)
+    ),
+    qidf AS (
+        SELECT query_id, term,
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE))) AS idf,
+               CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        FROM dfs JOIN qt USING (term) CROSS JOIN stats
+    ),
+    contrib AS (
+        SELECT query_id, post.id AS doc_id,
+               idf * (tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                   / (tf + CAST({BM25_K1!r} AS DOUBLE)
+                          * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                             + CAST({BM25_B!r} AS DOUBLE) * dl / avgdl)) AS w
+        FROM post JOIN qidf USING (term)
+    ),
+    lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) DESC,
+                                doc_id ASC) AS BIGINT) AS rank
+            FROM contrib GROUP BY query_id, doc_id
+        ) WHERE rank <= 20
+    ),
+    dense AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT q.query_id, c.doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.doc_id ASC) AS BIGINT) AS rank
+            FROM q, corpus c
+        ) WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.rank), CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.rank), CAST(0.0 AS DOUBLE))
+                 AS rrf_score
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+        SELECT query_id, doc_id, rrf_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    description="hybrid retrieval - the modern RAG stack end-to-end: "
+    "BM25 over the inverted index AND exact dense cosine over the "
+    "paired embedding column, fused with reciprocal-rank fusion "
+    "(1/(60+rank), rank-only - no cross-system score calibration). "
+    "Each retriever keeps its own optimal plan (broadcast query "
+    "terms / broadcast query vectors, corpus never shuffles); the "
+    "fusion join is bounded by queries x (k_lex + k_dense). Fully "
+    "oracle-gated including both rankers and the fused ordering",
+)
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+        hybrid_rrf,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qfilter = F.col("doc_id").isin(*_HYBRID_QUERY_IDS)
+    idx = bm25_index(corpus, cache=True)
+    lex = bm25_search(
+        corpus.filter(qfilter).select(F.col("doc_id").alias("query_id"), "text"),
+        idx,
+        k=20,
+    )
+    dense = cosine_top_k(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        corpus.filter(qfilter).select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=20,
+        exact_fold=True,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    out = hybrid_rrf(lex, dense, k=10, rrf_k=_RRF_K)
+    return release_after(out, idx.cache_handle)

@@ -112,6 +112,7 @@ _NEEDS_FRESH_SCORE = (
     "dedup_lsh_quality_audit",  # new in round 5 — LSH eval harness
     "embedding_data_card",  # new in round 5 — vector-corpus report
     "mix_length_buckets",  # new in round 5 — padding-waste planner
+    "sim_hybrid_search",  # new in round 5 — BM25+dense RRF fusion
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

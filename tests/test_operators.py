@@ -2294,3 +2294,24 @@ def test_random_projection_composes_with_sign_lsh(spark, sf_dir):
     # sign-LSH on 16 projected dims must recover the vast majority of
     # the planted near-identical pairs
     assert found >= 90
+
+
+def test_hybrid_rrf_self_retrieval_and_fusion_math(spark, sf_dir):
+    """Self-retrieval: a query document is dense rank 1 (cosine 1 with
+    itself), so it must fuse to rank 1 with score ≥ 1/(rrf_k+1)
+    (possibly more from its lexical rank — BM25 can rank a repetitive
+    other doc above the query's own text); scores are bounded by
+    2/(rrf_k+1) and strictly decrease with fused rank."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["sim_hybrid_search"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.rank] = r
+    assert by_q
+    for qid, ranks in by_q.items():
+        top = ranks[1]
+        assert top.doc_id == qid
+        assert 1.0 / 61.0 <= top.rrf_score <= 2.0 / 61.0
+        scores = [ranks[i].rrf_score for i in sorted(ranks)]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
