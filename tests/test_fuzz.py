@@ -405,3 +405,52 @@ def test_bm25_matches_model(spark):
             assert abs(got[d] - s) <= 1e-9 * max(1.0, abs(s))
 
     prop()
+
+
+def test_pmi_phrases_matches_model(spark):
+    """Property: pmi_phrases == a Counter-based reference model
+    (pair/unigram counts, discounted-PMI score) on randomized tiny
+    corpora."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.quality import pmi_phrases
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    def ref(texts, min_count, delta):
+        uni: Counter = Counter()
+        pairs: Counter = Counter()
+        for t in texts:
+            toks = t.split()
+            uni.update(toks)
+            pairs.update(zip(toks, toks[1:]))
+        n = sum(uni.values())
+        return {
+            (w1, w2): (
+                c,
+                uni[w1],
+                uni[w2],
+                float(c - delta) * float(n) / (float(uni[w1]) * float(uni[w2])),
+            )
+            for (w1, w2), c in pairs.items()
+            if c >= min_count
+        }
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=4))
+    def prop(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        out = pmi_phrases(docs, min_count=2, delta=1)
+        got = {
+            (r.w1, r.w2): (r.pair_count, r.w1_count, r.w2_count, r.score)
+            for r in out.collect()
+        }
+        out.release_caches()
+        assert got == ref(texts, 2, 1)
+
+    prop()
