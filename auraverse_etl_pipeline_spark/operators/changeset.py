@@ -74,3 +74,51 @@ def scd2_history(
         .withColumnRenamed(seq_col, "valid_from")
         .drop(op_col)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release diff between two corpus snapshots: one row per status —
+    ``(status ∈ added|removed|changed|unchanged, n_docs, tokens_old,
+    tokens_new)`` — the change summary a dataset release note ships
+    (and the sanity gate a daily pipeline checks before promoting a
+    snapshot: an unexpected ``removed`` spike is an upstream loss).
+
+    Document identity is the id; change detection is ``md5(text)``
+    (the exact-dedup discipline — fixed-width hashes move, never
+    text). One projection per side, one full-outer id join, one
+    4-group aggregate; at 100 TB both sides prune to (id, hash,
+    token count) at the scan."""
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(text_col).alias(f"h_{suffix}"),
+            token_count(text_col).alias(f"t_{suffix}"),
+        )
+
+    joined = side(old, "old").join(side(new, "new"), "id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("t_old"), F.lit(0)).alias("t_old"),
+            F.coalesce(F.col("t_new"), F.lit(0)).alias("t_new"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t_old").cast("bigint").alias("tokens_old"),
+            F.sum("t_new").cast("bigint").alias("tokens_new"),
+        )
+    )

@@ -4056,3 +4056,62 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     out = hybrid_rrf(lex, dense, k=10, rrf_k=_RRF_K)
     return release_after(out, idx.cache_handle)
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h, CAST(len({_TOKS}) AS BIGINT) AS t
+        FROM documents
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' EXTRA' ELSE text END) AS h,
+               CAST(len(string_split_regex(trim(
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' EXTRA' ELSE text END
+               ), '\\s+')) AS BIGINT) AS t
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000, md5(text), CAST(len({_TOKS}) AS BIGINT)
+        FROM documents WHERE doc_id < 30
+    ),
+    j AS (
+        SELECT CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(o.t, 0) AS t_old,
+               COALESCE(n.t, 0) AS t_new
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t_old) AS BIGINT) AS tokens_old,
+           CAST(SUM(t_new) AS BIGINT) AS tokens_new
+    FROM j GROUP BY status
+    """,
+    description="release diff between two corpus snapshots - the "
+    "change summary a dataset release note ships and the promotion "
+    "sanity gate a daily pipeline checks (an unexpected removed spike "
+    "is upstream loss): added/removed/changed/unchanged with doc and "
+    "token deltas, change detection on md5(text) so fixed-width "
+    "hashes move, never text; one full-outer id join + a 4-group "
+    "aggregate. The fixture derives snapshot v2 deterministically "
+    "(drops, mutations, additions) so both engines replay it exactly",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.changeset import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" EXTRA"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(docs, v2)

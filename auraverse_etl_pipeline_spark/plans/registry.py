@@ -113,6 +113,7 @@ _NEEDS_FRESH_SCORE = (
     "embedding_data_card",  # new in round 5 — vector-corpus report
     "mix_length_buckets",  # new in round 5 — padding-waste planner
     "sim_hybrid_search",  # new in round 5 — BM25+dense RRF fusion
+    "corpus_snapshot_diff",  # new in round 5 — release diff gate
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
