@@ -63,7 +63,8 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_payload(payload: bytes, kind: str):
     """Codec hook. Binary PPM (P6), PNG (8-bit RGB/RGBA,
-    non-interlaced) and WAV (16-bit PCM mono) decode for real —
+    non-interlaced), BMP (24-bit BI_RGB) and WAV (16-bit PCM mono)
+    decode for real —
     complete pure stdlib(+zlib/struct)+numpy codecs, so the
     resize/feature path is exercised on genuine pixel/sample data with
     zero third-party media libraries. Everything else (JPEG/MP3/MP4…)
@@ -79,6 +80,8 @@ def decode_payload(payload: bytes, kind: str):
         return decode_ppm(payload)
     if kind == "image" and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(payload)
+    if kind == "image" and payload[:2] == b"BM":
+        return decode_bmp(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
@@ -647,3 +650,104 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
 
     return media.select("media_id", "payload").mapInPandas(run, WAV_SCHEMA)
+
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array → BMP bytes (Windows BITMAPINFOHEADER,
+    24-bit BI_RGB, bottom-up, rows padded to 4 bytes — the classic
+    uncompressed DIB every viewer reads)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        raster += px[y, :, ::-1].tobytes()  # BGR order
+        raster += b"\x00" * pad
+    header_size = 14 + 40
+    file_size = header_size + len(raster)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + bytes(raster)
+    )
+
+
+def decode_bmp(payload: bytes):
+    """BMP → (maxval=255, (h, w, 3) uint8 RGB array). Pure stdlib
+    ``struct``: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, 24-bit
+    BI_RGB only (strict — compressed/paletted variants raise, a
+    training pipeline wants unsupported media surfaced, not guessed
+    at). Handles both bottom-up (positive height) and top-down
+    (negative height) rasters and the 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    _, _, _, _, data_off = struct.unpack("<2sIHHI", payload[:14])
+    hdr_size, w, h, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (pre-BITMAPINFOHEADER)")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp} compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP raster")
+    rows = []
+    for i in range(h):
+        start = data_off + i * stride
+        row = np.frombuffer(payload[start : start + row_bytes], dtype=np.uint8)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    raster = np.stack(rows if top_down else rows[::-1])
+    return 255, raster
+
+
+def attach_bmp_media(
+    docs: DataFrame, width: int = 16, height: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL BMP table: the same closed-form gradient as
+    :func:`attach_ppm_media` / :func:`attach_png_media`, packed through
+    :func:`encode_bmp` — so the decode path exercises the DIB layout
+    rules (bottom-up row order, BGR channels, 4-byte padding) on every
+    payload while the decoded raster stays SQL-recomputable."""
+    import numpy as np
+
+    ship_package(docs.sparkSession)
+
+    def make_bmp(ids: pd.Series) -> pd.Series:
+        x = np.arange(width)[None, :, None] * 3
+        y = np.arange(height)[:, None, None] * 7
+        c = np.arange(3)[None, None, :]
+        return pd.Series(
+            [
+                encode_bmp((1 + (int(mid) + x + y + c) % PPM_MAXVAL).astype(np.uint8))
+                for mid in ids
+            ]
+        )
+
+    payload = F.pandas_udf(make_bmp, "binary")(F.col(id_col))
+    out = docs.select(F.col(id_col).alias("media_id"), payload.alias("payload"))
+    return out.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("synthetic-bmp").alias("origin"),
+        ).alias("media_meta"),
+    )

@@ -4115,3 +4115,38 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, v2)
+
+
+@query(
+    "multimodal_bmp_features",
+    # Same closed-form raster contract as multimodal_png_features: the
+    # payloads are REAL BMPs (bottom-up rows, BGR channels, 4-byte row
+    # padding), and a wrong layout pass would shift every decoded stat.
+    # width 15 deliberately forces a non-zero row pad.
+    oracle="""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+    px AS (
+        SELECT media_id, 1 + ((media_id + 3*x.i + 7*y.i + c.i) % 127) AS b
+        FROM ids, range(0, 15) x(i), range(0, 8) y(i), range(0, 3) c(i)
+    )
+    SELECT media_id,
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS byte_mean,
+           CAST(COUNT(DISTINCT b) AS DOUBLE) / 256.0 AS byte_entropy_proxy,
+           CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS n_frames_sampled
+    FROM px GROUP BY media_id
+    """,
+    description="a REAL uncompressed-DIB corpus through the codec "
+    "hook: stdlib-struct BMP decode (bottom-up row order, BGR "
+    "channels, 4-byte row padding - width 15 forces a non-zero pad) "
+    "feeds the same Arrow-batched feature extractor, decoded-raster "
+    "stats replayed closed-form by SQL - the third real image codec "
+    "beside PPM and PNG",
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import attach_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    feats = extract_media_features(attach_bmp_media(docs, width=15, height=8))
+    return feats.select(
+        "media_id", "byte_mean", "byte_entropy_proxy", "n_frames_sampled"
+    )

@@ -114,6 +114,7 @@ _NEEDS_FRESH_SCORE = (
     "mix_length_buckets",  # new in round 5 — padding-waste planner
     "sim_hybrid_search",  # new in round 5 — BM25+dense RRF fusion
     "corpus_snapshot_diff",  # new in round 5 — release diff gate
+    "multimodal_bmp_features",  # new in round 5 — stdlib BMP codec
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -2315,3 +2315,41 @@ def test_hybrid_rrf_self_retrieval_and_fusion_math(spark, sf_dir):
         assert 1.0 / 61.0 <= top.rrf_score <= 2.0 / 61.0
         scores = [ranks[i].rrf_score for i in sorted(ranks)]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_bmp_codec_roundtrip_padding_and_topdown():
+    """encode→decode roundtrip on paddable widths; top-down (negative
+    height) rasters decode to the same pixels; strict failures on
+    unsupported variants."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(15, 8), (16, 8), (1, 1), (5, 3)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = encode_bmp(px)
+        maxval, got = decode_bmp(payload)
+        assert maxval == 255 and (got == px).all()
+        # row stride in the file must be 4-byte aligned
+        stride = w * 3 + ((-(w * 3)) % 4)
+        assert len(payload) == 54 + stride * h
+    # top-down variant: the encoder wrote raster rows bottom-up, so
+    # declaring the same raster top-down must decode to the vertical
+    # mirror of the encoder's input
+    px = rng.randint(0, 256, size=(4, 15, 3)).astype(np.uint8)
+    payload = bytearray(encode_bmp(px))
+    struct.pack_into("<i", payload, 22, -4)  # declare top-down
+    _, got = decode_bmp(bytes(payload))
+    assert (got == px[::-1]).all()
+    # strictness: 32bpp rejected
+    bad = bytearray(encode_bmp(px))
+    struct.pack_into("<H", bad, 28, 32)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
