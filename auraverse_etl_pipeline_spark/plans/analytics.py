@@ -1747,3 +1747,81 @@ def q49_shuffled_hash_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+_PR_EDGE_SLICE = 300  # l_orderkey bound: ~1.1k distinct edges at sf0.01
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    """Unrolled round-for-round DuckDB replay of ``operators.graph
+    pagerank`` on the bipartite customer–part graph (the BPE-oracle
+    pattern: plain chained CTEs, MATERIALIZED so DuckDB doesn't
+    re-inline the chain exponentially; DECIMAL(38,12) partials make
+    each round's per-node sum order-independent on both engines)."""
+    teleport = 1.0 - d
+    sql = [
+        f"""
+    WITH raw AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey < {_PR_EDGE_SLICE}
+    ),
+    e AS MATERIALIZED (
+        SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+    ),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS MATERIALIZED (
+        SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        FROM deg CROSS JOIN nn
+    )"""
+    ]
+    for k in range(iters):
+        sql.append(
+            f""",
+    r{k + 1} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST({teleport!r} AS DOUBLE) / nn.n
+             + CAST({d!r} AS DOUBLE)
+               * CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(38,12))) AS DOUBLE)
+                 AS rank
+        FROM e
+        JOIN r{k} r ON e.src = r.node
+        JOIN deg ON e.src = deg.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    )"""
+        )
+    sql.append(f"\n    SELECT node, rank FROM r{iters}")
+    return "".join(sql)
+
+
+@query(
+    "q50_bipartite_pagerank",
+    oracle=_pagerank_oracle(),
+    description="iterative graph analytics from relational edges: "
+    "PageRank over the bipartite customer-part purchase graph "
+    "(lineitem x orders slice), 6 rounds of r' = (1-d)/N + "
+    "d*sum(r/deg) from the uniform start - vertex-bounded state, one "
+    "edges-vs-ranks join + one DECIMAL-partial sum per round, "
+    "lineage cut per round (the connected-components discipline), "
+    "graph read once. DuckDB replays every round digit-for-digit "
+    "from an unrolled MATERIALIZED-CTE chain - the web-graph quality "
+    "prior of curation pipelines, on engine-native joins",
+)
+def q50_bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < _PR_EDGE_SLICE
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_partkey") + 1000000000).alias("dst"),
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)

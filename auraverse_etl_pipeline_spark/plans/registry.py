@@ -115,6 +115,7 @@ _NEEDS_FRESH_SCORE = (
     "sim_hybrid_search",  # new in round 5 — BM25+dense RRF fusion
     "corpus_snapshot_diff",  # new in round 5 — release diff gate
     "multimodal_bmp_features",  # new in round 5 — stdlib BMP codec
+    "q50_bipartite_pagerank",  # new in round 5 — iterative graph tier
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -2353,3 +2353,23 @@ def test_bmp_codec_roundtrip_padding_and_topdown():
     struct.pack_into("<H", bad, 28, 32)
     with pytest.raises(ValueError):
         decode_bmp(bytes(bad))
+
+
+def test_pagerank_mass_conservation_and_degree_monotonicity(spark):
+    """On an undirected graph with no dangling nodes, every round
+    preserves total rank mass (Σ rank = 1 up to DECIMAL truncation),
+    all ranks are positive, and a strictly-higher-degree hub outranks
+    leaves (star graph)."""
+    from auraverse_etl_pipeline_spark.operators.graph import pagerank
+
+    # star: hub 0 connected to 1..5
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert set(ranks) == set(range(6))
+    assert all(v > 0 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-8
+    leaf = ranks[1]
+    assert all(abs(ranks[i] - leaf) < 1e-12 for i in range(2, 6))
+    assert ranks[0] > leaf * 2
