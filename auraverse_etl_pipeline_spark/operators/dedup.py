@@ -877,3 +877,61 @@ def lsh_quality_audit(
         ).alias("recall"),
     )
     return release_after(result, sh)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-recall similarity join via PREFIX FILTERING (Chaudhuri /
+    Bayardo AllPairs): every pair with shingle Jaccard ≥ ``threshold``
+    is found — no LSH miss probability — yet only prefix shingles are
+    joined, not full sets.
+
+    The guarantee: under any global total order (lexicographic here),
+    ``J(A,B) ≥ τ ⇒ |A∩B| ≥ max(⌈τ|A|⌉, ⌈τ|B|⌉)``, and two sets with
+    overlap ≥ o must collide within their first ``|S| − o + 1``
+    elements — so indexing only the first ``|S| − ⌈τ|S|⌉ + 1`` sorted
+    shingles per document still surfaces every qualifying pair, while
+    high thresholds prune most of the join volume (τ=0.9 indexes ~10%
+    of each set). The complement of the MinHash tier: LSH trades
+    recall for speed, prefix filtering keeps recall 1.0 and pays join
+    cost that grows as τ falls — :func:`lsh_quality_audit` is the
+    measurement that picks between them.
+
+    Plan: one cached shingle table (prefix explode + both verify
+    lookups), a shingle-equality candidate join on PREFIXES only, and
+    the exact verify on candidates — same skew caveat as the sparse
+    join (hot prefix shingles), same discipline (hashes/short strings
+    move, text doesn't). Output: (id1, id2, jaccard ≥ threshold)."""
+    sh = (
+        _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
+        .withColumn("ssort", F.array_sort("sh"))
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .cache()
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = sh.select(
+        "doc_id", F.explode(F.slice("ssort", 1, plen)).alias("shingle")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id1"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("id2"), "shingle"), "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1"
+    ).join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    shared = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - shared
+    result = (
+        pairs.withColumn("jaccard", shared / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return release_after(result, sh)

@@ -4150,3 +4150,65 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "byte_mean", "byte_entropy_proxy", "n_frames_sampled"
     )
+
+
+@query(
+    "dedup_prefix_jaccard_join",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    aug AS (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id + 100000, text || ' EXTRA' FROM corpus WHERE doc_id < 60
+    ),
+    shx AS (SELECT doc_id, {_SH3} AS sh FROM aug),
+    sh2 AS (
+        SELECT doc_id, sh, list_sort(sh) AS ssort, CAST(len(sh) AS BIGINT) AS sz
+        FROM shx WHERE len(sh) > 0
+    ),
+    pre AS (
+        SELECT doc_id,
+               unnest(ssort[1:CAST(sz - ceil(CAST(0.5 AS DOUBLE) * sz) + 1 AS INT)])
+                 AS shingle
+        FROM sh2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c
+    JOIN sh2 x ON x.doc_id = c.id1
+    JOIN sh2 y ON y.doc_id = c.id2
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+    """,
+    description="exact-RECALL similarity join via prefix filtering "
+    "(AllPairs): J(A,B) >= tau forces a collision inside the first "
+    "|S|-ceil(tau*|S|)+1 lexicographically-sorted shingles, so "
+    "joining only prefixes finds EVERY qualifying pair - no LSH miss "
+    "probability - while tau prunes the join volume (tau=0.9 indexes "
+    "~10% of each set). The complement of the MinHash tier; "
+    "dedup_lsh_quality_audit is the measurement that picks between "
+    "them. Equality-to-exhaustive-ground-truth pinned in pytest; the "
+    "perturbed-copy fixture plants 60 guaranteed near-dup pairs",
+)
+def dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    aug = corpus.unionByName(
+        corpus.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" EXTRA")).alias("text"),
+        )
+    )
+    return prefix_filter_jaccard_pairs(aug, threshold=0.5, n=3)

@@ -116,6 +116,7 @@ _NEEDS_FRESH_SCORE = (
     "corpus_snapshot_diff",  # new in round 5 — release diff gate
     "multimodal_bmp_features",  # new in round 5 — stdlib BMP codec
     "q50_bipartite_pagerank",  # new in round 5 — iterative graph tier
+    "dedup_prefix_jaccard_join",  # new in round 5 — exact-recall join
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

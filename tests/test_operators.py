@@ -2373,3 +2373,34 @@ def test_pagerank_mass_conservation_and_degree_monotonicity(spark):
     leaf = ranks[1]
     assert all(abs(ranks[i] - leaf) < 1e-12 for i in range(2, 6))
     assert ranks[0] > leaf * 2
+
+
+def test_prefix_filter_join_has_exact_recall(spark, sf_dir):
+    """The prefix-filtering guarantee realized: on the same corpus and
+    threshold, the prefix join's pairs EQUAL the exhaustive sparse
+    all-pairs join's — recall 1.0, not an approximation."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 80")
+        .select("doc_id", "text")
+    )
+    aug = corpus.unionByName(
+        corpus.filter("doc_id < 30").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" EXTRA")).alias("text"),
+        )
+    )
+    got = prefix_filter_jaccard_pairs(aug, threshold=0.5, n=3)
+    truth = ngram_jaccard_pairs(aug, threshold=0.5, n=3)
+    g = {(r.id1, r.id2): r.jaccard for r in got.collect()}
+    got.release_caches()
+    t = {(r.id1, r.id2): r.jaccard for r in truth.collect()}
+    assert g == t and len(g) >= 30
