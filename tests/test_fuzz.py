@@ -454,3 +454,41 @@ def test_pmi_phrases_matches_model(spark):
         assert got == ref(texts, 2, 1)
 
     prop()
+
+
+def test_prefix_filter_recall_matches_exhaustive(spark):
+    """Property: prefix_filter_jaccard_pairs finds EXACTLY the pairs
+    the exhaustive sparse join finds, on randomized corpora that
+    include planted near-duplicates — the AllPairs recall guarantee,
+    fuzzed."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    word = st.sampled_from(["red", "blue", "green", "fox", "dog"])
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=2, max_size=6),
+        tau=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def prop(texts, tau):
+        # plant a near-dup of doc 0 so the qualifying set is non-trivial
+        texts = list(texts) + [texts[0] + " extra"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        got = prefix_filter_jaccard_pairs(docs, threshold=tau, n=2)
+        g = {(r.id1, r.id2): round(r.jaccard, 12) for r in got.collect()}
+        got.release_caches()
+        t = {
+            (r.id1, r.id2): round(r.jaccard, 12)
+            for r in ngram_jaccard_pairs(docs, threshold=tau, n=2).collect()
+        }
+        assert g == t
+
+    prop()

@@ -326,3 +326,35 @@ def test_bm25_search_broadcasts_query_terms(spark, sf_dir):
     # the only nested-loop is the 1-row corpus-stats crossJoin on the
     # tiny query-term side — never against anything corpus-sized.
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pagerank_rounds_stay_jvm_side(spark, sf_dir):
+    """Each PageRank round must be pure joins/aggregates: no Python
+    workers, no cartesian, and vertex-bounded state behind a
+    localCheckpoint scan."""
+    plan = _plan(QS["q50_bipartite_pagerank"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # final round's plan reads the checkpointed previous round, not a
+    # re-derivation of the whole loop
+    assert "Scan ExistingRDD" in plan
+
+
+def test_prefix_join_joins_on_shingles_only(spark, sf_dir):
+    """The prefix join's candidate stage must be an equality join on
+    the shingle (never a nested-loop/cartesian pairing), with the
+    shingle table cached for the verify lookups."""
+    plan = _plan(QS["dedup_prefix_jaccard_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_search_keeps_both_retrievers_broadcast(spark, sf_dir):
+    """Hybrid retrieval: the corpus side must never shuffle before
+    either retriever's aggregate — query terms and query vectors both
+    broadcast; the only Python is the idf Arrow batch."""
+    plan = _plan(QS["sim_hybrid_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
