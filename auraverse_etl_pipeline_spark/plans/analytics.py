@@ -1825,3 +1825,94 @@ def q50_bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + 1000000000).alias("dst"),
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+
+
+@query(
+    "q51_conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT 'view' AS stage, n1 AS n_users,
+           CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_of_start FROM c
+    UNION ALL SELECT 'view>click', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+    UNION ALL SELECT 'view>click>purchase', n3,
+              CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+    """,
+    description="strictly-ORDERED conversion funnel with a 7-day "
+    "conversion window per step (first view, then first click within "
+    "7 days after it, then first purchase within 7 days of that): the "
+    "sequential-milestone analysis q22/q24's joins and sessions don't "
+    "express - per-stage reach + conversion share, each stage one "
+    "user-keyed conditional min over the previous stage's anchor "
+    "(user-keyed partial-aggregated shuffles, AQE broadcasts the "
+    "shrinking stage tables), exact integers + one ratio",
+)
+def q51_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("interval 7 days"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("interval 7 days"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
+    )
+    row = lambda stage, n: F.struct(  # noqa: E731
+        F.lit(stage).alias("stage"),
+        F.col(n).alias("n_users"),
+        (F.col(n).cast("double") / F.col("n1").cast("double")).alias("pct_of_start"),
+    )
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    row("view", "n1"),
+                    row("view>click", "n2"),
+                    row("view>click>purchase", "n3"),
+                )
+            ).alias("r")
+        ).select("r.*")
+    )

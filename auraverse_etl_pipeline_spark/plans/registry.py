@@ -117,6 +117,7 @@ _NEEDS_FRESH_SCORE = (
     "multimodal_bmp_features",  # new in round 5 — stdlib BMP codec
     "q50_bipartite_pagerank",  # new in round 5 — iterative graph tier
     "dedup_prefix_jaccard_join",  # new in round 5 — exact-recall join
+    "q51_conversion_funnel",  # new in round 5 — ordered event funnel
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
