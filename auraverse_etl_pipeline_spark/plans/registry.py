@@ -67,125 +67,168 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   whose CORRECTNESS_r0N.json carries a green — or, for the four
 #:   rows-only-by-design names, a rows-recorded — row for the name):
 #:   oldest evidence enumerates first, round-4 greens last.
-_NEEDS_FRESH_SCORE = (
-    # brand-new after the r4 scoring run (r4 tail + round 5)
-    "sim_ivf_index_search",  # persistable IVF triple: index+search
-    "sim_ivf_assign",  # IVF incremental assignment, no refit
-    "multimodal_png_features",  # stdlib-zlib PNG decode→features
-    "stream_compaction_dedup",  # foreachBatch match+merge loop
-    # rewritten after their r4 green row (r4 tail + round 5)
-    "dedup_embedding_signlsh",  # corpus-sized band geometry + shared SQL frag
-    "dedup_embedding_clean",  # consumes the re-geometried sign LSH
-    "sim_topk_ivf",  # ivf_top_k refactored onto the index triple
-    "dedup_incremental_minhash",  # match path split into match_signature_tables
-    "stream_incremental_dedup",  # consumes the same refactored match path
-    "multimodal_feature_digest",  # decode dispatcher gained the PNG branch
-    "multimodal_resize_digest",  # same shared dispatcher
-    "text_gopher_filter",  # Gopher keep-rule factored into shared helper (r5)
-    "stream_quality_gate",  # same shared rule spelling (r5)
-    "curation_funnel",  # shared rule + release_after chaining (r5)
-    "mix_stratified_quota",  # string-safe sample_hash rewrite (r5)
-    "mix_weighted_sample",  # same sampling helper (r5)
-    "dedup_bloom_bits",  # new in round 5 — Bloom filter build parity
-    "dedup_bloom_decontaminate",  # new in round 5 — Bloom scale path
-    "sim_pq_codes",  # new in round 5 — PQ encode parity
-    "sim_pq_search",  # new in round 5 — PQ ADC + exact re-rank
-    "mix_token_budget",  # new in round 5 — mixture token-budget planner
-    "mix_cluster_balanced",  # new in round 5 — semantic-coverage sampling
-    "text_nb_classifier",  # new in round 5 — in-engine NB quality gate
-    "sim_ivfpq_search",  # new in round 5 — IVF-PQ with refinement
-    "text_unicode_normalize",  # new in round 5 — NFC + accent-fold keys
-    "text_cms_token_counts",  # new in round 5 — count-min frequency sketch
-    "multimodal_wav_features",  # new in round 5 — stdlib WAV decode path
-    "corpus_data_card",  # new in round 5 — one-call dataset report
-    "dedup_bloom_audit",  # new in round 5 — Bloom flag-precision audit
-    "mix_curriculum_order",  # new in round 5 — deterministic curriculum
-    "text_bm25_index",  # new in round 5 — BM25 inverted-index build
-    "text_bm25_search",  # new in round 5 — BM25 top-k retrieval
-    "text_pmi_phrases",  # new in round 5 — word2phrase collocations
-    "text_bpe_train",  # new in round 5 — in-engine BPE merge learning
-    "text_bpe_encode",  # new in round 5 — learned-merge tokenization
-    "text_tfidf_keywords",  # new in round 5 — per-doc tf-idf keywords
-    "text_bm25_merge",  # new in round 5 — lexical index compaction
-    "stream_bm25_index",  # new in round 5 — streaming segment indexing
-    "sim_random_projection",  # new in round 5 — deterministic JL reduce
-    "dedup_lsh_quality_audit",  # new in round 5 — LSH eval harness
-    "embedding_data_card",  # new in round 5 — vector-corpus report
-    "mix_length_buckets",  # new in round 5 — padding-waste planner
-    "sim_hybrid_search",  # new in round 5 — BM25+dense RRF fusion
-    "corpus_snapshot_diff",  # new in round 5 — release diff gate
-    "multimodal_bmp_features",  # new in round 5 — stdlib BMP codec
-    "q50_bipartite_pagerank",  # new in round 5 — iterative graph tier
-    "dedup_prefix_jaccard_join",  # new in round 5 — exact-recall join
-    "q51_conversion_funnel",  # new in round 5 — ordered event funnel
+_NEEDS_FRESH_SCORE: tuple[str, ...] = (
+    # round-7 rewrites / brand-new queries go here as they land; empty
+    # at round start because every r6-scored name was green on the
+    # committed code (r6 scored post-commit) and nothing else changed.
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
-#: from CORRECTNESS_r0{1..4}.json. Regenerate each round with
+#: from CORRECTNESS_r0{1..6}.json. Regenerate each round with
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
     # round 2
-    "converted_documents": 2, "fixture_fragment_summary": 2,
-    "fixture_record_summary": 2, "fragment_spans": 2,
-    "fragment_summary": 2, "q01_pricing_summary": 2,
-    "q02_top_revenue_orders": 2, "q03_region_nation_revenue": 2,
-    "q04_revenue_forecast": 2, "q05_returned_customers": 2,
-    "q06_priority_with_big_items": 2, "q07_acctbal_by_region": 2,
-    "q08_parts_by_brand": 2, "q14_rollup_priority_status": 2,
-    "q15_cube_flag_status": 2, "q17_customers_without_orders": 2,
+    "converted_documents": 2,
+    "fixture_fragment_summary": 2,
+    "fixture_record_summary": 2,
+    "fragment_spans": 2,
+    "fragment_summary": 2,
+    "q01_pricing_summary": 2,
+    "q02_top_revenue_orders": 2,
+    "q03_region_nation_revenue": 2,
+    "q04_revenue_forecast": 2,
+    "q05_returned_customers": 2,
+    "q06_priority_with_big_items": 2,
+    "q07_acctbal_by_region": 2,
+    "q08_parts_by_brand": 2,
+    "q14_rollup_priority_status": 2,
+    "q15_cube_flag_status": 2,
+    "q17_customers_without_orders": 2,
     "sql_lateral_fragment_summary": 2,
-    "stream_enriched_segment_revenue": 2,
-    "stream_ingest_fragment_summary": 2,
     # round 3
-    "dedup_embedding_lsh": 3, "multimodal_media_features": 3,
-    "q10_top3_orders_per_customer": 3, "q11_running_revenue": 3,
-    "q12_orders_monthly_kpis": 3, "q13_order_count_histogram": 3,
-    "q16_repeat_buyers_setop": 3, "q18_large_quantity_orders": 3,
-    "q19_event_lag_lead": 3, "q20_hourly_event_windows": 3,
-    "q21_churned_buyers_setop": 3, "q22_asof_last_order": 3,
-    "q23_events_json_extract": 3, "q24_user_sessions": 3,
-    "q25_salted_flag_totals": 3, "q26_range_join_daytime_events": 3,
-    "q27_rollup_cascade_daily": 3, "q29_sliding_event_windows": 3,
-    "q30_grouping_sets_revenue": 3, "q31_pivot_daily_event_matrix": 3,
-    "q32_variant_json_extract": 3, "q33_hll_sketch_union": 3,
-    "q34_full_outer_user_reconciliation": 3, "q35_profile_orders": 3,
-    "q36_trailing_7day_revenue": 3, "q37_percentile_ladder": 3,
-    "q38_changeset_apply": 3, "q39_scd2_history": 3,
-    "q40_referential_audit": 3, "q41_unpivot_metrics": 3,
-    "q42_customer_value_distribution": 3, "q43_exact_correlation": 3,
-    "q44_global_ids": 3, "q45_messy_date_ladder": 3,
+    "dedup_embedding_lsh": 3,
+    "multimodal_media_features": 3,
+    "q10_top3_orders_per_customer": 3,
+    "q11_running_revenue": 3,
+    "q12_orders_monthly_kpis": 3,
+    "q13_order_count_histogram": 3,
+    "q16_repeat_buyers_setop": 3,
+    "q18_large_quantity_orders": 3,
+    "q19_event_lag_lead": 3,
+    "q20_hourly_event_windows": 3,
+    "q21_churned_buyers_setop": 3,
+    "q22_asof_last_order": 3,
+    "q23_events_json_extract": 3,
+    "q24_user_sessions": 3,
+    "q25_salted_flag_totals": 3,
+    "q26_range_join_daytime_events": 3,
+    "q27_rollup_cascade_daily": 3,
+    "q29_sliding_event_windows": 3,
+    "q30_grouping_sets_revenue": 3,
+    "q31_pivot_daily_event_matrix": 3,
+    "q32_variant_json_extract": 3,
+    "q33_hll_sketch_union": 3,
+    "q34_full_outer_user_reconciliation": 3,
+    "q35_profile_orders": 3,
+    "q36_trailing_7day_revenue": 3,
+    "q37_percentile_ladder": 3,
+    "q38_changeset_apply": 3,
+    "q39_scd2_history": 3,
+    "q40_referential_audit": 3,
+    "q41_unpivot_metrics": 3,
+    "q42_customer_value_distribution": 3,
+    "q43_exact_correlation": 3,
+    "q44_global_ids": 3,
+    "q45_messy_date_ladder": 3,
     "q46_approx_percentile_scale_path": 3,
-    "q47_cascade_delete_audit": 3, "q48_gap_filled_daily_revenue": 3,
-    "q49_shuffled_hash_strategy": 3, "sim_topk_ivf": 3,
-    "text_line_dedup": 3, "text_pack_manifest": 3,
+    "q47_cascade_delete_audit": 3,
+    "q48_gap_filled_daily_revenue": 3,
+    "q49_shuffled_hash_strategy": 3,
+    "text_line_dedup": 3,
+    "text_pack_manifest": 3,
     "text_pack_sequences": 3,
     # round 4
-    "curation_funnel": 4, "dedup_cluster_representatives": 4,
-    "dedup_connected_components": 4, "dedup_corpus_clean": 4,
-    "dedup_decontaminate": 4, "dedup_embedding_clean": 4,
-    "dedup_embedding_cosine": 4, "dedup_embedding_signlsh": 4,
-    "dedup_exact_groups": 4, "dedup_exact_stats": 4,
-    "dedup_hot_bucket_audit": 4, "dedup_incremental_minhash": 4,
-    "dedup_merge_index": 4, "dedup_minhash_md5_pairs": 4,
-    "dedup_minhash_pairs": 4, "dedup_ngram_jaccard": 4,
-    "dedup_simhash_pairs": 4, "fixture_schema_field_types": 4,
-    "mix_stratified_quota": 4, "mix_weighted_sample": 4,
-    "multimodal_feature_digest": 4, "multimodal_frame_manifest": 4,
-    "multimodal_resize_digest": 4, "q28_sketch_distinct_users": 4,
-    "sim_range_search": 4, "sim_topk_cosine": 4,
-    "sql_udaf_source_stats": 4, "stream_dedup_events": 4,
-    "stream_hourly_event_windows": 4, "stream_incremental_dedup": 4,
-    "stream_purchase_attribution": 4, "stream_quality_gate": 4,
-    "stream_sliding_windows": 4, "stream_user_running_totals": 4,
-    "stream_user_sessions": 4, "text_bpe_token_budget": 4,
-    "text_chunk_documents": 4, "text_fingerprints": 4,
-    "text_gopher_filter": 4, "text_lang_guess": 4,
-    "text_length_histogram": 4, "text_pii_redaction": 4,
-    "text_quality_scores": 4, "text_rare_bigram_filter": 4,
-    "text_repeated_ngrams": 4, "text_repetition_filter": 4,
-    "text_span_dedup": 4, "text_span_dedup_apply": 4,
-    "text_token_stats": 4, "text_vocab_topk": 4,
+    "dedup_cluster_representatives": 4,
+    "dedup_connected_components": 4,
+    "dedup_corpus_clean": 4,
+    "dedup_decontaminate": 4,
+    "dedup_embedding_cosine": 4,
+    "dedup_exact_groups": 4,
+    "dedup_exact_stats": 4,
+    "dedup_hot_bucket_audit": 4,
+    "dedup_merge_index": 4,
+    "dedup_minhash_md5_pairs": 4,
+    "dedup_minhash_pairs": 4,
+    "dedup_ngram_jaccard": 4,
+    "dedup_simhash_pairs": 4,
+    "fixture_schema_field_types": 4,
+    "multimodal_frame_manifest": 4,
+    "q28_sketch_distinct_users": 4,
+    "sim_range_search": 4,
+    "sim_topk_cosine": 4,
+    "sql_udaf_source_stats": 4,
+    "stream_dedup_events": 4,
+    "stream_hourly_event_windows": 4,
+    "stream_purchase_attribution": 4,
+    "stream_sliding_windows": 4,
+    "stream_user_running_totals": 4,
+    "stream_user_sessions": 4,
+    "text_bpe_token_budget": 4,
+    "text_chunk_documents": 4,
+    "text_fingerprints": 4,
+    "text_lang_guess": 4,
+    "text_length_histogram": 4,
+    "text_pii_redaction": 4,
+    "text_quality_scores": 4,
+    "text_rare_bigram_filter": 4,
+    "text_repeated_ngrams": 4,
+    "text_repetition_filter": 4,
+    "text_span_dedup": 4,
+    "text_span_dedup_apply": 4,
+    "text_token_stats": 4,
+    "text_vocab_topk": 4,
+    # round 6
+    "corpus_data_card": 6,
+    "corpus_snapshot_diff": 6,
+    "curation_funnel": 6,
+    "dedup_bloom_audit": 6,
+    "dedup_bloom_bits": 6,
+    "dedup_bloom_decontaminate": 6,
+    "dedup_embedding_clean": 6,
+    "dedup_embedding_signlsh": 6,
+    "dedup_incremental_minhash": 6,
+    "dedup_lsh_quality_audit": 6,
+    "dedup_prefix_jaccard_join": 6,
+    "embedding_data_card": 6,
+    "mix_cluster_balanced": 6,
+    "mix_curriculum_order": 6,
+    "mix_length_buckets": 6,
+    "mix_stratified_quota": 6,
+    "mix_token_budget": 6,
+    "mix_weighted_sample": 6,
+    "multimodal_bmp_features": 6,
+    "multimodal_feature_digest": 6,
+    "multimodal_png_features": 6,
+    "multimodal_resize_digest": 6,
+    "multimodal_wav_features": 6,
+    "q50_bipartite_pagerank": 6,
+    "q51_conversion_funnel": 6,
+    "sim_hybrid_search": 6,
+    "sim_ivf_assign": 6,
+    "sim_ivf_index_search": 6,
+    "sim_ivfpq_search": 6,
+    "sim_pq_codes": 6,
+    "sim_pq_search": 6,
+    "sim_random_projection": 6,
+    "sim_topk_ivf": 6,
+    "stream_bm25_index": 6,
+    "stream_compaction_dedup": 6,
+    "stream_enriched_segment_revenue": 6,
+    "stream_incremental_dedup": 6,
+    "stream_ingest_fragment_summary": 6,
+    "stream_quality_gate": 6,
+    "text_bm25_index": 6,
+    "text_bm25_merge": 6,
+    "text_bm25_search": 6,
+    "text_bpe_encode": 6,
+    "text_bpe_train": 6,
+    "text_cms_token_counts": 6,
+    "text_gopher_filter": 6,
+    "text_nb_classifier": 6,
+    "text_pmi_phrases": 6,
+    "text_tfidf_keywords": 6,
+    "text_unicode_normalize": 6,
 }
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones
