@@ -901,8 +901,9 @@ def prefix_filter_jaccard_pairs(
     shingle string) — the canonical AllPairs/PPJoin ordering: prefixes
     then hold each document's RAREST shingles, so a corpus-common
     shingle never lands in thousands of prefixes and the candidate
-    join stays near-linear (lexicographic order measured 42× wall at
-    20× data at τ=0.5; frequency order kills exactly that blowup).
+    join stays near-linear (measured on the identical 100k-doc 20×
+    stress: lexicographic order 100 s / 42× ratio at τ=0.5 vs
+    frequency order 47.7 s / 18.6× — sublinear in data; SCALE.md).
     The order is a pure function of the data, so it is deterministic
     and oracle-replayable. The complement of the MinHash tier: LSH
     trades recall for speed, prefix filtering keeps recall 1.0 and
@@ -915,8 +916,17 @@ def prefix_filter_jaccard_pairs(
     back onto the exploded shingles, a per-doc row_number window to cut
     the prefix, a shingle-equality candidate join on PREFIXES only, and
     the exact verify on candidates — same discipline as the sparse
-    join (hashes/short strings move, text doesn't). Output: (id1, id2,
-    jaccard ≥ threshold)."""
+    join (hashes/short strings move, text doesn't). The prefix table
+    is itself cached: both sides of the candidate self-join consume it,
+    and unlike the old slice-based prefix it embeds the df aggregate +
+    enrich join + window — recomputing that per side doubles the most
+    expensive stage. Output: (id1, id2, jaccard ≥ threshold).
+
+    .. versionchanged:: round 6
+       Default ``threshold`` moved 0.5 → 0.8 (the operator's intended
+       exact-recall regime; below ~0.7 the MinHash tier is the right
+       tool) and the prefix order moved lexicographic → ascending
+       document frequency."""
     sh = (
         _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
         .withColumn("sz", F.size("sh").cast("bigint"))
@@ -933,6 +943,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
         .select("doc_id", "shingle")
+        .cache()
     )
     cand = (
         prefix.select(F.col("doc_id").alias("id1"), "shingle")
@@ -951,4 +962,4 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return release_after(result, sh)
+    return release_after(result, sh, prefix)

@@ -68,9 +68,9 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   rows-only-by-design names, a rows-recorded — row for the name):
 #:   oldest evidence enumerates first, round-4 greens last.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round-7 rewrites / brand-new queries go here as they land; empty
-    # at round start because every r6-scored name was green on the
-    # committed code (r6 scored post-commit) and nothing else changed.
+    # round-7 rewrites / brand-new queries (everything else was green
+    # on the committed code when round 6 scored, so nothing is carried)
+    "dedup_prefix_jaccard_join",  # prefix subplan cached (r7 plan change)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -348,6 +348,21 @@ def test_prefix_join_joins_on_shingles_only(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
+    # Frequency ordering (round 6): the prefix cut must be a row_number
+    # window ordered by ascending document frequency. A regression to
+    # lexicographic array_sort/slice prefixes has no df_global column
+    # and fails here loudly.
+    window_lines = [
+        ln for ln in plan.splitlines() if "Window [row_number()" in ln
+    ]
+    assert window_lines, "prefix cut lost its row_number window"
+    assert all("df_global" in ln for ln in window_lines)
+    # The prefix subplan (df aggregate + enrich join + window) is the
+    # expensive stage and is consumed by both sides of the candidate
+    # self-join — it must come from the cache, not be recomputed: both
+    # join inputs scan an in-memory (doc_id-alias, shingle) relation.
+    im_lines = [ln for ln in plan.splitlines() if "InMemoryTableScan [id" in ln]
+    assert sum("shingle" in ln for ln in im_lines) >= 2
 
 
 def test_hybrid_search_keeps_both_retrievers_broadcast(spark, sf_dir):
