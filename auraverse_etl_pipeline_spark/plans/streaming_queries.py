@@ -421,3 +421,80 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_BM25_QUERIES), "query_id bigint, text string"
     )
     return bm25_search(queries, idx, k=10)
+
+
+def _stream_ivf_oracle() -> str:
+    # the persistable-IVF CTE block (sample quantizer over vec_id>=10,
+    # new batch = vec_id<10) replays quantizer + exact-fold assignment
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _IVF_CTES
+
+    return (
+        _IVF_CTES
+        + """
+    , allv AS (
+        SELECT id, v FROM c
+        UNION ALL
+        SELECT query_id AS id, qv AS v FROM q
+    )
+    SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM (
+        SELECT allv.id, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY allv.id
+                   ORDER BY list_cosine_similarity(allv.v, cent.centroid) DESC,
+                            cent.cell) AS rn
+        FROM allv CROSS JOIN cent
+    ) WHERE rn = 1
+    """
+    )
+
+
+@query(
+    "stream_ivf_assign",
+    oracle=_stream_ivf_oracle(),
+    description="continuous embedding indexing (foreachBatch) - the "
+    "vector twin of stream_compaction_dedup (MinHash) and "
+    "stream_bm25_index (lexical): new vectors stream in as micro-"
+    "batches, each batch is cell-assigned against the PERSISTED "
+    "centroids (ivf_assign, no quantizer refit) behind within-batch "
+    "first-writer-wins and index-wins anti-join dedup, and appended "
+    "into the index's cell partitions - so batch-N vectors are "
+    "searchable after batch N. Injected re-ingest duplicates (corpus "
+    "ids re-sent in the stream) must add nothing. The oracle replays "
+    "the full post-stream assignments table: every corpus AND "
+    "streamed vector exactly once with its exact-fold argmax cell",
+)
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _IVF_NLIST
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_stream_")
+    idx.save(f"{root}/index")
+    # stage the stream: two new-vector chunks (one file = one micro-
+    # batch) plus re-ingested corpus ids that index-wins must drop
+    chunks = f"{root}/chunks"
+    emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").coalesce(
+        1
+    ).write.mode("append").parquet(chunks)
+    (
+        emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15))
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(chunks)
+    )
+    svec = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    run_stream_ivf_assign(svec, index_path=f"{root}/index")
+    return spark.read.parquet(f"{root}/index/assignments").select(
+        F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell")
+    )

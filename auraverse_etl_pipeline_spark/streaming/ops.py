@@ -474,3 +474,81 @@ def load_stream_bm25_index(spark: SparkSession, index_path: str):
             F.sum("total_len").cast("bigint").alias("total_len"),
         ),
     )
+
+
+def run_stream_ivf_assign(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_s: int = 600,
+) -> None:
+    """Continuous embedding indexing — the vector-tier twin of
+    :func:`run_stream_dedup_compaction` (MinHash) and
+    :func:`run_stream_bm25_indexing` (lexical): each micro-batch of
+    new vectors is assigned to cells against the PERSISTED centroids
+    (``ivf_assign`` — no quantizer refit, ever) and appended into the
+    index's cell partitions, so a vector that lands in batch N is
+    searchable by every query after batch N.
+
+    Per batch, in order:
+
+    1. within-batch first-writer-wins (deterministic ``min(v)`` per id
+       — a feed can deliver the same id twice in one batch),
+    2. index-wins against everything already assigned (left-anti on
+       the assignments' id projection — a re-ingested id adds nothing;
+       the ``merge_into_index`` idempotence, which keeps exactly one
+       row per vector id so downstream search never double-counts),
+    3. ``ivf_assign`` against the persisted ``centroids`` table
+       (broadcast, nlist rows; exact-fold cosine so the cell labels
+       are engine-reproducible),
+    4. EAGER ``localCheckpoint`` — the delta is derived from a scan of
+       the assignments path it is about to append into, and Spark
+       auto-refreshes plans on path writes (the lineage-cut gotcha
+       pinned in tests/test_streaming.py),
+    5. append the delta, ``partitionBy("cell")``, into
+       ``{index_path}/assignments`` — new files inside the cells they
+       land in; nothing is ever rewritten.
+
+    Scale shape: per batch the corpus-sized work is ONE scan of the
+    batch plus an id-projection parquet scan of the index for the
+    anti-join; the shuffle carries one fixed-width row per new vector
+    (``ivf_assign``'s max_by partial aggregate). State lives on disk
+    in the index layout, never in executor memory or a state store."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = spark.read.parquet(f"{index_path}/centroids")
+        uniq = batch_df.groupBy(F.col(id_col).alias("id")).agg(
+            F.min(vec_col).alias("v")
+        )
+        try:
+            seen = spark.read.parquet(f"{index_path}/assignments").select("id")
+        except AnalysisException:  # fresh index: centroids only
+            seen = None
+        if seen is not None:
+            uniq = uniq.join(seen.distinct(), "id", "left_anti")
+        delta = ivf_assign(uniq, cent, id_col="id", vec_col="v").select(
+            "id", "v", "cell"
+        )
+        delta = delta.localCheckpoint()
+        delta.write.mode("append").partitionBy("cell").parquet(
+            f"{index_path}/assignments"
+        )
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivf_assign_")
+    q = (
+        new_vectors.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

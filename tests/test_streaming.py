@@ -499,3 +499,77 @@ def test_stream_bm25_indexing_multi_batch_index_wins(spark, tmp_path):
         r.term: r.df for r in ref.dfs.collect()
     }
     assert idx.stats.collect() == ref.stats.collect()
+
+
+def test_stream_ivf_assign_multi_batch_no_refit(spark, tmp_path):
+    """The streaming IVF write path: batch-2 vectors land in the right
+    cells against the ORIGINAL centroids (no refit — the centroids
+    table is byte-identical after the stream), a re-ingested corpus id
+    adds nothing, and the final index holds exactly one row per id."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_ivf_assign
+
+    # 4 corpus vectors on two axes -> sample quantizer (nlist=2) makes
+    # cells out of the two lowest-id vectors: cell 0 = +x, cell 1 = +y.
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.0, 1.0]),
+            (12, [0.9, 0.1]),
+            (13, [0.1, 0.9]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    root = tmp_path / "ivf"
+    ivf_index(corpus, nlist=2, quantizer="sample").save(str(root))
+    cent_before = {
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(str(root / "centroids")).collect()
+    }
+
+    # batch 1: one +x vector; batch 2: one +y vector, a re-ingested
+    # corpus id (must be dropped), and a within-batch duplicate id
+    batch1 = [(20, [0.8, 0.2]), (21, [0.8, 0.2])]
+    batch2 = [(22, [0.2, 0.8]), (10, [0.0, 1.0]), (21, [0.8, 0.2])]
+    schema = "vec_id bigint, embedding array<float>"
+    chunks = tmp_path / "vec_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunks))
+        time.sleep(1.2)
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_ivf_assign(svec, index_path=str(root))
+
+    rows = spark.read.parquet(str(root / "assignments")).collect()
+    cells = {r.id: r.cell for r in rows}
+    assert len(rows) == len(cells) == 7  # 4 corpus + 3 streamed, no dups
+    assert cells[20] == cells[21] == cells[10] == cells[12] == cells[10]
+    assert cells[20] == 0 and cells[22] == 1
+    # re-ingested id 10 kept its ORIGINAL vector (+x), not the +y resend
+    v10 = next(tuple(r.v) for r in rows if r.id == 10)
+    assert v10 == (1.0, 0.0)
+    # no refit: centroids byte-identical
+    cent_after = {
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(str(root / "centroids")).collect()
+    }
+    assert cent_after == cent_before
+    # and the streamed vectors are searchable through the normal path
+    idx = IvfIndex.load(spark, str(root))
+    queries = spark.createDataFrame(
+        [(100, [0.79, 0.21])], "vec_id bigint, embedding array<float>"
+    )
+    got = ivf_search(queries, idx, k=3, nprobe=1).collect()
+    assert {r.neighbor_id for r in got} <= {10, 12, 20, 21}
+    assert len(got) == 3
