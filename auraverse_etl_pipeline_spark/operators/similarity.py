@@ -1035,6 +1035,7 @@ def embedding_data_card(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = "label",
+    quartiles: str = "exact",
 ) -> DataFrame:
     """The embedding-table twin of ``operators.quality
     corpus_data_card``: one call → ``(section, metric, value DOUBLE)``
@@ -1050,10 +1051,20 @@ def embedding_data_card(
     cross-ROW aggregate — mean norm, per-dimension centroid sums, the
     centroid's own norm — runs through order-independent
     DECIMAL(38,12) partials, because double sums across an unordered
-    corpus are partial-order-dependent. Quartiles come from ONE
-    cumulative histogram over distinct norms (the q37 shape) — NOTE:
-    unlike token counts, distinct doubles are corpus-bounded, so at
-    real scale swap the rungs for the q46 approx-percentile path."""
+    corpus are partial-order-dependent.
+
+    ``quartiles``:
+
+    - ``"exact"`` (default, the oracle-gated spelling) — ONE cumulative
+      histogram over distinct norms (the q37 shape). State is the
+      DISTINCT norm count, which for real embedding corpora is
+      near-corpus-sized (doubles rarely collide), so this is the
+      small-SF / audit spelling.
+    - ``"approx"`` — the q46 scale path: ``percentile_approx`` over the
+      norm column, a bounded-memory mergeable quantile summary with no
+      histogram, no sort window, and no second pass — the 100 TB
+      spelling (plan-guarded in tests/test_plans.py; q46 pins the
+      sketch within 1% of exact)."""
     from auraverse_etl_pipeline_spark.operators.caching import release_after
 
     vecs = _as_double(df, vec_col).select(
@@ -1088,23 +1099,44 @@ def embedding_data_card(
             )
         ).alias("r")
     ).select("r.*")
-    hist = base.groupBy("norm").agg(F.count(F.lit(1)).alias("c")).cache()
-    w = Window.orderBy("norm").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
-    nrow = hist.agg(F.sum("c").alias("n"))
-    rung = lambda p: F.min(  # noqa: E731
-        F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("norm"))
-    )
-    quartiles = (
-        cum.crossJoin(F.broadcast(nrow))
-        .agg(rung(0.25).alias("p25"), rung(0.50).alias("p50"), rung(0.75).alias("p75"))
-        .select(
-            F.explode(
-                F.array(*[row("norm", f"p{p}", F.col(f"p{p}")) for p in (25, 50, 75)])
-            ).alias("r")
+    if quartiles == "exact":
+        hist = base.groupBy("norm").agg(F.count(F.lit(1)).alias("c")).cache()
+        w = Window.orderBy("norm").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = hist.withColumn("cum", F.sum("c").over(w))
+        nrow = hist.agg(F.sum("c").alias("n"))
+        rung = lambda p: F.min(  # noqa: E731
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("norm"))
         )
-        .select("r.*")
-    )
+        quartile_rows = (
+            cum.crossJoin(F.broadcast(nrow))
+            .agg(rung(0.25).alias("p25"), rung(0.50).alias("p50"), rung(0.75).alias("p75"))
+            .select(
+                F.explode(
+                    F.array(*[row("norm", f"p{p}", F.col(f"p{p}")) for p in (25, 50, 75)])
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        card_caches: tuple[DataFrame, ...] = (base, hist)
+    elif quartiles == "approx":
+        pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        quartile_rows = (
+            base.agg(F.percentile_approx("norm", pcts, F.lit(10000)).alias("qs"))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            row("norm", f"p{p}", F.element_at("qs", i + 1))
+                            for i, p in enumerate((25, 50, 75))
+                        ]
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        card_caches = (base,)
+    else:
+        raise ValueError(f"unknown quartiles mode {quartiles!r}; use 'exact' or 'approx'")
     dimsums = (
         base.select(F.posexplode("v").alias("d", "x"))
         .groupBy("d")
@@ -1129,7 +1161,7 @@ def embedding_data_card(
         )
         .select("r.*")
     )
-    parts = [scalars, quartiles, centroid]
+    parts = [scalars, quartile_rows, centroid]
     if label_col:
         total = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         labels = (
@@ -1146,4 +1178,4 @@ def embedding_data_card(
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)
-    return release_after(result, base, hist)
+    return release_after(result, *card_caches)

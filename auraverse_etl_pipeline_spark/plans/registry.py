@@ -72,6 +72,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # on the committed code when round 6 scored, so nothing is carried)
     "dedup_prefix_jaccard_join",  # prefix subplan cached (r7 plan change)
     "stream_ivf_assign",  # new in round 7 — streaming embedding indexing
+    "embedding_data_card",  # gained the approx-quartile flag path (r7)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

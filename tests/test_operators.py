@@ -2404,3 +2404,27 @@ def test_prefix_filter_join_has_exact_recall(spark, sf_dir):
     got.release_caches()
     t = {(r.id1, r.id2): r.jaccard for r in truth.collect()}
     assert g == t and len(g) >= 30
+
+
+def test_embedding_data_card_approx_matches_exact_within_1pct(spark, sf_dir):
+    """The approx quartile rungs must sit within 1% relative error of
+    the exact cumulative-histogram rungs (the q46 tolerance contract),
+    and every non-quartile row must be IDENTICAL between modes."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_data_card,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = embedding_data_card(emb, quartiles="exact")
+    approx = embedding_data_card(emb, quartiles="approx")
+    ex = {(r.section, r.metric): r.value for r in exact.collect()}
+    ap = {(r.section, r.metric): r.value for r in approx.collect()}
+    exact.release_caches()
+    approx.release_caches()
+    assert set(ex) == set(ap)
+    for key, v in ex.items():
+        if key[0] == "norm" and key[1].startswith("p"):
+            assert abs(ap[key] - v) <= 0.01 * abs(v), (key, ap[key], v)
+        else:
+            assert ap[key] == v, key

@@ -373,3 +373,25 @@ def test_hybrid_search_keeps_both_retrievers_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_data_card_approx_path_drops_histogram_window(spark, sf_dir):
+    """quartiles='approx' is the 100 TB spelling: the norm quartiles
+    must come from one bounded-memory percentile_approx aggregate — no
+    cumulative-histogram sort window, no per-norm groupBy state. The
+    exact path keeps its window (the oracle-gated spelling)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        embedding_data_card,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = embedding_data_card(emb, quartiles="approx")
+    plan = _plan(approx)
+    assert "percentile_approx" in plan
+    assert "Window" not in plan  # the q37-shape cumulative sort-window is gone
+    approx.release_caches()
+    exact = embedding_data_card(emb, quartiles="exact")
+    plan = _plan(exact)
+    assert "Window" in plan and "percentile_approx" not in plan
+    exact.release_caches()
