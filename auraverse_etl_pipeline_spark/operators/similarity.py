@@ -306,6 +306,30 @@ def signbucket_band_bits(n_vectors: int, target_occupancy: int = 16) -> int:
     return min(16, max(8, need))
 
 
+def short_vectors(
+    df: DataFrame,
+    band_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The vectors :func:`signbucket_lsh_pairs` silently drops at a
+    given band geometry: (id, dim) for every row with fewer than
+    ``band_bits`` components — they form no band, so they can never
+    appear in the pair output. This is the audit surface for the
+    short-vector filter (the :func:`~auraverse_etl_pipeline_spark.
+    operators.dedup.hot_buckets` contract): count it, log it, or write
+    it next to the dedup output so a mixed-width corpus records exactly
+    which vectors the sign-LSH tier never considered, instead of
+    losing them silently. Empty ⇒ the geometry covers the corpus."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(F.col(vec_col)).cast("int").alias("dim"),
+        )
+        .filter(F.col("dim") < band_bits)
+    )
+
+
 def signbucket_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -359,7 +383,10 @@ def signbucket_lsh_pairs(
     components forms no band at all and is FILTERED OUT — it vanishes
     from the pair output (it can never collide), so mixed-width
     corpora should gate on ``size(vec) >= band_bits`` upstream where
-    that's a data bug rather than intent. When the width is not a
+    that's a data bug rather than intent; :func:`short_vectors` at the
+    same geometry returns exactly the dropped (id, dim) rows — the
+    audit a capped run writes next to its output (the ``hot_buckets``
+    contract). When the width is not a
     multiple of ``band_bits``, the trailing ``dim % band_bits``
     dimensions are ignored for bucketing (they still count in the
     exact-cosine verify), mildly raising collision rates — harmless

@@ -492,3 +492,48 @@ def test_prefix_filter_recall_matches_exhaustive(spark):
         assert g == t
 
     prop()
+
+
+def test_signlsh_short_vector_audit_matches_drop(spark):
+    """Property: on mixed-width corpora, short_vectors() returns
+    EXACTLY the ids signbucket_lsh_pairs can never emit (width <
+    band_bits), wide near-duplicate pairs are still found, and the
+    audit is empty when every vector clears the geometry."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        short_vectors,
+        signbucket_lsh_pairs,
+    )
+
+    BAND_BITS = 8
+    comp = st.floats(min_value=-1, max_value=1, allow_nan=False, width=32)
+    # wide vectors draw nonzero components: a zero-norm vector has no
+    # cosine to anything (ANSI divide-by-zero) and belongs upstream of
+    # any cosine tier, not in this property
+    nz = st.sampled_from([-1.0, -0.5, 0.25, 0.5, 1.0])
+    short_vec = st.lists(comp, min_size=2, max_size=BAND_BITS - 1)
+    wide_vec = st.lists(nz, min_size=BAND_BITS, max_size=12)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        shorts=st.lists(short_vec, min_size=0, max_size=3),
+        wides=st.lists(wide_vec, min_size=1, max_size=3),
+    )
+    def prop(shorts, wides):
+        # plant an exact duplicate of the first wide vector so the
+        # qualifying pair set is non-trivial
+        vecs = list(wides) + [wides[0]] + list(shorts)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        short_ids = {r.id for r in short_vectors(emb, BAND_BITS).collect()}
+        assert short_ids == {i for i, v in enumerate(vecs) if len(v) < BAND_BITS}
+        got = signbucket_lsh_pairs(emb, threshold=0.99, band_bits=BAND_BITS)
+        pairs = {(r.id1, r.id2) for r in got.collect()}
+        got.release_caches()
+        # no dropped id ever appears in the output...
+        assert all(a not in short_ids and b not in short_ids for a, b in pairs)
+        # ...and the planted wide duplicate is still found
+        assert (0, len(wides)) in pairs
+
+    prop()
