@@ -82,6 +82,8 @@ def decode_payload(payload: bytes, kind: str):
         return decode_png(payload)
     if kind == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
@@ -749,5 +751,371 @@ def attach_bmp_media(
             F.lit("image/bmp").alias("mime"),
             F.length("payload").cast("long").alias("n_bytes"),
             F.lit("synthetic-bmp").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 baseline sequential, 1-component grayscale)
+# ---------------------------------------------------------------------------
+
+#: Zigzag order: raster index of each zigzag position (T.81 Figure 5).
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: T.81 Annex K luminance Huffman tables: (BITS counts per code length
+#: 1..16, HUFFVAL symbol list) — the tables every camera ships.
+JPEG_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+JPEG_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """BITS/HUFFVAL → {symbol: (code, length)} (T.81 Annex C)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_basis():
+    """Orthonormal 8-point DCT-II basis C with C[u,x] =
+    (1/2)·c(u)·cos((2x+1)uπ/16): forward 2-D DCT is C·B·Cᵀ, inverse is
+    Cᵀ·F·C (T.81 A.3.3 normalization)."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def encode_jpeg(pixels, quant: int = 8) -> bytes:
+    """(h, w) uint8 grayscale array → baseline sequential JPEG bytes
+    (SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI, 1 component, Annex-K luminance
+    Huffman tables, flat quantization table of ``quant``).
+
+    A flat power-of-two table makes BLOCK-CONSTANT images round-trip
+    bit-exactly (a constant block has only a DC coefficient, 8·(v−128),
+    which quant=8 divides without remainder and the IDCT recovers
+    within float epsilon of an integer) — the property the closed-form
+    oracle fixtures exploit, while the entropy coding, zigzag and DCT
+    machinery stay the real thing. Edges pad by replication to 8×8
+    multiples, as every encoder does."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, bh - h), (0, bw - w)), mode="edge").astype(np.float64)
+    C = _jpeg_dct_basis()
+    qtab = np.full((8, 8), quant, dtype=np.int64)
+
+    dc_codes = _jpeg_canonical_codes(*JPEG_DC_LUMA)
+    ac_codes = _jpeg_canonical_codes(*JPEG_AC_LUMA)
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def put(code, length):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+
+    def magnitude(v):
+        s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coeffs = C @ block @ C.T
+            q = np.round(coeffs / qtab).astype(np.int64)
+            zz = [int(q.flat[i]) for i in JPEG_ZIGZAG]
+            s, bitsv = magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            put(*dc_codes[s])
+            if s:
+                put(bitsv, s)
+            run = 0
+            for coeff in zz[1:]:
+                if coeff == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s, bitsv = magnitude(coeff)
+                put(*ac_codes[(run << 4) | s])
+                put(bitsv, s)
+                run = 0
+            if run:
+                put(*ac_codes[0x00])  # EOB
+    if nbits:  # pad final byte with 1s (T.81 F.1.2.3)
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        byte = acc & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(qtab.flat[i]) for i in JPEG_ZIGZAG))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(JPEG_DC_LUMA[0]) + bytes(JPEG_DC_LUMA[1])
+        + b"\x10" + bytes(JPEG_AC_LUMA[0]) + bytes(JPEG_AC_LUMA[1]),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG → (maxval=255, (h, w, 3) uint8 array — grayscale
+    replicated across RGB, which is exactly what viewers do with a
+    1-component JFIF). Pure stdlib+numpy: marker parse, DQT/DHT table
+    build, Huffman entropy decode with byte-unstuffing, DC prediction,
+    zigzag→raster, dequantize, orthonormal IDCT, level shift, clamp.
+
+    Strict baseline subset, same surfaced-not-guessed discipline as
+    :func:`decode_bmp`: progressive (SOF2), arithmetic coding,
+    multi-component (color) scans, 12-bit precision and restart
+    intervals raise ``ValueError`` — a training pipeline wants
+    unsupported media reported, not misdecoded."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = None
+    dc_id = ac_id = None
+    pos = 2
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = (payload[pos] << 8) | payload[pos + 1]
+        if marker == 0xFFD9:
+            raise ValueError("no scan data before EOI")
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qtables[tid] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                codes = _jpeg_canonical_codes(bits, vals)
+                hufftabs[(tclass, tid)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError("only 1-component (grayscale) baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled single component is malformed")
+            comp_q = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            if body[0] != 1:
+                raise ValueError("only 1-component scans supported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            data_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if data_start is None or h is None or comp_q not in qtables:
+        raise ValueError("truncated JPEG header")
+    dc_tab = hufftabs.get((0, dc_id))
+    ac_tab = hufftabs.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman tables")
+    qtab = np.zeros(64, dtype=np.int64)
+    for zzpos, raster in enumerate(JPEG_ZIGZAG):
+        qtab[raster] = qtables[comp_q][zzpos]
+
+    # unstuff the entropy stream once: 0xFF 0x00 → 0xFF; a 0xFF
+    # followed by anything else is a marker and ends the scan
+    data = payload[data_start:]
+    ent = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            if i + 1 < len(data) and data[i + 1] == 0x00:
+                ent.append(0xFF)
+                i += 2
+                continue
+            break
+        ent.append(b)
+        i += 1
+    bitpos = 0
+
+    def read_bit():
+        nonlocal bitpos
+        byte_i, bit_i = divmod(bitpos, 8)
+        if byte_i >= len(ent):
+            raise ValueError("truncated entropy data")
+        bitpos += 1
+        return (ent[byte_i] >> (7 - bit_i)) & 1
+
+    def read_huff(tab):
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            if (length, code) in tab:
+                return tab[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def receive_extend(s):
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    C = _jpeg_dct_basis()
+    bh, bw = -(-h // 8), -(-w // 8)
+    raster = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_huff(dc_tab)
+            prev_dc += receive_extend(s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_tab)
+                run, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = receive_extend(s)
+                k += 1
+            block = np.zeros(64, dtype=np.int64)
+            for zzpos, ri in enumerate(JPEG_ZIGZAG):
+                block[ri] = zz[zzpos]
+            deq = (block * qtab).reshape(8, 8).astype(np.float64)
+            spatial = C.T @ deq @ C + 128.0
+            raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+    gray = np.clip(np.round(raster[:h, :w]), 0, 255).astype(np.uint8)
+    return 255, np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def attach_jpeg_media(
+    docs: DataFrame, width: int = 24, height: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL baseline-JPEG table: BLOCK-constant gradients
+    (every 8×8 block holds one value, 1 + (media_id + 3·bx + 7·by) mod
+    127) encoded with the flat power-of-two quantization table — so the
+    lossy codec round-trips bit-exactly (see :func:`encode_jpeg`) and
+    the decoded raster stays SQL-recomputable closed-form, while
+    Huffman entropy coding, zigzag, dequant and the IDCT all run for
+    real on every payload."""
+    import numpy as np
+
+    ship_package(docs.sparkSession)
+    if width % 8 or height % 8:
+        raise ValueError("fixture dims must be 8x8-block multiples")
+
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        bx = np.arange(width // 8) * 3
+        by = np.arange(height // 8) * 7
+        blocks = by[:, None] + bx[None, :]
+        return pd.Series(
+            [
+                encode_jpeg(
+                    np.kron(
+                        (1 + (int(mid) + blocks) % 127).astype(np.uint8),
+                        np.ones((8, 8), dtype=np.uint8),
+                    )
+                )
+                for mid in ids
+            ]
+        )
+
+    payload = F.pandas_udf(make_jpeg, "binary")(F.col(id_col))
+    out = docs.select(F.col(id_col).alias("media_id"), payload.alias("payload"))
+    return out.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("synthetic-jpeg").alias("origin"),
         ).alias("media_meta"),
     )

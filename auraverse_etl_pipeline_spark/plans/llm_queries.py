@@ -4212,3 +4212,44 @@ def dedup_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return prefix_filter_jaccard_pairs(aug, threshold=0.5, n=3)
+
+
+@query(
+    "multimodal_jpeg_features",
+    # Closed-form raster contract like the PNG/BMP twins, with a twist
+    # that makes a LOSSY codec oracle-able: the payloads are real
+    # baseline JPEGs (Annex-K Huffman entropy coding, zigzag, dequant,
+    # IDCT all run on every decode), but every 8x8 block is constant
+    # and the quantization table is a flat power of two, so the
+    # round-trip is bit-exact (a constant block has only a DC
+    # coefficient, which quant=8 divides evenly). 24x16 -> 3x2 blocks,
+    # each contributing 8*8*3 = 192 identical raster bytes.
+    oracle="""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+    px AS (
+        SELECT media_id, 1 + ((media_id + 3*bx.i + 7*by.i) % 127) AS b
+        FROM ids, range(0, 3) bx(i), range(0, 2) by(i)
+    )
+    SELECT media_id,
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS byte_mean,
+           CAST(COUNT(DISTINCT b) AS DOUBLE) / 256.0 AS byte_entropy_proxy,
+           CAST(ceil(COUNT(*) * 192 / 64.0) AS BIGINT) AS n_frames_sampled
+    FROM px GROUP BY media_id
+    """,
+    description="a REAL baseline-JPEG corpus through the codec hook: "
+    "pure stdlib+numpy entropy decode (Annex-K Huffman tables, byte "
+    "unstuffing, DC prediction, zigzag, dequant, orthonormal IDCT) "
+    "feeds the same Arrow-batched feature extractor; block-constant "
+    "fixtures with a flat power-of-two quant table make the lossy "
+    "round-trip bit-exact, so the decoded-raster stats replay "
+    "closed-form in SQL - the fourth real image codec beside PPM, "
+    "PNG and BMP",
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import attach_jpeg_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    feats = extract_media_features(attach_jpeg_media(docs, width=24, height=16))
+    return feats.select(
+        "media_id", "byte_mean", "byte_entropy_proxy", "n_frames_sampled"
+    )

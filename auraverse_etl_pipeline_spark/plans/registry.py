@@ -73,6 +73,9 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "dedup_prefix_jaccard_join",  # prefix subplan cached (r7 plan change)
     "stream_ivf_assign",  # new in round 7 — streaming embedding indexing
     "embedding_data_card",  # gained the approx-quartile flag path (r7)
+    "multimodal_jpeg_features",  # new in round 7 — baseline JPEG codec
+    "multimodal_feature_digest",  # decode dispatcher gained the JPEG branch
+    "multimodal_resize_digest",  # same shared dispatcher
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -2428,3 +2428,71 @@ def test_embedding_data_card_approx_matches_exact_within_1pct(spark, sf_dir):
             assert abs(ap[key] - v) <= 0.01 * abs(v), (key, ap[key], v)
         else:
             assert ap[key] == v, key
+
+
+def test_jpeg_codec_roundtrip_exactness_and_strictness():
+    """Baseline JPEG: (a) the DCT basis matches the textbook T.81
+    definition re-derived literally here (encoder and decoder share the
+    matrix, so a wrong-but-orthogonal basis would cancel in a pure
+    roundtrip — this is the independent check), (b) block-constant
+    images with the flat power-of-two table round-trip bit-exactly,
+    (c) arbitrary images come back within the quantization error bound,
+    (d) unsupported variants raise instead of misdecoding."""
+    import math
+
+    import numpy as np
+    import pytest as pt
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _jpeg_dct_basis,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # (a) independent basis re-derivation + orthonormality
+    C = _jpeg_dct_basis()
+    for u in range(8):
+        for x in range(8):
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            want = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+            assert abs(C[u, x] - want) < 1e-15
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-14)
+    # canonical zigzag spot checks (T.81 Figure 5)
+    assert JPEG_ZIGZAG[:6] == (0, 1, 8, 16, 9, 2) and JPEG_ZIGZAG[63] == 63
+    assert sorted(JPEG_ZIGZAG) == list(range(64))
+
+    # (b) block-constant exact roundtrip, DC differences of both signs
+    blocks = np.array([[200, 3], [77, 126]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    maxval, px = decode_jpeg(encode_jpeg(img))
+    assert maxval == 255 and px.shape == (16, 16, 3)
+    assert np.array_equal(px[:, :, 0], img)
+    assert np.array_equal(px[:, :, 0], px[:, :, 1])
+
+    # (c) arbitrary non-multiple-of-8 image: every pixel within the
+    # flat-table quantization bound (coeff error <= q/2 per coefficient
+    # -> spatial error < 8*q/2 hard bound; empirically ~q)
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, (13, 21), dtype=np.uint8)
+    _, back = decode_jpeg(encode_jpeg(noisy))
+    assert back.shape == (13, 21, 3)
+    err = np.abs(back[:, :, 0].astype(int) - noisy.astype(int))
+    assert err.max() <= 32 and err.mean() < 4
+
+    # (d) strictness: progressive / color / restart-interval payloads
+    # raise (patch the markers of a valid baseline payload)
+    payload = bytearray(encode_jpeg(img))
+    sof_at = bytes(payload).index(b"\xff\xc0")
+    progressive = payload.copy()
+    progressive[sof_at + 1] = 0xC2
+    with pt.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(progressive))
+    color = payload.copy()
+    color[sof_at + 9] = 3  # claim 3 components
+    with pt.raises(ValueError):
+        decode_jpeg(bytes(color))
+    with pt.raises(ValueError):
+        decode_jpeg(b"\x89PNG")
+    with pt.raises(ValueError):
+        decode_jpeg(bytes(payload[: sof_at + 2]))
