@@ -1,0 +1,204 @@
+"""In-engine n-gram language-model perplexity scoring.
+
+The CCNet / KenLM-style fluency gate every web-curation pipeline runs:
+train a small LM on a trusted reference slice (Wikipedia in CCNet),
+score every candidate document by token-level cross-entropy, and gate
+or bucket on the score — fluent text scores low, boilerplate, gibberish
+and wrong-language text score high. The reference uses 5-gram KenLM
+models; the in-engine twin is a bigram model with add-α smoothing,
+which keeps the model VOCABULARY-BOUNDED (observed bigrams + per-token
+context counts), trains in one aggregation pass, and — unlike a KenLM
+binary — is exactly replayable by a SQL oracle.
+
+Scale shape mirrors ``operators/classifier.py``: the 100 TB corpus is
+scanned once and exploded into fixed-width (prev, tok) transition rows
+(array slicing, no shuffle, no window); the model is two broadcast
+tables (observed bigrams, context counts); the per-document sum runs
+through order-independent DECIMAL(38,12) partials. All logarithms are
+computed in an Arrow batch with Python libm over MODEL-sized tables
+only — JVM ``Math.log`` disagrees with DuckDB ``ln`` in the last ulp
+on ~2% of inputs (measured; see classifier.py module docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from auraverse_etl_pipeline_spark.operators.caching import release_after
+from auraverse_etl_pipeline_spark.operators.classifier import _ln
+from auraverse_etl_pipeline_spark.runtime import ship_package
+
+
+@dataclass
+class BigramLm:
+    """A trained bigram LM, all plain data (persist like any table):
+
+    - ``bigrams`` — (prev, tok, logp): add-α log probability of every
+      OBSERVED reference bigram.
+    - ``contexts`` — (prev, logp_miss): per observed context token, the
+      log probability of any UNOBSERVED continuation,
+      ``ln(α / (c(prev) + α·V))``.
+    - ``stats`` — one row (vocab_size, logp_unseen): ``V`` = distinct
+      reference tokens, and the both-unseen fallback
+      ``ln(α / (α·V))`` (the c(prev)=0 case of the same formula).
+    """
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    stats: DataFrame
+
+
+def _transitions(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(id, prev, tok) — one row per within-document token transition,
+    via array slicing (zip of the token array against itself shifted by
+    one): pure per-row expression work, no shuffle, no window. A
+    document with fewer than two tokens contributes a single null
+    transition row (``explode_outer``), so every id reaches the
+    downstream aggregate — the ``nb_score`` discipline."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    id_expr = F.col(id_col) if id_col is not None else F.lit(0).cast("bigint")
+    return (
+        df.select(id_expr.alias("id"), tokens(text_col).alias("toks"))
+        .select(
+            "id",
+            F.explode_outer(
+                F.expr(
+                    "arrays_zip("
+                    "  slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    "  slice(toks, 2, greatest(size(toks) - 1, 0)))"
+                )
+            ).alias("tr"),
+        )
+        .select("id", F.col("tr.0").alias("prev"), F.col("tr.1").alias("tok"))
+    )
+
+
+def ngram_lm_train(
+    ref: DataFrame, alpha: float = 1.0, text_col: str = "text"
+) -> BigramLm:
+    """One-pass bigram LM training over the reference corpus.
+
+    ``logp(tok | prev) = ln((c(prev,tok) + α) / (c(prev) + α·V))`` with
+    ``V`` = distinct reference tokens. The model is observed-bigram-
+    bounded: two aggregates (bigram counts, context counts) and a
+    1-row vocabulary stat; no corpus-sized state survives training.
+    Every log runs through the Arrow-batched libm ``_ln`` over the
+    model tables, never the corpus."""
+    ship_package(ref.sparkSession)  # _ln is pickled by reference
+    tr = _transitions(ref, text_col, None).where(F.col("prev").isNotNull())
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    toks = ref.select(F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    big = tr.groupBy("prev", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ctx = big.groupBy("prev").agg(F.sum("c").cast("bigint").alias("c_prev"))
+    a = F.lit(float(alpha))
+    bigrams = (
+        big.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "tok",
+            _ln((F.col("c") + a) / (F.col("c_prev") + a * F.col("v"))).alias("logp"),
+        )
+    )
+    contexts = (
+        ctx.crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            _ln(a / (F.col("c_prev") + a * F.col("v"))).alias("logp_miss"),
+        )
+    )
+    stats = vocab.select(
+        F.col("v").alias("vocab_size"),
+        _ln(a / (F.lit(0).cast("bigint") + a * F.col("v"))).alias("logp_unseen"),
+    )
+    return BigramLm(bigrams=bigrams, contexts=contexts, stats=stats)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: BigramLm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a :class:`BigramLm`:
+    ``(id, n_transitions, xent)`` where ``xent`` is the per-transition
+    cross-entropy ``−(Σ logp) / n`` (nats/token; null for documents
+    with fewer than two tokens — nothing to score, surfaced as null
+    rather than guessed at). Lower = more reference-like; the CCNet
+    gate keeps the low/middle buckets.
+
+    Scale shape: both model tables broadcast, the corpus explodes once
+    into fixed-width transition rows, one DECIMAL-partial hash
+    aggregate per document — the corpus never shuffles its text."""
+    ship_package(df.sparkSession)
+    tr = _transitions(df, text_col, id_col)
+    logp = F.coalesce(F.col("logp"), F.col("logp_miss"), F.col("logp_unseen"))
+    scored = (
+        tr.join(F.broadcast(lm.bigrams), ["prev", "tok"], "left")
+        .join(F.broadcast(lm.contexts), "prev", "left")
+        .crossJoin(F.broadcast(lm.stats.select("logp_unseen")))
+        .select(
+            "id",
+            F.when(F.col("prev").isNotNull(), logp).alias("logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("logp").cast("bigint").alias("n_transitions"),
+        F.when(
+            F.count("logp") > 0,
+            -F.sum(F.col("logp").cast("decimal(38,12)")).cast("double")
+            / F.count("logp"),
+        ).alias("xent"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by cross-entropy
+    and cut into ``n_buckets`` equal-frequency buckets (bucket 0 =
+    most reference-like). ntile over the global xent order — the
+    bucket boundary table this produces is what a curation run records
+    next to its outputs. Documents with null xent (< 2 tokens) land in
+    the LAST bucket (unknowable ≠ fluent).
+
+    Note the single global sort: ntile is a total order by design
+    (bucket ids must be globally consistent). At 100 TB use the
+    percentile ladder (q37/q46) to derive boundary values instead and
+    bucket by comparison — this helper is the small/audit spelling."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("xent").isNull().cast("int"), "xent", "id"
+    )
+    return scores.select(
+        "id",
+        "xent",
+        (F.ntile(n_buckets).over(w) - 1).cast("int").alias("bucket"),
+    )
+
+
+def lm_score_report(
+    df: DataFrame,
+    ref: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on ``ref``, score ``df`` — the one-call spelling, with the
+    two model tables cached (each is consumed by the returned plan via
+    a broadcast) and paired-released."""
+    lm = ngram_lm_train(ref, alpha=alpha, text_col=text_col)
+    cached = BigramLm(
+        bigrams=lm.bigrams.cache(),
+        contexts=lm.contexts.cache(),
+        stats=lm.stats.cache(),
+    )
+    out = ngram_lm_score(df, cached, text_col=text_col, id_col=id_col)
+    return release_after(out, cached.bigrams, cached.contexts, cached.stats)

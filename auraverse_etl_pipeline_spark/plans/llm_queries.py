@@ -4253,3 +4253,125 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "byte_mean", "byte_entropy_proxy", "n_frames_sampled"
     )
+
+
+#: Shared CTE block for the bigram-LM oracles: reference slice (even-id
+#: English documents), transition extraction by list slicing, add-1
+#: model tables, corpus transition scoring — replays operators/lm.py
+#: digit-for-digit (ln runs in DuckDB libm == Python libm; the Spark
+#: side computes its logs in an Arrow batch for exactly this reason).
+_LM_CTES = """
+    WITH rt AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+    ),
+    tr AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS prev,
+               unnest(toks[2:len(toks)]) AS tok
+        FROM rt
+    ),
+    voc AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tok FROM rt)
+    ),
+    big AS (
+        SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY prev, tok
+    ),
+    ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS c_prev FROM big GROUP BY prev),
+    bw AS (
+        SELECT prev, tok,
+               ln((c + CAST(1.0 AS DOUBLE)) / (c_prev + CAST(1.0 AS DOUBLE) * v))
+                 AS logp
+        FROM big JOIN ctx USING (prev), voc
+    ),
+    cw AS (
+        SELECT prev,
+               ln(CAST(1.0 AS DOUBLE) / (c_prev + CAST(1.0 AS DOUBLE) * v))
+                 AS logp_miss
+        FROM ctx, voc
+    ),
+    st AS (
+        SELECT ln(CAST(1.0 AS DOUBLE) / (0 + CAST(1.0 AS DOUBLE) * v))
+                 AS logp_unseen
+        FROM voc
+    ),
+    ct AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    ctr AS (
+        SELECT doc_id,
+               unnest(toks[1:len(toks)-1]) AS prev,
+               unnest(toks[2:len(toks)]) AS tok
+        FROM ct
+    ),
+    scoredtr AS (
+        SELECT ctr.doc_id,
+               COALESCE(bw.logp, cw.logp_miss, (SELECT logp_unseen FROM st))
+                 AS logp
+        FROM ctr LEFT JOIN bw USING (prev, tok) LEFT JOIN cw USING (prev)
+    ),
+    xents AS (
+        SELECT d.doc_id,
+               CAST(COUNT(s.logp) AS BIGINT) AS n_transitions,
+               CASE WHEN COUNT(s.logp) > 0 THEN
+                   -CAST(SUM(CAST(s.logp AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(s.logp)
+               END AS xent
+        FROM documents d LEFT JOIN scoredtr s USING (doc_id)
+        GROUP BY d.doc_id
+    )
+"""
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=_LM_CTES
+    + """
+    SELECT doc_id, n_transitions, xent FROM xents
+    """,
+    description="the CCNet/KenLM-style fluency gate, trained AND "
+    "scored in-engine: a bigram LM with add-1 smoothing over a "
+    "trusted reference slice (even-id English documents), every "
+    "document scored by per-transition cross-entropy. The model is "
+    "vocabulary-bounded (observed bigrams + context counts, both "
+    "broadcast); transitions come from array slicing (no shuffle, no "
+    "window); per-doc sums are DECIMAL partials; logs run in an "
+    "Arrow batch with Python libm over model tables only. Lower "
+    "xent = more reference-like; <2-token documents surface null",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    out = lm_score_report(docs, ref)
+    return out.select(F.col("id").alias("doc_id"), "n_transitions", "xent")
+
+
+@query(
+    "text_lm_buckets",
+    oracle=_LM_CTES
+    + """
+    SELECT doc_id, xent,
+           CAST(ntile(3) OVER (
+               ORDER BY CAST(xent IS NULL AS INT), xent, doc_id
+           ) - 1 AS INTEGER) AS bucket
+    FROM xents
+    """,
+    description="CCNet's head/middle/tail split over the LM scores: "
+    "equal-frequency ntile buckets by cross-entropy (bucket 0 = most "
+    "reference-like, null-xent documents deliberately last). The "
+    "global sort is the small/audit spelling - at 100 TB derive "
+    "boundaries from the percentile ladder instead (noted in the "
+    "operator docstring)",
+)
+def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.lm import (
+        lm_score_report,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    out = perplexity_buckets(lm_score_report(docs, ref), n_buckets=3)
+    return out.select(F.col("id").alias("doc_id"), "xent", "bucket")

@@ -76,6 +76,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "multimodal_jpeg_features",  # new in round 7 — baseline JPEG codec
     "multimodal_feature_digest",  # decode dispatcher gained the JPEG branch
     "multimodal_resize_digest",  # same shared dispatcher
+    "text_lm_perplexity",  # new in round 7 — bigram-LM fluency gate
+    "text_lm_buckets",  # new in round 7 — CCNet head/middle/tail split
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -537,3 +537,74 @@ def test_signlsh_short_vector_audit_matches_drop(spark):
         assert (0, len(wides)) in pairs
 
     prop()
+
+
+def test_bigram_lm_matches_model(spark):
+    """Property: in-engine bigram-LM training + scoring equals a pure
+    Python Counter model (add-1 smoothing, observed-bigram /
+    context-miss / double-unseen fallbacks) on randomized corpora."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        ref_rows = [(i, t) for i, t in rows if i % 2 == 0]
+        ref = docs.filter("doc_id % 2 = 0")
+
+        # pure-Python model; NB split semantics must mirror the engine:
+        # split(trim(''), '\\s+') yields [''] (one empty token), not []
+        import re
+
+        def toks(t):
+            return re.split(r"\s+", t.strip())
+
+        big, ctx, vocab = Counter(), Counter(), set()
+        for _, t in ref_rows:
+            ws = toks(t)
+            vocab.update(ws)
+            for p, w in zip(ws, ws[1:]):
+                big[(p, w)] += 1
+                ctx[p] += 1
+        V = len(vocab)
+
+        def logp(p, w):
+            if (p, w) in big:
+                return math.log((big[(p, w)] + 1.0) / (ctx[p] + 1.0 * V))
+            if p in ctx:
+                return math.log(1.0 / (ctx[p] + 1.0 * V))
+            return math.log(1.0 / (0 + 1.0 * V))
+
+        want = {}
+        for i, t in rows:
+            ws = toks(t)
+            trs = list(zip(ws, ws[1:]))
+            if trs:
+                want[i] = (len(trs), -sum(logp(p, w) for p, w in trs) / len(trs))
+            else:
+                want[i] = (0, None)
+
+        out = lm_score_report(docs, ref)
+        got = {
+            r.id: (r.n_transitions, r.xent) for r in out.collect()
+        }
+        out.release_caches()
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], (i, got[i], want[i])
+            if want[i][1] is None:
+                assert got[i][1] is None
+            else:
+                assert got[i][1] is not None
+                assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+
+    prop()

@@ -395,3 +395,15 @@ def test_embedding_data_card_approx_path_drops_histogram_window(spark, sf_dir):
     plan = _plan(exact)
     assert "Window" in plan and "percentile_approx" not in plan
     exact.release_caches()
+
+
+def test_lm_scoring_broadcasts_model_tables(spark, sf_dir):
+    """The LM gate's corpus side: model tables broadcast (never a
+    corpus-shuffling SMJ), transitions from array slicing (no window),
+    the only Python an Arrow batch over model-sized tables."""
+    plan = _plan(QS["text_lm_perplexity"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan  # libm logs are Arrow-batched
