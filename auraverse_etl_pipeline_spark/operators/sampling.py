@@ -272,3 +272,100 @@ def length_bucket_plan(
             ).alias("waste_ratio"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): estimate hashed-unigram bag-of-buckets distributions for a
+    small TARGET domain sample and the raw corpus, and score every raw
+    document with its log importance weight
+
+        ``log_weight(d) = Σ_tokens [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]``
+
+    (add-α smoothed over ``num_buckets`` md5-hash buckets — the same
+    feature hash as ``operators/classifier.py``, so DuckDB replays
+    it). High weight ⇒ the document looks like the target domain
+    relative to the raw pool; selecting by weight shifts the corpus
+    mixture toward the target without a trained classifier.
+
+    Output: ``(id, n_tokens, log_weight)``. Selection policy is the
+    caller's (top-k for the deterministic variant — the DSIR paper's
+    Gumbel resampling adds per-doc noise, which an engine-reproducible
+    pipeline replaces with the hash-rank discipline used across this
+    module).
+
+    Scale shape: the 100 TB raw side is scanned twice — once to count
+    buckets (one fixed-width partial-aggregated shuffle into a
+    ≤num_buckets-row table), once to score (broadcast λ-table join +
+    one DECIMAL-partial hash aggregate per document); the target side
+    is small by definition. Both count tables are cached (each feeds
+    the totals aggregate AND the λ join) and paired-released. Logs run
+    in the Arrow-batched libm ``_ln`` over the λ table only, never the
+    corpus (the Math.log-vs-ln parity rule)."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+    from auraverse_etl_pipeline_spark.operators.classifier import _ln, token_bucket
+    from auraverse_etl_pipeline_spark.runtime import ship_package
+
+    ship_package(df.sparkSession)  # _ln is pickled by reference
+
+    def bucketize(frame: DataFrame) -> DataFrame:
+        return frame.select(F.explode(tokens(text_col)).alias("tok")).select(
+            token_bucket(F.col("tok"), num_buckets).alias("bucket")
+        )
+
+    rc = (
+        bucketize(df)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("raw_n"))
+        .cache()
+    )
+    tc = (
+        bucketize(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tgt_n"))
+        .cache()
+    )
+    totals = rc.agg(F.sum("raw_n").cast("bigint").alias("raw_tot")).crossJoin(
+        tc.agg(F.coalesce(F.sum("tgt_n"), F.lit(0)).cast("bigint").alias("tgt_tot"))
+    )
+    a = float(alpha)
+    denom = a * num_buckets
+    # every corpus bucket appears in rc, so a left join from rc covers
+    # the whole scoring domain; target-only buckets never score
+    lam = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                _ln(
+                    (F.coalesce(F.col("tgt_n"), F.lit(0)) + F.lit(a))
+                    / (F.col("tgt_tot") + F.lit(denom))
+                )
+                - _ln((F.col("raw_n") + F.lit(a)) / (F.col("raw_tot") + F.lit(denom)))
+            ).alias("lam"),
+        )
+    )
+    inst = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("tok")
+    ).select("id", token_bucket(F.col("tok"), num_buckets).alias("bucket"))
+    out = (
+        inst.join(F.broadcast(lam), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("lam").cast("bigint").alias("n_tokens"),
+            F.when(
+                F.count("lam") > 0,
+                F.sum(F.col("lam").cast("decimal(38,12)")).cast("double"),
+            ).alias("log_weight"),
+        )
+    )
+    return release_after(out, rc, tc)

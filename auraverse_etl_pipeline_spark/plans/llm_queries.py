@@ -4375,3 +4375,67 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
     out = perplexity_buckets(lm_score_report(docs, ref), n_buckets=3)
     return out.select(F.col("id").alias("doc_id"), "xent", "bucket")
+
+
+@query(
+    "mix_dsir_select",
+    oracle="""
+    WITH rawt AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+    ),
+    tgtt AS (
+        SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE lang = 'en' AND doc_id % 3 = 0)
+    ),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_n FROM rawt GROUP BY bucket),
+    tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_n FROM tgtt GROUP BY bucket),
+    tot AS (
+        SELECT (SELECT CAST(SUM(raw_n) AS BIGINT) FROM rc) AS raw_tot,
+               (SELECT CAST(COALESCE(SUM(tgt_n), 0) AS BIGINT) FROM tc) AS tgt_tot
+    ),
+    lam AS (
+        SELECT rc.bucket,
+               ln((COALESCE(tc.tgt_n, 0) + CAST(1.0 AS DOUBLE))
+                    / (tgt_tot + CAST(4096.0 AS DOUBLE)))
+             - ln((rc.raw_n + CAST(1.0 AS DOUBLE))
+                    / (raw_tot + CAST(4096.0 AS DOUBLE))) AS lam
+        FROM rc LEFT JOIN tc USING (bucket), tot
+    ),
+    sums AS (
+        SELECT rawt.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(lam.lam AS DECIMAL(38,12))) AS DOUBLE) AS log_weight
+        FROM rawt JOIN lam USING (bucket)
+        GROUP BY rawt.doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight,
+           (ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) <= 200) AS selected
+    FROM sums
+    """,
+    description="Data Selection via Importance Resampling (DSIR): "
+    "hashed-unigram bag-of-buckets distributions for a target domain "
+    "sample (English, id%3=0) vs the raw corpus; every document "
+    "scored with its log importance weight (sum of per-token bucket "
+    "log-ratios, add-1 smoothed, DECIMAL partials) and the top 200 "
+    "flagged by the deterministic hash-rank variant of the paper's "
+    "Gumbel resampling. The classifier-free mixture shifter: logs "
+    "run Arrow-batched over the 4096-row lambda table only",
+)
+def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import dsir_importance
+
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    scores = dsir_importance(docs, target, num_buckets=4096)
+    w = W.orderBy(F.desc("log_weight"), "id")
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "log_weight",
+        (F.row_number().over(w) <= 200).alias("selected"),
+    )

@@ -78,6 +78,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "multimodal_resize_digest",  # same shared dispatcher
     "text_lm_perplexity",  # new in round 7 — bigram-LM fluency gate
     "text_lm_buckets",  # new in round 7 — CCNet head/middle/tail split
+    "mix_dsir_select",  # new in round 7 — DSIR importance resampling
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

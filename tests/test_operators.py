@@ -2496,3 +2496,35 @@ def test_jpeg_codec_roundtrip_exactness_and_strictness():
         decode_jpeg(b"\x89PNG")
     with pt.raises(ValueError):
         decode_jpeg(bytes(payload[: sof_at + 2]))
+
+
+def test_dsir_importance_shifts_toward_target(spark):
+    """DSIR sanity on a planted two-domain corpus: documents sharing
+    the target domain's vocabulary must outweigh off-domain ones, the
+    weights are finite for every document, and an empty target
+    degrades to ~uniform weights (pure raw-side correction) without
+    erroring."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.sampling import dsir_importance
+
+    rows = [(i, "code repo commit merge branch") for i in range(10)] + [
+        (i, "recipe flour butter sugar oven") for i in range(10, 20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = docs.filter("doc_id < 3")  # a small sample of the code domain
+    out = dsir_importance(docs, target, num_buckets=512)
+    got = {r.id: r.log_weight for r in out.collect()}
+    out.release_caches()
+    assert len(got) == 20
+    code_w = {got[i] for i in range(10)}
+    recipe_w = {got[i] for i in range(10, 20)}
+    assert len(code_w) == 1 and len(recipe_w) == 1  # identical texts tie
+    assert min(code_w) > max(recipe_w)
+    assert all(abs(w) < 1e6 for w in got.values())
+
+    empty_target = docs.filter("doc_id < 0")
+    out2 = dsir_importance(docs, empty_target, num_buckets=512)
+    got2 = {r.id: r.log_weight for r in out2.collect()}
+    out2.release_caches()
+    assert len(got2) == 20 and all(w is not None for w in got2.values())

@@ -407,3 +407,14 @@ def test_lm_scoring_broadcasts_model_tables(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan  # libm logs are Arrow-batched
+
+
+def test_dsir_broadcasts_lambda_table(spark, sf_dir):
+    """DSIR scoring: the corpus joins the bucket-bounded lambda table
+    as a broadcast — never an SMJ shuffling corpus tokens — and the
+    only Python is the Arrow batch over that small table."""
+    plan = _plan(QS["mix_dsir_select"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
