@@ -187,3 +187,43 @@ def sql_udaf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_udaf GROUP BY source
         """
     )
+
+
+@query(
+    "ingest_warc_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           CAST(6 AS BIGINT) AS n_headers,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    description="the WARC ingestion tier (ISO 28500 - the format "
+    "CommonCrawl ships ~100 TB/crawl of): documents staged as REAL "
+    "multi-record gzipped WARC/1.0 files (50 records each, "
+    "deterministic bytes), then parsed back by the strict stdlib "
+    "parser (CRLF framing, header block, byte-exact Content-Length "
+    "slicing - multi-byte UTF-8 payloads in the zh/es/de/fr slices "
+    "make byte-vs-char bugs observable - record trailers, transparent "
+    "gunzip). One row per parsed record; the oracle replays the "
+    "metadata + payload digest closed-form from the source table, so "
+    "any framing drift hash-mismatches. Parse is per-file-stateful, "
+    "across-files parallel - the million-WARC-files crawl posture",
+)
+def ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.ingest.warc import (
+        documents_to_warc,
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_to_warc(docs, records_per_file=50, gzip=True)
+    recs = warc_records(files)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "warc_type",
+        "content_length",
+        "n_headers",
+        "payload_sha256",
+    )

@@ -79,6 +79,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_lm_perplexity",  # new in round 7 — bigram-LM fluency gate
     "text_lm_buckets",  # new in round 7 — CCNet head/middle/tail split
     "mix_dsir_select",  # new in round 7 — DSIR importance resampling
+    "ingest_warc_roundtrip",  # new in round 7 — WARC ingestion tier
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

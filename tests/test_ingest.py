@@ -354,3 +354,47 @@ def test_convert_file_default_naming(tmp_path):
     import json
 
     assert json.loads(out.read_text())["name"] == "Thing"
+
+
+def test_warc_parser_framing_gzip_and_strictness():
+    """The stdlib WARC parser: multi-record roundtrip incl. multi-byte
+    UTF-8 payloads (Content-Length is BYTES — char slicing would
+    corrupt every record after the first non-ASCII one), transparent
+    gunzip, and strict rejection of malformed framing."""
+    import gzip
+
+    import pytest as pt
+
+    from auraverse_etl_pipeline_spark.ingest.warc import (
+        build_warc,
+        parse_warc,
+    )
+
+    payloads = [
+        ("http://x/1", "plain ascii".encode()),
+        ("http://x/2", "héllo wörld — 中文 текст".encode()),
+        ("http://x/3", b""),  # zero-length payload is legal
+    ]
+    blob = build_warc(payloads)
+    recs = parse_warc(blob)
+    assert [r["payload"] for r in recs] == [p for _, p in payloads]
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == [u for u, _ in payloads]
+    assert all(r["headers"]["WARC-Type"] == "response" for r in recs)
+    assert int(recs[1]["headers"]["Content-Length"]) == len(payloads[1][1])
+
+    # gzip transparency, including concatenated members
+    assert parse_warc(build_warc(payloads, gzip=True)) == recs
+    two_members = gzip.compress(blob[: len(blob) // 1], mtime=0)
+    assert parse_warc(two_members) == recs
+
+    with pt.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pt.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n")
+    truncated = blob[:-10]
+    with pt.raises(ValueError):
+        parse_warc(truncated)
+    # corrupt the trailer of record 1
+    bad = blob.replace(b"plain ascii\r\n\r\n", b"plain ascii\r\nX\r\n", 1)
+    with pt.raises(ValueError, match="trailer"):
+        parse_warc(bad)
