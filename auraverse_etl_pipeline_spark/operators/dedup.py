@@ -963,3 +963,78 @@ def prefix_filter_jaccard_pairs(
         .select("id1", "id2", "jaccard")
     )
     return release_after(result, sh, prefix)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-recall shingle CONTAINMENT join: every DIRECTED pair with
+    ``C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold`` — the asymmetric
+    relation Jaccard misses: a paragraph quoted inside a long article,
+    a test document embedded in a training page, a subset shard
+    re-ingested into a superset crawl. Jaccard of a 100-word quote vs a
+    5,000-word article is ~0.02; its containment is ~1.0 — which is why
+    decontamination and quote-tracing gate on containment, not Jaccard
+    (Broder's original resemblance/containment pairing).
+
+    Exact recall by the same prefix-filtering argument as
+    :func:`prefix_filter_jaccard_pairs`, applied one-sided: C(A→B) ≥ τ
+    forces ``|A∩B| ≥ ⌈τ|A|⌉``, so under ANY global shingle order A must
+    collide with B inside A's first ``|A| − ⌈τ|A|⌉ + 1`` shingles —
+    only the CONTAINED side gets a prefix; the container side indexes
+    every shingle (containment puts no lower bound on |B|'s overlap
+    share, so B cannot be pruned). Ascending-document-frequency order
+    keeps A's prefix to its rarest shingles, so a corpus-common shingle
+    never fans a prefix across the whole container index (the measured
+    AllPairs result, SCALE.md).
+
+    Plan: one cached shingle table (prefix build + container explode +
+    both verify lookups), the df-ordered row_number prefix cut on the
+    contained side, shingle-equality join prefix × full index, distinct
+    directed candidates, exact verify. Output: (contained_id,
+    container_id, containment), contained_id ≠ container_id."""
+    sh = (
+        _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .cache()
+    )
+    ex = sh.select("doc_id", "sz", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("df_global")
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("df_global", "shingle")
+    prefix = (
+        ex.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select(F.col("doc_id").alias("contained_id"), "shingle")
+    )
+    cand = (
+        prefix.join(
+            ex.select(F.col("doc_id").alias("container_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("contained_id"), F.col("sh").alias("sh_a")),
+        "contained_id",
+    ).join(
+        sh.select(F.col("doc_id").alias("container_id"), F.col("sh").alias("sh_b")),
+        "container_id",
+    )
+    result = (
+        pairs.withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+    return release_after(result, sh)

@@ -227,3 +227,45 @@ def ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_headers",
         "payload_sha256",
     )
+
+
+@query(
+    "ingest_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+    description="the JSONL interchange path (the format LLM corpora "
+    "ship in): documents written with the native json sink, read back "
+    "with an EXPLICIT schema (no inference pre-pass - at 100 TB "
+    "inference is a full extra read, and explicit types pin the table "
+    "against shard-local drift). The oracle replays every column plus "
+    "a payload digest from the source table, so any serialization "
+    "loss (unicode escaping, number coercion, null handling) "
+    "hash-mismatches",
+)
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.sources.tables import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_corpus_") + "/docs"
+    write_jsonl_corpus(docs, path)
+    back = read_jsonl_corpus(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha256"),
+    )

@@ -4439,3 +4439,78 @@ def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_weight",
         (F.row_number().over(w) <= 200).alias("selected"),
     )
+
+
+@query(
+    "dedup_containment_join",
+    # Exact recall holds under ANY global shingle order, so the oracle
+    # replays the simpler lexicographic-prefix spelling while the
+    # engine runs frequency-ordered prefixes — both emit exactly the
+    # qualifying directed pairs (the same equivalence the Jaccard
+    # prefix-join oracle relies on).
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    aug AS (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(
+                   (string_split_regex(trim(text), '\\s+'))
+                       [1:greatest(len(string_split_regex(trim(text), '\\s+')) // 2, 1)],
+                   ' ')
+        FROM corpus WHERE doc_id < 60
+    ),
+    shx AS (SELECT doc_id, {_SH3} AS sh FROM aug),
+    sh2 AS (
+        SELECT doc_id, sh, list_sort(sh) AS ssort, CAST(len(sh) AS BIGINT) AS sz
+        FROM shx WHERE len(sh) > 0
+    ),
+    pre AS (
+        SELECT doc_id,
+               unnest(ssort[1:CAST(sz - ceil(CAST(0.9 AS DOUBLE) * sz) + 1 AS INT)])
+                 AS shingle
+        FROM sh2
+    ),
+    idx AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sh2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
+        FROM pre a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    )
+    SELECT c.contained_id, c.container_id,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+             AS containment
+    FROM cand c
+    JOIN sh2 x ON x.doc_id = c.contained_id
+    JOIN sh2 y ON y.doc_id = c.container_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.9
+    """,
+    description="exact-recall shingle CONTAINMENT join (Broder's "
+    "asymmetric twin of resemblance): every directed pair with "
+    "|sh(A) inter sh(B)| / |sh(A)| >= 0.9 - the relation that catches "
+    "a quote inside an article or a test document embedded in a "
+    "training page, where Jaccard reads ~0. One-sided prefix "
+    "filtering (only the contained side is prefix-cut, frequency-"
+    "ordered; the container side indexes every shingle), exact "
+    "verify. The fixture plants 60 half-documents whose shingle sets "
+    "are true subsets of their sources",
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    halves = corpus.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1,"
+            " greatest(size(split(trim(text), '\\\\s+')) DIV 2, 1)))"
+        ).alias("text"),
+    )
+    return containment_pairs(
+        corpus.unionByName(halves), threshold=0.9, n=3
+    )

@@ -80,6 +80,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_lm_buckets",  # new in round 7 — CCNet head/middle/tail split
     "mix_dsir_select",  # new in round 7 — DSIR importance resampling
     "ingest_warc_roundtrip",  # new in round 7 — WARC ingestion tier
+    "ingest_jsonl_roundtrip",  # new in round 7 — JSONL interchange path
+    "dedup_containment_join",  # new in round 7 — asymmetric containment
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -82,3 +82,28 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
         "source",
         F.col("value").alias("text"),
     )
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Stage a document table as JSON Lines — the interchange format
+    LLM corpora actually ship in (one JSON object per line, splittable,
+    appendable, schema-on-read). Spark's native json sink: no Python in
+    the write path, one file per partition."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read a JSON Lines corpus with an EXPLICIT schema when given.
+
+    Passing the schema matters twice at 100 TB: it skips Spark's
+    whole-dataset inference pre-pass (a full extra read), and it pins
+    types against drift — a corpus shard where every ``doc_id`` happens
+    to fit in int32, or a ``text`` field that is null throughout,
+    must not change the table's schema. Without ``schema`` this falls
+    back to inference (interactive use)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -608,3 +608,53 @@ def test_bigram_lm_matches_model(spark):
                 assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
 
     prop()
+
+
+def test_containment_recall_matches_exhaustive(spark):
+    """Property: containment_pairs finds EXACTLY the directed pairs a
+    pure-Python exhaustive shingle-set model finds — the one-sided
+    prefix-filter recall guarantee, fuzzed with planted subsets."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    word = st.sampled_from(["red", "blue", "green", "fox", "dog", "run"])
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=2, max_size=6),
+        tau=st.sampled_from([0.5, 0.8, 1.0]),
+    )
+    def prop(texts, tau):
+        # plant a true subset: the first half of doc 0's tokens
+        toks0 = texts[0].split()
+        texts = list(texts) + [" ".join(toks0[: max(len(toks0) // 2, 1)])]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        got = containment_pairs(docs, threshold=tau, n=2)
+        g = {
+            (r.contained_id, r.container_id): round(r.containment, 12)
+            for r in got.collect()
+        }
+        got.release_caches()
+
+        def sh(t):
+            ws = t.strip().split()
+            return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+        want = {}
+        sets = {i: sh(t) for i, t in enumerate(texts)}
+        for a, sa in sets.items():
+            if not sa:
+                continue
+            for b, sb in sets.items():
+                if a == b or not sb:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= tau:
+                    want[(a, b)] = round(c, 12)
+        assert g == want
+
+    prop()
