@@ -159,28 +159,53 @@ def ngram_lm_score(
 
 
 def perplexity_buckets(
-    scores: DataFrame, n_buckets: int = 3
+    scores: DataFrame, n_buckets: int = 3, method: str = "ntile"
 ) -> DataFrame:
-    """CCNet's head/middle/tail split: rank documents by cross-entropy
-    and cut into ``n_buckets`` equal-frequency buckets (bucket 0 =
-    most reference-like). ntile over the global xent order — the
-    bucket boundary table this produces is what a curation run records
-    next to its outputs. Documents with null xent (< 2 tokens) land in
-    the LAST bucket (unknowable ≠ fluent).
+    """CCNet's head/middle/tail split: cut documents into ``n_buckets``
+    frequency buckets by cross-entropy (bucket 0 = most
+    reference-like). Documents with null xent (< 2 tokens) land in the
+    LAST bucket (unknowable ≠ fluent).
 
-    Note the single global sort: ntile is a total order by design
-    (bucket ids must be globally consistent). At 100 TB use the
-    percentile ladder (q37/q46) to derive boundary values instead and
-    bucket by comparison — this helper is the small/audit spelling."""
+    ``method``:
+
+    - ``"ntile"`` (default, the oracle-gated spelling) — exact
+      equal-frequency split via one global sort. ntile is a total
+      order by design (bucket ids must be globally consistent), so
+      this is the small/audit spelling.
+    - ``"percentile"`` — the 100 TB spelling: derive the ``n−1``
+      boundary values with one bounded-memory ``percentile_approx``
+      aggregate (mergeable partials, no global sort), broadcast the
+      1-row boundary frame, and bucket every row by comparison — a
+      pure map stage over the corpus. Bucket POPULATIONS are then
+      approximate near boundaries (the q46 1%-error contract), which
+      is what every production quantile-bucket job accepts."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(
-        F.col("xent").isNull().cast("int"), "xent", "id"
+    if method == "ntile":
+        w = Window.orderBy(F.col("xent").isNull().cast("int"), "xent", "id")
+        return scores.select(
+            "id",
+            "xent",
+            (F.ntile(n_buckets).over(w) - 1).cast("int").alias("bucket"),
+        )
+    if method != "percentile":
+        raise ValueError(f"unknown method {method!r}; use 'ntile' or 'percentile'")
+    pcts = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
     )
-    return scores.select(
+    bounds = scores.agg(
+        F.percentile_approx("xent", pcts, F.lit(10000)).alias("bounds")
+    )
+    # bucket = number of boundaries strictly below this xent; nulls last
+    return scores.crossJoin(F.broadcast(bounds)).select(
         "id",
         "xent",
-        (F.ntile(n_buckets).over(w) - 1).cast("int").alias("bucket"),
+        F.when(F.col("xent").isNull(), F.lit(n_buckets - 1))
+        .otherwise(
+            F.size(F.filter("bounds", lambda b: b < F.col("xent"))).cast("int")
+        )
+        .cast("int")
+        .alias("bucket"),
     )
 
 

@@ -2528,3 +2528,40 @@ def test_dsir_importance_shifts_toward_target(spark):
     got2 = {r.id: r.log_weight for r in out2.collect()}
     out2.release_caches()
     assert len(got2) == 20 and all(w is not None for w in got2.values())
+
+
+def test_lm_percentile_buckets_agree_with_ntile_off_boundary(spark, sf_dir):
+    """The approx-boundary bucketing must agree with the exact ntile
+    split for every document whose xent is not pinned to a boundary
+    value (the q46 1%-error contract localizes disagreement to
+    boundary neighborhoods), and null-xent docs land in the last
+    bucket under both methods."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.lm import (
+        lm_score_report,
+        perplexity_buckets,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    scores = lm_score_report(docs, ref).cache()
+    exact = {r.id: (r.bucket, r.xent) for r in perplexity_buckets(scores).collect()}
+    approx = {
+        r.id: r.bucket
+        for r in perplexity_buckets(scores, method="percentile").collect()
+    }
+    scores.release_caches()
+    assert set(exact) == set(approx)
+    xents = sorted(x for _, x in exact.values() if x is not None)
+    n = len(xents)
+    # boundary neighborhoods: +-1% of the exact tercile values
+    b1, b2 = xents[n // 3], xents[2 * n // 3]
+    disagreements = [
+        i
+        for i, (b, x) in exact.items()
+        if approx[i] != b
+        and (x is None or (abs(x - b1) > 0.01 * b1 and abs(x - b2) > 0.01 * b2))
+    ]
+    assert disagreements == []

@@ -418,3 +418,27 @@ def test_dsir_broadcasts_lambda_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_percentile_buckets_avoid_global_sort(spark, sf_dir):
+    """perplexity_buckets(method='percentile') is the 100 TB spelling:
+    one percentile_approx aggregate + a broadcast boundary frame — no
+    ntile window, no global range-partitioned sort of the corpus."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.lm import (
+        lm_score_report,
+        perplexity_buckets,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    scores = lm_score_report(docs, ref)
+    out = perplexity_buckets(scores, n_buckets=3, method="percentile")
+    plan = _plan(out)
+    assert "percentile_approx" in plan
+    assert "ntile(" not in plan  # the window fn call; percentile_approx
+    # contains "ntile" as a substring, so match the call spelling
+    assert "rangepartitioning" not in plan.lower()
+    scores.release_caches()
