@@ -632,6 +632,90 @@ def ivf_search(
     )
 
 
+def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
+    """Split every over-full IVF cell in two — the day-2 maintenance
+    op of a long-lived index: incremental :func:`ivf_assign` /
+    ``stream_ivf_assign`` appends skew cells over time (a hot topic, a
+    crawl burst), and an oversized cell makes every probe that hits it
+    scan ``occupancy`` vectors — the same quadratic-tail failure the
+    sign-LSH tier measured at fixed band widths (SCALE.md). FAISS
+    answers with re-training; the engine-reproducible answer here is a
+    deterministic SPLIT: no RNG, no refit of cold cells, replayable by
+    a SQL oracle.
+
+    Mechanics, all bounded joins:
+
+    1. cell sizes from one fixed-width aggregate; cells ≤
+       ``max_cell_size`` keep their id, their centroid, and their
+       assignment rows UNTOUCHED (at scale: their partition
+       directories are never rewritten),
+    2. each over-cap cell is split by the sample-quantizer discipline
+       (its two lowest-id member vectors become sub-centroids — the
+       same deterministic choice ``ivf_index(quantizer="sample")``
+       makes),
+    3. the first sub-centroid REUSES the old cell id (probes and
+       partition layouts for the surviving id stay valid); the second
+       gets ``max_cell_id + rank`` (row_number over the split cells'
+       ids — appended ids, nothing renumbered),
+    4. only the split cells' vectors re-assign, by the exact-fold
+       cosine argmax between their two sub-centroids (ties to the
+       lower cell id, as everywhere in this tier).
+
+    One pass may leave a child still over cap (a cluster genuinely
+    bigger than the cap); call again — each call strictly splits every
+    over-cap cell, so occupancy halves geometrically for separable
+    data. Returns a new :class:`IvfIndex`; inputs are not mutated."""
+    asg = index.assignments
+    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hot = sizes.filter(F.col("n") > max_cell_size).select("cell")
+    max_id = index.centroids.agg(F.max("cell").alias("m"))
+    hot_rank = hot.select(
+        "cell",
+        F.row_number().over(Window.orderBy("cell")).alias("rk"),
+    )
+    hot_members = asg.join(F.broadcast(hot), "cell")
+    sub_w = Window.partitionBy("cell").orderBy("id")
+    subs = (
+        hot_members.withColumn("rn", F.row_number().over(sub_w))
+        .filter(F.col("rn") <= 2)
+        .join(F.broadcast(hot_rank), "cell")
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            F.col("cell").alias("old_cell"),
+            F.when(F.col("rn") == 1, F.col("cell"))
+            .otherwise(F.col("m") + F.col("rk"))
+            .cast("int")
+            .alias("new_cell"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    moved = (
+        hot_members.join(F.broadcast(subs), asg["cell"] == subs["old_cell"])
+        .select(
+            "id",
+            "v",
+            "new_cell",
+            cosine_similarity_expr("v", "centroid").alias("c"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("new_cell", "v"),
+                F.struct(F.col("c"), (-F.col("new_cell")).alias("neg")),
+            ).alias("_b")
+        )
+        .select("id", "_b.v", F.col("_b.new_cell").alias("cell"))
+    )
+    cold_asg = asg.join(F.broadcast(hot), "cell", "left_anti")
+    cold_cent = index.centroids.join(F.broadcast(hot), "cell", "left_anti")
+    return IvfIndex(
+        centroids=cold_cent.unionByName(
+            subs.select(F.col("new_cell").alias("cell"), "centroid")
+        ),
+        assignments=cold_asg.select("id", "v", "cell").unionByName(moved),
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

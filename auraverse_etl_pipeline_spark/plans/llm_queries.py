@@ -4514,3 +4514,77 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         corpus.unionByName(halves), threshold=0.9, n=3
     )
+
+
+@query(
+    "sim_ivf_rebalance",
+    oracle="""
+    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT 4)
+    ),
+    assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
+    hot AS (SELECT cell FROM sizes WHERE n > 100),
+    hot_rank AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) AS rk FROM hot),
+    maxid AS (SELECT MAX(cell) AS m FROM cent),
+    subs AS (
+        SELECT a.cell AS old_cell,
+               CASE WHEN a.rn2 = 1 THEN a.cell
+                    ELSE CAST(m + hr.rk AS INTEGER) END AS new_cell,
+               a.v AS centroid
+        FROM (
+            SELECT assigned.*,
+                   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY id) AS rn2
+            FROM assigned SEMI JOIN hot USING (cell)
+        ) a JOIN hot_rank hr ON a.cell = hr.cell, maxid
+        WHERE a.rn2 <= 2
+    ),
+    moved AS (
+        SELECT id, new_cell AS cell FROM (
+            SELECT hm.id, s.new_cell,
+                   ROW_NUMBER() OVER (PARTITION BY hm.id
+                       ORDER BY list_cosine_similarity(hm.v, s.centroid) DESC,
+                                s.new_cell) AS rn3
+            FROM (SELECT assigned.* FROM assigned SEMI JOIN hot USING (cell)) hm
+            JOIN subs s ON hm.cell = s.old_cell
+        ) WHERE rn3 = 1
+    ),
+    cold AS (SELECT id, cell FROM assigned ANTI JOIN hot USING (cell))
+    SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM cold
+    UNION ALL
+    SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM moved
+    """,
+    description="IVF index MAINTENANCE: split every over-cap cell in "
+    "two (its two lowest-id members become sub-centroids - the sample-"
+    "quantizer discipline, deterministic and refit-free), first child "
+    "reuses the old cell id so cold partitions and probe layouts stay "
+    "valid, second child appends past max_cell_id; only split cells' "
+    "vectors re-assign. The day-2 answer to incremental-append skew "
+    "(a hot topic or crawl burst fattening one cell until every probe "
+    "that hits it scans the whole bulge). Oracle replays quantizer, "
+    "hot detection, sub-centroid choice, id assignment and the "
+    "re-assignment argmax digit-for-digit",
+)
+def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_rebalance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(emb, nlist=4, quantizer="sample")
+    new = ivf_rebalance(idx, max_cell_size=100)
+    return new.assignments.select(
+        F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell")
+    )

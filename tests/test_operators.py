@@ -2565,3 +2565,64 @@ def test_lm_percentile_buckets_agree_with_ntile_off_boundary(spark, sf_dir):
         and (x is None or (abs(x - b1) > 0.01 * b1 and abs(x - b2) > 0.01 * b2))
     ]
     assert disagreements == []
+
+
+def test_ivf_rebalance_invariants(spark, sf_dir):
+    """Rebalance: cold cells keep id+centroid+rows byte-identical, hot
+    cells split with the first child reusing the id and the second
+    appended past max_cell_id, every vector keeps exactly one row, and
+    repeated calls drive occupancy under the cap for separable data.
+    The rebalanced index stays searchable through ivf_search."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_rebalance,
+        ivf_search,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(emb, nlist=8, quantizer="sample")
+    sizes = {r.cell: r.n for r in idx.assignments.groupBy("cell")
+             .agg(F.count("*").alias("n")).collect()}
+    cap = 60
+    hot = {c for c, n in sizes.items() if n > cap}
+    cold = set(sizes) - hot
+    assert hot and cold, f"fixture must have both: {sizes}"
+
+    new = ivf_rebalance(idx, max_cell_size=cap)
+    old_asg = {r.id: r.cell for r in idx.assignments.collect()}
+    new_asg = {r.id: r.cell for r in new.assignments.collect()}
+    assert set(old_asg) == set(new_asg)  # one row per vector, none lost
+    # cold vectors untouched
+    for vid, cell in old_asg.items():
+        if cell in cold:
+            assert new_asg[vid] == cell
+    # split targets: old id or appended past max id
+    max_old = max(sizes)
+    for vid, cell in old_asg.items():
+        if cell in hot:
+            assert new_asg[vid] == cell or new_asg[vid] > max_old
+    # cold centroids byte-identical
+    old_cent = {r.cell: tuple(r.centroid) for r in idx.centroids.collect()}
+    new_cent = {r.cell: tuple(r.centroid) for r in new.centroids.collect()}
+    for c in cold:
+        assert new_cent[c] == old_cent[c]
+    assert len(new_cent) == len(old_cent) + len(hot)
+
+    # repeated calls converge under the cap
+    cur = new
+    for _ in range(4):
+        ns = {r.cell: r.n for r in cur.assignments.groupBy("cell")
+              .agg(F.count("*").alias("n")).collect()}
+        if max(ns.values()) <= cap:
+            break
+        cur = ivf_rebalance(cur, max_cell_size=cap)
+    ns = {r.cell: r.n for r in cur.assignments.groupBy("cell")
+          .agg(F.count("*").alias("n")).collect()}
+    assert max(ns.values()) <= cap
+
+    # still searchable
+    got = ivf_search(emb.filter("vec_id < 3"), new, k=5, nprobe=4).collect()
+    assert len(got) == 15
