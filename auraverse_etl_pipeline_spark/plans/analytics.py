@@ -1916,3 +1916,81 @@ def q51_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         ).select("r.*")
     )
+
+
+@query(
+    "q52_duplicate_lineage",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id < 15
+    ),
+    hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    parent AS (
+        SELECT id2 AS id, MAX(id1) AS parent FROM pairs GROUP BY id2
+    ),
+    walk AS (
+        SELECT id, parent AS anc, 1 AS depth FROM parent
+        UNION ALL
+        SELECT w.id, p.parent, w.depth + 1
+        FROM walk w JOIN parent p ON w.anc = p.id
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(anc) AS BIGINT) AS root_id,
+           CAST(MAX(depth) AS BIGINT) AS chain_depth
+    FROM walk GROUP BY id
+    """,
+    description="duplicate LINEAGE via a RECURSIVE CTE run natively "
+    "on the Spark SQL surface (WITH RECURSIVE landed in Spark 4): "
+    "each re-ingested copy gets a single nearest ancestor (max "
+    "earlier id among its exact-hash duplicates - a forest, so UNION "
+    "ALL recursion terminates), and the walk surfaces every copy's "
+    "original root and copy-chain depth - the provenance question an "
+    "incremental ingest answers before deleting anything. Fixture "
+    "plants 2-deep copy chains; identical semantically-shaped SQL "
+    "replayed by DuckDB's recursive CTE",
+)
+def q52_duplicate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 150)
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    corpus.createOrReplaceTempView("_lineage_corpus")
+    return spark.sql(
+        """
+        WITH RECURSIVE hashed AS (
+            SELECT doc_id, md5(text) AS h FROM _lineage_corpus
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        parent AS (
+            SELECT id2 AS id, MAX(id1) AS parent FROM pairs GROUP BY id2
+        ),
+        walk AS (
+            SELECT id, parent AS anc, 1 AS depth FROM parent
+            UNION ALL
+            SELECT w.id, p.parent, w.depth + 1
+            FROM walk w JOIN parent p ON w.anc = p.id
+        )
+        SELECT id AS doc_id,
+               CAST(MIN(anc) AS BIGINT) AS root_id,
+               CAST(MAX(depth) AS BIGINT) AS chain_depth
+        FROM walk GROUP BY id
+        """
+    )

@@ -83,6 +83,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "ingest_jsonl_roundtrip",  # new in round 7 — JSONL interchange path
     "dedup_containment_join",  # new in round 7 — asymmetric containment
     "sim_ivf_rebalance",  # new in round 7 — hot-cell index maintenance
+    "q52_duplicate_lineage",  # new in round 7 — recursive-CTE SQL surface
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
