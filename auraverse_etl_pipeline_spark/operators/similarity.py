@@ -664,10 +664,29 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
     One pass may leave a child still over cap (a cluster genuinely
     bigger than the cap); call again — each call strictly splits every
     over-cap cell, so occupancy halves geometrically for separable
-    data. Returns a new :class:`IvfIndex`; inputs are not mutated."""
+    data. Returns a new :class:`IvfIndex`; inputs are not mutated.
+
+    Cache discipline: the input assignments feed FOUR consumers (cell
+    sizes, sub-centroid choice, the re-assignment argmax, the cold
+    passthrough), so an unpersisted plan is cached here — but a
+    caller-persisted index (or a plain parquet scan from
+    :meth:`IvfIndex.load`, where recompute is one cheap rescan) is
+    never force-cached (the ``minhash_match_index`` rule). The hot-cell
+    list is tiny but also multi-consumed, so it is cached
+    unconditionally. Releases ride on the returned index's
+    ``assignments.release_caches()`` handle."""
+    from pyspark import StorageLevel
+
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
     asg = index.assignments
+    owned = []
+    if asg.storageLevel == StorageLevel.NONE:
+        asg = asg.cache()
+        owned.append(asg)
     sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    hot = sizes.filter(F.col("n") > max_cell_size).select("cell")
+    hot = sizes.filter(F.col("n") > max_cell_size).select("cell").cache()
+    owned.append(hot)
     max_id = index.centroids.agg(F.max("cell").alias("m"))
     hot_rank = hot.select(
         "cell",
@@ -688,7 +707,8 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
             .alias("new_cell"),
             F.col("v").alias("centroid"),
         )
-    )
+    ).cache()  # 2 rows per hot cell; consumed by the argmax AND the centroid union
+    owned.append(subs)
     moved = (
         hot_members.join(F.broadcast(subs), asg["cell"] == subs["old_cell"])
         .select(
@@ -712,7 +732,9 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
         centroids=cold_cent.unionByName(
             subs.select(F.col("new_cell").alias("cell"), "centroid")
         ),
-        assignments=cold_asg.select("id", "v", "cell").unionByName(moved),
+        assignments=release_after(
+            cold_asg.select("id", "v", "cell").unionByName(moved), *owned
+        ),
     )
 
 
