@@ -442,3 +442,16 @@ def test_lm_percentile_buckets_avoid_global_sort(spark, sf_dir):
     # contains "ntile" as a substring, so match the call spelling
     assert "rangepartitioning" not in plan.lower()
     scores.release_caches()
+
+
+def test_containment_join_plan_shape(spark, sf_dir):
+    """The containment candidate stage must be an equality join on the
+    shingle (never nested-loop), with the frequency-ordered row_number
+    prefix cut on the contained side only and the shingle table cached
+    for the verify lookups."""
+    plan = _plan(QS["dedup_containment_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window [row_number()" in ln]
+    assert window_lines and all("df_global" in ln for ln in window_lines)
