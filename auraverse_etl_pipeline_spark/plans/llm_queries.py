@@ -4588,3 +4588,93 @@ def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.assignments.select(
         F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell")
     )
+
+
+@query(
+    "sim_ann_recall_audit",
+    oracle=_IVF_CTES
+    + f"""
+    , assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.centroid) DESC,
+                                cent.cell) AS pr
+            FROM q CROSS JOIN cent
+        ) WHERE pr <= 2
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.id) AS rank
+            FROM probes p JOIN assigned a USING (cell)
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.id) AS rank
+            FROM q CROSS JOIN c
+        ) WHERE rank <= 5
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT query_id) FROM q) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(2 AS BIGINT) AS nprobe,
+           CAST((SELECT COUNT(*) FROM approx SEMI JOIN exact
+                 USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM approx SEMI JOIN exact
+                 USING (query_id, neighbor_id)) AS DOUBLE)
+             / ((SELECT COUNT(DISTINCT query_id) FROM q) * 5) AS recall_at_k
+    """,
+    description="the ANN evaluation harness as a query - the IVF twin "
+    "of dedup_lsh_quality_audit: exact brute-force top-5 vs the "
+    "deterministic sample-quantizer IVF at nprobe=2 (deliberately "
+    "tight so recall < 1 is observable), one row with hit count and "
+    "recall@k. This is the measurement that picks nprobe/nlist before "
+    "a deployment trusts the index; both paths replay digit-for-digit "
+    "so even the MISSES are oracle-attested",
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        cosine_top_k,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = ivf_index(corpus, nlist=_IVF_NLIST, quantizer="sample")
+    approx = ivf_search(queries, idx, k=5, nprobe=2, exact_fold=True).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_top_k(corpus, queries, k=5, exact_fold=True).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    nq = queries.agg(F.count_distinct("vec_id").cast("bigint").alias("n_queries"))
+    return (
+        nq.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            F.lit(5).cast("bigint").alias("k"),
+            F.lit(2).cast("bigint").alias("nprobe"),
+            "hits",
+            (F.col("hits").cast("double") / (F.col("n_queries") * 5)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
