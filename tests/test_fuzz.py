@@ -658,3 +658,33 @@ def test_containment_recall_matches_exhaustive(spark):
         assert g == want
 
     prop()
+
+
+def test_warc_roundtrip_arbitrary_payloads(spark):
+    """Property: WARC build→parse round-trips ANY payload bytes —
+    including payloads containing CRLF, blank lines, fake 'WARC/1.0'
+    version lines, and gzip magic — because framing is Content-Length
+    slicing, never delimiter search. The classic WARC parser bug is
+    scanning for the record separator inside the payload."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.ingest.warc import build_warc, parse_warc
+
+    nasty = st.sampled_from(
+        [b"\r\n\r\n", b"WARC/1.0\r\n", b"\x1f\x8b", b"Content-Length: 0\r\n"]
+    )
+    payload = st.lists(
+        st.one_of(st.binary(max_size=20), nasty), max_size=6
+    ).map(b"".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(payloads=st.lists(payload, min_size=1, max_size=4), gz=st.booleans())
+    def prop(payloads, gz):
+        records = [(f"http://x/{i}", p) for i, p in enumerate(payloads)]
+        parsed = parse_warc(build_warc(records, gzip=gz))
+        assert [r["payload"] for r in parsed] == payloads
+        assert [r["headers"]["WARC-Target-URI"] for r in parsed] == [
+            u for u, _ in records
+        ]
+
+    prop()
