@@ -1312,3 +1312,73 @@ def embedding_data_card(
     for p in parts[1:]:
         result = result.unionByName(p)
     return release_after(result, *card_caches)
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al.'s hashing
+    trick): every token hashes to a bucket in ``[0, dim)`` with a
+    ±1 sign from an independent hash bit, per-document bucket sums
+    form a dense ``array<double>``, L2-normalized. The model-free
+    bridge from the text tier to the vector tier — when no learned
+    encoder is available (or affordable at 100 TB), hashed
+    bag-of-words vectors give the ANN/SemDeDup/sign-LSH machinery a
+    real input whose cosine approximates token-overlap similarity,
+    with signs making the expectation of cross-term noise zero.
+
+    Output: ``(id, embedding array<double>, norm)`` — ``embedding``
+    is the unit vector (all-zeros kept as zeros rather than NaN: a
+    cancelled-out or empty document surfaces as the zero vector, the
+    honest "no signal" value).
+
+    Scale shape: one explode into fixed-width (id, bucket, ±1) rows,
+    one partial-aggregated (id, bucket) sum, then a dim-wide dense
+    materialization per document via ``map_from_entries`` +
+    ``transform(sequence(...))`` — pure native expressions end to
+    end: no Python, no shuffle beyond the one aggregate, and every
+    component (md5 bucket, sign bit, ordered normalization fold) is
+    engine-replayable by a SQL oracle."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.classifier import token_bucket
+
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("bigint") % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    inst = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", token_bucket(F.col("tok"), dim).alias("bucket"), sign.alias("s"))
+    sums = inst.groupBy("id", "bucket").agg(
+        F.sum("s").cast("double").alias("w")
+    )
+    dense = (
+        sums.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))
+            ).alias("m")
+        )
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " b -> coalesce(element_at(m, cast(b AS BIGINT)), cast(0.0 AS DOUBLE)))"
+            ).alias("raw"),
+        )
+    )
+    zero = F.lit(0.0).cast("double")
+    norm = F.sqrt(F.aggregate(F.col("raw"), zero, lambda a, x: a + x * x))
+    return dense.select(
+        "id",
+        F.when(
+            norm > 0, F.transform(F.col("raw"), lambda x: x / norm)
+        )
+        .otherwise(F.col("raw"))
+        .alias("embedding"),
+        norm.alias("norm"),
+    )

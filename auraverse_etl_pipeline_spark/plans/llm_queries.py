@@ -4678,3 +4678,64 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sim_hashed_embeddings",
+    # Norm parity note: bucket weights are ±1 sums (exact small
+    # integers in double), so their squares sum EXACTLY in any order —
+    # DuckDB's unordered SUM(w*w) equals Spark's ordered fold without
+    # the usual DECIMAL-partial machinery.
+    oracle="""
+    WITH inst AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+               CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+               END AS s
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id, bucket, CAST(SUM(s) AS DOUBLE) AS w
+        FROM inst GROUP BY doc_id, bucket
+    ),
+    grid AS (
+        SELECT d.doc_id, r.i AS bucket
+        FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) r(i)
+    ),
+    raw AS (
+        SELECT g.doc_id, g.bucket, COALESCE(s.w, CAST(0.0 AS DOUBLE)) AS w
+        FROM grid g LEFT JOIN sums s USING (doc_id, bucket)
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM raw GROUP BY doc_id
+    )
+    SELECT r.doc_id, CAST(r.bucket AS INTEGER) AS bucket,
+           CASE WHEN n.norm > 0 THEN r.w / n.norm ELSE r.w END AS component,
+           n.norm
+    FROM raw r JOIN norms n USING (doc_id)
+    """,
+    description="feature-hashing text embeddings (the hashing trick): "
+    "every token md5-hashes to one of 64 buckets with a +-1 sign from "
+    "an independent hash bit, per-doc bucket sums L2-normalize into a "
+    "dense unit vector - the model-free bridge from the text tier to "
+    "the ANN/SemDeDup/sign-LSH machinery when no learned encoder is "
+    "affordable at 100 TB. Pure native expressions end to end (one "
+    "aggregate, map_from_entries densification, ordered normalization "
+    "fold); emitted as exploded (doc, bucket, component) scalars so "
+    "every vector component is value-hashed",
+)
+def sim_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import hashed_embeddings
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_embeddings(docs, dim=64)
+    return emb.select(
+        F.col("id").alias("doc_id"), F.posexplode("embedding"), "norm"
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("bucket"),
+        F.col("col").alias("component"),
+        "norm",
+    )

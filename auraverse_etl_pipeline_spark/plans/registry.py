@@ -85,6 +85,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_ivf_rebalance",  # new in round 7 — hot-cell index maintenance
     "q52_duplicate_lineage",  # new in round 7 — recursive-CTE SQL surface
     "sim_ann_recall_audit",  # new in round 7 — ANN evaluation harness
+    "sim_hashed_embeddings",  # new in round 7 — hashing-trick text→vector
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

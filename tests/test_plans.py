@@ -455,3 +455,11 @@ def test_containment_join_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     window_lines = [ln for ln in plan.splitlines() if "Window [row_number()" in ln]
     assert window_lines and all("df_global" in ln for ln in window_lines)
+
+
+def test_hashed_embeddings_stay_native(spark, sf_dir):
+    """The hashing-trick embedding is pure JVM expression work: one
+    aggregate exchange, no Python eval nodes anywhere."""
+    plan = _plan(QS["sim_hashed_embeddings"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
