@@ -382,9 +382,15 @@ def test_warc_parser_framing_gzip_and_strictness():
     assert all(r["headers"]["WARC-Type"] == "response" for r in recs)
     assert int(recs[1]["headers"]["Content-Length"]) == len(payloads[1][1])
 
-    # gzip transparency, including concatenated members
+    # gzip transparency, including genuinely CONCATENATED members
+    # (CommonCrawl gzips per record; Python's gzip handles multi-member
+    # streams and the parser must inherit that)
     assert parse_warc(build_warc(payloads, gzip=True)) == recs
-    two_members = gzip.compress(blob[: len(blob) // 1], mtime=0)
+    split = len(blob) // 2
+    boundary = blob.rfind(b"\r\n\r\n", 0, split) + 4  # record boundary
+    two_members = gzip.compress(blob[:boundary], mtime=0) + gzip.compress(
+        blob[boundary:], mtime=0
+    )
     assert parse_warc(two_members) == recs
 
     with pt.raises(ValueError, match="version"):

@@ -2626,3 +2626,30 @@ def test_ivf_rebalance_invariants(spark, sf_dir):
     # still searchable
     got = ivf_search(emb.filter("vec_id < 3"), new, k=5, nprobe=4).collect()
     assert len(got) == 15
+
+
+def test_jpeg_zrl_and_high_frequency_blocks():
+    """Exercise the entropy-coding paths the block-constant fixture
+    never reaches: a single high-frequency pixel pattern forces long
+    AC zero runs (ZRL codes) and large-magnitude coefficients, and the
+    roundtrip must still land within the flat-table quantization
+    bound."""
+    import numpy as np
+
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # checkerboard = maximal (7,7) frequency -> 62 zero ACs before it:
+    # encodes as DC, ZRL, ZRL, ZRL, (run,size), EOB
+    yy, xx = np.mgrid[0:8, 0:8]
+    checker = (((yy + xx) % 2) * 255).astype(np.uint8)
+    _, back = decode_jpeg(encode_jpeg(checker))
+    err = np.abs(back[:, :, 0].astype(int) - checker.astype(int))
+    assert err.max() <= 32
+    # and a mixed image: one checker block next to one constant block
+    img = np.concatenate([checker, np.full((8, 8), 77, np.uint8)], axis=1)
+    _, back2 = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(back2[:, 8:, 0], img[:, 8:])  # constant block exact
+    assert np.abs(back2[:, :8, 0].astype(int) - checker.astype(int)).max() <= 32
