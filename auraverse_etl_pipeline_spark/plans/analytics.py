@@ -1994,3 +1994,64 @@ def q52_duplicate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY id
         """
     )
+
+
+@query(
+    "q53_cohort_retention",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    first AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, wk FROM ev),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY cohort_week
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+                 AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY f.cohort_week, week_offset
+    )
+    SELECT c.cohort_week, c.week_offset, s.cohort_size, c.n_active,
+           CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+    description="weekly cohort retention triangle - the classic "
+    "product-analytics matrix: users bucketed by first-activity week, "
+    "each later week's active share per cohort. Two fixed-width "
+    "aggregates (first-seen, distinct user-weeks) + one broadcast "
+    "cohort-size join; at 100 TB the user-week distinct is the only "
+    "state and it is user-bounded, not event-bounded",
+)
+def q53_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = ev.distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )

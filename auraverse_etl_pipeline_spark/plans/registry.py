@@ -86,6 +86,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "q52_duplicate_lineage",  # new in round 7 — recursive-CTE SQL surface
     "sim_ann_recall_audit",  # new in round 7 — ANN evaluation harness
     "sim_hashed_embeddings",  # new in round 7 — hashing-trick text→vector
+    "q53_cohort_retention",  # new in round 7 — weekly retention triangle
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
