@@ -688,3 +688,98 @@ def test_warc_roundtrip_arbitrary_payloads(spark):
         ]
 
     prop()
+
+
+def test_dsir_matches_model(spark):
+    """Property: dsir_importance equals a pure-Python add-1 bucket
+    model (same md5 bucketing, same smoothing) on randomized corpora
+    and target slices."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.sampling import dsir_importance
+
+    B = 256
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        target = docs.filter("doc_id % 2 = 0")
+
+        rc, tc = Counter(), Counter()
+        for i, t in rows:
+            for w in re.split(r"\s+", t.strip()):
+                rc[bucket(w)] += 1
+                if i % 2 == 0:
+                    tc[bucket(w)] += 1
+        rt, tt = sum(rc.values()), sum(tc.values())
+        lam = {
+            b: math.log((tc.get(b, 0) + 1.0) / (tt + 1.0 * B))
+            - math.log((rc[b] + 1.0) / (rt + 1.0 * B))
+            for b in rc
+        }
+        want = {}
+        for i, t in rows:
+            toks = re.split(r"\s+", t.strip())
+            want[i] = (len(toks), sum(lam[bucket(w)] for w in toks))
+
+        out = dsir_importance(docs, target, num_buckets=B)
+        got = {r.id: (r.n_tokens, r.log_weight) for r in out.collect()}
+        out.release_caches()
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+
+    prop()
+
+
+def test_hashed_embeddings_match_model(spark):
+    """Property: the hashing-trick embedding equals a pure-Python
+    model (md5 buckets, sign bit from the 16th hex char, L2
+    normalization), including all-cancelled zero vectors surviving as
+    zeros."""
+    import hashlib
+    import math
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import hashed_embeddings
+
+    DIM = 16
+    word = st.sampled_from(["x", "yy", "zzz", "w4", "v55"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=5))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = hashed_embeddings(docs, dim=DIM)
+        got = {r.id: (list(r.embedding), r.norm) for r in out.collect()}
+
+        for i, t in rows:
+            raw = [0.0] * DIM
+            for w in re.split(r"\s+", t.strip()):
+                h = hashlib.md5(w.encode()).hexdigest()
+                b = int(h[:15], 16) % DIM
+                raw[b] += 1.0 if int(h[15], 16) % 2 == 0 else -1.0
+            norm = math.sqrt(sum(x * x for x in raw))
+            vec = [x / norm for x in raw] if norm > 0 else raw
+            g_vec, g_norm = got[i]
+            assert abs(g_norm - norm) < 1e-12
+            assert all(abs(a - b) < 1e-12 for a, b in zip(g_vec, vec)), i
+
+    prop()
