@@ -2000,7 +2000,7 @@ def q52_duplicate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_cohort_retention",
     oracle="""
     WITH ev AS (
-        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        SELECT user_id, strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS wk FROM events
     ),
     first AS (
         SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id
@@ -2012,7 +2012,8 @@ def q52_duplicate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
         SELECT f.cohort_week,
-               CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+               CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                              CAST(a.wk AS DATE)) // 7 AS BIGINT)
                  AS week_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM act a JOIN first f USING (user_id)
@@ -2031,7 +2032,8 @@ def q52_duplicate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("wk"),
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     act = ev.distinct()
@@ -2042,7 +2044,7 @@ def q53_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         act.join(first, "user_id")
         .groupBy(
             "cohort_week",
-            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            (F.datediff(F.col("wk").cast("date"), F.col("cohort_week").cast("date")) / 7)
             .cast("bigint")
             .alias("week_offset"),
         )
