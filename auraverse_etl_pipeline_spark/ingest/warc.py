@@ -151,9 +151,11 @@ def documents_to_warc(
 
     grouped = (
         docs.select(
-            (F.col(id_col).cast("bigint") / records_per_file)
-            .cast("bigint")
-            .alias("file_id"),
+            # integer DIV, never float-divide+cast: above 2^53 the
+            # double quotient loses precision (CLAUDE.md bucket-id rule)
+            F.expr(f"CAST({id_col} AS BIGINT) DIV {int(records_per_file)}").alias(
+                "file_id"
+            ),
             F.col(id_col).cast("bigint").alias("id"),
             F.col(text_col).alias("text"),
         )

@@ -94,17 +94,27 @@ def ngram_lm_train(
 
     toks = ref.select(F.explode(tokens(text_col)).alias("tok"))
     vocab = toks.agg(F.count_distinct("tok").cast("bigint").alias("v"))
-    big = tr.groupBy("prev", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the bigram-count aggregate embeds the corpus-sized transition
+    # explode; it feeds the bigrams plan TWICE (directly + via ctx) and
+    # the contexts plan once — cache it or the model build scans the
+    # reference ~3×. Released through the bigrams frame's handle
+    # (release_after chains, so lm_score_report's release reaches it).
+    big = (
+        tr.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .cache()
+    )
     ctx = big.groupBy("prev").agg(F.sum("c").cast("bigint").alias("c_prev"))
     a = F.lit(float(alpha))
-    bigrams = (
+    bigrams = release_after(
         big.join(ctx, "prev")
         .crossJoin(F.broadcast(vocab))
         .select(
             "prev",
             "tok",
             _ln((F.col("c") + a) / (F.col("c_prev") + a * F.col("v"))).alias("logp"),
-        )
+        ),
+        big,
     )
     contexts = (
         ctx.crossJoin(F.broadcast(vocab))

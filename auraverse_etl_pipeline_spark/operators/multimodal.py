@@ -861,6 +861,9 @@ def encode_jpeg(pixels, quant: int = 8) -> bytes:
             out.append(byte)
             if byte == 0xFF:
                 out.append(0x00)  # byte stuffing
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded: an
+        # unmasked acc grows one bit per emitted bit, making every
+        # later shift copy the whole integer (O(bits^2) on real images)
 
     def magnitude(v):
         s = int(v).bit_length() if v >= 0 else int(-v).bit_length()

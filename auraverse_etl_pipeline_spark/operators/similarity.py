@@ -1350,9 +1350,20 @@ def hashed_embeddings(
         == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
+    # explode_outer + null-guarded bucket: a NULL-text document keeps
+    # its single null-transition row, so every input id reaches the
+    # aggregate and surfaces as the zero vector — a plain explode would
+    # DROP it from the output entirely, the silent-loss failure mode
+    # the short_vectors() audit exists to prevent elsewhere in this tier
     inst = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("id", token_bucket(F.col("tok"), dim).alias("bucket"), sign.alias("s"))
+        F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("tok")
+    ).select(
+        "id",
+        F.when(
+            F.col("tok").isNotNull(), token_bucket(F.col("tok"), dim)
+        ).alias("bucket"),
+        F.when(F.col("tok").isNotNull(), sign).alias("s"),
+    )
     sums = inst.groupBy("id", "bucket").agg(
         F.sum("s").cast("double").alias("w")
     )
@@ -1360,7 +1371,10 @@ def hashed_embeddings(
         sums.groupBy("id")
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct("bucket", "w"))
+                F.expr(
+                    "filter(collect_list(struct(bucket, w)),"
+                    " x -> x.bucket IS NOT NULL)"
+                )
             ).alias("m")
         )
         .select(

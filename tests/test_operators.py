@@ -2653,3 +2653,17 @@ def test_jpeg_zrl_and_high_frequency_blocks():
     _, back2 = decode_jpeg(encode_jpeg(img))
     assert np.array_equal(back2[:, 8:, 0], img[:, 8:])  # constant block exact
     assert np.abs(back2[:, :8, 0].astype(int) - checker.astype(int)).max() <= 32
+
+
+def test_hashed_embeddings_null_text_surfaces_as_zero_vector(spark):
+    """A NULL-text document must not vanish from the embedding output
+    (the silent-loss failure mode); it surfaces as the zero vector."""
+    from auraverse_etl_pipeline_spark.operators.similarity import hashed_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {r.id: (list(r.embedding), r.norm) for r in hashed_embeddings(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[2][0] == [0.0] * 64 and got[2][1] == 0.0
+    assert got[1][1] > 0

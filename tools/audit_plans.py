@@ -54,7 +54,14 @@ def main() -> int:
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         if n_bnlj:
             review.append((name, f"BroadcastNestedLoopJoin x{n_bnlj}"))
-    print(f"audited {len(all_queries())} queries ({sf_dir})")
+    n_all = len(all_queries())
+    n_skipped = sum(1 for n in all_queries() if n.startswith("stream_"))
+    n_audited = n_all - n_skipped - len(errors)
+    print(
+        f"audited {n_audited} of {n_all} queries ({sf_dir}); "
+        f"{n_skipped} streaming queries skipped (plans pinned in "
+        f"tests/test_streaming.py)"
+    )
     print(f"hard anti-patterns: {hard or 'NONE'}")
     print(f"review (BNLJ — expected only on 1-row stat frames): {len(review)}")
     for name, what in review:
