@@ -2667,3 +2667,35 @@ def test_hashed_embeddings_null_text_surfaces_as_zero_vector(spark):
     assert set(got) == {1, 2}
     assert got[2][0] == [0.0] * 64 and got[2][1] == 0.0
     assert got[1][1] > 0
+
+
+def test_hashed_embeddings_feed_sign_lsh_end_to_end(spark):
+    """The bridge claim, composed: near-duplicate TEXTS produce
+    hashed embeddings whose cosine is high, and the sign-LSH dedup
+    tier finds the pair from those vectors alone — text in, duplicate
+    pairs out, no learned encoder anywhere."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        hashed_embeddings,
+        signbucket_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely different text about query engines shuffles and parquet"),
+            (4, "unrelated recipe flour butter sugar oven whisk bake cool serve"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = hashed_embeddings(docs, dim=64).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    pairs = signbucket_lsh_pairs(emb, threshold=0.8, band_bits=8)
+    got = {(r.id1, r.id2): r.cosine for r in pairs.collect()}
+    pairs.release_caches()
+    assert (1, 2) in got and got[(1, 2)] > 0.9
+    assert all({a, b} == {1, 2} for a, b in got)  # no false pairs
