@@ -879,6 +879,28 @@ def lsh_quality_audit(
     return release_after(result, sh)
 
 
+
+def _frequency_ordered_prefix(sh, threshold: float):
+    """(doc_id, shingle) PREFIX rows under the AllPairs global order
+    (ascending document frequency, shingle tie-break): each document
+    keeps its first ``|S| − ⌈τ|S|⌉ + 1`` rarest shingles. Shared by the
+    Jaccard prefix join (both sides prefixed) and the containment join
+    (contained side only) — one spelling, one plan shape, one guard.
+    ``sh`` must carry (doc_id, sh array, sz bigint)."""
+    ex = sh.select("doc_id", "sz", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("df_global")
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("df_global", "shingle")
+    return (
+        ex.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "shingle")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -932,19 +954,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn("sz", F.size("sh").cast("bigint"))
         .cache()
     )
-    ex = sh.select("doc_id", "sz", F.explode("sh").alias("shingle"))
-    dfreq = ex.groupBy("shingle").agg(
-        F.count("*").cast("bigint").alias("df_global")
-    )
-    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    w = Window.partitionBy("doc_id").orderBy("df_global", "shingle")
-    prefix = (
-        ex.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= plen)
-        .select("doc_id", "shingle")
-        .cache()
-    )
+    prefix = _frequency_ordered_prefix(sh, threshold).cache()
     cand = (
         prefix.select(F.col("doc_id").alias("id1"), "shingle")
         .join(prefix.select(F.col("doc_id").alias("id2"), "shingle"), "shingle")
@@ -1003,16 +1013,8 @@ def containment_pairs(
         .cache()
     )
     ex = sh.select("doc_id", "sz", F.explode("sh").alias("shingle"))
-    dfreq = ex.groupBy("shingle").agg(
-        F.count("*").cast("bigint").alias("df_global")
-    )
-    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    w = Window.partitionBy("doc_id").orderBy("df_global", "shingle")
-    prefix = (
-        ex.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= plen)
-        .select(F.col("doc_id").alias("contained_id"), "shingle")
+    prefix = _frequency_ordered_prefix(sh, threshold).select(
+        F.col("doc_id").alias("contained_id"), "shingle"
     )
     cand = (
         prefix.join(
