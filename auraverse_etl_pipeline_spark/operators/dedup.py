@@ -886,6 +886,9 @@ def _frequency_ordered_prefix(sh, threshold: float):
     keeps its first ``|S| − ⌈τ|S|⌉ + 1`` rarest shingles. Shared by the
     Jaccard prefix join (both sides prefixed) and the containment join
     (contained side only) — one spelling, one plan shape, one guard.
+    Threshold cost curves for both consumers are measured in SCALE.md
+    (round 7): sublinear at τ≥0.8, superlinear-trending at τ=0.5 —
+    low thresholds belong to the MinHash tier.
     ``sh`` must carry (doc_id, sh array, sz bigint)."""
     ex = sh.select("doc_id", "sz", F.explode("sh").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(
