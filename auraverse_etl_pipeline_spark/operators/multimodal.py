@@ -957,6 +957,8 @@ def decode_jpeg(payload: bytes):
                 prec, tid = body[i] >> 4, body[i] & 0x0F
                 if prec != 0:
                     raise ValueError("16-bit quantization tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 qtables[tid] = list(body[i + 1 : i + 65])
                 i += 65
         elif marker == 0xFFC4:
@@ -966,12 +968,18 @@ def decode_jpeg(payload: bytes):
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
+                # a corrupted BITS array can claim more symbols than
+                # the segment holds (or sum past 256 legal codes)
+                if len(bits) != 16 or len(vals) != n or n > 256:
+                    raise ValueError("malformed DHT segment")
                 codes = _jpeg_canonical_codes(bits, vals)
                 hufftabs[(tclass, tid)] = {
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 i += 17 + n
         elif marker == 0xFFC0:
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -986,6 +994,8 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xFFDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xFFDA:
+            if len(body) < 6:
+                raise ValueError("truncated SOS header")
             if body[0] != 1:
                 raise ValueError("only 1-component scans supported")
             dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
@@ -1052,12 +1062,16 @@ def decode_jpeg(payload: bytes):
         for bx in range(bw):
             zz = np.zeros(64, dtype=np.int64)
             s = read_huff(dc_tab)
+            if s > 11:  # T.81 F.1.2.1: baseline DC categories are 0..11
+                raise ValueError(f"invalid DC category {s}")
             prev_dc += receive_extend(s)
             zz[0] = prev_dc
             k = 1
             while k < 64:
                 rs = read_huff(ac_tab)
                 run, s = rs >> 4, rs & 0x0F
+                if s > 10:  # T.81 F.1.2.2: baseline AC categories are 1..10
+                    raise ValueError(f"invalid AC category {s}")
                 if s == 0:
                     if run == 15:  # ZRL
                         k += 16

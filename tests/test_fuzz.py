@@ -783,3 +783,41 @@ def test_hashed_embeddings_match_model(spark):
             assert all(abs(a - b) < 1e-12 for a, b in zip(g_vec, vec)), i
 
     prop()
+
+
+def test_codec_parsers_fail_closed_on_corruption(spark):
+    """Property: truncating or byte-flipping a valid JPEG or WARC
+    payload either still decodes (flips in payload/raster bytes can be
+    benign) or raises ValueError — never a crash, hang, or silent
+    wrong-type return. The fail-closed contract every strict parser in
+    this repo claims."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.ingest.warc import build_warc, parse_warc
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    jpeg = encode_jpeg(rng.randint(0, 256, (16, 16), dtype=np.uint8))
+    warc = build_warc([("http://x/1", b"hello"), ("http://x/2", b"wor\xffld")])
+
+    @settings(max_examples=40, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=200), flip=st.integers(0, 10_000))
+    def prop(cut, flip):
+        for payload, parse in ((jpeg, decode_jpeg), (warc, parse_warc)):
+            trunc = payload[: max(len(payload) - cut, 0)]
+            try:
+                parse(trunc)
+            except ValueError:
+                pass
+            mut = bytearray(payload)
+            mut[flip % len(mut)] ^= 0xFF
+            try:
+                parse(bytes(mut))
+            except ValueError:
+                pass
+
+    prop()
