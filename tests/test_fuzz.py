@@ -800,14 +800,35 @@ def test_codec_parsers_fail_closed_on_corruption(spark):
         encode_jpeg,
     )
 
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
     rng = np.random.RandomState(5)
     jpeg = encode_jpeg(rng.randint(0, 256, (16, 16), dtype=np.uint8))
     warc = build_warc([("http://x/1", b"hello"), ("http://x/2", b"wor\xffld")])
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    png = encode_png(rgb, row_filters=[0, 1, 2, 3, 4, 0, 1, 2, 3])
+    bmp = encode_bmp(rgb)
+    wav = encode_wav(rng.randint(-3000, 3000, 64).astype(np.int16))
+
+    targets = (
+        (jpeg, decode_jpeg),
+        (warc, parse_warc),
+        (png, decode_png),
+        (bmp, decode_bmp),
+        (wav, decode_wav),
+    )
 
     @settings(max_examples=40, deadline=None)
     @given(cut=st.integers(min_value=0, max_value=200), flip=st.integers(0, 10_000))
     def prop(cut, flip):
-        for payload, parse in ((jpeg, decode_jpeg), (warc, parse_warc)):
+        for payload, parse in targets:
             trunc = payload[: max(len(payload) - cut, 0)]
             try:
                 parse(trunc)
