@@ -61,12 +61,16 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: recently-scored queries enumerate first each round. Evidence ledger
 #: as of round 5:
 #:
-#: - ``_NEEDS_FRESH_SCORE``: brand-new since the round-4 scoring run,
-#:   or rewritten after their last green driver row — these go first.
+#: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
+#:   green driver row — these go first. ROUND-8 START: run
+#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r07.json into
+#:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
+#:   back red, or round 8 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
-#:   whose CORRECTNESS_r0N.json carries a green — or, for the four
+#:   whose CORRECTNESS_r0N.json carries a green — or, for the
 #:   rows-only-by-design names, a rows-recorded — row for the name):
-#:   oldest evidence enumerates first, round-4 greens last.
+#:   oldest evidence enumerates first. 25 round-2/3-vintage names
+#:   remain past slot 50 this round and should head round 8's window.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round-7 rewrites / brand-new queries (everything else was green
     # on the committed code when round 6 scored, so nothing is carried)
