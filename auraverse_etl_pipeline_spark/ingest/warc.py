@@ -169,10 +169,19 @@ def documents_to_warc(
         for batch in batches:
             rows = []
             for rec in batch.itertuples(index=False):
+                # NULL text fails loudly: silently staging an empty
+                # payload would make the roundtrip digest diverge from
+                # any oracle computed off the source column (which
+                # propagates NULL), hiding data loss.
+                for r in rec.recs:
+                    if r["text"] is None:
+                        raise ValueError(
+                            f"documents_to_warc: NULL text for doc id {r['id']}"
+                        )
                 records = [
                     (
                         f"http://corpus.invalid/doc/{r['id']}",
-                        (r["text"] or "").encode("utf-8"),
+                        r["text"].encode("utf-8"),
                     )
                     for r in rec.recs
                 ]

@@ -715,7 +715,13 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
             "id",
             "v",
             "new_cell",
-            cosine_similarity_expr("v", "centroid").alias("c"),
+            # Sub-centroids ARE member vectors, so a self-pair can score
+            # 1+2e-16 under the native fold while DuckDB clamps to 1.0 —
+            # clamp so the cross-engine argmax tie-break agrees
+            # (CLAUDE.md clamp rule, same as mix_cluster_balanced).
+            F.least(
+                F.lit(1.0), cosine_similarity_expr("v", "centroid")
+            ).alias("c"),
         )
         .groupBy("id")
         .agg(

@@ -72,25 +72,11 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   oldest evidence enumerates first. 25 round-2/3-vintage names
 #:   remain past slot 50 this round and should head round 8's window.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round-7 rewrites / brand-new queries (everything else was green
-    # on the committed code when round 6 scored, so nothing is carried)
-    "dedup_prefix_jaccard_join",  # prefix subplan cached (r7 plan change)
-    "stream_ivf_assign",  # new in round 7 — streaming embedding indexing
-    "embedding_data_card",  # gained the approx-quartile flag path (r7)
-    "multimodal_jpeg_features",  # new in round 7 — baseline JPEG codec
-    "multimodal_feature_digest",  # decode dispatcher gained the JPEG branch
-    "multimodal_resize_digest",  # same shared dispatcher
-    "text_lm_perplexity",  # new in round 7 — bigram-LM fluency gate
-    "text_lm_buckets",  # new in round 7 — CCNet head/middle/tail split
-    "mix_dsir_select",  # new in round 7 — DSIR importance resampling
-    "ingest_warc_roundtrip",  # new in round 7 — WARC ingestion tier
-    "ingest_jsonl_roundtrip",  # new in round 7 — JSONL interchange path
-    "dedup_containment_join",  # new in round 7 — asymmetric containment
-    "sim_ivf_rebalance",  # new in round 7 — hot-cell index maintenance
-    "q52_duplicate_lineage",  # new in round 7 — recursive-CTE SQL surface
-    "sim_ann_recall_audit",  # new in round 7 — ANN evaluation harness
-    "sim_hashed_embeddings",  # new in round 7 — hashing-trick text→vector
-    "q53_cohort_retention",  # new in round 7 — weekly retention triangle
+    # round 8 start: CORRECTNESS_r07.json folded into _LAST_GREEN (all
+    # 17 round-7 names came back green), so nothing is carried forward.
+    # Round-8 rewrites after their last green:
+    "ingest_warc_roundtrip",  # NULL-text now fails loudly (ADVICE r7)
+    "sim_ivf_rebalance",  # self-pair cosine clamp in argmax (ADVICE r7)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -98,40 +84,9 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 2
-    "converted_documents": 2,
-    "fixture_fragment_summary": 2,
-    "fixture_record_summary": 2,
-    "fragment_spans": 2,
-    "fragment_summary": 2,
-    "q01_pricing_summary": 2,
-    "q02_top_revenue_orders": 2,
-    "q03_region_nation_revenue": 2,
-    "q04_revenue_forecast": 2,
-    "q05_returned_customers": 2,
-    "q06_priority_with_big_items": 2,
-    "q07_acctbal_by_region": 2,
-    "q08_parts_by_brand": 2,
-    "q14_rollup_priority_status": 2,
-    "q15_cube_flag_status": 2,
-    "q17_customers_without_orders": 2,
-    "sql_lateral_fragment_summary": 2,
     # round 3
     "dedup_embedding_lsh": 3,
     "multimodal_media_features": 3,
-    "q10_top3_orders_per_customer": 3,
-    "q11_running_revenue": 3,
-    "q12_orders_monthly_kpis": 3,
-    "q13_order_count_histogram": 3,
-    "q16_repeat_buyers_setop": 3,
-    "q18_large_quantity_orders": 3,
-    "q19_event_lag_lead": 3,
-    "q20_hourly_event_windows": 3,
-    "q21_churned_buyers_setop": 3,
-    "q22_asof_last_order": 3,
-    "q23_events_json_extract": 3,
-    "q24_user_sessions": 3,
-    "q25_salted_flag_totals": 3,
     "q26_range_join_daytime_events": 3,
     "q27_rollup_cascade_daily": 3,
     "q29_sliding_event_windows": 3,
@@ -155,9 +110,6 @@ _LAST_GREEN = {
     "q47_cascade_delete_audit": 3,
     "q48_gap_filled_daily_revenue": 3,
     "q49_shuffled_hash_strategy": 3,
-    "text_line_dedup": 3,
-    "text_pack_manifest": 3,
-    "text_pack_sequences": 3,
     # round 4
     "dedup_cluster_representatives": 4,
     "dedup_connected_components": 4,
@@ -209,8 +161,6 @@ _LAST_GREEN = {
     "dedup_embedding_signlsh": 6,
     "dedup_incremental_minhash": 6,
     "dedup_lsh_quality_audit": 6,
-    "dedup_prefix_jaccard_join": 6,
-    "embedding_data_card": 6,
     "mix_cluster_balanced": 6,
     "mix_curriculum_order": 6,
     "mix_length_buckets": 6,
@@ -218,9 +168,7 @@ _LAST_GREEN = {
     "mix_token_budget": 6,
     "mix_weighted_sample": 6,
     "multimodal_bmp_features": 6,
-    "multimodal_feature_digest": 6,
     "multimodal_png_features": 6,
-    "multimodal_resize_digest": 6,
     "multimodal_wav_features": 6,
     "q50_bipartite_pagerank": 6,
     "q51_conversion_funnel": 6,
@@ -249,6 +197,57 @@ _LAST_GREEN = {
     "text_pmi_phrases": 6,
     "text_tfidf_keywords": 6,
     "text_unicode_normalize": 6,
+    # round 7
+    "converted_documents": 7,
+    "dedup_containment_join": 7,
+    "dedup_prefix_jaccard_join": 7,
+    "embedding_data_card": 7,
+    "fixture_fragment_summary": 7,
+    "fixture_record_summary": 7,
+    "fragment_spans": 7,
+    "fragment_summary": 7,
+    "ingest_jsonl_roundtrip": 7,
+    "ingest_warc_roundtrip": 7,
+    "mix_dsir_select": 7,
+    "multimodal_feature_digest": 7,
+    "multimodal_jpeg_features": 7,
+    "multimodal_resize_digest": 7,
+    "q01_pricing_summary": 7,
+    "q02_top_revenue_orders": 7,
+    "q03_region_nation_revenue": 7,
+    "q04_revenue_forecast": 7,
+    "q05_returned_customers": 7,
+    "q06_priority_with_big_items": 7,
+    "q07_acctbal_by_region": 7,
+    "q08_parts_by_brand": 7,
+    "q10_top3_orders_per_customer": 7,
+    "q11_running_revenue": 7,
+    "q12_orders_monthly_kpis": 7,
+    "q13_order_count_histogram": 7,
+    "q14_rollup_priority_status": 7,
+    "q15_cube_flag_status": 7,
+    "q16_repeat_buyers_setop": 7,
+    "q17_customers_without_orders": 7,
+    "q18_large_quantity_orders": 7,
+    "q19_event_lag_lead": 7,
+    "q20_hourly_event_windows": 7,
+    "q21_churned_buyers_setop": 7,
+    "q22_asof_last_order": 7,
+    "q23_events_json_extract": 7,
+    "q24_user_sessions": 7,
+    "q25_salted_flag_totals": 7,
+    "q52_duplicate_lineage": 7,
+    "q53_cohort_retention": 7,
+    "sim_ann_recall_audit": 7,
+    "sim_hashed_embeddings": 7,
+    "sim_ivf_rebalance": 7,
+    "sql_lateral_fragment_summary": 7,
+    "stream_ivf_assign": 7,
+    "text_line_dedup": 7,
+    "text_lm_buckets": 7,
+    "text_lm_perplexity": 7,
+    "text_pack_manifest": 7,
+    "text_pack_sequences": 7,
 }
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones

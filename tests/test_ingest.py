@@ -404,3 +404,20 @@ def test_warc_parser_framing_gzip_and_strictness():
     bad = blob.replace(b"plain ascii\r\n\r\n", b"plain ascii\r\nX\r\n", 1)
     with pt.raises(ValueError, match="trailer"):
         parse_warc(bad)
+
+
+def test_documents_to_warc_null_text_fails_loudly(spark):
+    """A NULL text column must raise at staging, not silently become a
+    zero-byte payload: the roundtrip oracle computes the digest off the
+    source column (propagating NULL), so silent coercion would be an
+    invisible hash divergence — and in a real run, invisible data loss
+    (ADVICE r7)."""
+    import pytest as pt
+
+    from auraverse_etl_pipeline_spark.ingest.warc import documents_to_warc
+
+    docs = spark.createDataFrame(
+        [(1, "ok"), (2, None)], "doc_id BIGINT, text STRING"
+    )
+    with pt.raises(Exception, match="NULL text"):
+        documents_to_warc(docs, records_per_file=10).collect()
