@@ -225,3 +225,47 @@ def warc_records(files: DataFrame) -> DataFrame:
             )
 
     return files.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+#: warc_documents output: the (doc_id, text) shape the detector
+#: pipeline consumes.
+WARC_DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def warc_documents(files: DataFrame) -> DataFrame:
+    """The re-ingestion inverse of :func:`documents_to_warc`: parse a
+    ``(file_id, content)`` WARC-file table back into ``(doc_id, text)``
+    document rows — doc_id recovered from the trailing path segment of
+    ``WARC-Target-URI``, text decoded strictly as UTF-8 (a payload that
+    is not valid UTF-8 fails loudly, same posture as the NULL-text
+    staging guard). Only ``response`` records are documents; other
+    record types (warcinfo, request, metadata in a real crawl) are
+    skipped. Arrow-batched ``mapInPandas``, stateful per file and
+    embarrassingly parallel across files."""
+    ship_package(files.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rec in batch.itertuples(index=False):
+                for parsed in parse_warc(bytes(rec.content)):
+                    h = parsed["headers"]
+                    if h.get("WARC-Type") != "response":
+                        continue
+                    uri = h["WARC-Target-URI"]
+                    rows.append(
+                        {
+                            "doc_id": int(uri.rsplit("/", 1)[1]),
+                            "text": parsed["payload"].decode("utf-8"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_DOCUMENT_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(run, WARC_DOCUMENT_SCHEMA)

@@ -1,0 +1,251 @@
+"""End-to-end pipeline compositions.
+
+Every stage of the crawl-to-corpus path exists as its own operator
+(WARC ingestion, fragment detection, the Gopher/language/LM gates, the
+exact + MinHash dedup ladder), and each is attested by its own oracle —
+but per-stage oracles cannot catch cross-stage schema or content drift.
+This module chains the real operators into ONE flow whose output (the
+per-stage attrition funnel plus an order-independent digest of the
+surviving corpus text) is replayable closed-form by a SQL oracle: if
+any stage perturbs so much as one byte of one surviving document, the
+digest row hash-mismatches.
+
+Scale shape (the 100 TB reading): the corpus text makes exactly one
+round trip through the Python ingest tier (WARC parse + detector, both
+Arrow-batched ``mapInPandas``) and is cached once at the re-assembly
+boundary — a real run would checkpoint that boundary to parquet, which
+is the same plan with durability. Every later stage consumes either
+fixed-width flag rows (cached separately, ~50 bytes/doc), the
+LM transition explode (model tables broadcast), or the MinHash band
+join — text itself never shuffles after re-assembly, and the funnel
+report is one single-row aggregate fanned out to stage rows
+(``curation_funnel``'s shape).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+#: LM fluency ceiling (nats/token against the trusted-slice bigram LM).
+#: Sits between the corpus median (~3.45 at the fixture SFs) and the
+#: max (~3.72), so the gate is non-trivially selective; CCNet keeps the
+#: head/middle of the perplexity distribution the same way.
+LM_XENT_MAX = 3.5
+
+
+def crawl_to_corpus_funnel(
+    docs: DataFrame,
+    ref: DataFrame,
+    records_per_file: int = 50,
+    xent_max: float = LM_XENT_MAX,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Run ``docs`` through the whole curation pipeline and report
+    per-stage attrition plus a final-corpus digest:
+
+    1. ``warc_roundtrip`` — stage documents into gzipped WARC files
+       (:func:`documents_to_warc`) and re-ingest them
+       (:func:`warc_documents`): the CommonCrawl entry point.
+    2. ``detect_extract`` — the full fragment detector suite over the
+       re-ingested text; documents re-assembled from their fragments
+       in span order (identity on prose, and the detector's occupied-
+       interval reservation guarantees non-overlapping spans).
+    3. ``exact_dedup`` — keep-first per ``md5(text)`` group.
+    4. ``gopher`` — the Gopher quality rules.
+    5. ``lang_id`` — stopword-vote language ID resolves (≠ 'und').
+    6. ``lm_fluency`` — bigram-LM cross-entropy against ``ref`` (the
+       trusted slice) at most ``xent_max`` nats/token; scored only for
+       stage-5 survivors (the expensive gate runs last, CCNet's order).
+    7. ``minhash_dedup`` — MinHash-LSH near-duplicate pairs (exact-
+       Jaccard verified) among stage-6 survivors; every doc that pairs
+       with a smaller-id survivor is dropped (keep-first edge rule,
+       :func:`drop_near_duplicates`' contract).
+    8. ``final_corpus`` — the summary row: surviving doc count, total
+       whitespace tokens, and ``bit_xor`` over the leading 60 bits of
+       each survivor's ``sha256(text)`` — an order-independent content
+       digest (bit 63 stays unused per the engine-portability rule).
+
+    Output: ``(stage_id, stage, docs_in, docs_out, dropped,
+    corpus_tokens, text_xor60)`` — the last two null except on row 8.
+    """
+    from auraverse_etl_pipeline_spark.functions.text import lang_guess, tokens
+    from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments
+    from auraverse_etl_pipeline_spark.ingest.warc import (
+        documents_to_warc,
+        warc_documents,
+    )
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        gopher_metrics,
+        gopher_rules,
+    )
+
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    c_src = src.agg(F.count(F.lit(1)).cast("bigint").alias("c0"))
+
+    # Stage 1: WARC staging + re-ingestion. Cached: the parse chain is
+    # consumed by the stage-1 count AND the detector — uncached, the
+    # crawl would be built and parsed twice. This is the first of the
+    # two boundaries a real run checkpoints to parquet (raw
+    # re-extracted crawl text).
+    files = documents_to_warc(src, records_per_file=records_per_file, gzip=True)
+    parsed = warc_documents(files).cache()
+    c_parsed = parsed.agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+
+    # Stage 2: detector + span-ordered re-assembly. Cached: feeds the
+    # flag projection AND the stage-5 survivor text lookup —
+    # recomputing it would re-run the detector. The second parquet
+    # checkpoint boundary of a real run (post-extraction documents).
+    redocs = (
+        detect_fragments(parsed)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start_index", "text"))),
+                    lambda s: s["text"],
+                ),
+                "",
+            ).alias("text")
+        )
+        .cache()
+    )
+
+    # Fixed-width per-doc flags (text dropped before caching).
+    wc_ok, wl_ok, st_ok = gopher_rules(*gopher_metrics("text"))
+    flags = redocs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (wc_ok & wl_ok & st_ok).alias("gopher"),
+        (lang_guess("text") != "und").alias("lang_ok"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.conv(F.substring(F.sha2("text", 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("sha60"),
+    )
+    canon = flags.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = (
+        flags.join(canon, "h")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sha60",
+            (F.col("doc_id") == F.col("keep_id")).alias("canonical"),
+            "gopher",
+            "lang_ok",
+        )
+        .cache()  # consumed by the survivor cut AND the final aggregate
+    )
+
+    s5_pass = F.col("canonical") & F.col("gopher") & F.col("lang_ok")
+    s5 = redocs.join(flagged.filter(s5_pass).select("doc_id"), "doc_id")
+
+    # Stage 6: LM gate over stage-5 survivors only. Scores cached: the
+    # frame feeds the stage-6 survivor cut AND the funnel flag join.
+    scores = (
+        lm_score_report(s5, ref)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(float(xent_max)))).alias(
+                "fluent"
+            ),
+        )
+        .cache()
+    )
+    s6 = s5.join(scores.filter("fluent").select("doc_id"), "doc_id")
+
+    # Stage 7: near-dedup among stage-6 survivors (keep-first edge rule).
+    pairs = minhash_near_duplicates(
+        s6,
+        jaccard_threshold=jaccard_threshold,
+        n=shingle_n,
+        hash_fn=hash_fn,
+    )
+    dup = pairs.select(F.col("id2").alias("doc_id")).distinct()
+
+    joined = (
+        flagged.join(scores, "doc_id", "left")
+        .join(dup.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "n_tokens",
+            "sha60",
+            "canonical",
+            "gopher",
+            "lang_ok",
+            F.coalesce("fluent", F.lit(False)).alias("fluent"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+    def _n(cond) -> F.Column:
+        return F.sum(cond.cast("int")).cast("bigint")
+
+    c = F.col
+    final = c("canonical") & c("gopher") & c("lang_ok") & c("fluent") & ~c("is_dup")
+    agg = (
+        joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2"),
+            _n(c("canonical")).alias("c3"),
+            _n(c("canonical") & c("gopher")).alias("c4"),
+            _n(c("canonical") & c("gopher") & c("lang_ok")).alias("c5"),
+            _n(c("canonical") & c("gopher") & c("lang_ok") & c("fluent")).alias("c6"),
+            _n(final).alias("c7"),
+            F.sum(F.when(final, c("n_tokens"))).cast("bigint").alias("corpus_tokens"),
+            F.bit_xor(F.when(final, c("sha60"))).cast("bigint").alias("text_xor60"),
+        )
+        .crossJoin(F.broadcast(c_src))
+        .crossJoin(F.broadcast(c_parsed))
+    )
+
+    stage_names = (
+        "warc_roundtrip",
+        "detect_extract",
+        "exact_dedup",
+        "gopher",
+        "lang_id",
+        "lm_fluency",
+        "minhash_dedup",
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage_id"),
+                F.lit(name).alias("stage"),
+                c(f"c{i}").alias("docs_in"),
+                c(f"c{i + 1}").alias("docs_out"),
+                F.lit(None).cast("bigint").alias("corpus_tokens"),
+                F.lit(None).cast("bigint").alias("text_xor60"),
+            )
+            for i, name in enumerate(stage_names)
+        ],
+        F.struct(
+            F.lit(8).cast("bigint").alias("stage_id"),
+            F.lit("final_corpus").alias("stage"),
+            c("c7").alias("docs_in"),
+            c("c7").alias("docs_out"),
+            c("corpus_tokens").alias("corpus_tokens"),
+            c("text_xor60").alias("text_xor60"),
+        ),
+    )
+    result = (
+        agg.select(F.explode(stages).alias("st"))
+        .select("st.*")
+        .select(
+            "stage_id",
+            "stage",
+            "docs_in",
+            "docs_out",
+            (c("docs_in") - c("docs_out")).alias("dropped"),
+            "corpus_tokens",
+            "text_xor60",
+        )
+    )
+    return release_after(result, parsed, redocs, flagged, scores)

@@ -1,0 +1,220 @@
+"""Registry entries for end-to-end pipeline compositions.
+
+Each per-stage oracle proves its own operator; these queries prove the
+stages COMPOSE — the full crawl-to-corpus path runs as one flow whose
+attrition counts and final-corpus content digest are replayed
+closed-form by DuckDB from the source table. The oracle replays the
+WARC and detector stages as identity (the corpus is plain prose, so
+staging + re-ingestion + fragment re-assembly must return every byte),
+which is exactly what makes the digest an attestation: any framing or
+span drift in the Spark path flips ``text_xor60``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from auraverse_etl_pipeline_spark.operators.e2e import LM_XENT_MAX
+from auraverse_etl_pipeline_spark.plans.registry import query
+from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+
+def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5) -> str:
+    """DuckDB replica of :func:`crawl_to_corpus_funnel` on the fixture
+    corpus: WARC + detect replay as identity, then exact dedup → Gopher
+    → language ID → bigram-LM gate (the ``_LM_CTES`` model, scored over
+    stage-5 survivors only) → md5-base MinHash-LSH near-dedup with
+    exact-Jaccard verify (the ``_minhash_oracle_sql`` chain over
+    stage-6 survivors) → final count/token/digest row. Multi-referenced
+    CTEs are MATERIALIZED (DuckDB re-inlines plain CTEs per reference;
+    down a chain this long that goes exponential)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        _MINHASH_P,
+        minhash_coeffs,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _EN_LIST,
+        _LANG_CASE,
+        _SH3,
+        _TOKS,
+    )
+
+    coeffs = minhash_coeffs(8, 42)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    return f"""
+    WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
+    canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+    g AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mwl,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT) AS sw,
+               {_LANG_CASE} AS guessed
+        FROM d
+    ),
+    flag AS MATERIALIZED (
+        SELECT d.doc_id,
+               g.n_words AS n_tokens,
+               ('0x' || substr(sha256(d.text), 1, 15))::BIGINT AS sha60,
+               d.doc_id = c.keep_id AS canonical,
+               {gopher_keep_sql("g.n_words", "g.mwl", "g.sw")} AS gopher,
+               g.guessed <> 'und' AS lang_ok
+        FROM d JOIN canon c ON md5(d.text) = c.h JOIN g USING (doc_id)
+    ),
+    s5 AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM d JOIN flag USING (doc_id)
+        WHERE flag.canonical AND flag.gopher AND flag.lang_ok
+    ),
+    rt AS MATERIALIZED (
+        SELECT {_TOKS} AS toks
+        FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+    ),
+    tr AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS prev,
+               unnest(toks[2:len(toks)]) AS tok
+        FROM rt
+    ),
+    voc AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tok FROM rt)
+    ),
+    big AS MATERIALIZED (
+        SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY prev, tok
+    ),
+    ctx AS MATERIALIZED (
+        SELECT prev, CAST(SUM(c) AS BIGINT) AS c_prev FROM big GROUP BY prev
+    ),
+    bw AS (
+        SELECT prev, tok,
+               ln((c + CAST(1.0 AS DOUBLE)) / (c_prev + CAST(1.0 AS DOUBLE) * v)) AS logp
+        FROM big JOIN ctx USING (prev), voc
+    ),
+    cw AS (
+        SELECT prev,
+               ln(CAST(1.0 AS DOUBLE) / (c_prev + CAST(1.0 AS DOUBLE) * v)) AS logp_miss
+        FROM ctx, voc
+    ),
+    st AS (
+        SELECT ln(CAST(1.0 AS DOUBLE) / (0 + CAST(1.0 AS DOUBLE) * v)) AS logp_unseen
+        FROM voc
+    ),
+    ct AS (SELECT doc_id, {_TOKS} AS toks FROM s5),
+    ctr AS (
+        SELECT doc_id,
+               unnest(toks[1:len(toks)-1]) AS prev,
+               unnest(toks[2:len(toks)]) AS tok
+        FROM ct
+    ),
+    scoredtr AS (
+        SELECT ctr.doc_id,
+               COALESCE(bw.logp, cw.logp_miss, (SELECT logp_unseen FROM st)) AS logp
+        FROM ctr LEFT JOIN bw USING (prev, tok) LEFT JOIN cw USING (prev)
+    ),
+    xents AS (
+        SELECT s5.doc_id,
+               CASE WHEN COUNT(s.logp) > 0 THEN
+                   -CAST(SUM(CAST(s.logp AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(s.logp)
+               END AS xent
+        FROM s5 LEFT JOIN scoredtr s USING (doc_id)
+        GROUP BY s5.doc_id
+    ),
+    s6 AS MATERIALIZED (
+        SELECT s5.doc_id, s5.text
+        FROM s5 JOIN xents USING (doc_id)
+        WHERE xents.xent IS NOT NULL AND xents.xent <= {xent_max!r}
+    ),
+    shg AS (SELECT doc_id, {_SH3} AS sh FROM s6),
+    sh2 AS MATERIALIZED (SELECT doc_id, sh FROM shg WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    hh AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(string_split(substr(md5(s), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % {_MINHASH_P} AS h
+        FROM ex
+    ),
+    mins AS MATERIALIZED (
+        SELECT doc_id,
+               {mins}
+        FROM hh GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, i, CASE i {band_case} END AS mh
+        FROM mins, range(8) r(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    dup AS MATERIALIZED (
+        SELECT DISTINCT c.id2 AS doc_id
+        FROM cand c
+        JOIN sh2 x ON x.doc_id = c.id1
+        JOIN sh2 y ON y.doc_id = c.id2
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {tau!r}
+    ),
+    fin AS MATERIALIZED (
+        SELECT doc_id, text FROM s6
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flag WHERE canonical) AS c3,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flag
+                WHERE canonical AND gopher) AS c4,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s5) AS c5,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS c6,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS c7,
+               (SELECT CAST(SUM(len({_TOKS})) AS BIGINT) FROM fin) AS tok,
+               (SELECT bit_xor(('0x' || substr(sha256(text), 1, 15))::BIGINT)
+                FROM fin) AS xr
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'warc_roundtrip' AS stage,
+           c0 AS docs_in, c1 AS docs_out, c0 - c1 AS dropped,
+           CAST(NULL AS BIGINT) AS corpus_tokens,
+           CAST(NULL AS BIGINT) AS text_xor60 FROM counts
+    UNION ALL SELECT 2, 'detect_extract', c1, c2, c1 - c2, NULL, NULL FROM counts
+    UNION ALL SELECT 3, 'exact_dedup', c2, c3, c2 - c3, NULL, NULL FROM counts
+    UNION ALL SELECT 4, 'gopher', c3, c4, c3 - c4, NULL, NULL FROM counts
+    UNION ALL SELECT 5, 'lang_id', c4, c5, c4 - c5, NULL, NULL FROM counts
+    UNION ALL SELECT 6, 'lm_fluency', c5, c6, c5 - c6, NULL, NULL FROM counts
+    UNION ALL SELECT 7, 'minhash_dedup', c6, c7, c6 - c7, NULL, NULL FROM counts
+    UNION ALL SELECT 8, 'final_corpus', c7, c7, 0, tok, xr FROM counts
+    """
+
+
+@query(
+    "pipeline_crawl_to_corpus",
+    oracle=_crawl_to_corpus_oracle_sql(),
+    description="the whole crawl-to-corpus pipeline as ONE attested "
+    "flow: documents staged into gzipped WARC files and re-ingested "
+    "(the CommonCrawl entry point), the full fragment detector suite "
+    "with span-ordered re-assembly, exact keep-first dedup, the Gopher "
+    "rules, stopword-vote language ID, the bigram-LM fluency gate "
+    "(scored over stage-5 survivors only - the expensive gate runs "
+    "last), and md5-base MinHash-LSH near-dedup with exact-Jaccard "
+    "verify - reported as the per-stage attrition funnel plus a final "
+    "row carrying surviving-token totals and a bit_xor sha256 content "
+    "digest, so ANY cross-stage drift (framing, spans, text bytes) "
+    "hash-mismatches. Text makes one round trip through the Arrow "
+    "ingest tier and is cached at the re-assembly boundary (a real "
+    "run checkpoints it); every later stage consumes fixed-width "
+    "flags, broadcast model tables, or the band join",
+)
+def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.e2e import crawl_to_corpus_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    return crawl_to_corpus_funnel(docs, ref)

@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "auraverse_etl_pipeline_spark.plans.ingest_queries",
     "auraverse_etl_pipeline_spark.plans.llm_queries",
     "auraverse_etl_pipeline_spark.plans.streaming_queries",
+    "auraverse_etl_pipeline_spark.plans.pipeline_queries",
 )
 
 

@@ -2699,3 +2699,74 @@ def test_hashed_embeddings_feed_sign_lsh_end_to_end(spark):
     pairs.release_caches()
     assert (1, 2) in got and got[(1, 2)] > 0.9
     assert all({a, b} == {1, 2} for a, b in got)  # no false pairs
+
+
+def test_crawl_to_corpus_funnel_composition(spark):
+    """The end-to-end pipeline composition: a corpus with a known exact
+    duplicate, near duplicate, too-short doc and gibberish doc flows
+    through WARC staging -> detection -> gates -> dedup, and each doc
+    falls at exactly the stage it should (the too-short doc yields zero
+    fragments, so it falls at DETECT, not gopher). The final row's
+    digest must equal the Python-computed xor of the survivors' sha256
+    prefixes — byte-level attestation that the WARC + detector round
+    trip returned every surviving document unchanged. Texts carry no
+    trailing whitespace (the raw-text fragment span excludes it, so
+    byte-identity through re-assembly requires trimmed fixtures — same
+    contract the prose corpus satisfies)."""
+    import hashlib
+
+    from auraverse_etl_pipeline_spark.operators.e2e import crawl_to_corpus_funnel
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "through the green field where many other animals watch with great "
+        "interest while the sun shines down on all of them every single day "
+        "and the wind blows gently across the open meadow near the river "
+    )
+    text1 = (base * 2).strip()  # ~100 words, passes gopher
+    text3 = (base * 2).strip() + " something slightly different appears here"
+    text4 = (
+        "a completely different story begins in the city where people walk "
+        "to work every morning and buses move slowly down crowded streets "
+        "while shops open their doors and the smell of fresh bread drifts "
+        "from the bakery on the corner of the old market square every day "
+        * 2
+    ).strip()
+    rows = [
+        (1, text1),
+        (2, text1),  # exact duplicate -> dropped at exact_dedup
+        (3, text3),  # near duplicate of 1 -> dropped at minhash_dedup
+        (4, text4),  # distinct survivor
+        (5, "tiny text"),  # zero fragments -> dropped at detect_extract
+        (6, ("zxqv gplk wrtm " * 20).strip()),  # no stopwords -> gopher
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter("doc_id in (1, 4)")
+    out = sorted(
+        crawl_to_corpus_funnel(
+            docs, ref, records_per_file=2, xent_max=100.0
+        ).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in out] == [
+        "warc_roundtrip", "detect_extract", "exact_dedup", "gopher",
+        "lang_id", "lm_fluency", "minhash_dedup", "final_corpus",
+    ]
+    assert (out[0].docs_in, out[0].docs_out) == (6, 6)  # WARC is identity
+    assert (out[1].docs_in, out[1].docs_out) == (6, 5)  # doc 5: no fragments
+    assert (out[2].docs_in, out[2].docs_out) == (5, 4)  # doc 2 gone
+    assert (out[3].docs_in, out[3].docs_out) == (4, 3)  # doc 6 gone
+    assert (out[4].docs_in, out[4].docs_out) == (3, 3)
+    assert (out[5].docs_in, out[5].docs_out) == (3, 3)  # xent_max=100
+    assert (out[6].docs_in, out[6].docs_out) == (3, 2)  # doc 3 gone
+    for prev, cur in zip(out, out[1:-1]):
+        assert cur.docs_in == prev.docs_out
+        assert cur.dropped == cur.docs_in - cur.docs_out >= 0
+    fin = out[-1]
+    survivors = {1: text1, 4: text4}
+    xor = 0
+    for t in survivors.values():
+        xor ^= int(hashlib.sha256(t.encode()).hexdigest()[:15], 16)
+    assert fin.docs_in == fin.docs_out == 2
+    assert fin.text_xor60 == xor
+    assert fin.corpus_tokens == sum(len(t.split()) for t in survivors.values())

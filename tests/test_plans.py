@@ -463,3 +463,17 @@ def test_hashed_embeddings_stay_native(spark, sf_dir):
     plan = _plan(QS["sim_hashed_embeddings"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_crawl_to_corpus_funnel_plan(spark, sf_dir):
+    """The e2e composition: no cartesian/per-row Python; the two
+    corpus-text checkpoints (re-ingested text, re-assembled docs) plus
+    the fixed-width flag frame and LM scores are cache-bounded
+    (InMemoryTableScan), and the corpus only enters Python through the
+    Arrow mapInPandas ingest tier."""
+    plan = _plan(QS["pipeline_crawl_to_corpus"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan
+    assert "ntile(" not in plan  # no global-sort window anywhere
