@@ -28,12 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from auraverse_etl_pipeline_spark.operators.caching import release_after
-
-#: LM fluency ceiling (nats/token against the trusted-slice bigram LM).
-#: Sits between the corpus median (~3.45 at the fixture SFs) and the
-#: max (~3.72), so the gate is non-trivially selective; CCNet keeps the
-#: head/middle of the perplexity distribution the same way.
-LM_XENT_MAX = 3.5
+from auraverse_etl_pipeline_spark.operators.lm import LM_XENT_MAX
 
 
 def crawl_to_corpus_funnel(

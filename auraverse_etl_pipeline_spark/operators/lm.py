@@ -32,6 +32,13 @@ from auraverse_etl_pipeline_spark.operators.classifier import _ln
 from auraverse_etl_pipeline_spark.runtime import ship_package
 
 
+#: Default fluency ceiling (nats/token against the trusted-slice bigram
+#: LM). Sits between the fixture-corpus median (~3.45) and max (~3.72),
+#: so gates using it are non-trivially selective; CCNet keeps the
+#: head/middle of the perplexity distribution the same way.
+LM_XENT_MAX = 3.5
+
+
 @dataclass
 class BigramLm:
     """A trained bigram LM, all plain data (persist like any table):

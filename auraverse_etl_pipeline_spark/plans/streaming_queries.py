@@ -498,3 +498,84 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/index/assignments").select(
         F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell")
     )
+
+
+def _lm_quality_gate_oracle() -> str:
+    # Gopher spelling shared with _quality_gate_oracle; the LM chain is
+    # llm_queries._LM_CTES verbatim (same model slice, same DECIMAL
+    # partials), so the streaming decisions must replay exactly.
+    from auraverse_etl_pipeline_spark.operators.lm import LM_XENT_MAX
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_fail_reason_sql
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _EN_LIST,
+        _LM_CTES,
+        _TOKS,
+    )
+
+    return (
+        _LM_CTES
+        + f""",
+    m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT)
+                 AS stopword_hits
+        FROM documents
+    )
+    SELECT fail_reason, fluent, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT {gopher_fail_reason_sql()} AS fail_reason,
+               (x.xent IS NOT NULL AND x.xent <= {LM_XENT_MAX!r}) AS fluent
+        FROM m JOIN xents x USING (doc_id)
+    )
+    GROUP BY fail_reason, fluent
+    """
+    )
+
+
+@query(
+    "stream_lm_quality_gate",
+    oracle=_lm_quality_gate_oracle(),
+    description="the streaming curation gate with the FULL batch gate "
+    "set: Gopher rules PLUS the bigram-LM fluency score in one "
+    "foreachBatch projection, so the streaming path enforces exactly "
+    "what the batch curation_funnel / crawl_to_corpus_funnel gates "
+    "enforce (batch/stream gate parity). The LM is trained ONCE on the "
+    "static trusted slice and joined stream-static as two broadcast "
+    "vocabulary-bounded model tables; the per-document transition sum "
+    "is batch-local, so no doc-keyed state store entry ever exists. "
+    "Per-doc decisions land as fixed-width parquet rows; the query "
+    "reports the running (fail_reason, fluent) tally",
+)
+def stream_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.lm import BigramLm, ngram_lm_train
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_lm_quality_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    lm = ngram_lm_train(ref)
+    cached = BigramLm(
+        bigrams=lm.bigrams.cache(),
+        contexts=lm.contexts.cache(),
+        stats=lm.stats.cache(),
+    )
+    root = tempfile.mkdtemp(prefix="lm_gate_")
+    try:
+        run_stream_lm_quality_gate(
+            stream_documents(spark, sf_dir),
+            cached,
+            decisions_path=f"{root}/decisions",
+        )
+    finally:
+        for t in (cached.bigrams, cached.contexts, cached.stats):
+            t.unpersist()
+    return (
+        spark.read.parquet(f"{root}/decisions")
+        .groupBy("fail_reason", "fluent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

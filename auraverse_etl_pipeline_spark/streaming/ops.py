@@ -552,3 +552,65 @@ def run_stream_ivf_assign(
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
+
+
+def run_stream_lm_quality_gate(
+    docs_stream: DataFrame,
+    lm,
+    decisions_path: str,
+    xent_max: float | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """Streaming curation gate with the FULL batch gate set — the
+    Gopher rules PLUS the bigram-LM fluency score — so the streaming
+    path enforces exactly what the batch ``curation_funnel`` /
+    ``crawl_to_corpus_funnel`` gates enforce.
+
+    Per micro-batch: :func:`gopher_report` (a stateless projection)
+    joined with :func:`ngram_lm_score` against the PRE-TRAINED
+    :class:`BigramLm` ``lm`` — a stream-static join of two broadcast,
+    vocabulary-bounded model tables. The per-document transition sum is
+    BATCH-LOCAL (a document's transitions all arrive inside its own
+    micro-batch), so it runs as a plain batch aggregate inside
+    ``foreachBatch`` — no doc-keyed state-store entry is ever created,
+    which is what makes this safe on an unbounded stream. Decisions
+    append to ``decisions_path`` as one fixed-width row per document.
+    """
+    from auraverse_etl_pipeline_spark.operators.lm import (
+        LM_XENT_MAX,
+        ngram_lm_score,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
+
+    ceiling = LM_XENT_MAX if xent_max is None else float(xent_max)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rep = gopher_report(batch_df)
+        sc = ngram_lm_score(batch_df, lm).select(
+            F.col("id").alias("doc_id"), "n_transitions", "xent"
+        )
+        dec = rep.join(sc, "doc_id").select(
+            "doc_id",
+            "n_words",
+            "fail_reason",
+            F.col("keep").alias("gopher_keep"),
+            "xent",
+            (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(ceiling))).alias(
+                "fluent"
+            ),
+        )
+        dec.write.mode("append").parquet(decisions_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_lm_gate_")
+    q = (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

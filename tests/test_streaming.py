@@ -573,3 +573,65 @@ def test_stream_ivf_assign_multi_batch_no_refit(spark, tmp_path):
     got = ivf_search(queries, idx, k=3, nprobe=1).collect()
     assert {r.neighbor_id for r in got} <= {10, 12, 20, 21}
     assert len(got) == 3
+
+
+def test_stream_lm_quality_gate_multi_batch(spark, sf_dir, tmp_path):
+    """Batch/stream gate parity for the FULL gate set: the streaming
+    Gopher+LM gate over three micro-batches must produce exactly the
+    per-document decisions of the batch spelling (gopher_report joined
+    with ngram_lm_score against the same pre-trained model) — the LM
+    transition sum is batch-local, so micro-batch boundaries must not
+    change any xent."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.lm import (
+        LM_XENT_MAX,
+        BigramLm,
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        run_stream_lm_quality_gate,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 90")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    lm = ngram_lm_train(ref)
+    cached = BigramLm(
+        bigrams=lm.bigrams.cache(),
+        contexts=lm.contexts.cache(),
+        stats=lm.stats.cache(),
+    )
+    chunk_dir = tmp_path / "lm_gate_chunks"
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    try:
+        run_stream_lm_quality_gate(
+            stream_documents(spark, str(chunk_dir), max_files_per_trigger=1),
+            cached,
+            decisions_path=str(tmp_path / "decisions"),
+        )
+        got = {
+            (r.doc_id, r.fail_reason, r.gopher_keep, r.xent, r.fluent)
+            for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+        }
+        sc = ngram_lm_score(docs, cached).select(
+            F.col("id").alias("doc_id"), "xent"
+        )
+        want = {
+            (r.doc_id, r.fail_reason, r.keep, r.xent,
+             r.xent is not None and r.xent <= LM_XENT_MAX)
+            for r in gopher_report(docs).join(sc, "doc_id").collect()
+        }
+    finally:
+        for t in (cached.bigrams, cached.contexts, cached.stats):
+            t.unpersist()
+    assert len(got) == 90
+    assert got == want
