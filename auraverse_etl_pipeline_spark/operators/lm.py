@@ -41,7 +41,8 @@ LM_XENT_MAX = 3.5
 
 @dataclass
 class BigramLm:
-    """A trained bigram LM, all plain data (persist like any table):
+    """A trained n-gram LM (bigram base, optional trigram head), all
+    plain data (persist like any table):
 
     - ``bigrams`` — (prev, tok, logp): add-α log probability of every
       OBSERVED reference bigram.
@@ -51,11 +52,21 @@ class BigramLm:
     - ``stats`` — one row (vocab_size, logp_unseen): ``V`` = distinct
       reference tokens, and the both-unseen fallback
       ``ln(α / (α·V))`` (the c(prev)=0 case of the same formula).
+    - ``trigrams`` / ``contexts3`` (``order=3`` only) — the same two
+      tables one order up: (p2, prev, tok, logp3) for observed
+      reference trigrams and (p2, prev, logp_miss3) per observed
+      2-token context. Scoring BACKS OFF: an unobserved 2-token
+      context falls through to the bigram tables (the coalesce chain
+      logp3 → logp_miss3 → logp → logp_miss → logp_unseen), the
+      KenLM-shaped recursion that keeps the model vocabulary-bounded
+      at every order.
     """
 
     bigrams: DataFrame
     contexts: DataFrame
     stats: DataFrame
+    trigrams: DataFrame | None = None
+    contexts3: DataFrame | None = None
 
 
 def _transitions(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
@@ -84,17 +95,60 @@ def _transitions(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     )
 
 
+def _transitions3(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(id, p2, prev, tok) — one row per within-document transition,
+    with ``p2`` the token TWO back (null at the second position, where
+    only the bigram context exists — the backoff boundary). Same
+    array-slicing shape as :func:`_transitions`: the p2 column is the
+    prev-slice shifted once more with a null prepended, so every
+    document still contributes exactly ``max(n-1, 0)`` scored rows
+    (plus the explode_outer null row for <2-token documents)."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    id_expr = F.col(id_col) if id_col is not None else F.lit(0).cast("bigint")
+    return (
+        df.select(id_expr.alias("id"), tokens(text_col).alias("toks"))
+        .select(
+            "id",
+            F.explode_outer(
+                F.expr(
+                    "arrays_zip("
+                    "  concat(array(CAST(NULL AS STRING)),"
+                    "         slice(toks, 1, greatest(size(toks) - 2, 0))),"
+                    "  slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    "  slice(toks, 2, greatest(size(toks) - 1, 0)))"
+                )
+            ).alias("tr"),
+        )
+        .select(
+            "id",
+            F.col("tr.0").alias("p2"),
+            F.col("tr.1").alias("prev"),
+            F.col("tr.2").alias("tok"),
+        )
+    )
+
+
 def ngram_lm_train(
-    ref: DataFrame, alpha: float = 1.0, text_col: str = "text"
+    ref: DataFrame, alpha: float = 1.0, text_col: str = "text", order: int = 2
 ) -> BigramLm:
-    """One-pass bigram LM training over the reference corpus.
+    """One-pass n-gram LM training over the reference corpus.
 
     ``logp(tok | prev) = ln((c(prev,tok) + α) / (c(prev) + α·V))`` with
     ``V`` = distinct reference tokens. The model is observed-bigram-
     bounded: two aggregates (bigram counts, context counts) and a
     1-row vocabulary stat; no corpus-sized state survives training.
     Every log runs through the Arrow-batched libm ``_ln`` over the
-    model tables, never the corpus."""
+    model tables, never the corpus.
+
+    ``order=3`` additionally trains the trigram head — the same add-α
+    formula one order up, ``ln((c(p2,prev,tok) + α) / (c(p2,prev) +
+    α·V))``, from one more pair of aggregates over the SAME reference
+    scan shape. The model stays vocabulary-bounded (observed trigrams
+    + observed 2-token contexts); scoring backs off to the bigram
+    tables for unobserved contexts (see :class:`BigramLm`)."""
+    if order not in (2, 3):
+        raise ValueError(f"order must be 2 or 3, got {order}")
     ship_package(ref.sparkSession)  # _ln is pickled by reference
     tr = _transitions(ref, text_col, None).where(F.col("prev").isNotNull())
     from auraverse_etl_pipeline_spark.functions.text import tokens
@@ -134,7 +188,39 @@ def ngram_lm_train(
         F.col("v").alias("vocab_size"),
         _ln(a / (F.lit(0).cast("bigint") + a * F.col("v"))).alias("logp_unseen"),
     )
-    return BigramLm(bigrams=bigrams, contexts=contexts, stats=stats)
+    if order == 2:
+        return BigramLm(bigrams=bigrams, contexts=contexts, stats=stats)
+
+    tr3 = _transitions3(ref, text_col, None).where(F.col("p2").isNotNull())
+    big3 = (
+        tr3.groupBy("p2", "prev", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .cache()
+    )
+    ctx3 = big3.groupBy("p2", "prev").agg(F.sum("c").cast("bigint").alias("c_ctx"))
+    trigrams = release_after(
+        big3.join(ctx3, ["p2", "prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "p2",
+            "prev",
+            "tok",
+            _ln((F.col("c") + a) / (F.col("c_ctx") + a * F.col("v"))).alias("logp3"),
+        ),
+        big3,
+    )
+    contexts3 = ctx3.crossJoin(F.broadcast(vocab)).select(
+        "p2",
+        "prev",
+        _ln(a / (F.col("c_ctx") + a * F.col("v"))).alias("logp_miss3"),
+    )
+    return BigramLm(
+        bigrams=bigrams,
+        contexts=contexts,
+        stats=stats,
+        trigrams=trigrams,
+        contexts3=contexts3,
+    )
 
 
 def ngram_lm_score(
