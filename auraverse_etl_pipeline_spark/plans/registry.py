@@ -73,11 +73,9 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   oldest evidence enumerates first. 25 round-2/3-vintage names
 #:   remain past slot 50 this round and should head round 8's window.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 8 start: CORRECTNESS_r07.json folded into _LAST_GREEN (all
-    # 17 round-7 names came back green), so nothing is carried forward.
-    # Round-8 rewrites after their last green:
-    "ingest_warc_roundtrip",  # NULL-text now fails loudly (ADVICE r7)
-    "sim_ivf_rebalance",  # self-pair cosine clamp in argmax (ADVICE r7)
+    # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
+    # green + 2 rows-recorded; zero red). Round-9 rewrites after their
+    # last green/recorded row go here as they land:
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -85,51 +83,15 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 3
-    "dedup_embedding_lsh": 3,
-    "multimodal_media_features": 3,
-    "q26_range_join_daytime_events": 3,
-    "q27_rollup_cascade_daily": 3,
-    "q29_sliding_event_windows": 3,
-    "q30_grouping_sets_revenue": 3,
-    "q31_pivot_daily_event_matrix": 3,
-    "q32_variant_json_extract": 3,
-    "q33_hll_sketch_union": 3,
-    "q34_full_outer_user_reconciliation": 3,
-    "q35_profile_orders": 3,
-    "q36_trailing_7day_revenue": 3,
-    "q37_percentile_ladder": 3,
-    "q38_changeset_apply": 3,
-    "q39_scd2_history": 3,
-    "q40_referential_audit": 3,
-    "q41_unpivot_metrics": 3,
-    "q42_customer_value_distribution": 3,
-    "q43_exact_correlation": 3,
-    "q44_global_ids": 3,
-    "q45_messy_date_ladder": 3,
-    "q46_approx_percentile_scale_path": 3,
-    "q47_cascade_delete_audit": 3,
-    "q48_gap_filled_daily_revenue": 3,
-    "q49_shuffled_hash_strategy": 3,
     # round 4
-    "dedup_cluster_representatives": 4,
-    "dedup_connected_components": 4,
-    "dedup_corpus_clean": 4,
-    "dedup_decontaminate": 4,
-    "dedup_embedding_cosine": 4,
-    "dedup_exact_groups": 4,
-    "dedup_exact_stats": 4,
     "dedup_hot_bucket_audit": 4,
     "dedup_merge_index": 4,
     "dedup_minhash_md5_pairs": 4,
     "dedup_minhash_pairs": 4,
-    "dedup_ngram_jaccard": 4,
-    "dedup_simhash_pairs": 4,
     "fixture_schema_field_types": 4,
     "multimodal_frame_manifest": 4,
     "q28_sketch_distinct_users": 4,
     "sim_range_search": 4,
-    "sim_topk_cosine": 4,
     "sql_udaf_source_stats": 4,
     "stream_dedup_events": 4,
     "stream_hourly_event_windows": 4,
@@ -137,20 +99,9 @@ _LAST_GREEN = {
     "stream_sliding_windows": 4,
     "stream_user_running_totals": 4,
     "stream_user_sessions": 4,
-    "text_bpe_token_budget": 4,
     "text_chunk_documents": 4,
-    "text_fingerprints": 4,
-    "text_lang_guess": 4,
-    "text_length_histogram": 4,
-    "text_pii_redaction": 4,
-    "text_quality_scores": 4,
-    "text_rare_bigram_filter": 4,
-    "text_repeated_ngrams": 4,
-    "text_repetition_filter": 4,
     "text_span_dedup": 4,
     "text_span_dedup_apply": 4,
-    "text_token_stats": 4,
-    "text_vocab_topk": 4,
     # round 6
     "corpus_data_card": 6,
     "corpus_snapshot_diff": 6,
@@ -208,7 +159,6 @@ _LAST_GREEN = {
     "fragment_spans": 7,
     "fragment_summary": 7,
     "ingest_jsonl_roundtrip": 7,
-    "ingest_warc_roundtrip": 7,
     "mix_dsir_select": 7,
     "multimodal_feature_digest": 7,
     "multimodal_jpeg_features": 7,
@@ -241,7 +191,6 @@ _LAST_GREEN = {
     "q53_cohort_retention": 7,
     "sim_ann_recall_audit": 7,
     "sim_hashed_embeddings": 7,
-    "sim_ivf_rebalance": 7,
     "sql_lateral_fragment_summary": 7,
     "stream_ivf_assign": 7,
     "text_line_dedup": 7,
@@ -249,7 +198,59 @@ _LAST_GREEN = {
     "text_lm_perplexity": 7,
     "text_pack_manifest": 7,
     "text_pack_sequences": 7,
+    # round 8
+    "dedup_cluster_representatives": 8,
+    "dedup_connected_components": 8,
+    "dedup_corpus_clean": 8,
+    "dedup_decontaminate": 8,
+    "dedup_embedding_cosine": 8,
+    "dedup_embedding_lsh": 8,
+    "dedup_exact_groups": 8,
+    "dedup_exact_stats": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_simhash_pairs": 8,
+    "ingest_warc_roundtrip": 8,
+    "multimodal_media_features": 8,
+    "pipeline_crawl_to_corpus": 8,
+    "q26_range_join_daytime_events": 8,
+    "q27_rollup_cascade_daily": 8,
+    "q29_sliding_event_windows": 8,
+    "q30_grouping_sets_revenue": 8,
+    "q31_pivot_daily_event_matrix": 8,
+    "q32_variant_json_extract": 8,
+    "q33_hll_sketch_union": 8,
+    "q34_full_outer_user_reconciliation": 8,
+    "q35_profile_orders": 8,
+    "q36_trailing_7day_revenue": 8,
+    "q37_percentile_ladder": 8,
+    "q38_changeset_apply": 8,
+    "q39_scd2_history": 8,
+    "q40_referential_audit": 8,
+    "q41_unpivot_metrics": 8,
+    "q42_customer_value_distribution": 8,
+    "q43_exact_correlation": 8,
+    "q44_global_ids": 8,
+    "q45_messy_date_ladder": 8,
+    "q46_approx_percentile_scale_path": 8,
+    "q47_cascade_delete_audit": 8,
+    "q48_gap_filled_daily_revenue": 8,
+    "q49_shuffled_hash_strategy": 8,
+    "sim_ivf_rebalance": 8,
+    "sim_topk_cosine": 8,
+    "stream_lm_quality_gate": 8,
+    "text_bpe_token_budget": 8,
+    "text_fingerprints": 8,
+    "text_lang_guess": 8,
+    "text_length_histogram": 8,
+    "text_pii_redaction": 8,
+    "text_quality_scores": 8,
+    "text_rare_bigram_filter": 8,
+    "text_repeated_ngrams": 8,
+    "text_repetition_filter": 8,
+    "text_token_stats": 8,
+    "text_vocab_topk": 8,
 }
+
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones
 #: (a rows-only row is the weakest evidence, so it should never crowd
