@@ -145,16 +145,16 @@ def crawl_to_corpus_funnel(
 
     # Stage 6: LM gate over stage-5 survivors only. Scores cached: the
     # frame feeds the stage-6 survivor cut AND the funnel flag join.
-    scores = (
-        lm_score_report(s5, ref)
-        .select(
-            F.col("id").alias("doc_id"),
-            (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(float(xent_max)))).alias(
-                "fluent"
-            ),
-        )
-        .cache()
-    )
+    # The lm_score_report result is kept (not just its .select) so its
+    # chained release handle — the three model-table caches plus the
+    # internal bigram-count cache — releases with everything else.
+    lm_out = lm_score_report(s5, ref)
+    scores = lm_out.select(
+        F.col("id").alias("doc_id"),
+        (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(float(xent_max)))).alias(
+            "fluent"
+        ),
+    ).cache()
     s6 = s5.join(scores.filter("fluent").select("doc_id"), "doc_id")
 
     # Stage 7: near-dedup among stage-6 survivors (keep-first edge rule).
@@ -243,4 +243,4 @@ def crawl_to_corpus_funnel(
             "text_xor60",
         )
     )
-    return release_after(result, parsed, redocs, flagged, scores)
+    return release_after(result, parsed, redocs, flagged, scores, lm_out)

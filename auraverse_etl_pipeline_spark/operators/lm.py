@@ -236,10 +236,48 @@ def ngram_lm_score(
     rather than guessed at). Lower = more reference-like; the CCNet
     gate keeps the low/middle buckets.
 
-    Scale shape: both model tables broadcast, the corpus explodes once
+    When the model carries a trigram head (``lm.trigrams`` is not
+    None), every transition scores through the KenLM-shaped backoff
+    chain ``logp3 → logp_miss3 → logp → logp_miss → logp_unseen``: an
+    observed trigram wins; an observed 2-token context with an unseen
+    continuation pays the trigram miss mass; an UNOBSERVED 2-token
+    context (including the document's second token, where ``p2`` is
+    null by construction) falls through to the bigram tables. All four
+    model tables stay observed-n-gram-bounded, so every join is still
+    a broadcast.
+
+    Scale shape: all model tables broadcast, the corpus explodes once
     into fixed-width transition rows, one DECIMAL-partial hash
     aggregate per document — the corpus never shuffles its text."""
     ship_package(df.sparkSession)
+    if lm.trigrams is not None:
+        tr = _transitions3(df, text_col, id_col)
+        logp = F.coalesce(
+            F.col("logp3"),
+            F.col("logp_miss3"),
+            F.col("logp"),
+            F.col("logp_miss"),
+            F.col("logp_unseen"),
+        )
+        scored = (
+            tr.join(F.broadcast(lm.trigrams), ["p2", "prev", "tok"], "left")
+            .join(F.broadcast(lm.contexts3), ["p2", "prev"], "left")
+            .join(F.broadcast(lm.bigrams), ["prev", "tok"], "left")
+            .join(F.broadcast(lm.contexts), "prev", "left")
+            .crossJoin(F.broadcast(lm.stats.select("logp_unseen")))
+            .select(
+                "id",
+                F.when(F.col("prev").isNotNull(), logp).alias("logp"),
+            )
+        )
+        return scored.groupBy("id").agg(
+            F.count("logp").cast("bigint").alias("n_transitions"),
+            F.when(
+                F.count("logp") > 0,
+                -F.sum(F.col("logp").cast("decimal(38,12)")).cast("double")
+                / F.count("logp"),
+            ).alias("xent"),
+        )
     tr = _transitions(df, text_col, id_col)
     logp = F.coalesce(F.col("logp"), F.col("logp_miss"), F.col("logp_unseen"))
     scored = (
@@ -318,15 +356,22 @@ def lm_score_report(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
     """Train on ``ref``, score ``df`` — the one-call spelling, with the
-    two model tables cached (each is consumed by the returned plan via
-    a broadcast) and paired-released."""
-    lm = ngram_lm_train(ref, alpha=alpha, text_col=text_col)
+    model tables cached (each is consumed by the returned plan via a
+    broadcast) and paired-released. ``order=3`` trains and scores
+    through the trigram backoff head."""
+    lm = ngram_lm_train(ref, alpha=alpha, text_col=text_col, order=order)
     cached = BigramLm(
         bigrams=lm.bigrams.cache(),
         contexts=lm.contexts.cache(),
         stats=lm.stats.cache(),
+        trigrams=lm.trigrams.cache() if lm.trigrams is not None else None,
+        contexts3=lm.contexts3.cache() if lm.contexts3 is not None else None,
     )
     out = ngram_lm_score(df, cached, text_col=text_col, id_col=id_col)
-    return release_after(out, cached.bigrams, cached.contexts, cached.stats)
+    handles = [cached.bigrams, cached.contexts, cached.stats]
+    if cached.trigrams is not None:
+        handles += [cached.trigrams, cached.contexts3]
+    return release_after(out, *handles)

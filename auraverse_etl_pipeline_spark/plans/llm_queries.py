@@ -4378,6 +4378,94 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_trigram",
+    # The trigram oracle extends the bigram CTE block one order up:
+    # p2 is the prepended-NULL token two back ((NULL ++ toks)[1:n-1]
+    # zips positionally against the prev/tok slices, so a document
+    # still yields exactly max(n-1, 0) scored transitions and the
+    # second token's p2 is NULL — the backoff boundary). The scoring
+    # COALESCE replays the engine's KenLM-shaped chain exactly; NULL
+    # p2 never equality-matches the trigram tables in either engine.
+    oracle=_LM_CTES
+    + """
+    , tr3 AS (
+        SELECT * FROM (
+            SELECT unnest((list_prepend(CAST(NULL AS VARCHAR), toks))
+                              [1:len(toks)-1]) AS p2,
+                   unnest(toks[1:len(toks)-1]) AS prev,
+                   unnest(toks[2:len(toks)]) AS tok
+            FROM rt
+        ) WHERE p2 IS NOT NULL
+    ),
+    big3 AS (
+        SELECT p2, prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tr3 GROUP BY p2, prev, tok
+    ),
+    ctx3 AS (
+        SELECT p2, prev, CAST(SUM(c) AS BIGINT) AS c_ctx
+        FROM big3 GROUP BY p2, prev
+    ),
+    tw AS (
+        SELECT p2, prev, tok,
+               ln((c + CAST(1.0 AS DOUBLE)) / (c_ctx + CAST(1.0 AS DOUBLE) * v))
+                 AS logp3
+        FROM big3 JOIN ctx3 USING (p2, prev), voc
+    ),
+    c3w AS (
+        SELECT p2, prev,
+               ln(CAST(1.0 AS DOUBLE) / (c_ctx + CAST(1.0 AS DOUBLE) * v))
+                 AS logp_miss3
+        FROM ctx3, voc
+    ),
+    ctr3 AS (
+        SELECT doc_id,
+               unnest((list_prepend(CAST(NULL AS VARCHAR), toks))
+                          [1:len(toks)-1]) AS p2,
+               unnest(toks[1:len(toks)-1]) AS prev,
+               unnest(toks[2:len(toks)]) AS tok
+        FROM ct
+    ),
+    scoredtr3 AS (
+        SELECT ctr3.doc_id,
+               COALESCE(tw.logp3, c3w.logp_miss3, bw.logp, cw.logp_miss,
+                        (SELECT logp_unseen FROM st)) AS logp
+        FROM ctr3
+        LEFT JOIN tw ON tw.p2 = ctr3.p2 AND tw.prev = ctr3.prev
+                    AND tw.tok = ctr3.tok
+        LEFT JOIN c3w ON c3w.p2 = ctr3.p2 AND c3w.prev = ctr3.prev
+        LEFT JOIN bw ON bw.prev = ctr3.prev AND bw.tok = ctr3.tok
+        LEFT JOIN cw ON cw.prev = ctr3.prev
+    ),
+    xents3 AS (
+        SELECT d.doc_id,
+               CAST(COUNT(s.logp) AS BIGINT) AS n_transitions,
+               CASE WHEN COUNT(s.logp) > 0 THEN
+                   -CAST(SUM(CAST(s.logp AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(s.logp)
+               END AS xent
+        FROM documents d LEFT JOIN scoredtr3 s USING (doc_id)
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_transitions, xent FROM xents3
+    """,
+    description="the KenLM-shaped trigram fluency gate: the bigram LM "
+    "plus a trigram head (observed-trigram + 2-token-context tables, "
+    "both still vocabulary-bounded broadcasts), scored through the "
+    "backoff chain logp3 -> logp_miss3 -> logp -> logp_miss -> "
+    "logp_unseen. A document's second token backs off to the bigram "
+    "tables by construction (null p2); fuzzed against a pure-Python "
+    "Counter model in tests/test_fuzz.py",
+)
+def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    out = lm_score_report(docs, ref, order=3)
+    return out.select(F.col("id").alias("doc_id"), "n_transitions", "xent")
+
+
+@query(
     "mix_dsir_select",
     oracle="""
     WITH rawt AS (

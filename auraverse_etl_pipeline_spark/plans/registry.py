@@ -76,6 +76,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
     # green + 2 rows-recorded; zero red). Round-9 rewrites after their
     # last green/recorded row go here as they land:
+    "text_lm_trigram",  # NEW: trigram head + backoff chain (ADVICE r8)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -573,6 +573,12 @@ def stream_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         for t in (cached.bigrams, cached.contexts, cached.stats):
+            # the bigrams frame carries a chained release handle for the
+            # internal bigram-count cache created inside ngram_lm_train —
+            # route through it so that cache doesn't outlive the query.
+            release = getattr(t, "release_caches", None)
+            if callable(release):
+                release()
             t.unpersist()
     return (
         spark.read.parquet(f"{root}/decisions")

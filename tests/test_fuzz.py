@@ -610,6 +610,85 @@ def test_bigram_lm_matches_model(spark):
     prop()
 
 
+def test_trigram_lm_matches_model(spark):
+    """Property: the order=3 trigram head + KenLM-shaped backoff chain
+    (logp3 → logp_miss3 → logp → logp_miss → logp_unseen) equals a
+    pure-Python Counter model on randomized corpora — including the
+    p2-is-null backoff boundary at every document's second token."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        ref_rows = [(i, t) for i, t in rows if i % 2 == 0]
+        ref = docs.filter("doc_id % 2 = 0")
+
+        import re
+
+        def toks(t):
+            return re.split(r"\s+", t.strip())
+
+        big, ctx, tri, ctx3, vocab = Counter(), Counter(), Counter(), Counter(), set()
+        for _, t in ref_rows:
+            ws = toks(t)
+            vocab.update(ws)
+            for p, w in zip(ws, ws[1:]):
+                big[(p, w)] += 1
+                ctx[p] += 1
+            for p2, p, w in zip(ws, ws[1:], ws[2:]):
+                tri[(p2, p, w)] += 1
+                ctx3[(p2, p)] += 1
+        V = len(vocab)
+
+        def logp(p2, p, w):
+            if p2 is not None:
+                if (p2, p, w) in tri:
+                    return math.log((tri[(p2, p, w)] + 1.0) / (ctx3[(p2, p)] + V))
+                if (p2, p) in ctx3:
+                    return math.log(1.0 / (ctx3[(p2, p)] + V))
+            if (p, w) in big:
+                return math.log((big[(p, w)] + 1.0) / (ctx[p] + 1.0 * V))
+            if p in ctx:
+                return math.log(1.0 / (ctx[p] + 1.0 * V))
+            return math.log(1.0 / (0 + 1.0 * V))
+
+        want = {}
+        for i, t in rows:
+            ws = toks(t)
+            trs = list(zip([None] + ws[:-2], ws, ws[1:]))
+            if trs:
+                want[i] = (
+                    len(trs),
+                    -sum(logp(p2, p, w) for p2, p, w in trs) / len(trs),
+                )
+            else:
+                want[i] = (0, None)
+
+        out = lm_score_report(docs, ref, order=3)
+        got = {r.id: (r.n_transitions, r.xent) for r in out.collect()}
+        out.release_caches()
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], (i, got[i], want[i])
+            if want[i][1] is None:
+                assert got[i][1] is None
+            else:
+                assert got[i][1] is not None
+                assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+
+    prop()
+
+
 def test_containment_recall_matches_exhaustive(spark):
     """Property: containment_pairs finds EXACTLY the directed pairs a
     pure-Python exhaustive shingle-set model finds — the one-sided

@@ -632,6 +632,9 @@ def test_stream_lm_quality_gate_multi_batch(spark, sf_dir, tmp_path):
         }
     finally:
         for t in (cached.bigrams, cached.contexts, cached.stats):
+            release = getattr(t, "release_caches", None)
+            if callable(release):
+                release()  # chains to ngram_lm_train's internal cache
             t.unpersist()
     assert len(got) == 90
     assert got == want
