@@ -1009,7 +1009,16 @@ def containment_pairs(
     both verify lookups), the df-ordered row_number prefix cut on the
     contained side, shingle-equality join prefix × full index, distinct
     directed candidates, exact verify. Output: (contained_id,
-    container_id, containment), contained_id ≠ container_id."""
+    container_id, containment), contained_id ≠ container_id.
+
+    COST REGIME: candidate volume grows as τ falls (τ=0.5 measured
+    ~2.4× the τ=0.9 runtime at 20× scale, superlinear-trending —
+    SCALE.md round 7); below ~0.7 the MinHash tier is the right tool.
+    :func:`containment_join_audit` is the runtime guard: it computes
+    the EXACT candidate join volume and prefix fraction for a corpus +
+    threshold from two vocab-sized aggregates — without running the
+    join — so a pipeline can measure before it pays (the
+    :func:`hot_buckets` discipline)."""
     sh = (
         _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
         .withColumn("sz", F.size("sh").cast("bigint"))
@@ -1041,5 +1050,72 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "containment")
+    )
+    return release_after(result, sh)
+
+
+def containment_join_audit(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row cost audit for :func:`containment_pairs` — the runtime
+    guard that makes low-τ misuse VISIBLE before a pipeline pays for
+    it, mirroring :func:`hot_buckets` for the LSH tier.
+
+    ``candidate_rows`` is EXACT, not an estimate: the prefix × index
+    shingle-equality join emits exactly ``Σ_s p(s)·i(s)`` rows (p =
+    prefix occurrences of shingle s, i = index occurrences), of which
+    exactly one per prefix row is a self-match (shingles are distinct
+    per document, and every prefix shingle is in its own document's
+    index) — so the pre-distinct candidate volume is computable from
+    two VOCAB-sized count aggregates joined on shingle, never
+    materializing a single candidate. A caller seeing
+    ``candidates_per_doc`` blow past the corpus size knows the
+    threshold belongs to the MinHash tier before running the join.
+
+    Columns: ``n_docs``, ``index_shingles`` (total exploded),
+    ``prefix_shingles``, ``prefix_fraction`` (the share of the corpus
+    the contained side actually indexes — the τ-curve's driver),
+    ``candidate_rows`` (exact, self-matches removed),
+    ``candidates_per_doc``."""
+    sh = (
+        _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .cache()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    p_cnt = (
+        _frequency_ordered_prefix(sh, threshold)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("p_n"))
+    )
+    i_cnt = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("i_n")
+    )
+    est = p_cnt.join(i_cnt, "shingle").agg(
+        F.sum(F.col("p_n") * F.col("i_n")).cast("bigint").alias("cand_with_self"),
+        F.sum("p_n").cast("bigint").alias("prefix_shingles"),
+    )
+    totals = sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("index_shingles"),
+    )
+    result = totals.crossJoin(F.broadcast(est)).select(
+        "n_docs",
+        "index_shingles",
+        "prefix_shingles",
+        (F.col("prefix_shingles") / F.col("index_shingles")).alias(
+            "prefix_fraction"
+        ),
+        (F.col("cand_with_self") - F.col("prefix_shingles"))
+        .cast("bigint")
+        .alias("candidate_rows"),
+        (
+            (F.col("cand_with_self") - F.col("prefix_shingles"))
+            / F.col("n_docs")
+        ).alias("candidates_per_doc"),
     )
     return release_after(result, sh)

@@ -77,6 +77,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # green + 2 rows-recorded; zero red). Round-9 rewrites after their
     # last green/recorded row go here as they land:
     "text_lm_trigram",  # NEW: trigram head + backoff chain (ADVICE r8)
+    "dedup_containment_audit",  # NEW: containment-join cost guard (VERDICT r8 #3)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

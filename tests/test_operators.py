@@ -933,6 +933,68 @@ def test_hot_buckets_audit_surface(spark):
     assert drop_hot_buckets(bands, ["band"], cap=100).count() == 15
 
 
+def test_containment_join_audit_exact(spark):
+    """containment_join_audit reports the EXACT pre-distinct candidate
+    volume and prefix fraction — verified against an exhaustive
+    pure-Python replay of the frequency-ordered prefix cut, at τ=0.5
+    (the misuse regime the audit exists to expose) and τ=0.9 — and the
+    τ=0.5 numbers must be visibly larger (the caller's signal that the
+    threshold belongs to the MinHash tier)."""
+    import math
+    from collections import Counter
+
+    from auraverse_etl_pipeline_spark.operators.dedup import containment_join_audit
+
+    boiler = "terms of service apply to all users"
+    texts = [
+        f"{boiler} alpha beta gamma delta epsilon zeta",
+        f"{boiler} alpha beta gamma delta",
+        f"{boiler} eta theta iota kappa lam mu",
+        "eta theta iota kappa",
+        f"{boiler} nu xi omicron pi rho sigma tau",
+        "completely unrelated words flowing here nicely today",
+        "alpha beta gamma",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    def model(tau, n=2):
+        def sh(t):
+            ws = t.strip().split()
+            return sorted({" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)})
+
+        sets = {i: sh(t) for i, t in enumerate(texts) if sh(t)}
+        dfreq = Counter(s for ss in sets.values() for s in ss)
+        n_docs = len(sets)
+        index_shingles = sum(len(ss) for ss in sets.values())
+        p_cnt: Counter = Counter()
+        prefix_shingles = 0
+        for ss in sets.values():
+            plen = int(len(ss) - math.ceil(tau * len(ss)) + 1)
+            for s in sorted(ss, key=lambda x: (dfreq[x], x))[:plen]:
+                p_cnt[s] += 1
+                prefix_shingles += 1
+        cand = sum(p * dfreq[s] for s, p in p_cnt.items())
+        return n_docs, index_shingles, prefix_shingles, cand - prefix_shingles
+
+    got = {}
+    for tau in (0.5, 0.9):
+        out = containment_join_audit(docs, threshold=tau, n=2)
+        row = out.collect()[0]
+        out.release_caches()
+        nd, isz, psz, cr = model(tau)
+        assert row.n_docs == nd
+        assert row.index_shingles == isz
+        assert row.prefix_shingles == psz, (tau, row.prefix_shingles, psz)
+        assert row.candidate_rows == cr, (tau, row.candidate_rows, cr)
+        assert abs(row.prefix_fraction - psz / isz) < 1e-12
+        assert abs(row.candidates_per_doc - cr / nd) < 1e-9
+        got[tau] = row
+    assert got[0.5].prefix_fraction > got[0.9].prefix_fraction
+    assert got[0.5].candidate_rows > got[0.9].candidate_rows
+
+
 def test_hot_bucket_caps_unused_at_correctness_sf(spark):
     """The capped pair queries (minhash/simhash, max_bucket_size=1000)
     have oracles that do NOT model the cap; parity holds because no LSH
