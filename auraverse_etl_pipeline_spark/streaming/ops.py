@@ -30,6 +30,10 @@ from pyspark.sql.types import (
 )
 
 from auraverse_etl_pipeline_spark.plans.analytics import dsum
+from auraverse_etl_pipeline_spark.streaming.runner import (
+    audit_batch_plan,
+    audit_stream_plan,
+)
 
 
 def windowed_event_counts(
@@ -303,8 +307,10 @@ def run_stream_dedup_compaction(
             .groupBy("id1", "id2")
             .agg(F.max("est_jaccard").alias("est_jaccard"))
         )
+        audit_batch_plan("minhash_compaction:matches", matches)
         matches.write.mode("append").parquet(matches_path)
         delta = sigs.join(index.select("doc_id"), "doc_id", "left_anti")
+        audit_batch_plan("minhash_compaction:delta", delta)
         delta.write.mode("append").parquet(index_path)
         sigs.unpersist()
 
@@ -319,6 +325,7 @@ def run_stream_dedup_compaction(
     )
     try:
         q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
 
@@ -428,14 +435,24 @@ def run_stream_bm25_indexing(
         # delta would recompute against the new listing — and anti-join
         # away the very docs it just wrote — before the df/stats writes.
         delta = delta.localCheckpoint()
+        audit_batch_plan("bm25_indexing:postings", delta)
         delta.write.mode("append").parquet(f"{index_path}/postings")
-        delta.groupBy("term").agg(
+        dfs = delta.groupBy("term").agg(
             F.count(F.lit(1)).cast("bigint").alias("df")
-        ).write.mode("append").parquet(f"{index_path}/dfs")
-        delta.groupBy("id").agg(F.max("dl").alias("dl")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("total_len"),
-        ).fillna(0).write.mode("append").parquet(f"{index_path}/stats")
+        )
+        audit_batch_plan("bm25_indexing:dfs", dfs)
+        dfs.write.mode("append").parquet(f"{index_path}/dfs")
+        stats = (
+            delta.groupBy("id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("total_len"),
+            )
+            .fillna(0)
+        )
+        audit_batch_plan("bm25_indexing:stats", stats)
+        stats.write.mode("append").parquet(f"{index_path}/stats")
         delta.unpersist()
         if idx.cache_handle is not None:
             idx.cache_handle.unpersist()
@@ -451,6 +468,7 @@ def run_stream_bm25_indexing(
     )
     try:
         q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
 
@@ -535,6 +553,7 @@ def run_stream_ivf_assign(
             "id", "v", "cell"
         )
         delta = delta.localCheckpoint()
+        audit_batch_plan("ivf_assign:delta", delta)
         delta.write.mode("append").partitionBy("cell").parquet(
             f"{index_path}/assignments"
         )
@@ -550,6 +569,7 @@ def run_stream_ivf_assign(
     )
     try:
         q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
 
@@ -599,6 +619,7 @@ def run_stream_lm_quality_gate(
                 "fluent"
             ),
         )
+        audit_batch_plan("lm_quality_gate:decisions", dec)
         dec.write.mode("append").parquet(decisions_path)
 
     import tempfile
@@ -612,5 +633,6 @@ def run_stream_lm_quality_gate(
     )
     try:
         q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()

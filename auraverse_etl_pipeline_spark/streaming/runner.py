@@ -15,6 +15,43 @@ from pyspark.sql import DataFrame
 
 _SEQ = count()
 
+#: When set to a list (by ``tools/audit_plans.py``), every streaming
+#: run appends ``(label, physical_plan_str)`` tuples here: the
+#: micro-batch plan of each started streaming query, plus — via
+#: :func:`audit_batch_plan` calls inside foreachBatch handlers — the
+#: executed plan of every batch DataFrame a handler writes. This is
+#: what lets the whole-registry anti-pattern sweep cover the streaming
+#: tier with the SAME checks as the batch tier, instead of relying on
+#: individually pinned plans. ``None`` (the default) disables capture
+#: entirely — zero overhead on the production path.
+PLAN_AUDIT: list[tuple[str, str]] | None = None
+
+
+def audit_batch_plan(label: str, df: DataFrame) -> None:
+    """Record ``df``'s executed physical plan when auditing is on.
+
+    Called by foreachBatch handlers on each DataFrame they write —
+    planning only, no extra execution. Capture failures are recorded
+    as findings (never swallowed into a false 'clean' sweep)."""
+    if PLAN_AUDIT is None:
+        return
+    try:
+        PLAN_AUDIT.append(
+            (label, df._jdf.queryExecution().executedPlan().toString())
+        )
+    except Exception as exc:  # noqa: BLE001 — surfaced by the audit tool
+        PLAN_AUDIT.append((label, f"CAPTURE_ERROR: {exc!r}"))
+
+
+def audit_stream_plan(label: str, query) -> None:
+    """Record a StreamingQuery's last micro-batch physical plan."""
+    if PLAN_AUDIT is None:
+        return
+    try:
+        PLAN_AUDIT.append((label, query._jsq.explainInternal(False)))
+    except Exception as exc:  # noqa: BLE001
+        PLAN_AUDIT.append((label, f"CAPTURE_ERROR: {exc!r}"))
+
 
 def run_stream_to_memory(
     sdf: DataFrame,
@@ -58,6 +95,7 @@ def run_stream_to_memory(
         )
         try:
             q.awaitTermination(timeout_s)
+            audit_stream_plan(qname, q)
         finally:
             q.stop()
     finally:

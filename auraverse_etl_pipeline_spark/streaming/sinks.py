@@ -23,9 +23,12 @@ def foreach_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
     of batch N replaces exactly its own output and nothing else."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from auraverse_etl_pipeline_spark.streaming.runner import audit_batch_plan
+
+        out = batch_df.withColumn("batch_id", F.lit(batch_id))
+        audit_batch_plan("partitioned_parquet_sink", out)
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(path)
