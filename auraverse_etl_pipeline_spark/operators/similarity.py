@@ -181,6 +181,7 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     dim: int | None = None,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH, exact-cosine
     verified (Charikar signs — SimHash for vectors).
@@ -190,6 +191,27 @@ def hyperplane_lsh_pairs(
     driver-side job, so constructing this operator launches no Spark
     jobs. The hyperplanes are a deterministic function of (seed, dim),
     so every batch regenerates the identical matrix.
+
+    ``plane_kind`` selects the hyperplane family:
+
+    - ``"gaussian"`` (default) — numpy RNG standard-normal planes,
+      signs from one vectorized matmul per Arrow batch. The throughput
+      path; band keys depend on numpy's summation order, so they are
+      NOT replayable by another engine (queries over this path are
+      rows-only checkable).
+    - ``"signs"`` — md5-derived ±1 planes (:func:`projection_signs`,
+      the Achlioptas/JL matrix; requires ``dim``). Each plane dot
+      product runs as a codegen'd ORDERED left-fold, bit-identical to
+      DuckDB's sequential ``list_reduce``, and the exact-cosine verify
+      uses the ordered-fold :func:`cosine_similarity_expr` — so every
+      band key AND every output cosine replays digit-for-digit in a
+      SQL oracle, while the planes still MIX components (unlike the
+      axis-aligned :func:`signbucket_lsh_pairs`, whose recall suffers
+      on correlated dimensions). ±1-plane sign agreement approximates
+      the Gaussian angle bound (Achlioptas shows the sign matrix
+      preserves the same inner-product geometry), so the recall
+      formula below carries over. No Python workers anywhere in this
+      path.
 
     ``max_bucket_size`` drops any (band, key) bucket larger than the
     cap before the self-join (same skew guard as the text LSH tiers:
@@ -215,6 +237,10 @@ def hyperplane_lsh_pairs(
     import numpy as np
     import pandas as pd
 
+    if plane_kind not in ("gaussian", "signs"):
+        raise ValueError(f"plane_kind must be 'gaussian' or 'signs', got {plane_kind!r}")
+    if plane_kind == "signs" and dim is None:
+        raise ValueError("plane_kind='signs' requires an explicit dim")
     ship_package(df.sparkSession)  # batch_cosine verify stage, see cosine_top_k
     n_bands = n_planes // band_bits
 
@@ -244,14 +270,47 @@ def hyperplane_lsh_pairs(
 
     # cache: the band self-join (and the optional hot-bucket count)
     # consume this multiple times, and without the cache each consumer
-    # re-runs the Python mapInPandas stage. The cached reference stays
-    # in `banded_keys` so release_after pairs the release even when the
+    # re-runs the band-key stage. The cached reference stays in
+    # `banded_keys` so release_after pairs the release even when the
     # cap rebinds the join input.
-    banded_keys = (
-        e.mapInPandas(band_keys, "id bigint, bands array<bigint>")
-        .select("id", F.posexplode("bands").alias("band", "key"))
-        .cache()
-    )
+    if plane_kind == "signs":
+        signs = projection_signs(dim, n_planes, seed)
+        zero = F.lit(0.0).cast("double")
+
+        def plane_dot(d: int):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in signs[d]]),
+                    lambda x, s: x * s,
+                ),
+                zero,
+                lambda acc, x: acc + x,
+            )
+
+        keys = [
+            sum(
+                (
+                    F.when(
+                        plane_dot(b * band_bits + j) >= 0,
+                        F.lit(1 << j).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                    for j in range(band_bits)
+                ),
+                start=F.lit(0).cast("bigint"),
+            )
+            for b in range(n_bands)
+        ]
+        banded_keys = (
+            e.select("id", F.posexplode(F.array(*keys)).alias("band", "key"))
+            .cache()
+        )
+    else:
+        banded_keys = (
+            e.mapInPandas(band_keys, "id bigint, bands array<bigint>")
+            .select("id", F.posexplode("bands").alias("band", "key"))
+            .cache()
+        )
     banded = banded_keys
     if max_bucket_size is not None:
         from auraverse_etl_pipeline_spark.operators.dedup import drop_hot_buckets
@@ -270,15 +329,19 @@ def hyperplane_lsh_pairs(
         e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
     ).join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
 
-    # Candidate volume is data-dependent (clustered corpora collide a
-    # lot), so verify with the Arrow-batched cosine instead of the
-    # interpreted per-row fold the exact tier uses for bit-parity with
-    # the SQL oracle.
+    # Gaussian path: candidate volume is data-dependent (clustered
+    # corpora collide a lot), so verify with the Arrow-batched cosine.
+    # Signs path: verify with the ordered fold so the output cosines
+    # (not just the band keys) replay bit-for-bit in the SQL oracle.
     from auraverse_etl_pipeline_spark.operators.caching import release_after
 
-    result = (
-        pairs.select("id1", "id2", batch_cosine("v1", "v2").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    cos = (
+        cosine_similarity_expr("v1", "v2")
+        if plane_kind == "signs"
+        else batch_cosine("v1", "v2")
+    )
+    result = pairs.select("id1", "id2", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
     return release_after(result, banded_keys, banded)
 

@@ -241,14 +241,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_with_perturbed_copies(emb, max_id=150), threshold=0.9)
 
 
+#: Random-plane LSH oracle geometry: 8 bands × 8 bits of md5-derived
+#: ±1 planes over the 64-dim fixture — same band cost as the
+#: sign-bucket twin, but the planes MIX components (true random-
+#: hyperplane LSH, not axis-aligned).
+_HPLSH_N_PLANES = 64
+_HPLSH_BAND_BITS = 8
+_HPLSH_SEED = 42
+
+
+def _hyperplane_lsh_oracle() -> str:
+    """The ±1 plane matrix is md5-derived data (projection_signs), so
+    it embeds as a SQL literal generated from the SAME call the Spark
+    operator makes; each plane dot product is DuckDB's sequential
+    list_reduce — bit-identical to Spark's ordered left-fold — and the
+    verify is list_cosine_similarity vs the ordered-fold cosine."""
+    from auraverse_etl_pipeline_spark.operators.similarity import projection_signs
+
+    signs = projection_signs(64, _HPLSH_N_PLANES, _HPLSH_SEED)
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+            for row in signs
+        )
+        + "]"
+    )
+    bb = _HPLSH_BAND_BITS
+    n_bands = _HPLSH_N_PLANES // bb
+    return (
+        _PERTURBED_SQL.format(max_id=150)
+        + f"""
+    , m AS (SELECT {mat}::DOUBLE[][] AS mat),
+    b AS (
+        SELECT vec_id, CAST(r.b AS INTEGER) AS band,
+               CAST(list_sum(list_transform(range(1, {bb + 1}), j ->
+                   CASE WHEN list_reduce(
+                            list_transform(range(1, 65),
+                                           i -> v[i] * mat[r.b * {bb} + j][i]),
+                            (a, c) -> a + c) >= 0
+                        THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END))
+                    AS BIGINT) AS key
+        FROM corpus, range(0, {n_bands}) r(b), m
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+        FROM b a JOIN b b2 USING (band, key)
+        WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id1, id2, list_cosine_similarity(x.v, y.v) AS cosine
+    FROM cand JOIN corpus x ON x.vec_id = cand.id1
+              JOIN corpus y ON y.vec_id = cand.id2
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+    """
+    )
+
+
 @query(
     "dedup_embedding_lsh",
-    description="random-hyperplane LSH embedding near-dups, exact-cosine "
-    "verified (recall vs the exact tier pinned in pytest)",
+    oracle=_hyperplane_lsh_oracle(),
+    description="random-hyperplane LSH embedding near-dups, now FULLY "
+    "oracle-gated: the hyperplanes are md5-derived +-1 sign planes "
+    "(the projection_signs matrix - true component-mixing planes, "
+    "unlike the axis-aligned sign-bucket twin), every plane dot "
+    "product a codegen'd ordered left-fold that DuckDB's sequential "
+    "list_reduce replays digit-for-digit, exact-cosine verified with "
+    "the ordered-fold cosine. 8 bands x 8 bits over the 64-dim "
+    "perturbed-copy fixture; recall vs the exact tier pinned in "
+    "pytest. The numpy-Gaussian plane family remains available as "
+    "plane_kind='gaussian' (rows-only by construction)",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_pairs(_with_perturbed_copies(emb), threshold=0.9, max_bucket_size=1000)
+    return hyperplane_lsh_pairs(
+        _with_perturbed_copies(emb, max_id=150),
+        threshold=0.9,
+        n_planes=_HPLSH_N_PLANES,
+        band_bits=_HPLSH_BAND_BITS,
+        seed=_HPLSH_SEED,
+        dim=64,
+        plane_kind="signs",
+    )
 
 
 #: Sign-bucket LSH oracle geometry — ONE definition shared by the Spark

@@ -282,6 +282,18 @@ def test_hyperplane_lsh_recalls_exact_embedding_pairs(spark, sf_dir):
     assert recall >= 0.95, f"LSH recall {recall:.3f} below bound"
     for pair, cos in approx.items():
         assert abs(exact[pair] - cos) < 1e-12
+    # the oracle-gated ±1-plane family (the dedup_embedding_lsh query
+    # geometry) must hold the same recall bar at its 8×8 geometry
+    signed = hyperplane_lsh_pairs(
+        corpus, 0.9, n_planes=64, band_bits=8, dim=64, plane_kind="signs"
+    )
+    sgn = {(r.id1, r.id2): r.cosine for r in signed.collect()}
+    signed.release_caches()
+    assert set(sgn) <= set(exact)  # no false positives
+    recall_s = len(sgn) / len(exact)
+    assert recall_s >= 0.95, f"sign-plane LSH recall {recall_s:.3f} below bound"
+    for pair, cos in sgn.items():
+        assert abs(exact[pair] - cos) < 1e-12
 
 
 def test_salted_agg_matches_plain_agg(spark, sf_dir):
