@@ -1409,7 +1409,52 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_media_features",
-    description="binary media columns → feature extraction (deterministic stub codec)",
+    # The fake-media payload is the document's UTF-8 bytes, so every
+    # feature column is SQL-expressible — the byte stream is rebuilt in
+    # SQL by UTF-8-encoding each code point with integer arithmetic
+    # (1/2/3/4-byte forms), which also cross-checks n_bytes against the
+    # expansion. Empty documents keep their row via the LEFT JOIN with
+    # the operator's zero fills.
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    cp AS (
+        SELECT doc_id, unicode(ch) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d)
+    ),
+    cb AS (
+        SELECT doc_id, unnest(
+            CASE
+                WHEN c < 128 THEN [c]
+                WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+                WHEN c < 65536
+                    THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+                ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+                      128 + (c // 64) % 64, 128 + c % 64]
+            END) AS b
+        FROM cp
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bytes,
+               CAST(SUM(b) AS DOUBLE) / COUNT(*) AS byte_mean,
+               CAST(COUNT(DISTINCT b) AS DOUBLE) / 256.0 AS byte_entropy_proxy,
+               CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS n_frames_sampled
+        FROM cb GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           ['image', 'audio', 'video'][(d.doc_id % 3) + 1] AS kind,
+           COALESCE(s.n_bytes, 0) AS n_bytes,
+           sha256(d.text) AS sha256,
+           COALESCE(s.byte_mean, 0.0) AS byte_mean,
+           COALESCE(s.byte_entropy_proxy, 0.0) AS byte_entropy_proxy,
+           COALESCE(s.n_frames_sampled, 0) AS n_frames_sampled
+    FROM d LEFT JOIN stats s USING (doc_id)
+    """,
+    description="binary media columns -> feature extraction "
+    "(deterministic stub codec), fully oracle-gated: sha256, byte "
+    "count, byte mean, distinct-byte entropy proxy and strided frame "
+    "count over the payload bytes all replay in SQL via an integer-"
+    "arithmetic UTF-8 encoder over the source text's code points",
 )
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -79,6 +79,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_lm_trigram",  # NEW: trigram head + backoff chain (ADVICE r8)
     "dedup_containment_audit",  # NEW: containment-join cost guard (VERDICT r8 #3)
     "dedup_embedding_lsh",  # REWRITTEN: md5 ±1 planes, now oracle-gated (VERDICT r8 #5)
+    "multimodal_media_features",  # REWRITTEN: full feature oracle via SQL UTF-8 encoder (VERDICT r8 #8)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
