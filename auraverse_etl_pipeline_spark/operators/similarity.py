@@ -546,12 +546,20 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    clamp: bool = False,
 ) -> DataFrame:
     """Assign vectors to their nearest centroid (max cosine, ties to
     the lowest cell) WITHOUT touching the quantizer — the incremental
     write path: new documents get cells against yesterday's centroids
     and append into the persisted index's cell partitions. Output:
     (id, v, cell, centroid_cos).
+
+    ``clamp=True`` caps the cosine at 1.0 — required whenever a
+    centroid can coincide with a member vector (the Lloyd quantizer's
+    sample init, a singleton cell's mean): the native fold scores a
+    self-pair 1+2e-16 while DuckDB's list_cosine_similarity clamps,
+    so an unclamped argmax can disagree across engines (the
+    ivf_rebalance / mix_cluster_balanced clamp rule).
 
     Scale shape: centroids broadcast (nlist rows), the batch is scanned
     once, and the argmax is a ``max_by`` hash aggregate — partial
@@ -562,11 +570,14 @@ def ivf_assign(
     labels digit-for-digit."""
     b = _as_double(batch, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cent = F.broadcast(centroids.select("cell", "centroid"))
+    cos = cosine_similarity_expr("v", "centroid")
+    if clamp:
+        cos = F.least(F.lit(1.0), cos)
     scored = b.crossJoin(cent).select(
         "id",
         "v",
         "cell",
-        cosine_similarity_expr("v", "centroid").alias("centroid_cos"),
+        cos.alias("centroid_cos"),
     )
     best = F.max_by(
         F.struct("cell", "centroid_cos", "v"),
@@ -577,6 +588,12 @@ def ivf_assign(
         .agg(best.alias("_best"))
         .select("id", "_best.v", "_best.cell", "_best.centroid_cos")
     )
+
+
+#: Fixed-point scale (2^43) for the Lloyd quantizer's exact mean
+#: partials — exact in double, and float32-derived components with
+#: |x| ≥ 2^-20 scale to exact integers. Shared with the SQL oracle.
+_LLOYD_FIXED_POINT = 8796093022208.0
 
 
 def ivf_index(
@@ -608,11 +625,28 @@ def ivf_index(
       :func:`ivf_assign`'s exact-fold cosine argmax, so index build AND
       search replay digit-for-digit in any engine with a list cosine —
       the oracle-gated tier.
+    - ``"lloyd"`` — DETERMINISTIC in-engine Lloyd iterations: sample
+      init (above), then ``max_iter`` rounds of exact-fold cosine
+      assignment (clamped — iteration 1's centroids ARE member
+      vectors) + per-cell mean update through order-independent
+      DECIMAL(38,12) partials; an emptied cell keeps its previous
+      centroid. Spherical k-means without the normalize step (cosine
+      argmax is scale-invariant in the centroid, so the plain mean is
+      equivalent to the normalized one). Same recall class as
+      ``"kmeans"`` — real data-driven centroids, unlike the sample
+      quantizer — but every arithmetic step is engine-portable, so
+      the BUILD replays digit-for-digit in a SQL oracle (unrolled
+      iteration CTEs, the BPE-train discipline). Per round the
+      centroids (nlist×dim doubles — model-sized) are collected to
+      the driver and re-broadcast, the standard Lloyd driver loop
+      (MLlib does the same); the corpus-sized work per round is one
+      scan + one fixed-width max_by shuffle + one (cell, dim) mean
+      aggregate.
 
-    Both modes return the same schema, so :func:`ivf_search` and the
+    All modes return the same schema, so :func:`ivf_search` and the
     persistence contract don't care which built the index."""
     c = _as_double(corpus, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if quantizer == "sample":
+    if quantizer in ("sample", "lloyd"):
         w = Window.orderBy("id")
         cent = (
             c.orderBy("id")
@@ -622,10 +656,59 @@ def ivf_index(
                 F.col("v").alias("centroid"),
             )
         )
-        assignments = ivf_assign(c, cent, id_col="id", vec_col="v").select("id", "v", "cell")
+        if quantizer == "sample":
+            assignments = ivf_assign(c, cent, id_col="id", vec_col="v").select(
+                "id", "v", "cell"
+            )
+            return IvfIndex(centroids=cent, assignments=assignments)
+        spark = corpus.sparkSession
+        cent_rows = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cent.collect()
+        ]
+        schema = "cell int, centroid array<double>"
+        # The per-cell mean runs through EXACT FIXED-POINT partials:
+        # components scaled by 2^43 (exact in double; float32-derived
+        # vectors with |x| >= 2^-20 become exact integers), summed as
+        # DECIMAL(38,0), one division at the end. Order-independent,
+        # mergeable, and TIE-FREE across engines — a raw
+        # double→DECIMAL(38,12) cast hits half-up (Spark) vs half-even
+        # (DuckDB) ties on dyadic float32 components (measured:
+        # 0.1983642578125 → …813 vs …812). floor() makes sub-quantum
+        # components deterministic rather than exact (bias < 2^-43).
+        fx = F.lit(_LLOYD_FIXED_POINT)
+        for _ in range(max_iter):
+            cur = spark.createDataFrame(cent_rows, schema)
+            asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True)
+            upd = (
+                asg.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    (
+                        F.sum(
+                            F.floor(F.col("x") * fx).cast("decimal(38,0)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                        / fx
+                    ).alias("val")
+                )
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s")
+                )
+                .select("cell", F.transform("s", lambda t: t["val"]).alias("centroid"))
+            )
+            got = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in upd.collect()}
+            cent_rows = [(cell, got.get(cell, prev)) for cell, prev in cent_rows]
+        cent = spark.createDataFrame(cent_rows, schema)
+        assignments = ivf_assign(c, cent, id_col="id", vec_col="v", clamp=True).select(
+            "id", "v", "cell"
+        )
         return IvfIndex(centroids=cent, assignments=assignments)
     if quantizer != "kmeans":
-        raise ValueError(f"unknown quantizer {quantizer!r}; use 'kmeans' or 'sample'")
+        raise ValueError(
+            f"unknown quantizer {quantizer!r}; use 'kmeans', 'lloyd' or 'sample'"
+        )
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
@@ -818,14 +901,17 @@ def ivf_top_k(
     seed: int = 42,
     exact_fold: bool = False,
     max_iter: int = 8,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """One-shot IVF-flat approximate top-k: :func:`ivf_index` (KMeans
-    quantizer) + :func:`ivf_search` composed — the exploratory spelling
-    when no index exists yet. Anything that runs more than once should
-    build the index once, ``.save()`` it, and call :func:`ivf_search`
-    against the loaded index instead of refitting per run."""
+    quantizer by default; pass ``quantizer="lloyd"`` for the
+    deterministic engine-portable build) + :func:`ivf_search` composed
+    — the exploratory spelling when no index exists yet. Anything that
+    runs more than once should build the index once, ``.save()`` it,
+    and call :func:`ivf_search` against the loaded index instead of
+    refitting per run."""
     index = ivf_index(
-        corpus, nlist=nlist, quantizer="kmeans", seed=seed, max_iter=max_iter,
+        corpus, nlist=nlist, quantizer=quantizer, seed=seed, max_iter=max_iter,
         id_col=id_col, vec_col=vec_col,
     )
     return ivf_search(

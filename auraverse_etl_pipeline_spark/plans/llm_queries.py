@@ -428,9 +428,128 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _lloyd_chain(src: str, nlist: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd-iteration CTE fragment over corpus CTE ``src``
+    (columns id, v): sample init, then ``iters`` rounds of clamped
+    exact-fold cosine assignment (ties to the lowest cell) + per-cell
+    EXACT FIXED-POINT mean update (components × 2^43 → exact integers
+    for float32-derived vectors, summed as DECIMAL(38,0), one division
+    at the end — a raw double→DECIMAL(38,12) cast would hit half-up vs
+    half-even ties on dyadic components); emptied cells keep their
+    centroid. Returns (fragment, final_centroid_cte_name); the
+    fragment starts with a comma (append after the corpus CTE).
+    Multi-referenced CTEs MATERIALIZED (the BPE-chain discipline —
+    DuckDB re-inlines plain CTEs per reference, which goes exponential
+    down an iteration chain). Replays ivf_index(quantizer='lloyd')
+    digit-for-digit."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _LLOYD_FIXED_POINT as fx,
+    )
+
+    parts = [
+        f""",
+    c0 AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM {src} ORDER BY id LIMIT {nlist})
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{it} AS MATERIALIZED (
+        SELECT id, v, cell FROM (
+            SELECT x.id, x.v, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.id
+                       ORDER BY least(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(x.v, ct.centroid))
+                                    DESC,
+                                ct.cell) AS rn
+            FROM {src} x CROSS JOIN {prev} ct
+        ) WHERE rn = 1
+    ),
+    u{it} AS MATERIALIZED (
+        SELECT cell, r.i AS i,
+               CAST(SUM(CAST(floor(v[r.i] * {fx!r}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / COUNT(*) / {fx!r} AS val
+        FROM a{it}, range(1, 65) r(i) GROUP BY cell, r.i
+    ),
+    c{it} AS MATERIALIZED (
+        SELECT cell, array_agg(val ORDER BY i) AS centroid
+        FROM u{it} GROUP BY cell
+        UNION ALL
+        SELECT p.cell, p.centroid FROM {prev} p
+        WHERE p.cell NOT IN (SELECT DISTINCT cell FROM u{it})
+    )"""
+        )
+        prev = f"c{it}"
+    return "".join(parts), prev
+
+
+def _topk_ivf_lloyd_oracle() -> str:
+    """Full ANN search path over the LLOYD-trained quantizer: the
+    unrolled Lloyd chain over the corpus slice, then probe ranking,
+    clamped corpus assignment, in-cell exact-fold scoring, top-k with
+    deterministic tie-breaks — the sim_ivf_index_search shape with
+    trained (not sampled) centroids."""
+    chain, prev = _lloyd_chain("c", 16, 2)
+    return (
+        """
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    )"""
+        + chain
+        + f""",
+    assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY least(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(c.v, ct.centroid))
+                                    DESC,
+                                ct.cell) AS rn
+            FROM c CROSS JOIN {prev} ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.centroid) DESC,
+                                ct.cell) AS pr
+            FROM q CROSS JOIN {prev} ct
+        ) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.id) AS rank
+        FROM probes p JOIN assigned a USING (cell)
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM scored WHERE rank <= 5
+    """
+    )
+
+
 @query(
     "sim_topk_ivf",
-    description="IVF-flat ANN top-k (recall vs exact pinned in pytest)",
+    oracle=_topk_ivf_lloyd_oracle(),
+    description="IVF-flat ANN top-k over a TRAINED coarse quantizer, "
+    "now fully oracle-gated: the deterministic in-engine Lloyd build "
+    "(sample init, 2 clamped cosine-assignment + DECIMAL-mean rounds) "
+    "replaces the MLlib KMeans fit, so quantizer training, corpus "
+    "assignment, probe ranking and in-cell exact-fold scoring ALL "
+    "replay digit-for-digit in SQL. Recall vs exact pinned in pytest "
+    "for both this and the RNG KMeans path (still available as "
+    "quantizer='kmeans')",
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -440,6 +559,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nlist=16,
         nprobe=4,
+        quantizer="lloyd",
+        max_iter=2,
+        exact_fold=True,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -565,6 +687,81 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = emb.filter(F.col("vec_id") < 10)
     return ivf_assign(new_batch, idx.centroids).select(
         F.col("id").alias("vec_id"), "cell", "centroid_cos"
+    )
+
+
+#: Deterministic Lloyd quantizer geometry for the oracle-gated tier.
+_LLOYD_NLIST = 8
+_LLOYD_ITERS = 2
+
+
+def _lloyd_oracle() -> str:
+    """DuckDB replica of the Lloyd quantizer build + final assignment
+    populations over the full embeddings table."""
+    chain, prev = _lloyd_chain("corpus", _LLOYD_NLIST, _LLOYD_ITERS)
+    return (
+        """
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+        + chain
+        + f""",
+    af AS (
+        SELECT id, cell FROM (
+            SELECT x.id, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.id
+                       ORDER BY least(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(x.v, ct.centroid))
+                                    DESC,
+                                ct.cell) AS rn
+            FROM corpus x CROSS JOIN {prev} ct
+        ) WHERE rn = 1
+    ),
+    pop AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM af GROUP BY cell)
+    SELECT CAST(ct.cell AS BIGINT) AS cell,
+           CAST(r.i - 1 AS BIGINT) AS dim,
+           ct.centroid[r.i] AS value,
+           COALESCE(p.n_members, 0) AS n_members
+    FROM {prev} ct CROSS JOIN range(1, 65) r(i)
+    LEFT JOIN pop p ON p.cell = ct.cell
+    """
+    )
+
+
+@query(
+    "sim_ivf_lloyd",
+    oracle=_lloyd_oracle(),
+    description="DETERMINISTIC in-engine Lloyd/k-means quantizer "
+    "training, fully oracle-gated: sample init (nlist lowest-id "
+    "vectors), 2 rounds of clamped exact-fold cosine assignment + "
+    "per-cell DECIMAL-partial mean updates (spherical k-means - the "
+    "plain mean is equivalent under scale-invariant cosine argmax), "
+    "emptied cells keep their centroid. Output = final centroids "
+    "exploded to (cell, dim, value) plus each cell's member count - "
+    "the oracle replays BOTH the trained quantizer and the final "
+    "assignment digit-for-digit via unrolled MATERIALIZED iteration "
+    "CTEs (the BPE-train discipline). Real data-driven centroids "
+    "with none of the MLlib KMeans RNG dependence",
+)
+def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb, nlist=_LLOYD_NLIST, quantizer="lloyd", max_iter=_LLOYD_ITERS
+    )
+    pop = idx.assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        idx.centroids.select("cell", F.posexplode("centroid").alias("dim", "value"))
+        .join(pop, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dim").cast("bigint").alias("dim"),
+            "value",
+            F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+        )
     )
 
 

@@ -80,6 +80,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "dedup_containment_audit",  # NEW: containment-join cost guard (VERDICT r8 #3)
     "dedup_embedding_lsh",  # REWRITTEN: md5 ±1 planes, now oracle-gated (VERDICT r8 #5)
     "multimodal_media_features",  # REWRITTEN: full feature oracle via SQL UTF-8 encoder (VERDICT r8 #8)
+    "sim_ivf_lloyd",  # NEW: deterministic in-engine Lloyd quantizer training
+    "sim_topk_ivf",  # REWRITTEN: Lloyd quantizer, full search path now oracle-gated
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

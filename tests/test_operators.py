@@ -95,6 +95,51 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+    # the deterministic Lloyd quantizer (the oracle-gated sim_topk_ivf
+    # geometry) must hold the same recall bar
+    lloyd = ivf_top_k(
+        corpus, queries, k=5, nlist=8, nprobe=4, quantizer="lloyd", max_iter=2
+    ).collect()
+    lloyd_set = {(r.query_id, r.neighbor_id) for r in lloyd}
+    recall_l = len(exact_set & lloyd_set) / len(exact_set)
+    assert recall_l >= 0.5, f"Lloyd-IVF recall@5 too low: {recall_l}"
+    for r in lloyd:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_lloyd_quantizer_clusters_and_determinism(spark):
+    """The deterministic in-engine Lloyd quantizer must (a) separate
+    well-separated direction clusters, (b) move centroids off the
+    sample init toward the cluster means, and (c) be bit-deterministic
+    across two independent builds (the property the oracle gate relies
+    on)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    # three tight direction clusters in 4-D, 8 members each; ids
+    # interleaved so the sample init (3 lowest ids) spans the clusters
+    rows = []
+    for ci, base in enumerate([(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]):
+        for j in range(8):
+            eps = 0.01 * (j + 1)
+            rows.append((j * 3 + ci, [b + (eps if d == 3 else 0.0) for d, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    idx = ivf_index(df, nlist=3, quantizer="lloyd", max_iter=3)
+    asg = {r.id: r.cell for r in idx.assignments.collect()}
+    # members of one direction cluster end in one cell; clusters differ
+    cells = [{asg[j * 3 + ci] for j in range(8)} for ci in range(3)]
+    assert all(len(s) == 1 for s in cells), cells
+    assert len({next(iter(s)) for s in cells}) == 3
+    cent1 = sorted((r.cell, tuple(r.centroid)) for r in idx.centroids.collect())
+    # centroids moved off the init vectors (the 3 lowest-id members)
+    by_id = dict(rows)
+    init = {tuple(by_id[i]) for i in range(3)}
+    assert all(c not in init for _, c in cent1)
+    # determinism: a second independent build is bit-identical
+    idx2 = ivf_index(df, nlist=3, quantizer="lloyd", max_iter=3)
+    cent2 = sorted((r.cell, tuple(r.centroid)) for r in idx2.centroids.collect())
+    assert cent1 == cent2
 
 
 def test_ivf_index_two_phase_search_without_refit(spark, sf_dir, tmp_path):
