@@ -949,7 +949,7 @@ def pq_codebooks(
     vector space cut into ``m`` consecutive subspaces of ``dim/m``
     components, each with ``ksub`` centroids.
 
-    Two quantizer modes, mirroring the IVF tier:
+    Three quantizer modes, mirroring the IVF tier:
 
     - ``"sample"`` (default) — the ``ksub`` lowest-id corpus vectors'
       subvectors are the centroids: deterministic, so build, encode
@@ -959,8 +959,19 @@ def pq_codebooks(
       measurably better raw-ADC ranking (pytest pins the improvement),
       but ``m`` driver-coordinated fits and RNG/partitioning-dependent
       centroids — the offline-build mode, not the oracle-gated one.
+    - ``"lloyd"`` — deterministic TRAINED codebooks, engine-portable:
+      sample init per subspace, then ``max_iter`` rounds of exact-fold
+      L2 argmin assignment (ties to the lowest code; L2 of a self-pair
+      is exactly 0.0, so no clamp is needed, unlike the cosine tier) +
+      per-(sub, code) fixed-point means (the ``_LLOYD_FIXED_POINT``
+      discipline). ALL ``m`` subspaces train in ONE distributed
+      aggregate per round — the (id, sub) exploded table shuffles
+      fixed-width rows keyed by (sub, code) — where the MLlib mode
+      pays ``m`` sequential driver-coordinated fits; only the
+      model-sized codebook (m×ksub rows) is collected per round.
+      Classic PQ training quality with a SQL-replayable build.
 
-    The schema is identical either way, so :func:`pq_encode` /
+    The schema is identical in every mode, so :func:`pq_encode` /
     :func:`pq_search` don't care which built it.
 
     ``dim`` avoids the one-row lookup job when the caller knows the
@@ -1001,8 +1012,84 @@ def pq_codebooks(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+    if quantizer == "lloyd":
+        spark = corpus.sparkSession
+        subv = (
+            _as_double(corpus, vec_col)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .select(
+                "id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v"
+            )
+            .select(
+                "id", "sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv")
+            )
+            .cache()  # scanned once per Lloyd round
+        )
+        schema = "sub int, code int, centroid array<double>"
+        init = (
+            subv.withColumn(
+                "code",
+                (F.row_number().over(Window.partitionBy("sub").orderBy("id")) - 1)
+                .cast("int"),
+            )
+            .filter(F.col("code") < ksub)
+            .select("sub", "code", F.col("subv").alias("centroid"))
+        )
+        rows = [
+            (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in init.collect()
+        ]
+        fx = F.lit(_LLOYD_FIXED_POINT)
+        for _ in range(max_iter):
+            cb = F.broadcast(spark.createDataFrame(rows, schema))
+            asg = (
+                subv.join(cb, "sub")
+                .select(
+                    "id",
+                    "sub",
+                    "subv",
+                    "code",
+                    l2_sq_expr("subv", "centroid").alias("d"),
+                )
+                .groupBy("id", "sub")
+                .agg(
+                    F.min_by(
+                        F.struct("code", "subv"), F.struct("d", F.col("code"))
+                    ).alias("_b")
+                )
+                .select(
+                    "sub", F.col("_b.code").alias("code"), F.col("_b.subv").alias("subv")
+                )
+            )
+            upd = (
+                asg.select("sub", "code", F.posexplode("subv").alias("dim", "x"))
+                .groupBy("sub", "code", "dim")
+                .agg(
+                    (
+                        F.sum(
+                            F.floor(F.col("x") * fx).cast("decimal(38,0)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                        / fx
+                    ).alias("val")
+                )
+                .groupBy("sub", "code")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s"))
+                .select(
+                    "sub", "code", F.transform("s", lambda t: t["val"]).alias("centroid")
+                )
+            )
+            got = {
+                (int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+                for r in upd.collect()
+            }
+            rows = [(s_, c_, got.get((s_, c_), prev)) for s_, c_, prev in rows]
+        subv.unpersist()
+        return spark.createDataFrame(rows, schema)
     if quantizer != "sample":
-        raise ValueError(f"unknown quantizer {quantizer!r}; use 'sample' or 'kmeans'")
+        raise ValueError(
+            f"unknown quantizer {quantizer!r}; use 'sample', 'lloyd' or 'kmeans'"
+        )
     w = Window.orderBy("id")
     base = (
         _as_double(corpus, vec_col)

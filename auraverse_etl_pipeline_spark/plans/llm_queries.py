@@ -907,6 +907,144 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+#: Lloyd-trained PQ geometry for the oracle-gated tier (smaller ksub
+#: than the sample tier so two unrolled training rounds stay cheap in
+#: the oracle: 500 ids × 16 subs × 16 codes per assignment).
+_PQL_KSUB = 16
+_PQL_ITERS = 2
+
+
+def _pq_lloyd_oracle() -> str:
+    """DuckDB replica of pq_codebooks(quantizer='lloyd'): per-subspace
+    sample init, then unrolled rounds of ordered-fold L2 argmin
+    assignment (ties to the lowest code) + per-(sub, code) fixed-point
+    means (emptied codes keep their centroid), then the final encode's
+    code populations. ALL subspaces run through the same CTEs — the
+    grouped shape the Spark operator uses, not per-subspace chains."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _LLOYD_FIXED_POINT as fx,
+    )
+
+    d = _PQ_DSUB
+    parts = [
+        f"""
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    sr AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS sub),
+    subs AS MATERIALIZED (
+        SELECT id, sr.sub,
+               v[sr.sub*{d}+1 : sr.sub*{d}+{d}] AS subv
+        FROM c CROSS JOIN sr
+    ),
+    k0 AS MATERIALIZED (
+        SELECT sub, code, centroid FROM (
+            SELECT sub,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) - 1
+                        AS INTEGER) AS code,
+                   subv AS centroid
+            FROM subs
+        ) WHERE code < {_PQL_KSUB}
+    )"""
+    ]
+    prev = "k0"
+    for it in range(1, _PQL_ITERS + 1):
+        parts.append(
+            f""",
+    p{it} AS MATERIALIZED (
+        SELECT id, sub, subv, code FROM (
+            SELECT subs.id, subs.sub, subs.subv, kb.code,
+                   ROW_NUMBER() OVER (PARTITION BY subs.id, subs.sub
+                       ORDER BY {_l2sq_sql("subv", "centroid")} ASC, kb.code)
+                     AS rn
+            FROM subs JOIN {prev} kb USING (sub)
+        ) WHERE rn = 1
+    ),
+    w{it} AS MATERIALIZED (
+        SELECT sub, code, r.i AS i,
+               CAST(SUM(CAST(floor(subv[r.i] * {fx!r}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / COUNT(*) / {fx!r} AS val
+        FROM p{it}, range(1, {d + 1}) r(i) GROUP BY sub, code, r.i
+    ),
+    k{it} AS MATERIALIZED (
+        SELECT sub, code, array_agg(val ORDER BY i) AS centroid
+        FROM w{it} GROUP BY sub, code
+        UNION ALL
+        SELECT kb.sub, kb.code, kb.centroid FROM {prev} kb
+        WHERE NOT EXISTS (SELECT 1 FROM w{it} w
+                          WHERE w.sub = kb.sub AND w.code = kb.code)
+    )"""
+        )
+        prev = f"k{it}"
+    parts.append(
+        f""",
+    pf AS (
+        SELECT id, sub, code FROM (
+            SELECT subs.id, subs.sub, kb.code,
+                   ROW_NUMBER() OVER (PARTITION BY subs.id, subs.sub
+                       ORDER BY {_l2sq_sql("subv", "centroid")} ASC, kb.code)
+                     AS rn
+            FROM subs JOIN {prev} kb USING (sub)
+        ) WHERE rn = 1
+    ),
+    pop AS (
+        SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM pf GROUP BY sub, code
+    )
+    SELECT CAST(kb.sub AS BIGINT) AS sub, CAST(kb.code AS BIGINT) AS code,
+           CAST(r.i - 1 AS BIGINT) AS dim, kb.centroid[r.i] AS value,
+           COALESCE(pop.n_members, 0) AS n_members
+    FROM {prev} kb CROSS JOIN range(1, {d + 1}) r(i)
+    LEFT JOIN pop ON pop.sub = kb.sub AND pop.code = kb.code
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "sim_pq_lloyd",
+    oracle=_pq_lloyd_oracle(),
+    description="deterministic TRAINED product-quantization codebooks, "
+    "fully oracle-gated: per-subspace sample init, 2 rounds of "
+    "ordered-fold L2 argmin assignment + fixed-point per-(sub, code) "
+    "mean updates - classic PQ training (the quality the MLlib KMeans "
+    "mode buys) with an engine-portable build. ALL 16 subspaces train "
+    "in ONE distributed aggregate per round (the MLlib mode pays 16 "
+    "sequential fits); output = trained codebooks exploded to (sub, "
+    "code, dim, value) plus each code's final-encode population, "
+    "replayed digit-for-digit by unrolled MATERIALIZED iteration CTEs",
+)
+def sim_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cb = pq_codebooks(
+        corpus, m=_PQ_M, ksub=_PQL_KSUB, dim=64,
+        quantizer="lloyd", max_iter=_PQL_ITERS,
+    )
+    pop = (
+        pq_encode(corpus, cb, m=_PQ_M, dim=64)
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    return (
+        cb.select("sub", "code", F.posexplode("centroid").alias("dim", "value"))
+        .join(pop, ["sub", "code"], "left")
+        .select(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("dim").cast("bigint").alias("dim"),
+            "value",
+            F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+        )
+    )
+
+
 @query(
     "sim_ivfpq_search",
     oracle=_PQ_CTES

@@ -82,6 +82,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "multimodal_media_features",  # REWRITTEN: full feature oracle via SQL UTF-8 encoder (VERDICT r8 #8)
     "sim_ivf_lloyd",  # NEW: deterministic in-engine Lloyd quantizer training
     "sim_topk_ivf",  # REWRITTEN: Lloyd quantizer, full search path now oracle-gated
+    "sim_pq_lloyd",  # NEW: Lloyd-trained PQ codebooks, oracle-gated
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

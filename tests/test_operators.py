@@ -2093,6 +2093,23 @@ def test_pq_kmeans_codebooks_beat_sample_on_adc(spark, sf_dir):
     r_sample, r_kmeans = recall("sample"), recall("kmeans")
     assert r_kmeans >= r_sample - 0.02, (r_sample, r_kmeans)
     assert r_kmeans >= 0.15
+    # the deterministic Lloyd trainer must reach the same trained-
+    # codebook quality class as MLlib KMeans (it IS k-means, minus the
+    # RNG), and be bit-deterministic across independent builds
+    r_lloyd = recall("lloyd")
+    assert r_lloyd >= r_sample - 0.02, (r_sample, r_lloyd)
+    assert r_lloyd >= 0.15
+    from auraverse_etl_pipeline_spark.operators.similarity import pq_codebooks as _cb
+
+    c1 = sorted(
+        (r.sub, r.code, tuple(r.centroid))
+        for r in _cb(corpus, m=4, ksub=32, dim=64, quantizer="lloyd", max_iter=4).collect()
+    )
+    c2 = sorted(
+        (r.sub, r.code, tuple(r.centroid))
+        for r in _cb(corpus, m=4, ksub=32, dim=64, quantizer="lloyd", max_iter=4).collect()
+    )
+    assert c1 == c2
     corpus.unpersist()
 
 
