@@ -154,3 +154,159 @@ def nb_score(
             "predicted"
         ),
     )
+
+
+@pandas_udf(DoubleType())
+def _sigmoid(s: pd.Series) -> pd.Series:
+    # math.exp (Python libm) matches DuckDB's exp bit-for-bit; numpy's
+    # vectorized exp does NOT (SIMD polynomial, ~24% of inputs differ
+    # in the last ulp — measured). Same discipline as _ln.
+    return s.map(lambda v: 1.0 / (1.0 + math.exp(-v)))
+
+
+def logreg_features(
+    df: DataFrame,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed set-of-words features for the logistic tier: one
+    ``(id, bucket, x = 1.0)`` PRESENCE row per document × distinct
+    bucket, plus one BIAS row ``(id, -1, 1.0)`` per document so the
+    intercept trains and scores through exactly the same joins as
+    every other feature. Binary presence (not counts, not L1 shares)
+    keeps every feature on the bias's scale, which is what lets
+    full-batch gradient descent move all weights at one learning rate
+    — L1-normalized counts put token features at 1/doc_length of the
+    bias's gradient and need thousands of steps (measured: the
+    separable marker fixture stayed at base-rate accuracy). Corpus-
+    sized fixed-width rows; the bucket hash is the engine-portable
+    md5 prefix."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    feats = (
+        toks.select("id", F.explode_outer("toks").alias("tok"))
+        .select("id", token_bucket(F.col("tok"), num_buckets).alias("bucket"))
+        .distinct()
+        .withColumn("x", F.lit(1.0))
+    )
+    bias = toks.select(
+        "id", F.lit(PRIOR_BUCKET).cast("bigint").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return feats.unionByName(bias)
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str | Column,
+    positive,
+    num_buckets: int = 1024,
+    lr: float = 1.0,
+    iters: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary logistic regression over hashed bag-of-words features,
+    trained by ``iters`` full-batch gradient-descent steps from w = 0 —
+    the fasttext-shaped quality classifier (DCLM / FineWeb-Edu's gate
+    is exactly this: a cheap linear scorer over hashed n-gram
+    features) trained INSIDE the engine, deterministically.
+
+    Per step: ``s = X·w`` (broadcast model join + DECIMAL-partial
+    per-doc sums), ``p = σ(s)`` (Arrow-batched Python-libm sigmoid —
+    bit-identical to DuckDB's exp), ``∇_b = Σ (p − y)·x_b`` (one
+    fixed-width per-bucket aggregate with DECIMAL partials),
+    ``w ← w − lr·∇/n``. Every step is one corpus scan + one broadcast
+    join + two hash aggregates; only the MODEL-sized gradient
+    (≤ num_buckets+1 rows) is collected per step (the Lloyd/BPE
+    driver-loop discipline — MLlib's own LBFGS does the same
+    treeAggregate-to-driver). With w₀ = 0 the first step's p is
+    exactly 0.5, so the whole training replays digit-for-digit in a
+    SQL oracle via unrolled iteration CTEs.
+
+    Returns ``(bucket, w)`` with the intercept at ``bucket = -1`` —
+    the same broadcastable weights-table contract as the NB model, so
+    external weights drop into :func:`logreg_score` unchanged."""
+    ship_package(df.sparkSession)
+    spark = df.sparkSession
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    x = logreg_features(df, num_buckets, text_col, id_col).cache()
+    y = df.select(
+        F.col(id_col).alias("id"), (lab == F.lit(positive)).cast("double").alias("y")
+    )
+    n_docs = df.count()
+    wmap: dict[int, float] = {}
+    for _ in range(iters):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                sorted(wmap.items()) or [(PRIOR_BUCKET, 0.0)], "bucket bigint, w double"
+            )
+        )
+        s = (
+            x.join(wdf, "bucket", "left")
+            .groupBy("id")
+            .agg(
+                F.sum(
+                    (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        p = s.select("id", _sigmoid("s").alias("p"))
+        g = (
+            x.join(p, "id")
+            .join(y, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    ((F.col("p") - F.col("y")) * F.col("x")).cast("decimal(38,12)")
+                )
+                .cast("double")
+                .alias("g")
+            )
+        )
+        for r in g.collect():
+            b, gd = int(r["bucket"]), float(r["g"])
+            wmap[b] = wmap.get(b, 0.0) - lr * (gd / n_docs)
+    x.unpersist()
+    return spark.createDataFrame(sorted(wmap.items()), "bucket bigint, w double")
+
+
+def logreg_score(
+    df: DataFrame,
+    model: DataFrame,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a ``(bucket, w)`` logistic model:
+    ``(id, score, prob, predicted)`` with ``score = X·w`` (bias row
+    included via the bucket −1 feature), ``prob = σ(score)`` and
+    ``predicted = score > 0``. Same scale shape as :func:`nb_score`:
+    model broadcast, one corpus explode, DECIMAL-partial per-doc sums,
+    one Arrow-batched sigmoid over the per-doc scalar."""
+    ship_package(df.sparkSession)
+    x = logreg_features(df, num_buckets, text_col, id_col)
+    s = (
+        x.join(F.broadcast(model), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return s.select(
+        "id",
+        "score",
+        _sigmoid("score").alias("prob"),
+        (F.col("score") > 0).alias("predicted"),
+    )

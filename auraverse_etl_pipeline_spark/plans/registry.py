@@ -83,6 +83,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_ivf_lloyd",  # NEW: deterministic in-engine Lloyd quantizer training
     "sim_topk_ivf",  # REWRITTEN: Lloyd quantizer, full search path now oracle-gated
     "sim_pq_lloyd",  # NEW: Lloyd-trained PQ codebooks, oracle-gated
+    "text_logreg_quality",  # NEW: in-engine GD logistic-regression gate
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

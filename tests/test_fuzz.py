@@ -689,6 +689,92 @@ def test_trigram_lm_matches_model(spark):
     prop()
 
 
+def test_logreg_matches_pure_python_gd(spark):
+    """Property: in-engine logistic-regression training + scoring
+    equals a pure-Python replica of the exact arithmetic — md5 bucket
+    hash, binary presence + bias features, DECIMAL(38,12)-partial
+    dot products and gradients (each term rounded to 12 dp HALF_UP on
+    the shortest repr, Spark's cast semantics), libm sigmoid, plain
+    float weight updates — on randomized corpora and labels."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    B, LR, ITERS = 64, 1.0, 2
+    Q = Decimal("1e-12")
+
+    def d12(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(Q, rounding=ROUND_HALF_UP)
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6), data=st.data())
+    def prop(texts, data):
+        labels = [
+            data.draw(st.sampled_from(["en", "de"])) for _ in texts
+        ]
+        rows = [(i, t, l) for i, (t, l) in enumerate(zip(texts, labels))]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+        # pure-Python replica
+        feats = {}
+        for i, t, _ in rows:
+            toks = re.split(r"\s+", t.strip())
+            f = {bucket(w): 1.0 for w in toks}
+            f[-1] = 1.0
+            feats[i] = f
+        ys = {i: 1.0 if l == "en" else 0.0 for i, _, l in rows}
+        n = len(rows)
+        w = {}
+        for _ in range(ITERS):
+            s = {
+                i: float(sum(d12(x * w.get(b, 0.0)) for b, x in f.items()))
+                for i, f in feats.items()
+            }
+            p = {i: 1.0 / (1.0 + math.exp(-v)) for i, v in s.items()}
+            g = Counter()
+            for i, f in feats.items():
+                for b, x in f.items():
+                    g[b] += d12((p[i] - ys[i]) * x)
+            for b, gd in g.items():
+                w[b] = w.get(b, 0.0) - LR * (float(gd) / n)
+
+        model = logreg_train(
+            df, "lang", "en", num_buckets=B, lr=LR, iters=ITERS
+        )
+        got_w = {int(r.bucket): r.w for r in model.collect()}
+        assert set(got_w) == set(w)
+        for b in w:
+            assert abs(got_w[b] - w[b]) < 1e-9, (b, got_w[b], w[b])
+
+        scored = {
+            r.id: (r.score, r.prob, r.predicted)
+            for r in logreg_score(df, model, num_buckets=B).collect()
+        }
+        for i, f in feats.items():
+            want_s = float(sum(d12(x * w.get(b, 0.0)) for b, x in f.items()))
+            ws, wp, wpred = scored[i]
+            assert abs(ws - want_s) < 1e-9, (i, ws, want_s)
+            assert abs(wp - 1.0 / (1.0 + math.exp(-want_s))) < 1e-9
+            assert wpred == (want_s > 0)
+
+    prop()
+
+
 def test_containment_recall_matches_exhaustive(spark):
     """Property: containment_pairs finds EXACTLY the directed pairs a
     pure-Python exhaustive shingle-set model finds — the one-sided

@@ -1823,6 +1823,39 @@ def test_nb_classifier_learns_separable_fixture(spark, sf_dir):
     assert acc >= 0.99
 
 
+def test_logreg_learns_separable_fixture(spark, sf_dir):
+    """Two GD steps on the marker-token fixture must already separate
+    the classes (training accuracy high; gradient points the right
+    way from step one because p=0.5 everywhere at w=0), and more
+    training docs must push the positive-class probabilities up."""
+    from auraverse_etl_pipeline_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" quality education")).otherwise(
+                F.lit(" casino spam")
+            ),
+        ).alias("text"),
+        (F.col("doc_id") % 3 == 0).alias("pos"),
+    )
+    model = logreg_train(docs, "pos", True, num_buckets=1024, lr=8.0, iters=8)
+    scored = logreg_score(docs, model, num_buckets=1024)
+    joined = scored.join(docs.select(F.col("doc_id").alias("id"), "pos"), "id")
+    acc = joined.select(
+        F.avg((F.col("predicted") == F.col("pos")).cast("double")).alias("a")
+    ).first().a
+    assert acc >= 0.9, acc
+    means = joined.groupBy("pos").agg(F.avg("prob").alias("m")).collect()
+    m = {r.pos: r.m for r in means}
+    assert m[True] > m[False] + 0.1, m
+
+
 def test_nb_score_empty_doc_gets_prior(spark):
     from auraverse_etl_pipeline_spark.operators.classifier import nb_score, nb_train
 
