@@ -1363,17 +1363,19 @@ def _logreg_feature_sql(src: str, buckets: int = _LOGREG_BUCKETS) -> str:
 
 
 _LOGREG_LR = 8.0
-_LOGREG_ITERS = 8
+_LOGREG_ITERS = 4
 
 
 def _logreg_oracle() -> str:
     """Unrolled full-batch GD from w = 0 over the NB marker fixture,
-    training on the even-id slice, scoring every document. With w₀ = 0
-    the first step's sigmoid is exactly 0.5 in both engines; every dot
-    product and gradient runs through DECIMAL(38,12) partials, the
-    sigmoid through exp (DuckDB's exp is bit-identical to Python libm
-    — measured, 0 mismatches in 20k samples; numpy's SIMD exp is NOT
-    and is never used)."""
+    training on the even-id slice with the 1/t-decayed schedule,
+    scoring every document. With w₀ = 0 the first step's sigmoid is
+    exactly 0.5 in both engines; every dot product and gradient runs
+    through DECIMAL(38,12) partials, the sigmoid through exp (DuckDB's
+    exp is bit-identical to Python libm — measured, 0 mismatches in
+    20k samples; numpy's SIMD exp is NOT and is never used). Each
+    step's rate embeds as the exact double repr, which both engines
+    parse to the identical double."""
     lr = _LOGREG_LR
     parts = [
         f"""
@@ -1396,10 +1398,11 @@ def _logreg_oracle() -> str:
         FROM xtr JOIN ytr USING (id) GROUP BY bucket
     ),
     w1 AS MATERIALIZED (
-        SELECT bucket, 0.0 - {lr!r} * (g / n) AS w FROM g1 CROSS JOIN nd
+        SELECT bucket, 0.0 - {lr / 1!r} * (g / n) AS w FROM g1 CROSS JOIN nd
     )"""
     ]
     for t in range(2, _LOGREG_ITERS + 1):
+        step_lr = lr / t
         parts.append(
             f""",
     s{t} AS (
@@ -1415,7 +1418,7 @@ def _logreg_oracle() -> str:
         FROM xtr JOIN p{t} USING (id) JOIN ytr USING (id) GROUP BY bucket
     ),
     w{t} AS MATERIALIZED (
-        SELECT g{t}.bucket, COALESCE(w{t - 1}.w, 0.0) - {lr!r} * (g{t}.g / n)
+        SELECT g{t}.bucket, COALESCE(w{t - 1}.w, 0.0) - {step_lr!r} * (g{t}.g / n)
                  AS w
         FROM g{t} LEFT JOIN w{t - 1} USING (bucket) CROSS JOIN nd
     )"""
@@ -1444,17 +1447,17 @@ def _logreg_oracle() -> str:
     description="the fasttext-shaped quality classifier (the DCLM / "
     "FineWeb-Edu gate) trained INSIDE the engine: binary logistic "
     "regression over md5-hashed set-of-words presence features "
-    "(+bias), 8 full-batch gradient-descent steps from w=0 on the "
-    "even-id slice of the marker fixture (the NB query's corpus - "
-    "the two trainers are directly comparable), then every document "
-    "scored; reaches training accuracy 1.0 where NB needs its "
-    "class-conditional independence assumption. Per step: one "
+    "(+bias), 4 full-batch 1/t-decayed gradient-descent steps from "
+    "w=0 on the even-id slice of the marker fixture (the NB query's "
+    "corpus - the two trainers are directly comparable), then every "
+    "document scored; reaches training accuracy 1.0 where NB needs "
+    "its class-conditional independence assumption. Per step: one "
     "broadcast model join, DECIMAL-partial per-doc dot products, "
     "Arrow-batched Python-libm sigmoid (bit-identical to DuckDB "
     "exp; numpy's SIMD exp is NOT and is never used), one per-bucket "
     "gradient aggregate; only the model-sized gradient is collected "
     "per step. Fuzzed against a pure-Python GD replica; the oracle "
-    "replays all 8 training steps and the full scoring pass "
+    "replays all 4 training steps and the full scoring pass "
     "digit-for-digit via unrolled MATERIALIZED CTEs",
 )
 def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,6 +1482,7 @@ def text_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=_LOGREG_BUCKETS,
         lr=_LOGREG_LR,
         iters=_LOGREG_ITERS,
+        decay=True,
     )
     out = logreg_score(docs, model, num_buckets=_LOGREG_BUCKETS)
     return out.select(

@@ -739,8 +739,10 @@ def test_logreg_matches_pure_python_gd(spark):
             feats[i] = f
         ys = {i: 1.0 if l == "en" else 0.0 for i, _, l in rows}
         n = len(rows)
+        decay = data.draw(st.booleans())
         w = {}
-        for _ in range(ITERS):
+        for t in range(1, ITERS + 1):
+            step_lr = LR / t if decay else LR
             s = {
                 i: float(sum(d12(x * w.get(b, 0.0)) for b, x in f.items()))
                 for i, f in feats.items()
@@ -751,10 +753,10 @@ def test_logreg_matches_pure_python_gd(spark):
                 for b, x in f.items():
                     g[b] += d12((p[i] - ys[i]) * x)
             for b, gd in g.items():
-                w[b] = w.get(b, 0.0) - LR * (float(gd) / n)
+                w[b] = w.get(b, 0.0) - step_lr * (float(gd) / n)
 
         model = logreg_train(
-            df, "lang", "en", num_buckets=B, lr=LR, iters=ITERS
+            df, "lang", "en", num_buckets=B, lr=LR, iters=ITERS, decay=decay
         )
         got_w = {int(r.bucket): r.w for r in model.collect()}
         assert set(got_w) == set(w)

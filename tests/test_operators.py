@@ -1844,7 +1844,9 @@ def test_logreg_learns_separable_fixture(spark, sf_dir):
         ).alias("text"),
         (F.col("doc_id") % 3 == 0).alias("pos"),
     )
-    model = logreg_train(docs, "pos", True, num_buckets=1024, lr=8.0, iters=8)
+    model = logreg_train(
+        docs, "pos", True, num_buckets=1024, lr=8.0, iters=4, decay=True
+    )
     scored = logreg_score(docs, model, num_buckets=1024)
     joined = scored.join(docs.select(F.col("doc_id").alias("id"), "pos"), "id")
     acc = joined.select(
