@@ -1366,16 +1366,17 @@ _LOGREG_LR = 8.0
 _LOGREG_ITERS = 4
 
 
-def _logreg_oracle() -> str:
+def _logreg_sa_chain() -> str:
     """Unrolled full-batch GD from w = 0 over the NB marker fixture,
-    training on the even-id slice with the 1/t-decayed schedule,
-    scoring every document. With w₀ = 0 the first step's sigmoid is
-    exactly 0.5 in both engines; every dot product and gradient runs
-    through DECIMAL(38,12) partials, the sigmoid through exp (DuckDB's
-    exp is bit-identical to Python libm — measured, 0 mismatches in
-    20k samples; numpy's SIMD exp is NOT and is never used). Each
-    step's rate embeds as the exact double repr, which both engines
-    parse to the identical double."""
+    training on the even-id slice with the 1/t-decayed schedule, ending
+    at the ``sa`` CTE (per-doc scores over ALL documents) — shared by
+    the batch query and the streaming-gate tally oracle. With w₀ = 0
+    the first step's sigmoid is exactly 0.5 in both engines; every dot
+    product and gradient runs through DECIMAL(38,12) partials, the
+    sigmoid through exp (DuckDB's exp is bit-identical to Python libm
+    — measured, 0 mismatches in 20k samples; numpy's SIMD exp is NOT
+    and is never used). Each step's rate embeds as the exact double
+    repr, which both engines parse to the identical double."""
     lr = _LOGREG_LR
     parts = [
         f"""
@@ -1431,14 +1432,21 @@ def _logreg_oracle() -> str:
                CAST(SUM(CAST(x * COALESCE(w, 0.0) AS DECIMAL(38,12))) AS DOUBLE)
                  AS score
         FROM xall LEFT JOIN w{_LOGREG_ITERS} USING (bucket) GROUP BY id
+    )"""
     )
+    return "".join(parts)
+
+
+def _logreg_oracle() -> str:
+    return (
+        _logreg_sa_chain()
+        + """
     SELECT id AS doc_id, score,
            1.0 / (1.0 + exp(-score)) AS prob,
            score > 0 AS predicted
     FROM sa
     """
     )
-    return "".join(parts)
 
 
 @query(

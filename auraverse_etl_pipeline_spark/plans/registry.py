@@ -84,6 +84,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_topk_ivf",  # REWRITTEN: Lloyd quantizer, full search path now oracle-gated
     "sim_pq_lloyd",  # NEW: Lloyd-trained PQ codebooks, oracle-gated
     "text_logreg_quality",  # NEW: in-engine GD logistic-regression gate
+    "stream_logreg_gate",  # NEW: classifier gate on the stream path
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

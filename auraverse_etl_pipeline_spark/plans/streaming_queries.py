@@ -585,3 +585,93 @@ def stream_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fail_reason", "fluent")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def _logreg_gate_oracle() -> str:
+    """The batch logreg training chain (shared with
+    text_logreg_quality) plus the streamed decisions' running tally —
+    batch/stream gate parity at the oracle level."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _logreg_sa_chain
+
+    return (
+        _logreg_sa_chain()
+        + """
+    SELECT score > 0 AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) AS score_sum
+    FROM sa GROUP BY 1
+    """
+    )
+
+
+@query(
+    "stream_logreg_gate",
+    oracle=_logreg_gate_oracle(),
+    description="the fasttext-style classifier gate on the stream "
+    "path: the logistic-regression model trains ONCE offline (the "
+    "text_logreg_quality trainer on the static even-id slice of the "
+    "marker fixture) and every micro-batch of documents scores "
+    "against it via a stream-static broadcast join - a stateless "
+    "per-document projection, so no state-store entry ever exists "
+    "and the gate is safe on an unbounded stream (exactly how a "
+    "production quality classifier deploys: retrain offline, score "
+    "continuously). Per-doc decisions land as fixed-width parquet "
+    "rows; the query reports the (predicted, n_docs, score_sum) "
+    "tally, DECIMAL-summed so the hash is order-independent",
+)
+def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.classifier import logreg_train
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _LOGREG_BUCKETS,
+        _LOGREG_ITERS,
+        _LOGREG_LR,
+        _NB_NEG_SUFFIX,
+        _NB_POS_SUFFIX,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_logreg_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    def with_markers(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_NB_POS_SUFFIX)).otherwise(
+                    F.lit(_NB_NEG_SUFFIX)
+                ),
+            ).alias("text"),
+        )
+
+    docs = with_markers(load_table(spark, sf_dir, "documents"))
+    model = logreg_train(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        F.col("doc_id") % 3 == 0,
+        True,
+        num_buckets=_LOGREG_BUCKETS,
+        lr=_LOGREG_LR,
+        iters=_LOGREG_ITERS,
+        decay=True,
+    ).cache()
+    root = tempfile.mkdtemp(prefix="logreg_gate_")
+    try:
+        run_stream_logreg_gate(
+            with_markers(stream_documents(spark, sf_dir)),
+            model,
+            decisions_path=f"{root}/decisions",
+            num_buckets=_LOGREG_BUCKETS,
+        )
+    finally:
+        model.unpersist()
+    return (
+        spark.read.parquet(f"{root}/decisions")
+        .groupBy("predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("score_sum"),
+        )
+    )

@@ -636,3 +636,46 @@ def run_stream_lm_quality_gate(
         audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
+
+
+def run_stream_logreg_gate(
+    docs_stream: DataFrame,
+    model: DataFrame,
+    decisions_path: str,
+    num_buckets: int = 1024,
+    timeout_s: int = 600,
+) -> None:
+    """Streaming model-based quality gate — the classifier twin of
+    :func:`run_stream_lm_quality_gate`: every micro-batch of documents
+    is scored against a PRE-TRAINED logistic-regression ``(bucket, w)``
+    model (:func:`~auraverse_etl_pipeline_spark.operators.classifier.
+    logreg_train`) via a stream-static broadcast join. Scoring is a
+    stateless per-document projection + batch-local aggregate, so no
+    state-store entry ever exists — safe on an unbounded stream; this
+    is exactly how a fasttext-style gate deploys in a continuous
+    ingestion pipeline (the model retrains offline, the stream only
+    scores). Decisions append to ``decisions_path`` as one fixed-width
+    row per document."""
+    from auraverse_etl_pipeline_spark.operators.classifier import logreg_score
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dec = logreg_score(batch_df, model, num_buckets=num_buckets).select(
+            F.col("id").alias("doc_id"), "score", "prob", "predicted"
+        )
+        audit_batch_plan("logreg_gate:decisions", dec)
+        dec.write.mode("append").parquet(decisions_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_logreg_gate_")
+    q = (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()

@@ -638,3 +638,60 @@ def test_stream_lm_quality_gate_multi_batch(spark, sf_dir, tmp_path):
             t.unpersist()
     assert len(got) == 90
     assert got == want
+
+
+def test_stream_logreg_gate_multi_batch(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the classifier gate: the streaming
+    logreg gate over three micro-batches must produce exactly the
+    per-document decisions of the batch logreg_score against the same
+    pre-trained model — scoring is a stateless projection, so
+    micro-batch boundaries must not change any score."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_logreg_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 90").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" quality education")).otherwise(
+                F.lit(" casino spam")
+            ),
+        ).alias("text"),
+    )
+    model = logreg_train(
+        docs, F.col("doc_id") % 3 == 0, True, num_buckets=256, lr=8.0,
+        iters=3, decay=True,
+    ).cache()
+    chunk_dir = tmp_path / "logreg_gate_chunks"
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    try:
+        run_stream_logreg_gate(
+            stream_documents(spark, str(chunk_dir), max_files_per_trigger=1),
+            model,
+            decisions_path=str(tmp_path / "decisions"),
+            num_buckets=256,
+        )
+        got = {
+            (r.doc_id, r.score, r.prob, r.predicted)
+            for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+        }
+        want = {
+            (r.id, r.score, r.prob, r.predicted)
+            for r in logreg_score(docs, model, num_buckets=256).collect()
+        }
+    finally:
+        model.unpersist()
+    assert len(got) == 90
+    assert got == want
