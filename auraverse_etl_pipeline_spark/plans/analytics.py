@@ -148,6 +148,60 @@ def q08_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q09_nation_year_profit",
+    # TPC-H Q9 (product-type profit) adapted to the available tables:
+    # the schema ships no partsupp, so the cost side is a deterministic
+    # retail-price proxy (p_retailprice · l_quantity · 0.6). The float
+    # expression is the same infix order on both engines, so per-row
+    # amounts are bit-identical and the DECIMAL sum is exact.
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           COUNT(*) AS n_lines,
+           {DSUM("l.l_extendedprice * (1 - l.l_discount)"
+                 " - p.p_retailprice * l.l_quantity * 0.6")} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    description="TPC-H Q9 shape: per-(supplier nation, order year) "
+    "profit over a name-filtered part slice - a 5-table star join "
+    "where the filtered part and the supplier/nation dims broadcast "
+    "(the fact table never shuffles for the joins), then one grouped "
+    "DECIMAL-exact aggregate; the cost leg is a retail-price proxy "
+    "because the schema ships no partsupp",
+)
+def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.6)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(amount).alias("sum_profit"),
+        )
+    )
+
+
+@query(
     "q14_rollup_priority_status",
     oracle=f"""
     SELECT o_orderpriority, o_orderstatus,

@@ -85,6 +85,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_pq_lloyd",  # NEW: Lloyd-trained PQ codebooks, oracle-gated
     "text_logreg_quality",  # NEW: in-engine GD logistic-regression gate
     "stream_logreg_gate",  # NEW: classifier gate on the stream path
+    "q09_nation_year_profit",  # NEW: closes the TPC-H numbering gap
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
