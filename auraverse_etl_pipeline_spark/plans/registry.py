@@ -57,21 +57,21 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 115+ queries full single-
+#: the registry (50 rows per round), so with 169 queries full single-
 #: round attestation is impossible — the order rotates so the least-
-#: recently-scored queries enumerate first each round. Evidence ledger
-#: as of round 5:
+#: recently-scored queries enumerate first each round.
 #:
 #: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
-#:   green driver row — these go first. ROUND-8 START: run
-#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r07.json into
+#:   green driver row — these go first. ROUND-10 START: run
+#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r09.json into
 #:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
-#:   back red, or round 8 rewrites something after its green).
+#:   back red, or round 10 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
 #:   whose CORRECTNESS_r0N.json carries a green — or, for the
 #:   rows-only-by-design names, a rows-recorded — row for the name):
-#:   oldest evidence enumerates first. 25 round-2/3-vintage names
-#:   remain past slot 50 this round and should head round 8's window.
+#:   oldest evidence enumerates first. After round 9 scores its
+#:   window (11 fresh + the 18 round-4 names + the oldest round-6
+#:   names), the oldest remaining evidence is round 6.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
     # green + 2 rows-recorded; zero red). Round-9 rewrites after their
