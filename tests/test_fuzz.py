@@ -777,6 +777,161 @@ def test_logreg_matches_pure_python_gd(spark):
     prop()
 
 
+def test_lloyd_ivf_matches_pure_python(spark):
+    """Property: the in-engine Lloyd quantizer equals a pure-Python
+    replica of the exact arithmetic — sample init, clamped sequential-
+    fold cosine argmax (ties to the lowest cell), fixed-point means
+    (floor(x·2^43) summed exactly, one division), empty-cell carry —
+    on randomized float32-quantized corpora."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _LLOYD_FIXED_POINT,
+        ivf_index,
+    )
+
+    # float32-like components: dyadic rationals on a 2^-10 grid keep
+    # every value exact in double AND exact at the 2^43 fixed point
+    comp = st.integers(min_value=-1024, max_value=1024).map(lambda v: v / 1024.0)
+    vec = st.lists(comp, min_size=4, max_size=4)
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(vec, min_size=4, max_size=10), k=st.sampled_from([2, 3]))
+    def prop(vecs, k):
+        from hypothesis import assume
+
+        # degenerate all-zero vectors make cosine undefined; skip
+        assume(all(any(x != 0.0 for x in v) for v in vecs))
+        rows = list(enumerate(vecs))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+        def cos(a, b):
+            dot = 0.0
+            for x, y in zip(a, b):
+                dot = dot + x * y
+            na = 0.0
+            for x in a:
+                na = na + x * x
+            nb = 0.0
+            for y in b:
+                nb = nb + y * y
+            return min(1.0, dot / (math.sqrt(na) * math.sqrt(nb)))
+
+        cents = {c: list(vecs[c]) for c in range(k)}  # sample init: lowest ids
+        for _ in range(2):
+            asg = {}
+            for i, v in rows:
+                best = max(range(k), key=lambda c: (cos(v, cents[c]), -c))
+                asg[i] = best
+            new = {}
+            for c in range(k):
+                members = [vecs[i] for i in asg if asg[i] == c]
+                if not members:
+                    new[c] = cents[c]
+                    continue
+                n = len(members)
+                new[c] = [
+                    float(
+                        sum(
+                            int(math.floor(m[d] * _LLOYD_FIXED_POINT))
+                            for m in members
+                        )
+                    )
+                    / n
+                    / _LLOYD_FIXED_POINT
+                    for d in range(4)
+                ]
+            cents = new
+
+        idx = ivf_index(df, nlist=k, quantizer="lloyd", max_iter=2)
+        got_c = {r.cell: list(r.centroid) for r in idx.centroids.collect()}
+        assert set(got_c) == set(cents)
+        for c in cents:
+            assert got_c[c] == cents[c], (c, got_c[c], cents[c])
+        got_a = {r.id: r.cell for r in idx.assignments.collect()}
+        want_a = {
+            i: max(range(k), key=lambda c: (cos(v, cents[c]), -c)) for i, v in rows
+        }
+        assert got_a == want_a
+
+    prop()
+
+
+def test_lloyd_pq_matches_pure_python(spark):
+    """Property: Lloyd-trained PQ codebooks equal a pure-Python replica
+    — per-subspace sample init, sequential-fold L2 argmin (ties to the
+    lowest code), fixed-point means, empty-code carry."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _LLOYD_FIXED_POINT,
+        pq_codebooks,
+    )
+
+    comp = st.integers(min_value=-1024, max_value=1024).map(lambda v: v / 1024.0)
+    vec = st.lists(comp, min_size=4, max_size=4)  # m=2 subspaces of 2
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(vec, min_size=4, max_size=10), ksub=st.sampled_from([2, 3]))
+    def prop(vecs, ksub):
+        rows = list(enumerate(vecs))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        m, dsub = 2, 2
+
+        def l2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        subv = {(i, s): v[s * dsub : (s + 1) * dsub] for i, v in rows for s in range(m)}
+        cb = {
+            (s, c): list(subv[(c, s)]) for s in range(m) for c in range(ksub)
+        }  # lowest-id init per subspace
+        for _ in range(2):
+            asg = {
+                (i, s): min(range(ksub), key=lambda c: (l2(subv[(i, s)], cb[(s, c)]), c))
+                for i, _ in rows
+                for s in range(m)
+            }
+            new = {}
+            for s in range(m):
+                for c in range(ksub):
+                    members = [subv[(i, s)] for (i, s2), c2 in asg.items() if s2 == s and c2 == c]
+                    if not members:
+                        new[(s, c)] = cb[(s, c)]
+                        continue
+                    n = len(members)
+                    new[(s, c)] = [
+                        float(
+                            sum(
+                                int(math.floor(mm[d] * _LLOYD_FIXED_POINT))
+                                for mm in members
+                            )
+                        )
+                        / n
+                        / _LLOYD_FIXED_POINT
+                        for d in range(dsub)
+                    ]
+            cb = new
+
+        got = {
+            (r.sub, r.code): list(r.centroid)
+            for r in pq_codebooks(
+                df, m=m, ksub=ksub, dim=4, quantizer="lloyd", max_iter=2
+            ).collect()
+        }
+        assert set(got) == set(cb)
+        for key in cb:
+            assert got[key] == cb[key], (key, got[key], cb[key])
+
+    prop()
+
+
 def test_containment_recall_matches_exhaustive(spark):
     """Property: containment_pairs finds EXACTLY the directed pairs a
     pure-Python exhaustive shingle-set model finds — the one-sided
