@@ -662,6 +662,11 @@ def ivf_index(
             )
             return IvfIndex(centroids=cent, assignments=assignments)
         spark = corpus.sparkSession
+        # the corpus projection is scanned once per Lloyd round (assign)
+        # plus the final assignment — cache it for the loop's lifetime
+        # (unpersisted before returning; the returned assignments plan
+        # re-derives it from source, so nothing dangles)
+        c = c.cache()
         cent_rows = [
             (int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in cent.collect()
@@ -701,6 +706,7 @@ def ivf_index(
             got = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in upd.collect()}
             cent_rows = [(cell, got.get(cell, prev)) for cell, prev in cent_rows]
         cent = spark.createDataFrame(cent_rows, schema)
+        c.unpersist()  # lazy consumers below re-derive from source
         assignments = ivf_assign(c, cent, id_col="id", vec_col="v", clamp=True).select(
             "id", "v", "cell"
         )
