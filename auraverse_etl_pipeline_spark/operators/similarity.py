@@ -220,11 +220,14 @@ def hyperplane_lsh_pairs(
     clusters bigger than the cap, so enable it only after exact dedup
     ran, and audit ``operators.dedup.hot_buckets`` for skipped keys.
 
-    Signs are computed with one vectorized numpy matmul per Arrow batch
-    (``mapInPandas`` — the 100 TB path: no per-element interpreted
-    expressions), packed into ``n_planes // band_bits`` band keys;
-    candidates come from band-equality joins, then the exact cosine
-    check removes false positives. Recall for a pair at angle θ is
+    Gaussian-path signs are computed with one vectorized numpy matmul
+    per Arrow batch (``mapInPandas`` — the throughput path: no
+    per-element interpreted expressions); signs-path bits come from
+    codegen'd ordered folds (oracle-portable, pays interpreted
+    per-plane cost — size n_planes accordingly). Either way bits pack
+    into ``n_planes // band_bits`` band keys; candidates come from
+    band-equality joins, then the exact cosine check removes false
+    positives. Recall for a pair at angle θ is
     1-(1-(1-θ/π)^band_bits)^n_bands — tunable via n_planes/band_bits.
     Output: (id1, id2, cosine).
 
