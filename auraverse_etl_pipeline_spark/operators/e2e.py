@@ -244,3 +244,84 @@ def crawl_to_corpus_funnel(
         )
     )
     return release_after(result, parsed, redocs, flagged, scores, lm_out)
+
+
+def corpus_to_chunk_index(
+    docs: DataFrame,
+    queries: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    dim: int = 64,
+    nlist: int = 8,
+    lloyd_iters: int = 2,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The RETRIEVAL-side pipeline composition — the RAG twin of
+    :func:`crawl_to_corpus_funnel`: a document corpus becomes a
+    searchable chunk-level ANN index in one flow, and a query corpus
+    searches it.
+
+    1. **Chunk** — sliding context windows (``chunk`` tokens, stride
+       ``stride``), chunk id = ``doc_id·1000 + chunk_idx`` (the
+       chunker caps well under 1000 windows per fixture document).
+    2. **Embed** — feature-hashed unit vectors per chunk
+       (:func:`~auraverse_etl_pipeline_spark.operators.similarity.
+       hashed_embeddings`): the model-free encoder. Zero-norm chunks
+       (empty or sign-cancelled — possible at even token counts) are
+       DROPPED before the vector tier: cosine against a zero vector
+       is NaN, and NaN ordering is exactly the kind of cross-engine
+       ambiguity this pipeline refuses to ship.
+    3. **Index** — the deterministic Lloyd coarse quantizer
+       (``quantizer="lloyd"``) over the chunk vectors.
+    4. **Search** — the query documents embed through the SAME
+       encoder and probe the index (``exact_fold=True``, so in-cell
+       cosines replay in SQL).
+
+    Every stage is individually oracle-gated elsewhere; this flow is
+    what proves they COMPOSE — chunk ids, embedding components, cell
+    labels and search ranks all survive the hand-offs. Output:
+    (query_id, neighbor_id, rank, cosine) — neighbor_id is a chunk id.
+
+    Scale shape: the chunk explode is the only corpus-sized fan-out
+    (fixed-width token-slice rows); embeddings are one aggregate +
+    dense materialization; the quantizer collects only model-sized
+    centroids per round; the search probes ``nprobe/nlist`` of the
+    chunk index. Text never shuffles past the embed stage."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        hashed_embeddings,
+        ivf_index,
+        ivf_search,
+    )
+
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.ceil((n - chunk) / float(stride)).cast("bigint") + 1
+    )
+    base = docs.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk)
+    chunks = exploded.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("text"),
+    )
+    cvec = (
+        hashed_embeddings(chunks, dim=dim, id_col="chunk_id")
+        .filter(F.col("norm") > 0)
+        .select(F.col("id").alias("vec_id"), F.col("embedding"))
+    )
+    qvec = (
+        hashed_embeddings(queries, dim=dim)
+        .filter(F.col("norm") > 0)
+        .select(F.col("id").alias("vec_id"), F.col("embedding"))
+    )
+    index = ivf_index(cvec, nlist=nlist, quantizer="lloyd", max_iter=lloyd_iters)
+    # clamp: a duplicated document through the deterministic encoder
+    # makes a query vector EQUAL an indexed chunk vector
+    return ivf_search(qvec, index, k=k, nprobe=nprobe, exact_fold=True, clamp=True)

@@ -742,12 +742,18 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_fold: bool = False,
+    clamp: bool = False,
 ) -> DataFrame:
     """Probe an :class:`IvfIndex`: score the ``nprobe`` nearest
     centroids per query, brute-force only the vectors assigned to
     probed cells. Same output shape as :func:`cosine_top_k` —
     (query_id, neighbor_id, rank, cosine); recall < 1 by construction,
     tunable via nprobe/nlist.
+
+    ``clamp=True`` caps in-cell cosines at 1.0 — for corpora where a
+    query vector can EQUAL an indexed vector (duplicate documents
+    through a deterministic encoder): the native fold scores the pair
+    1+2e-16 while DuckDB clamps, the :func:`ivf_assign` rule.
 
     No refit, no corpus scan: the quantizer is read, not trained, so a
     daily retrieval pipeline pays only the probe join against a
@@ -778,9 +784,12 @@ def ivf_search(
     )
     score = cosine_similarity_expr if exact_fold else batch_cosine
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    cos = score(F.col("qv"), F.col("cv"))
+    if clamp:
+        cos = F.least(F.lit(1.0), cos)
     return (
         probes.join(indexed, "cell")
-        .select("query_id", "neighbor_id", score(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")

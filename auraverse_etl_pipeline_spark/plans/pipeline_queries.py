@@ -218,3 +218,130 @@ def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
     return crawl_to_corpus_funnel(docs, ref)
+
+
+def _hashed_vec_sql(src: str, out: str) -> str:
+    """CTE fragment: feature-hashed unit vectors from an instance CTE
+    ``src`` (columns id, tok) into ``{out}`` (id, v DOUBLE[64]) —
+    replays operators/similarity.py hashed_embeddings, zero-norm
+    vectors dropped (the pipeline's no-signal filter). ±1 bucket sums
+    are exact small integers, so the unordered SUM equals Spark's
+    ordered fold without DECIMAL machinery."""
+    return f"""
+    {out}_sums AS (
+        SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+               CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                             THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(-1.0 AS DOUBLE) END) AS DOUBLE) AS w
+        FROM {src} GROUP BY id, bucket
+    ),
+    {out}_raw AS (
+        SELECT g.id, g.bucket, COALESCE(s.w, CAST(0.0 AS DOUBLE)) AS w
+        FROM (SELECT d.id, r.i AS bucket
+              FROM (SELECT DISTINCT id FROM {src}) d, range(0, 64) r(i)) g
+        LEFT JOIN {out}_sums s ON s.id = g.id AND s.bucket = g.bucket
+    ),
+    {out}_norm AS (
+        SELECT id, sqrt(SUM(w * w)) AS norm FROM {out}_raw GROUP BY id
+    ),
+    {out} AS MATERIALIZED (
+        SELECT r.id, list(r.w / n.norm ORDER BY r.bucket) AS v
+        FROM {out}_raw r JOIN {out}_norm n USING (id)
+        WHERE n.norm > 0 GROUP BY r.id
+    )"""
+
+
+def _corpus_to_index_oracle_sql() -> str:
+    """DuckDB replica of corpus_to_chunk_index on the fixture slices:
+    chunker → hashed chunk/query vectors → the unrolled Lloyd chain →
+    probe/assign/score top-k, every hand-off replayed."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _TOKS, _lloyd_chain
+
+    chain, prev = _lloyd_chain("cvec", 8, 2)
+    return (
+        f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    kc AS (
+        SELECT doc_id, toks,
+               CASE WHEN n <= 64 THEN 1
+                    ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        FROM t
+    ),
+    ce AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM kc),
+    csrc AS (
+        SELECT doc_id * 1000 + i AS id,
+               unnest(toks[i * 48 + 1 : i * 48 + 64]) AS tok
+        FROM ce
+    ),
+    qsrc AS (
+        SELECT doc_id AS id, unnest({_TOKS}) AS tok
+        FROM documents WHERE doc_id >= 200 AND doc_id < 205
+    ),"""
+        + _hashed_vec_sql("csrc", "cvec")
+        + ","
+        + _hashed_vec_sql("qsrc", "qv0")
+        + chain
+        + f""",
+    q AS (SELECT id AS query_id, v AS qv FROM qv0),
+    assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY least(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(c.v, ct.centroid))
+                                    DESC,
+                                ct.cell) AS rn
+            FROM cvec c CROSS JOIN {prev} ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, ct.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.centroid) DESC,
+                                ct.cell) AS pr
+            FROM q CROSS JOIN {prev} ct
+        ) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               least(CAST(1.0 AS DOUBLE),
+                     list_cosine_similarity(p.qv, a.v)) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY least(CAST(1.0 AS DOUBLE),
+                                  list_cosine_similarity(p.qv, a.v)) DESC,
+                            a.id) AS rank
+        FROM probes p JOIN assigned a USING (cell)
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM scored WHERE rank <= 5
+    """
+    )
+
+
+@query(
+    "pipeline_corpus_to_index",
+    oracle=_corpus_to_index_oracle_sql(),
+    description="the RETRIEVAL-side pipeline composition - the RAG "
+    "twin of pipeline_crawl_to_corpus: corpus documents chunk into "
+    "sliding 64-token windows, every chunk embeds through the "
+    "model-free feature-hashing encoder (zero-norm chunks dropped - "
+    "cosine vs a zero vector is NaN and NaN ordering is cross-engine "
+    "ambiguity), the deterministic Lloyd quantizer trains over the "
+    "chunk vectors, and query documents embed through the SAME "
+    "encoder and probe the index. Four tiers hand off in one flow - "
+    "chunk ids, embedding components, trained centroids, cell labels "
+    "and search ranks all replay digit-for-digit in the oracle, which "
+    "is what proves the stages COMPOSE",
+)
+def pipeline_corpus_to_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.e2e import corpus_to_chunk_index
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    queries = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 205)
+    )
+    return corpus_to_chunk_index(docs, queries)

@@ -86,6 +86,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_logreg_quality",  # NEW: in-engine GD logistic-regression gate
     "stream_logreg_gate",  # NEW: classifier gate on the stream path
     "q09_nation_year_profit",  # NEW: closes the TPC-H numbering gap
+    "pipeline_corpus_to_index",  # NEW: retrieval-side 4-tier composition
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

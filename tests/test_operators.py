@@ -2944,3 +2944,33 @@ def test_crawl_to_corpus_funnel_composition(spark):
     assert fin.docs_in == fin.docs_out == 2
     assert fin.text_xor60 == xor
     assert fin.corpus_tokens == sum(len(t.split()) for t in survivors.values())
+
+
+def test_corpus_to_chunk_index_planted_retrieval(spark):
+    """Composition sanity for the retrieval pipeline: a query document
+    IDENTICAL to a corpus document must retrieve that document's chunk
+    at rank 1 with cosine exactly 1.0 (the clamp rule: the query
+    vector EQUALS the indexed chunk vector through the deterministic
+    encoder), and an unrelated-vocabulary query must not score 1.0."""
+    from auraverse_etl_pipeline_spark.operators.e2e import corpus_to_chunk_index
+
+    corpus_rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "one two three four five six"),
+        (2, "red green blue yellow purple"),
+        (3, "north south east west center"),
+    ]
+    docs = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    queries = spark.createDataFrame(
+        [(100, "one two three four five six"),  # exact duplicate of doc 1
+         (101, "entirely disjoint vocabulary words here")],
+        "doc_id bigint, text string",
+    )
+    out = corpus_to_chunk_index(docs, queries, nlist=2, k=3, nprobe=2)
+    rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in out.collect()}
+    nb, cos = rows[(100, 1)]
+    assert nb == 1000  # doc 1, chunk 0
+    assert cos == 1.0  # clamped exact self-match
+    for (q, rank), (_, c) in rows.items():
+        if q == 101:
+            assert c < 1.0
