@@ -311,10 +311,17 @@ def corpus_to_chunk_index(
         (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
         F.concat_ws(" ", piece).alias("text"),
     )
+    # cache the chunk vectors across the whole flow: the Lloyd loop's
+    # internal cache releases before the final assignment, and without
+    # this the chunk explode + embedding aggregate would re-run for the
+    # final assignment AND the search's in-cell scan (the parquet-
+    # checkpoint boundary of a real deployment, same as the crawl
+    # funnel's re-assembly cache)
     cvec = (
         hashed_embeddings(chunks, dim=dim, id_col="chunk_id")
         .filter(F.col("norm") > 0)
         .select(F.col("id").alias("vec_id"), F.col("embedding"))
+        .cache()
     )
     qvec = (
         hashed_embeddings(queries, dim=dim)
@@ -324,4 +331,5 @@ def corpus_to_chunk_index(
     index = ivf_index(cvec, nlist=nlist, quantizer="lloyd", max_iter=lloyd_iters)
     # clamp: a duplicated document through the deterministic encoder
     # makes a query vector EQUAL an indexed chunk vector
-    return ivf_search(qvec, index, k=k, nprobe=nprobe, exact_fold=True, clamp=True)
+    out = ivf_search(qvec, index, k=k, nprobe=nprobe, exact_fold=True, clamp=True)
+    return release_after(out, cvec)
