@@ -214,12 +214,14 @@ def logreg_train(
     is exactly this: a cheap linear scorer over hashed n-gram
     features) trained INSIDE the engine, deterministically.
 
-    Per step: ``s = X·w`` (broadcast model join + DECIMAL-partial
-    per-doc sums), ``p = σ(s)`` (Arrow-batched Python-libm sigmoid —
-    bit-identical to DuckDB's exp), ``∇_b = Σ (p − y)·x_b`` (one
-    fixed-width per-bucket aggregate with DECIMAL partials),
-    ``w ← w − lr_t·∇/n``. Every step is one corpus scan + one
-    broadcast join + two hash aggregates; only the MODEL-sized
+    Per step: ``s = X·w`` (a SHUFFLE-FREE map stage — each document's
+    sorted bucket array folds against a map-literal model with exact
+    DECIMAL(38,12) accumulation, which equals the shuffled
+    partial-sum spelling digit-for-digit because decimal addition is
+    exact hence associative), ``p = σ(s)`` (Arrow-batched Python-libm
+    sigmoid — bit-identical to DuckDB's exp), ``∇_b = Σ (p − y)·x_b``
+    (one fixed-width per-bucket aggregate with DECIMAL partials, the
+    step's ONLY shuffle), ``w ← w − lr_t·∇/n``. Only the MODEL-sized
     gradient (≤ num_buckets+1 rows) is collected per step (the
     Lloyd/BPE driver-loop discipline — MLlib's own LBFGS does the
     same treeAggregate-to-driver). With w₀ = 0 the first step's p is
@@ -248,8 +250,9 @@ def logreg_train(
     # model (decimal addition is exact hence associative, so the fold
     # equals the shuffled partial-sum spelling digit-for-digit) — and
     # the only shuffle per step is the model-sized gradient aggregate.
-    # The join-based spelling paid three shuffle stages per step; the
-    # measured 4-step train dropped ~3× on the sf0.1 fixture.
+    # The join-based spelling paid three shuffle stages per step
+    # (measured: the 4-step sf0.1 query dropped 11.7s → 8.2s
+    # like-for-like after this rewrite).
     xd = (
         df.select(
             F.col(id_col).alias("id"),
