@@ -97,6 +97,20 @@ def main() -> None:
             F.row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")),
         ).filter("rn <= 3")
     )
+    # ... and the higher-order-function expression machinery (aggregate
+    # folds, zip_with, transform, map literals) the vector tier's
+    # ordered-fold cosines / fixed-point means / map-literal models run
+    # on — its one-time setup otherwise lands on whichever fold-heavy
+    # query sweeps first (measured ~4 s cold vs warm on the Lloyd
+    # queries). A generic 3-wide fold, not any query's plan.
+    wm = F.create_map(F.lit(0).cast("bigint"), F.lit(1.0))
+    arr = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    fold = F.aggregate(
+        F.zip_with(arr, F.transform(arr, lambda x: x * 2), lambda a, b: a * b),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x.cast("decimal(38,12)")).cast("decimal(38,12)"),
+    ).cast("double") + F.coalesce(F.element_at(wm, F.lit(0).cast("bigint")), F.lit(0.0))
+    noop(small.select(fold.alias("f")))
     small.unpersist()
 
     # ... and spin up the Arrow Python workers once (one per core):
