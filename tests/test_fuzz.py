@@ -777,6 +777,27 @@ def test_logreg_matches_pure_python_gd(spark):
     prop()
 
 
+def test_trigram_head_sharpens_reference_fit(spark, sf_dir):
+    """The trigram head's reason to exist: on reference-like text the
+    backoff model must fit measurably better (lower cross-entropy)
+    than the bigram base — more context sharpens predictions on seen
+    n-grams faster than add-1 smoothing dilutes them (measured 3.33 →
+    2.86 nats/token on the fixture's trusted slice)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.lm import lm_score_report
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    means = {}
+    for order in (2, 3):
+        out = lm_score_report(ref, ref, order=order)
+        means[order] = out.agg(F.avg("xent")).first()[0]
+        out.release_caches()
+    assert means[3] < means[2] - 0.1, means
+
+
 def test_lloyd_ivf_matches_pure_python(spark):
     """Property: the in-engine Lloyd quantizer equals a pure-Python
     replica of the exact arithmetic — sample init, clamped sequential-
