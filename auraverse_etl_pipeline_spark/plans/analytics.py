@@ -1518,6 +1518,79 @@ def q42_customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q54_user_value_anomalies",
+    oracle="""
+    WITH per AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS n_u,
+               CAST(SUM(CAST(round(value * 100) AS DECIMAL(12,0)))
+                    AS DECIMAL(18,0)) AS s_u
+        FROM events GROUP BY user_id
+    ),
+    pop AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS nn,
+               CAST(SUM(CAST(round(value * 100) AS DECIMAL(12,0)))
+                    AS DECIMAL(18,0)) AS ss,
+               CAST(SUM(CAST(round(value * 100) AS DECIMAL(12,0))
+                        * CAST(round(value * 100) AS DECIMAL(12,0)))
+                    AS DECIMAL(26,0)) AS sss
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n_u AS BIGINT) AS n_events,
+           CAST(s_u AS DOUBLE) / CAST(n_u AS DOUBLE) / 100.0 AS user_mean,
+           (CAST(s_u AS DOUBLE) / CAST(n_u AS DOUBLE)
+              - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+             / (sqrt(CAST(nn * sss - ss * ss AS DOUBLE)
+                     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                / sqrt(CAST(n_u AS DOUBLE))) AS z,
+           abs((CAST(s_u AS DOUBLE) / CAST(n_u AS DOUBLE)
+                  - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (sqrt(CAST(nn * sss - ss * ss AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                  / sqrt(CAST(n_u AS DOUBLE)))) > 3 AS anomalous
+    FROM per CROSS JOIN pop
+    """,
+    description="statistical outlier detection: per-user mean event "
+    "value z-scored against the population (z = (mu_u - mu) / "
+    "(sigma/sqrt(n_u)), the standard-error test), |z| > 3 flagged. "
+    "The q43 moment discipline: all sums run on exact integer-cents "
+    "DECIMALs so the variance numerator is an exact integer in both "
+    "engines, and the FP tail is single-rounded casts + "
+    "sqrt/divide which IEEE fixes bit-identically; the population "
+    "row broadcasts against the per-user aggregate",
+)
+
+
+def q54_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(12,0)")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("decimal(10,0)").alias("n_u"),
+        F.sum(c).cast("decimal(18,0)").alias("s_u"),
+    )
+    pop = ev.agg(
+        F.count("*").cast("decimal(10,0)").alias("nn"),
+        F.sum(c).cast("decimal(18,0)").alias("ss"),
+        F.sum(c * c).cast("decimal(26,0)").alias("sss"),
+    )
+    joined = per.crossJoin(F.broadcast(pop))
+    mu_u = F.col("s_u").cast("double") / F.col("n_u").cast("double")
+    mu = F.col("ss").cast("double") / F.col("nn").cast("double")
+    var = (F.col("nn") * F.col("sss") - F.col("ss") * F.col("ss")).cast("double") / (
+        F.col("nn").cast("double") * F.col("nn").cast("double")
+    )
+    z = (mu_u - mu) / (F.sqrt(var) / F.sqrt(F.col("n_u").cast("double")))
+    return joined.select(
+        "user_id",
+        F.col("n_u").cast("bigint").alias("n_events"),
+        (mu_u / F.lit(100.0)).alias("user_mean"),
+        z.alias("z"),
+        (F.abs(z) > 3).alias("anomalous"),
+    )
+
+
+@query(
     "q43_exact_correlation",
     oracle="""
     WITH m AS (
