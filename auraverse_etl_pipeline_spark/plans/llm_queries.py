@@ -1704,6 +1704,113 @@ _EN_LIST = "[" + ", ".join(f"'{w}'" for w in _EN_STOPS) + "]"
 
 
 @query(
+    "text_char_entropy",
+    # H = ln(n) − (Σ c·ln c)/n over per-document character counts —
+    # algebraically identical to −Σ p·ln p but every ln argument is an
+    # INTEGER, so the libm calls run over the corpus's DISTINCT count
+    # values (a model-sized table, broadcast back) instead of a
+    # corpus-sized probability column: the classifier/LM libm
+    # discipline applied to entropy. The ln values are then QUANTIZED
+    # at the 2^40 fixed point (floor(ln·2^40) — exact double op, exact
+    # integer), so every per-doc accumulation is exact integer algebra
+    # and the single FP tail divides out the scale: a per-row
+    # double→DECIMAL(38,12) cast of c·ln c diverged in the last ulp on
+    # ~5/500 docs (Spark rounds the shortest repr, DuckDB the binary
+    # expansion — the CLAUDE.md non-money-double cast trap), which the
+    # fixed point eliminates at a < 2^-40 entropy perturbation. Empty
+    # documents are filtered on BOTH sides (Spark split('','') yields
+    # [], DuckDB ['']).
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    cc AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d)
+        GROUP BY doc_id, ch
+    ),
+    nn AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM d),
+    vals AS (SELECT DISTINCT c AS v FROM cc UNION SELECT DISTINCT n FROM nn),
+    lnt AS (
+        SELECT v,
+               CAST(floor(ln(CAST(v AS DOUBLE)) * 1099511627776.0)
+                    AS DECIMAL(38,0)) AS lnq
+        FROM vals
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * lnq) AS DECIMAL(38,0))
+                 AS clnc,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars
+        FROM cc JOIN lnt ON lnt.v = cc.c GROUP BY doc_id
+    )
+    SELECT nn.doc_id, nn.n AS n_chars, per.distinct_chars,
+           CAST(l2.lnq AS DOUBLE) / 1099511627776.0
+             - CAST(per.clnc AS DOUBLE) / nn.n / 1099511627776.0
+               AS char_entropy
+    FROM per JOIN nn USING (doc_id) JOIN lnt l2 ON l2.v = nn.n
+    """,
+    description="character-level Shannon entropy per document - the "
+    "classic gibberish/binary-noise detector (natural language sits "
+    "~2.9-3.3 nats; base64 blobs and repeated-char spam fall far "
+    "outside). Spelled H = ln(n) - (sum of c*ln c)/n so every ln "
+    "argument is an integer COUNT: the libm calls run over the "
+    "corpus's distinct count values (model-sized, broadcast back) "
+    "instead of a corpus-sized probability column, with "
+    "DECIMAL-partial per-doc sums - the classifier/LM libm "
+    "discipline applied to entropy",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.classifier import _ln
+    from auraverse_etl_pipeline_spark.runtime import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = docs.select("doc_id", F.length("text").cast("bigint").alias("n"))
+    vals = (
+        counts.select(F.col("c").alias("v"))
+        .union(n.select(F.col("n").alias("v")))
+        .distinct()
+    )
+    fx = 1099511627776.0  # 2^40
+    lnt = vals.select(
+        "v",
+        F.floor(_ln(F.col("v").cast("double")) * F.lit(fx))
+        .cast("decimal(38,0)")
+        .alias("lnq"),
+    )
+    per = (
+        counts.join(F.broadcast(lnt), counts["c"] == lnt["v"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("lnq"))
+            .cast("decimal(38,0)")
+            .alias("clnc"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        )
+    )
+    ln_n = F.broadcast(
+        lnt.select(F.col("v").alias("n"), F.col("lnq").alias("ln_nq"))
+    )
+    return (
+        per.join(n, "doc_id")
+        .join(ln_n, "n")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "distinct_chars",
+            (
+                F.col("ln_nq").cast("double") / F.lit(fx)
+                - F.col("clnc").cast("double") / F.col("n") / F.lit(fx)
+            ).alias("char_entropy"),
+        )
+    )
+
+
+@query(
     "text_quality_scores",
     oracle=f"""
     SELECT doc_id,

@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 171 queries full single-
+#: the registry (50 rows per round), so with 172 queries full single-
 #: round attestation is impossible — the order rotates so the least-
 #: recently-scored queries enumerate first each round.
 #:
@@ -70,7 +70,7 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   whose CORRECTNESS_r0N.json carries a green — or, for the
 #:   rows-only-by-design names, a rows-recorded — row for the name):
 #:   oldest evidence enumerates first. After round 9 scores its
-#:   window (12 fresh + the 18 round-4 names + the oldest round-6
+#:   window (13 fresh + the 18 round-4 names + the oldest round-6
 #:   names), the oldest remaining evidence is round 6.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
@@ -88,6 +88,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "q09_nation_year_profit",  # NEW: closes the TPC-H numbering gap
     "pipeline_corpus_to_index",  # NEW: retrieval-side 4-tier composition
     "q54_user_value_anomalies",  # NEW: z-score outlier detection from exact moments
+    "text_char_entropy",  # NEW: fixed-point char-entropy quality signal
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
