@@ -934,7 +934,10 @@ def prefix_filter_jaccard_pairs(
     trades recall for speed, prefix filtering keeps recall 1.0 and
     pays join cost that grows as τ falls — the default τ=0.8 sits in
     this operator's intended regime; below ~0.7 use the MinHash tier
-    (:func:`lsh_quality_audit` is the measurement that picks).
+    (:func:`lsh_quality_audit` is the measurement that picks, and
+    :func:`prefix_jaccard_join_audit` computes this join's EXACT
+    candidate volume for a corpus + threshold without running it —
+    measure the low-τ blow-up before paying for it).
 
     Plan: one cached shingle table (df-count scan, prefix window, both
     verify lookups), a vocab-sized document-frequency aggregate joined
@@ -1052,6 +1055,60 @@ def containment_pairs(
         .select("contained_id", "container_id", "containment")
     )
     return release_after(result, sh)
+
+
+def prefix_jaccard_join_audit(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The two-sided twin of :func:`containment_join_audit`: exact
+    candidate-volume audit for :func:`prefix_filter_jaccard_pairs`.
+    The prefix × prefix self-join on shingle ``s`` with ``id1 < id2``
+    emits exactly ``Σ_s p(s)·(p(s)−1)/2`` rows (p = prefix occurrences
+    of s) — computable from ONE vocab-sized aggregate, never
+    materializing a candidate. Same columns as the containment audit
+    (``index_shingles`` is the full exploded count; the fraction is
+    the τ-curve's driver on BOTH join sides here)."""
+    sh = (
+        _shingle_table(df, n=n, text_col=text_col, id_col=id_col)
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .cache()
+    )
+    p_cnt = (
+        _frequency_ordered_prefix(sh, threshold)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("p_n"))
+    )
+    est = p_cnt.agg(
+        # Σ p(p−1) is even; halve with integer DIV so the count stays
+        # exact at any scale (a float halve re-rounds past 2^53)
+        F.expr("CAST(sum(p_n * (p_n - 1)) DIV 2 AS BIGINT)").alias(
+            "candidate_rows"
+        ),
+        F.sum("p_n").cast("bigint").alias("prefix_shingles"),
+    )
+    totals = sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("index_shingles"),
+    )
+    return release_after(
+        totals.crossJoin(F.broadcast(est)).select(
+            "n_docs",
+            "index_shingles",
+            "prefix_shingles",
+            (F.col("prefix_shingles") / F.col("index_shingles")).alias(
+                "prefix_fraction"
+            ),
+            "candidate_rows",
+            (F.col("candidate_rows") / F.col("n_docs")).alias(
+                "candidates_per_doc"
+            ),
+        ),
+        sh,
+    )
 
 
 def containment_join_audit(

@@ -5412,6 +5412,90 @@ def dedup_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_prefix_join_audit",
+    # Two-sided twin of dedup_containment_audit, same frequency-order
+    # replay; candidate_rows = Σ p(s)·(p(s)−1)/2 over prefix counts.
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    aug AS (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(
+                   (string_split_regex(trim(text), '\\s+'))
+                       [1:greatest(len(string_split_regex(trim(text), '\\s+')) // 2, 1)],
+                   ' ')
+        FROM corpus WHERE doc_id < 60
+    ),
+    shx AS (SELECT doc_id, {{sh3}} AS sh FROM aug),
+    sh2 AS (
+        SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz
+        FROM shx WHERE len(sh) > 0
+    ),
+    ex AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sh2),
+    dfreq AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df_global
+        FROM ex GROUP BY shingle
+    ),
+    ranked AS (
+        SELECT ex.doc_id, ex.shingle,
+               row_number() OVER (
+                   PARTITION BY ex.doc_id ORDER BY d.df_global, ex.shingle
+               ) AS rn,
+               CAST(ex.sz - ceil(CAST(0.5 AS DOUBLE) * ex.sz) + 1 AS INT)
+                 AS plen
+        FROM ex JOIN dfreq d USING (shingle)
+    ),
+    p_cnt AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS p_n
+        FROM ranked WHERE rn <= plen GROUP BY shingle
+    ),
+    est AS (
+        SELECT CAST(SUM(p_n * (p_n - 1)) // 2 AS BIGINT) AS candidate_rows,
+               CAST(SUM(p_n) AS BIGINT) AS prefix_shingles
+        FROM p_cnt
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) AS BIGINT) AS index_shingles
+        FROM sh2
+    )
+    SELECT n_docs, index_shingles, prefix_shingles,
+           CAST(prefix_shingles AS DOUBLE) / index_shingles AS prefix_fraction,
+           candidate_rows,
+           CAST(candidate_rows AS DOUBLE) / n_docs AS candidates_per_doc
+    FROM tot, est
+    """.replace("{sh3}", _SH3),
+    description="the Jaccard prefix join's runtime cost guard at "
+    "tau=0.5 - the two-sided twin of dedup_containment_audit: the "
+    "prefix x prefix self-join emits exactly sum over shingles of "
+    "p(s)*(p(s)-1)/2 candidate rows, computed from ONE vocab-sized "
+    "aggregate without materializing a candidate; measure the "
+    "low-threshold blow-up on both join sides before paying for it",
+)
+def dedup_prefix_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        prefix_jaccard_join_audit,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    halves = corpus.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1,"
+            " greatest(size(split(trim(text), '\\\\s+')) DIV 2, 1)))"
+        ).alias("text"),
+    )
+    return prefix_jaccard_join_audit(
+        corpus.unionByName(halves), threshold=0.5, n=3
+    )
+
+
+@query(
     "sim_ivf_rebalance",
     oracle="""
     WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

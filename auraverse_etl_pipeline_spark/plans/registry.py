@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 172 queries full single-
+#: the registry (50 rows per round), so with 173 queries full single-
 #: round attestation is impossible — the order rotates so the least-
 #: recently-scored queries enumerate first each round.
 #:
@@ -70,7 +70,7 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   whose CORRECTNESS_r0N.json carries a green — or, for the
 #:   rows-only-by-design names, a rows-recorded — row for the name):
 #:   oldest evidence enumerates first. After round 9 scores its
-#:   window (13 fresh + the 18 round-4 names + the oldest round-6
+#:   window (14 fresh + the 18 round-4 names + the oldest round-6
 #:   names), the oldest remaining evidence is round 6.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
@@ -89,6 +89,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "pipeline_corpus_to_index",  # NEW: retrieval-side 4-tier composition
     "q54_user_value_anomalies",  # NEW: z-score outlier detection from exact moments
     "text_char_entropy",  # NEW: fixed-point char-entropy quality signal
+    "dedup_prefix_join_audit",  # NEW: two-sided prefix-join cost guard
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

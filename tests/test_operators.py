@@ -1051,6 +1051,31 @@ def test_containment_join_audit_exact(spark):
     assert got[0.5].prefix_fraction > got[0.9].prefix_fraction
     assert got[0.5].candidate_rows > got[0.9].candidate_rows
 
+    # the two-sided twin: candidate_rows = Σ p(s)·(p(s)−1)/2 exactly
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        prefix_jaccard_join_audit,
+    )
+
+    def model2(tau, n=2):
+        def sh(t):
+            ws = t.strip().split()
+            return sorted({" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)})
+
+        sets = {i: sh(t) for i, t in enumerate(texts) if sh(t)}
+        dfreq = Counter(s for ss in sets.values() for s in ss)
+        p_cnt: Counter = Counter()
+        for ss in sets.values():
+            plen = int(len(ss) - math.ceil(tau * len(ss)) + 1)
+            for s in sorted(ss, key=lambda x: (dfreq[x], x))[:plen]:
+                p_cnt[s] += 1
+        return sum(p * (p - 1) // 2 for p in p_cnt.values())
+
+    for tau in (0.5, 0.9):
+        out2 = prefix_jaccard_join_audit(docs, threshold=tau, n=2)
+        row2 = out2.collect()[0]
+        out2.release_caches()
+        assert row2.candidate_rows == model2(tau), (tau, row2.candidate_rows)
+
 
 def test_hot_bucket_caps_unused_at_correctness_sf(spark):
     """The capped pair queries (minhash/simhash, max_bucket_size=1000)
