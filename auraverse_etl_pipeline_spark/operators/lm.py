@@ -154,7 +154,12 @@ def ngram_lm_train(
     from auraverse_etl_pipeline_spark.functions.text import tokens
 
     toks = ref.select(F.explode(tokens(text_col)).alias("tok"))
-    vocab = toks.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    # vocab is one row but its plan embeds a corpus-sized token explode
+    # + distinct — and every model table (bigrams, contexts, stats,
+    # plus the trigram pair at order=3) crossJoins it, so uncached the
+    # reference is token-scanned once PER TABLE materialization.
+    # Released through the bigrams frame's chained handle, like big.
+    vocab = toks.agg(F.count_distinct("tok").cast("bigint").alias("v")).cache()
     # the bigram-count aggregate embeds the corpus-sized transition
     # explode; it feeds the bigrams plan TWICE (directly + via ctx) and
     # the contexts plan once — cache it or the model build scans the
@@ -176,6 +181,7 @@ def ngram_lm_train(
             _ln((F.col("c") + a) / (F.col("c_prev") + a * F.col("v"))).alias("logp"),
         ),
         big,
+        vocab,
     )
     contexts = (
         ctx.crossJoin(F.broadcast(vocab))
