@@ -133,15 +133,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.02, n=3)
 
 
-@query(
-    "dedup_minhash_pairs",
-    description="MinHash-LSH candidates, exact-Jaccard verified (recall pinned in pytest)",
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # cap opted in: this corpus has no duplicate cluster anywhere near
-    # the cap (exact-tier clean), so the skew guard is pure insurance
-    return minhash_near_duplicates(docs, jaccard_threshold=0.5, n=3, max_bucket_size=1000)
+# dedup_minhash_pairs is registered further down (below
+# _minhash_oracle_sql, which its oracle parameterizes).
 
 
 #: DuckDB replica of the SimHash pipeline: 60-bit hash from the first
@@ -3199,18 +3192,21 @@ def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(t, _PACK_BUDGET)
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 8, seed: int = 42, threshold: float = 0.5
+) -> str:
     """DuckDB replica of the full MinHash-LSH pipeline under the md5
     base hash: hex15(md5(shingle)) % P, the exact affine coefficients
-    from ``minhash_coeffs(8, 42)``, per-doc minima, r=1 band join,
-    exact-Jaccard verification — byte-for-byte the Spark operator."""
+    from ``minhash_coeffs(num_hashes, seed)``, per-doc minima, r=1 band
+    join, exact-Jaccard verification — byte-for-byte the Spark operator
+    at the same (num_hash_tables, seed, jaccard_threshold)."""
     from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
 
-    coeffs = minhash_coeffs(8, 42)
+    coeffs = minhash_coeffs(num_hashes, seed)
     mins = ",\n               ".join(
         f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
-    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
+    band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(num_hashes))
     return f"""
     WITH sh AS (
         SELECT doc_id, {_SH3} AS sh FROM documents
@@ -3232,7 +3228,7 @@ def _minhash_oracle_sql() -> str:
     ),
     bands AS (
         SELECT doc_id, i, CASE i {band_case} END AS mh
-        FROM mins, range(8) r(i)
+        FROM mins, range({num_hashes}) r(i)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -3245,7 +3241,7 @@ def _minhash_oracle_sql() -> str:
     JOIN sh2 x ON x.doc_id = c.id1
     JOIN sh2 y ON y.doc_id = c.id2
     WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
     """
 
 
@@ -3486,6 +3482,32 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         docs, jaccard_threshold=0.5, n=3, hash_fn="md5", max_bucket_size=1000
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_minhash_oracle_sql(num_hashes=12, seed=7, threshold=0.35),
+    description="MinHash-LSH near-duplicate pairs at a wider recall "
+    "point (12 hash tables, lower exact-Jaccard threshold) under the "
+    "engine-portable md5 base hash, so the whole pipeline is oracle-"
+    "gated at a SECOND (bands, seed, threshold) configuration; "
+    "hash_fn='xxhash64' remains the documented production fast path "
+    "(same algorithm, JVM-only base hash — benchmark it outside the "
+    "oracle gate)",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # cap opted in: this corpus has no duplicate cluster anywhere near
+    # the cap (exact-tier clean), so the skew guard is pure insurance
+    return minhash_near_duplicates(
+        docs,
+        jaccard_threshold=0.35,
+        n=3,
+        num_hash_tables=12,
+        seed=7,
+        hash_fn="md5",
+        max_bucket_size=1000,
     )
 
 

@@ -73,23 +73,10 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   window (14 fresh + the 18 round-4 names + the oldest round-6
 #:   names), the oldest remaining evidence is round 6.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 9 start: CORRECTNESS_r08.json folded into _LAST_GREEN (48
-    # green + 2 rows-recorded; zero red). Round-9 rewrites after their
+    # round 10 start: CORRECTNESS_r09.json folded into _LAST_GREEN (49
+    # green + 1 rows-recorded; zero red). Round-10 rewrites after their
     # last green/recorded row go here as they land:
-    "text_lm_trigram",  # NEW: trigram head + backoff chain (ADVICE r8)
-    "dedup_containment_audit",  # NEW: containment-join cost guard (VERDICT r8 #3)
-    "dedup_embedding_lsh",  # REWRITTEN: md5 ±1 planes, now oracle-gated (VERDICT r8 #5)
-    "multimodal_media_features",  # REWRITTEN: full feature oracle via SQL UTF-8 encoder (VERDICT r8 #8)
-    "sim_ivf_lloyd",  # NEW: deterministic in-engine Lloyd quantizer training
-    "sim_topk_ivf",  # REWRITTEN: Lloyd quantizer, full search path now oracle-gated
-    "sim_pq_lloyd",  # NEW: Lloyd-trained PQ codebooks, oracle-gated
-    "text_logreg_quality",  # NEW: in-engine GD logistic-regression gate
-    "stream_logreg_gate",  # NEW: classifier gate on the stream path
-    "q09_nation_year_profit",  # NEW: closes the TPC-H numbering gap
-    "pipeline_corpus_to_index",  # NEW: retrieval-side 4-tier composition
-    "q54_user_value_anomalies",  # NEW: z-score outlier detection from exact moments
-    "text_char_entropy",  # NEW: fixed-point char-entropy quality signal
-    "dedup_prefix_join_audit",  # NEW: two-sided prefix-join cost guard
+    "dedup_minhash_pairs",  # REWRITTEN: md5 base hash + 12-table/0.35 config, now oracle-gated (VERDICT r9 #2)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -97,55 +84,21 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 4
-    "dedup_hot_bucket_audit": 4,
-    "dedup_merge_index": 4,
-    "dedup_minhash_md5_pairs": 4,
-    "dedup_minhash_pairs": 4,
-    "fixture_schema_field_types": 4,
-    "multimodal_frame_manifest": 4,
-    "q28_sketch_distinct_users": 4,
-    "sim_range_search": 4,
-    "sql_udaf_source_stats": 4,
-    "stream_dedup_events": 4,
-    "stream_hourly_event_windows": 4,
-    "stream_purchase_attribution": 4,
-    "stream_sliding_windows": 4,
-    "stream_user_running_totals": 4,
-    "stream_user_sessions": 4,
-    "text_chunk_documents": 4,
-    "text_span_dedup": 4,
-    "text_span_dedup_apply": 4,
     # round 6
     "corpus_data_card": 6,
     "corpus_snapshot_diff": 6,
     "curation_funnel": 6,
-    "dedup_bloom_audit": 6,
-    "dedup_bloom_bits": 6,
-    "dedup_bloom_decontaminate": 6,
     "dedup_embedding_clean": 6,
-    "dedup_embedding_signlsh": 6,
     "dedup_incremental_minhash": 6,
     "dedup_lsh_quality_audit": 6,
-    "mix_cluster_balanced": 6,
-    "mix_curriculum_order": 6,
     "mix_length_buckets": 6,
     "mix_stratified_quota": 6,
-    "mix_token_budget": 6,
     "mix_weighted_sample": 6,
     "multimodal_bmp_features": 6,
-    "multimodal_png_features": 6,
-    "multimodal_wav_features": 6,
     "q50_bipartite_pagerank": 6,
     "q51_conversion_funnel": 6,
     "sim_hybrid_search": 6,
-    "sim_ivf_assign": 6,
-    "sim_ivf_index_search": 6,
-    "sim_ivfpq_search": 6,
-    "sim_pq_codes": 6,
-    "sim_pq_search": 6,
     "sim_random_projection": 6,
-    "sim_topk_ivf": 6,
     "stream_bm25_index": 6,
     "stream_compaction_dedup": 6,
     "stream_enriched_segment_revenue": 6,
@@ -157,12 +110,8 @@ _LAST_GREEN = {
     "text_bm25_search": 6,
     "text_bpe_encode": 6,
     "text_bpe_train": 6,
-    "text_cms_token_counts": 6,
-    "text_gopher_filter": 6,
-    "text_nb_classifier": 6,
     "text_pmi_phrases": 6,
     "text_tfidf_keywords": 6,
-    "text_unicode_normalize": 6,
     # round 7
     "converted_documents": 7,
     "dedup_containment_join": 7,
@@ -218,13 +167,11 @@ _LAST_GREEN = {
     "dedup_corpus_clean": 8,
     "dedup_decontaminate": 8,
     "dedup_embedding_cosine": 8,
-    "dedup_embedding_lsh": 8,
     "dedup_exact_groups": 8,
     "dedup_exact_stats": 8,
     "dedup_ngram_jaccard": 8,
     "dedup_simhash_pairs": 8,
     "ingest_warc_roundtrip": 8,
-    "multimodal_media_features": 8,
     "pipeline_crawl_to_corpus": 8,
     "q26_range_join_daytime_events": 8,
     "q27_rollup_cascade_daily": 8,
@@ -263,6 +210,57 @@ _LAST_GREEN = {
     "text_repetition_filter": 8,
     "text_token_stats": 8,
     "text_vocab_topk": 8,
+    # round 9
+    "dedup_bloom_audit": 9,
+    "dedup_bloom_bits": 9,
+    "dedup_bloom_decontaminate": 9,
+    "dedup_containment_audit": 9,
+    "dedup_embedding_lsh": 9,
+    "dedup_embedding_signlsh": 9,
+    "dedup_hot_bucket_audit": 9,
+    "dedup_merge_index": 9,
+    "dedup_minhash_md5_pairs": 9,
+    "dedup_minhash_pairs": 9,
+    "dedup_prefix_join_audit": 9,
+    "fixture_schema_field_types": 9,
+    "mix_cluster_balanced": 9,
+    "mix_curriculum_order": 9,
+    "mix_token_budget": 9,
+    "multimodal_frame_manifest": 9,
+    "multimodal_media_features": 9,
+    "multimodal_png_features": 9,
+    "multimodal_wav_features": 9,
+    "pipeline_corpus_to_index": 9,
+    "q09_nation_year_profit": 9,
+    "q28_sketch_distinct_users": 9,
+    "q54_user_value_anomalies": 9,
+    "sim_ivf_assign": 9,
+    "sim_ivf_index_search": 9,
+    "sim_ivf_lloyd": 9,
+    "sim_ivfpq_search": 9,
+    "sim_pq_codes": 9,
+    "sim_pq_lloyd": 9,
+    "sim_pq_search": 9,
+    "sim_range_search": 9,
+    "sim_topk_ivf": 9,
+    "sql_udaf_source_stats": 9,
+    "stream_dedup_events": 9,
+    "stream_hourly_event_windows": 9,
+    "stream_logreg_gate": 9,
+    "stream_purchase_attribution": 9,
+    "stream_sliding_windows": 9,
+    "stream_user_running_totals": 9,
+    "stream_user_sessions": 9,
+    "text_char_entropy": 9,
+    "text_chunk_documents": 9,
+    "text_cms_token_counts": 9,
+    "text_gopher_filter": 9,
+    "text_lm_trigram": 9,
+    "text_logreg_quality": 9,
+    "text_nb_classifier": 9,
+    "text_span_dedup": 9,
+    "text_span_dedup_apply": 9,
+    "text_unicode_normalize": 9,
 }
 
 
