@@ -36,6 +36,18 @@ from auraverse_etl_pipeline_spark.runtime import ship_package
 #: Prior row marker in the model table (real buckets are >= 0).
 PRIOR_BUCKET = -1
 
+#: 2^40 — power-of-two fixed point for every oracle-gated sum of
+#: COMPUTED doubles (model weights, sigmoid residuals) in the logistic
+#: tier. ``floor(v * 2^40)`` is deterministic in both engines (the
+#: multiply is an exact exponent shift, floor has no rounding mode),
+#: the DECIMAL(38,0) sum is exact, and the single final division by
+#: 2^40 is an exact scale — so no per-row double→DECIMAL(38,12) cast
+#: (Spark HALF_UP on the shortest repr vs DuckDB HALF_EVEN on the
+#: binary expansion — divergent on computed values, see CLAUDE.md) is
+#: ever exercised. Same discipline as ``_LLOYD_FIXED_POINT``
+#: (operators/similarity.py) and the char-entropy query.
+LOGREG_FIXED_POINT = 1099511627776.0
+
 
 # DataType instance, not a DDL string: the module imports before any
 # SparkSession exists and DDL parsing needs an active context.
@@ -215,13 +227,18 @@ def logreg_train(
     features) trained INSIDE the engine, deterministically.
 
     Per step: ``s = X·w`` (a SHUFFLE-FREE map stage — each document's
-    sorted bucket array folds against a map-literal model with exact
-    DECIMAL(38,12) accumulation, which equals the shuffled
-    partial-sum spelling digit-for-digit because decimal addition is
-    exact hence associative), ``p = σ(s)`` (Arrow-batched Python-libm
-    sigmoid — bit-identical to DuckDB's exp), ``∇_b = Σ (p − y)·x_b``
-    (one fixed-width per-bucket aggregate with DECIMAL partials, the
-    step's ONLY shuffle), ``w ← w − lr_t·∇/n``. Only the MODEL-sized
+    sorted bucket array folds against a map-literal model, each weight
+    quantized at ``floor(w·2^40)`` and accumulated as an exact
+    DECIMAL(38,0) sum with ONE division at the end, which equals the
+    shuffled partial-sum spelling digit-for-digit because integer
+    decimal addition is exact hence associative), ``p = σ(s)``
+    (Arrow-batched Python-libm sigmoid — bit-identical to DuckDB's
+    exp), ``∇_b = Σ (p − y)·x_b`` (one fixed-width per-bucket
+    aggregate with the same fixed-point partials, the step's ONLY
+    shuffle), ``w ← w − lr_t·∇/n``. The ``LOGREG_FIXED_POINT``
+    quantization replaces per-row double→DECIMAL(38,12) casts of
+    computed values, whose HALF_UP/HALF_EVEN rounding diverges
+    between engines (ADVICE r9). Only the MODEL-sized
     gradient (≤ num_buckets+1 rows) is collected per step (the
     Lloyd/BPE driver-loop discipline — MLlib's own LBFGS does the
     same treeAggregate-to-driver). With w₀ = 0 the first step's p is
@@ -245,11 +262,12 @@ def logreg_train(
     from auraverse_etl_pipeline_spark.functions.text import tokens
 
     # Per-DOC feature arrays instead of exploded (id, bucket) rows: the
-    # per-step score is then a pure MAP stage — an exact DECIMAL(38,12)
-    # fold over the doc's sorted bucket array against a map-literal
-    # model (decimal addition is exact hence associative, so the fold
-    # equals the shuffled partial-sum spelling digit-for-digit) — and
-    # the only shuffle per step is the model-sized gradient aggregate.
+    # per-step score is then a pure MAP stage — an exact fixed-point
+    # DECIMAL(38,0) fold over the doc's sorted bucket array against a
+    # map-literal model (integer addition is exact hence associative,
+    # so the fold equals the shuffled partial-sum spelling
+    # digit-for-digit) — and the only shuffle per step is the
+    # model-sized gradient aggregate.
     # The join-based spelling paid three shuffle stages per step
     # (measured: the 4-step sf0.1 query dropped 11.7s → 8.2s
     # like-for-like after this rewrite).
@@ -276,7 +294,8 @@ def logreg_train(
         .cache()
     )
     n_docs = df.count()
-    dzero = F.lit(0).cast("decimal(38,12)")
+    fx = F.lit(LOGREG_FIXED_POINT)
+    dzero = F.lit(0).cast("decimal(38,0)")
 
     def weights_map(wmap: dict[int, float]):
         items = []
@@ -288,19 +307,29 @@ def logreg_train(
     for t in range(1, iters + 1):
         step_lr = lr / t if decay else lr
         wm = weights_map(wmap)
-        s = F.aggregate(
-            F.col("bs"),
-            dzero,
-            lambda acc, b: (
-                acc
-                + F.coalesce(F.element_at(wm, b), F.lit(0.0)).cast("decimal(38,12)")
-            ).cast("decimal(38,12)"),
-        ).cast("double")
+        s = (
+            F.aggregate(
+                F.col("bs"),
+                dzero,
+                lambda acc, b: (
+                    acc
+                    + F.floor(
+                        F.coalesce(F.element_at(wm, b), F.lit(0.0)) * fx
+                    ).cast("decimal(38,0)")
+                ).cast("decimal(38,0)"),
+            ).cast("double")
+            / fx
+        )
         g = (
             xd.select("bs", "y", _sigmoid(s).alias("p"))
             .select(F.explode("bs").alias("bucket"), (F.col("p") - F.col("y")).alias("d"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("g"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("d") * fx).cast("decimal(38,0)")).cast("double")
+                    / fx
+                ).alias("g")
+            )
         )
         for r in g.collect():
             b, gd = int(r["bucket"]), float(r["g"])
@@ -320,21 +349,25 @@ def logreg_score(
     ``(id, score, prob, predicted)`` with ``score = X·w`` (bias row
     included via the bucket −1 feature), ``prob = σ(score)`` and
     ``predicted = score > 0``. Same scale shape as :func:`nb_score`:
-    model broadcast, one corpus explode, DECIMAL-partial per-doc sums,
-    one Arrow-batched sigmoid over the per-doc scalar."""
+    model broadcast, one corpus explode, fixed-point DECIMAL(38,0)
+    per-doc sums (``LOGREG_FIXED_POINT`` — weights are computed
+    doubles, so no per-row DECIMAL(38,12) cast), one Arrow-batched
+    sigmoid over the per-doc scalar."""
     ship_package(df.sparkSession)
+    fx = F.lit(LOGREG_FIXED_POINT)
     x = logreg_features(df, num_buckets, text_col, id_col)
     s = (
         x.join(F.broadcast(model), "bucket", "left")
         .groupBy("id")
         .agg(
-            F.sum(
-                (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("score")
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))) * fx
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / fx
+            ).alias("score")
         )
     )
     return s.select(

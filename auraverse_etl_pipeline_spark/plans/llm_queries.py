@@ -1365,12 +1365,18 @@ def _logreg_sa_chain() -> str:
     at the ``sa`` CTE (per-doc scores over ALL documents) — shared by
     the batch query and the streaming-gate tally oracle. With w₀ = 0
     the first step's sigmoid is exactly 0.5 in both engines; every dot
-    product and gradient runs through DECIMAL(38,12) partials, the
+    product and gradient runs through the ``LOGREG_FIXED_POINT``
+    discipline — ``floor(v·2^40)`` summed as exact DECIMAL(38,0), one
+    division at the end — never a per-row double→DECIMAL(38,12) cast
+    of a computed value (divergent rounding modes, CLAUDE.md); the
     sigmoid through exp (DuckDB's exp is bit-identical to Python libm
     — measured, 0 mismatches in 20k samples; numpy's SIMD exp is NOT
     and is never used). Each step's rate embeds as the exact double
     repr, which both engines parse to the identical double."""
+    from auraverse_etl_pipeline_spark.operators.classifier import LOGREG_FIXED_POINT
+
     lr = _LOGREG_LR
+    fx = repr(LOGREG_FIXED_POINT)
     parts = [
         f"""
     WITH d AS MATERIALIZED (
@@ -1388,7 +1394,8 @@ def _logreg_sa_chain() -> str:
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
     g1 AS (
         SELECT bucket,
-               CAST(SUM(CAST((0.5 - y) * x AS DECIMAL(38,12))) AS DOUBLE) AS g
+               CAST(SUM(CAST(floor(((0.5 - y) * x) * {fx}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / {fx} AS g
         FROM xtr JOIN ytr USING (id) GROUP BY bucket
     ),
     w1 AS MATERIALIZED (
@@ -1401,14 +1408,15 @@ def _logreg_sa_chain() -> str:
             f""",
     s{t} AS (
         SELECT id,
-               CAST(SUM(CAST(x * COALESCE(w, 0.0) AS DECIMAL(38,12))) AS DOUBLE)
-                 AS s
+               CAST(SUM(CAST(floor((x * COALESCE(w, 0.0)) * {fx}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / {fx} AS s
         FROM xtr LEFT JOIN w{t - 1} USING (bucket) GROUP BY id
     ),
     p{t} AS (SELECT id, 1.0 / (1.0 + exp(-s)) AS p FROM s{t}),
     g{t} AS (
         SELECT bucket,
-               CAST(SUM(CAST((p - y) * x AS DECIMAL(38,12))) AS DOUBLE) AS g
+               CAST(SUM(CAST(floor(((p - y) * x) * {fx}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / {fx} AS g
         FROM xtr JOIN p{t} USING (id) JOIN ytr USING (id) GROUP BY bucket
     ),
     w{t} AS MATERIALIZED (
@@ -1422,8 +1430,8 @@ def _logreg_sa_chain() -> str:
     xall AS ({_logreg_feature_sql("d")}),
     sa AS (
         SELECT id,
-               CAST(SUM(CAST(x * COALESCE(w, 0.0) AS DECIMAL(38,12))) AS DOUBLE)
-                 AS score
+               CAST(SUM(CAST(floor((x * COALESCE(w, 0.0)) * {fx}) AS DECIMAL(38,0)))
+                    AS DOUBLE) / {fx} AS score
         FROM xall LEFT JOIN w{_LOGREG_ITERS} USING (bucket) GROUP BY id
     )"""
     )

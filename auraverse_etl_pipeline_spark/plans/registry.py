@@ -77,6 +77,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # green + 1 rows-recorded; zero red). Round-10 rewrites after their
     # last green/recorded row go here as they land:
     "dedup_minhash_pairs",  # REWRITTEN: md5 base hash + 12-table/0.35 config, now oracle-gated (VERDICT r9 #2)
+    "text_logreg_quality",  # REWRITTEN: fixed-point 2^40 partials replace DECIMAL(38,12) casts (ADVICE r9)
+    "stream_logreg_gate",  # REWRITTEN: same fixed-point discipline in the tally
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -593,12 +593,16 @@ def _logreg_gate_oracle() -> str:
     batch/stream gate parity at the oracle level."""
     from auraverse_etl_pipeline_spark.plans.llm_queries import _logreg_sa_chain
 
+    from auraverse_etl_pipeline_spark.operators.classifier import LOGREG_FIXED_POINT
+
+    fx = repr(LOGREG_FIXED_POINT)
     return (
         _logreg_sa_chain()
-        + """
+        + f"""
     SELECT score > 0 AS predicted,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) AS score_sum
+           CAST(SUM(CAST(floor(score * {fx}) AS DECIMAL(38,0))) AS DOUBLE) / {fx}
+             AS score_sum
     FROM sa GROUP BY 1
     """
     )
@@ -617,7 +621,9 @@ def _logreg_gate_oracle() -> str:
     "production quality classifier deploys: retrain offline, score "
     "continuously). Per-doc decisions land as fixed-width parquet "
     "rows; the query reports the (predicted, n_docs, score_sum) "
-    "tally, DECIMAL-summed so the hash is order-independent",
+    "tally, fixed-point-summed (floor(score*2^40) as exact "
+    "DECIMAL(38,0), one division) so the hash is order-independent "
+    "and engine-portable",
 )
 def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -665,13 +671,17 @@ def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         model.unpersist()
+    from auraverse_etl_pipeline_spark.operators.classifier import LOGREG_FIXED_POINT
+
+    fx = F.lit(LOGREG_FIXED_POINT)
     return (
         spark.read.parquet(f"{root}/decisions")
         .groupBy("predicted")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.col("score").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("score_sum"),
+            (
+                F.sum(F.floor(F.col("score") * fx).cast("decimal(38,0)")).cast("double")
+                / fx
+            ).alias("score_sum"),
         )
     )

@@ -692,28 +692,29 @@ def test_trigram_lm_matches_model(spark):
 def test_logreg_matches_pure_python_gd(spark):
     """Property: in-engine logistic-regression training + scoring
     equals a pure-Python replica of the exact arithmetic — md5 bucket
-    hash, binary presence + bias features, DECIMAL(38,12)-partial
-    dot products and gradients (each term rounded to 12 dp HALF_UP on
-    the shortest repr, Spark's cast semantics), libm sigmoid, plain
-    float weight updates — on randomized corpora and labels."""
+    hash, binary presence + bias features, LOGREG_FIXED_POINT-partial
+    dot products and gradients (each term floor(v*2^40) summed as an
+    exact integer, one division at the end — no decimal rounding mode
+    ever exercised), libm sigmoid, plain float weight updates — on
+    randomized corpora and labels."""
     import hashlib
     import math
     import re
     from collections import Counter
-    from decimal import ROUND_HALF_UP, Decimal
 
     from hypothesis import given, settings, strategies as st
 
     from auraverse_etl_pipeline_spark.operators.classifier import (
+        LOGREG_FIXED_POINT,
         logreg_score,
         logreg_train,
     )
 
     B, LR, ITERS = 64, 1.0, 2
-    Q = Decimal("1e-12")
+    FX = LOGREG_FIXED_POINT
 
-    def d12(v: float) -> Decimal:
-        return Decimal(repr(v)).quantize(Q, rounding=ROUND_HALF_UP)
+    def fxq(v: float) -> int:
+        return math.floor(v * FX)
 
     def bucket(tok: str) -> int:
         return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
@@ -744,16 +745,16 @@ def test_logreg_matches_pure_python_gd(spark):
         for t in range(1, ITERS + 1):
             step_lr = LR / t if decay else LR
             s = {
-                i: float(sum(d12(x * w.get(b, 0.0)) for b, x in f.items()))
+                i: float(sum(fxq(x * w.get(b, 0.0)) for b, x in f.items())) / FX
                 for i, f in feats.items()
             }
             p = {i: 1.0 / (1.0 + math.exp(-v)) for i, v in s.items()}
             g = Counter()
             for i, f in feats.items():
                 for b, x in f.items():
-                    g[b] += d12((p[i] - ys[i]) * x)
+                    g[b] += fxq((p[i] - ys[i]) * x)
             for b, gd in g.items():
-                w[b] = w.get(b, 0.0) - step_lr * (float(gd) / n)
+                w[b] = w.get(b, 0.0) - step_lr * ((float(gd) / FX) / n)
 
         model = logreg_train(
             df, "lang", "en", num_buckets=B, lr=LR, iters=ITERS, decay=decay
@@ -768,7 +769,7 @@ def test_logreg_matches_pure_python_gd(spark):
             for r in logreg_score(df, model, num_buckets=B).collect()
         }
         for i, f in feats.items():
-            want_s = float(sum(d12(x * w.get(b, 0.0)) for b, x in f.items()))
+            want_s = float(sum(fxq(x * w.get(b, 0.0)) for b, x in f.items())) / FX
             ws, wp, wpred = scored[i]
             assert abs(ws - want_s) < 1e-9, (i, ws, want_s)
             assert abs(wp - 1.0 / (1.0 + math.exp(-want_s))) < 1e-9
