@@ -263,8 +263,11 @@ def corpus_to_chunk_index(
     searches it.
 
     1. **Chunk** — sliding context windows (``chunk`` tokens, stride
-       ``stride``), chunk id = ``doc_id·1000 + chunk_idx`` (the
-       chunker caps well under 1000 windows per fixture document).
+       ``stride``), chunk id = ``doc_id·2^20 + chunk_idx``. A document
+       would need ≥ 2^20 windows (~50M tokens at chunk=64/stride=48)
+       to overflow the namespace, and rather than silently alias into
+       the next doc_id the id expression raises on any chunk_idx at or
+       past the limit (ADVICE r9).
     2. **Embed** — feature-hashed unit vectors per chunk
        (:func:`~auraverse_etl_pipeline_spark.operators.similarity.
        hashed_embeddings`): the model-free encoder. Zero-norm chunks
@@ -307,8 +310,22 @@ def corpus_to_chunk_index(
         F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
     )
     piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk)
+    # 2^20 chunk-id namespace per document; fail loudly (never alias
+    # into the next doc_id) if a pathological document overflows it.
+    lim = 1 << 20
+    chunk_id = F.when(
+        F.col("chunk_idx") < lim, F.col("doc_id") * lim + F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("corpus_to_chunk_index: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" exceeds {lim} chunks; widen the chunk-id namespace"),
+            )
+        ).cast("bigint")
+    )
     chunks = exploded.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        chunk_id.alias("chunk_id"),
         F.concat_ws(" ", piece).alias("text"),
     )
     # cache the chunk vectors across the whole flow: the Lloyd loop's

@@ -920,6 +920,7 @@ def ivf_top_k(
     exact_fold: bool = False,
     max_iter: int = 8,
     quantizer: str = "kmeans",
+    clamp: bool | None = None,
 ) -> DataFrame:
     """One-shot IVF-flat approximate top-k: :func:`ivf_index` (KMeans
     quantizer by default; pass ``quantizer="lloyd"`` for the
@@ -927,7 +928,13 @@ def ivf_top_k(
     — the exploratory spelling when no index exists yet. Anything that
     runs more than once should build the index once, ``.save()`` it,
     and call :func:`ivf_search` against the loaded index instead of
-    refitting per run."""
+    refitting per run.
+
+    ``clamp`` forwards to :func:`ivf_search`; it defaults to
+    ``exact_fold`` because the exact fold is the oracle-gated path and
+    a query vector that EQUALS an indexed vector folds to 1+2e-16
+    where DuckDB's ``list_cosine_similarity`` clamps to 1.0 (ADVICE
+    r9) — pass ``clamp=False`` explicitly to see the raw fold."""
     index = ivf_index(
         corpus, nlist=nlist, quantizer=quantizer, seed=seed, max_iter=max_iter,
         id_col=id_col, vec_col=vec_col,
@@ -935,6 +942,7 @@ def ivf_top_k(
     return ivf_search(
         queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         exact_fold=exact_fold,
+        clamp=exact_fold if clamp is None else clamp,
     )
 
 

@@ -272,7 +272,7 @@ def _corpus_to_index_oracle_sql() -> str:
     ),
     ce AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM kc),
     csrc AS (
-        SELECT doc_id * 1000 + i AS id,
+        SELECT doc_id * 1048576 + i AS id,
                unnest(toks[i * 48 + 1 : i * 48 + 64]) AS tok
         FROM ce
     ),

@@ -79,6 +79,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "dedup_minhash_pairs",  # REWRITTEN: md5 base hash + 12-table/0.35 config, now oracle-gated (VERDICT r9 #2)
     "text_logreg_quality",  # REWRITTEN: fixed-point 2^40 partials replace DECIMAL(38,12) casts (ADVICE r9)
     "stream_logreg_gate",  # REWRITTEN: same fixed-point discipline in the tally
+    "pipeline_corpus_to_index",  # REWRITTEN: 2^20 chunk-id namespace + overflow guard (ADVICE r9)
+    "sim_topk_ivf",  # REWRITTEN: clamp defaults on for exact_fold searches (ADVICE r9)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

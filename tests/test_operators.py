@@ -2994,7 +2994,7 @@ def test_corpus_to_chunk_index_planted_retrieval(spark):
     out = corpus_to_chunk_index(docs, queries, nlist=2, k=3, nprobe=2)
     rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in out.collect()}
     nb, cos = rows[(100, 1)]
-    assert nb == 1000  # doc 1, chunk 0
+    assert nb == (1 << 20)  # doc 1, chunk 0
     assert cos == 1.0  # clamped exact self-match
     for (q, rank), (_, c) in rows.items():
         if q == 101:
