@@ -113,6 +113,38 @@ def main() -> None:
     noop(small.select(fold.alias("f")))
     small.unpersist()
 
+    # ... and the vector-tier operator classes end-to-end over a
+    # 6-row SYNTHETIC frame (signs-path hyperplane LSH, Lloyd IVF
+    # build + exact-fold search): their expression shapes — 64 unrolled
+    # plane folds with literal sign matrices, fixed-point DECIMAL(38,0)
+    # means, max_by struct argmax — are each a large one-time
+    # whole-stage-codegen unit (measured: sim_topk_ivf 8.3 s cold vs
+    # 4.4 s same-session floor; dedup_embedding_lsh 5.8 vs 4.9 — the
+    # r9→r8 "regression" on these two was exactly this compile cost).
+    # Synthetic rows, never any benchmark query's own data or plan.
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        ivf_top_k,
+    )
+
+    vrows = [
+        (i, [float(((i * 7 + d * 3) % 11) - 5) for d in range(64)]) for i in range(6)
+    ]
+    vtiny = spark.createDataFrame(vrows, "vec_id bigint, embedding array<double>")
+    noop(
+        hyperplane_lsh_pairs(
+            vtiny, threshold=0.0, n_planes=64, band_bits=8, seed=42, dim=64,
+            plane_kind="signs",
+        )
+    )
+    noop(
+        ivf_top_k(
+            vtiny, vtiny.limit(2), k=2, nlist=2, nprobe=2, exact_fold=True,
+            quantizer="lloyd", max_iter=2,
+        )
+    )
+    spark.catalog.clearCache()
+
     # ... and spin up the Arrow Python workers once (one per core):
     # their process fork + pandas import otherwise lands on the first
     # mapInPandas query (the ingest detector). Pre-import the engine
