@@ -5748,3 +5748,248 @@ def sim_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col").alias("component"),
         "norm",
     )
+
+
+#: Unigram-LM tokenizer geometry — ONE definition shared by the Spark
+#: queries and the oracle chain builder (operators/unigram.py holds
+#: the operator; the corpus' longest word is 8 chars, so the cap
+#: excludes nothing at any test SF).
+_UNI_W = 8
+_UNI_L = 4
+_UNI_V = 48
+_UNI_EM = 2
+_UNI_MIN = 2
+
+
+def _unigram_chain() -> str:
+    """DuckDB replica of :func:`~auraverse_etl_pipeline_spark.operators.
+    unigram.unigram_train` up to the pruned final model CTE ``mfin``:
+    seed substring counts → ``_UNI_EM`` hard-EM rounds (enumerated-
+    composition Viterbi + add-one character floor) → vocab prune.
+    The composition table embeds as a VALUES literal generated by the
+    SAME ``compositions()`` call the Spark operator uses; every score
+    is a left fold in part order (``list_prepend(0.0, ...)`` replays
+    Spark's 0.0-init fold), ties break (score DESC, comp DESC), and
+    ``ln`` runs only over model-sized tables (DuckDB ln ==
+    Python-libm ln, see operators/classifier.py)."""
+    from auraverse_etl_pipeline_spark.operators.unigram import compositions
+
+    comp_vals = ",\n               ".join(
+        f"({wlen}, '{comp}', {k}, {s}, {l})"
+        for wlen, comp, k, s, l in compositions(_UNI_W, _UNI_L)
+    )
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(len(w) AS INT) AS wlen
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' AND len(w) <= {_UNI_W} GROUP BY w
+    ),
+    comps(wlen, comp, k, s, l) AS MATERIALIZED (
+        VALUES {comp_vals}
+    ),
+    pw AS MATERIALIZED (
+        SELECT w.word, w.freq, w.wlen, c.comp, c.k,
+               substr(w.word, c.s, c.l) AS piece
+        FROM words w JOIN comps c USING (wlen)
+    ),
+    ch AS MATERIALIZED (
+        SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM words
+    ),
+    sub AS (
+        SELECT substr(word, ss.s, ll.l) AS piece, freq
+        FROM words, range(1, {_UNI_W} + 1) ss(s), range(1, {_UNI_L} + 1) ll(l)
+        WHERE ss.s + ll.l - 1 <= wlen
+    ),
+    sc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sub GROUP BY piece),
+    m0c AS (SELECT piece, cnt FROM sc
+            WHERE len(piece) = 1 OR cnt >= {_UNI_MIN}),
+    m0t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM m0c),
+    m0 AS MATERIALIZED (
+        SELECT piece, cnt, ln(CAST(cnt AS DOUBLE)) - ln(CAST(tot AS DOUBLE)) AS logp
+        FROM m0c, m0t
+    )"""
+    ]
+    for r in range(1, _UNI_EM + 1):
+        parts.append(
+            f""",
+    s{r} AS (
+        SELECT p.word, p.freq, p.wlen, p.comp, p.k, p.piece, m.logp
+        FROM pw p JOIN m{r - 1} m USING (piece)
+    ),
+    a{r} AS (
+        SELECT word, freq, wlen, comp,
+               list_reduce(list_prepend(0.0, list(logp ORDER BY k)),
+                           (a, b) -> a + b) AS score,
+               string_agg(piece, ' ' ORDER BY k) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM s{r} GROUP BY word, freq, wlen, comp
+        HAVING COUNT(*) = len(string_split(comp, ','))
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT word, freq, wlen, seg, n_pieces, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+                          ORDER BY score DESC, comp DESC) AS rn
+            FROM a{r}
+        ) WHERE rn = 1
+    ),
+    uc{r} AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS u
+        FROM (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM v{r})
+        GROUP BY piece
+    ),
+    mc{r} AS (
+        SELECT COALESCE(u.piece, c.piece) AS piece,
+               CAST(COALESCE(u.u, 0)
+                    + CASE WHEN c.piece IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS cnt
+        FROM uc{r} u FULL JOIN ch c ON u.piece = c.piece
+    ),
+    mt{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM mc{r}),
+    m{r} AS MATERIALIZED (
+        SELECT piece, cnt, ln(CAST(cnt AS DOUBLE)) - ln(CAST(tot AS DOUBLE)) AS logp
+        FROM mc{r}, mt{r}
+    )"""
+        )
+    parts.append(
+        f""",
+    chn AS (SELECT CAST(COUNT(*) AS INT) AS n_chars FROM m{_UNI_EM}
+            WHERE len(piece) = 1),
+    mult AS (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM m{_UNI_EM} WHERE len(piece) > 1
+    ),
+    keptc AS (
+        SELECT piece, cnt FROM m{_UNI_EM} WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM mult, chn
+        WHERE rk <= greatest({_UNI_V} - n_chars, 0)
+    ),
+    kt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM keptc),
+    mfin AS MATERIALIZED (
+        SELECT piece, cnt, ln(CAST(cnt AS DOUBLE)) - ln(CAST(tot AS DOUBLE)) AS logp
+        FROM keptc, kt
+    )"""
+    )
+    return "".join(parts)
+
+
+def _unigram_encode_oracle() -> str:
+    """Encode oracle: the training chain + one more composition-Viterbi
+    under the pruned model + the per-document digest (piece count, md5
+    of the in-order piece stream, fixed-point total score — the BPE
+    encode contract plus the score)."""
+    from auraverse_etl_pipeline_spark.operators.unigram import UNIGRAM_FIXED_POINT
+
+    fx = repr(UNIGRAM_FIXED_POINT)
+    return (
+        _unigram_chain()
+        + f""",
+    se AS (
+        SELECT p.word, p.freq, p.wlen, p.comp, p.k, p.piece, m.logp
+        FROM pw p JOIN mfin m USING (piece)
+    ),
+    ae AS (
+        SELECT word, wlen, comp,
+               list_reduce(list_prepend(0.0, list(logp ORDER BY k)),
+                           (a, b) -> a + b) AS score,
+               string_agg(piece, ' ' ORDER BY k) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM se GROUP BY word, wlen, comp
+        HAVING COUNT(*) = len(string_split(comp, ','))
+    ),
+    ve AS MATERIALIZED (
+        SELECT word, seg, n_pieces, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+                          ORDER BY score DESC, comp DESC) AS rn
+            FROM ae
+        ) WHERE rn = 1
+    ),
+    alltok AS (
+        SELECT doc_id, u.pos AS tpos, u.tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKS}) + 1),
+                            i -> {{'pos': i, 'tok': ({_TOKS})[i]}})) AS u
+              FROM documents) t(doc_id, u)
+        WHERE u.tok <> ''
+    )
+    SELECT a.doc_id,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces,
+           md5(string_agg(v.seg, ' ' ORDER BY a.tpos)) AS pieces_md5,
+           CAST(SUM(CAST(floor(v.score * {fx}) AS BIGINT)) AS BIGINT) AS logp_fx
+    FROM alltok a JOIN ve v ON a.tok = v.word
+    GROUP BY a.doc_id
+    """
+    )
+
+
+@query(
+    "text_unigram_train",
+    oracle=_unigram_chain() + "\n    SELECT piece, cnt, logp FROM mfin",
+    description="unigram-LM (SentencePiece-style) tokenizer training "
+    "IN the engine - the second tokenizer family next to BPE and the "
+    "default for modern LLM vocabularies (T5/Llama/Gemma): seed "
+    "substring inventory, then deterministic HARD-EM (Viterbi-EM, a "
+    "SentencePiece trainer mode) rounds spelled as ENUMERATED "
+    "segmentation compositions - a word of length <= 8 has <= 108 "
+    "segmentations into pieces <= 4, so each E-step is ONE declarative "
+    "plan (words x broadcast composition literal -> substring parts -> "
+    "model join -> completeness check + ordered fold -> max_by), zero "
+    "driver iteration - then add-one character-floor recounts, and a "
+    "prune to the target vocab keeping all single chars. ONE corpus "
+    "scan builds the word vocabulary; everything after is vocabulary/"
+    "model-bounded. ln only over model-sized tables via the Python-"
+    "libm pandas_udf; DP scores are fixed-order folds; ties break "
+    "(score DESC, comp DESC) - DuckDB replays seed, both EM rounds and "
+    "the prune digit-for-digit from an unrolled MATERIALIZED CTE chain "
+    "generated from the same composition table",
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_train(
+        docs,
+        vocab_size=_UNI_V,
+        em_iters=_UNI_EM,
+        max_piece_len=_UNI_L,
+        max_word_len=_UNI_W,
+        min_count=_UNI_MIN,
+    )
+
+
+@query(
+    "text_unigram_encode",
+    oracle=_unigram_encode_oracle(),
+    description="corpus tokenization with the trained unigram-LM "
+    "model, oracle-gated end-to-end: the composition-Viterbi runs once "
+    "more over the DISTINCT-word table under the pruned vocabulary, "
+    "then the corpus-sized work is one token explode joined to the "
+    "per-word segmentations (fixed-width rows; the planner picks "
+    "broadcast vs shuffle - the segmentation table is vocabulary-"
+    "sized). Compares per-document piece count, the md5 of the "
+    "in-order piece stream (the BPE-encode contract) AND the total "
+    "segmentation log-probability as an order-independent fixed-point "
+    "sum (floor(score*2^40) per word occurrence, summed exactly)",
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_train(
+        docs,
+        vocab_size=_UNI_V,
+        em_iters=_UNI_EM,
+        max_piece_len=_UNI_L,
+        max_word_len=_UNI_W,
+        min_count=_UNI_MIN,
+    )
+    out = unigram_encode(
+        docs, model, max_piece_len=_UNI_L, max_word_len=_UNI_W
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_pieces", "pieces_md5", "logp_fx")

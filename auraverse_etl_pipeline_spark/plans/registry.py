@@ -81,6 +81,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "stream_logreg_gate",  # REWRITTEN: same fixed-point discipline in the tally
     "pipeline_corpus_to_index",  # REWRITTEN: 2^20 chunk-id namespace + overflow guard (ADVICE r9)
     "sim_topk_ivf",  # REWRITTEN: clamp defaults on for exact_fold searches (ADVICE r9)
+    "text_unigram_train",  # NEW: unigram-LM (SentencePiece-style) trainer (VERDICT r9 #4)
+    "text_unigram_encode",  # NEW: Viterbi encode under the trained unigram model
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -1186,3 +1186,129 @@ def test_codec_parsers_fail_closed_on_corruption(spark):
                 pass
 
     prop()
+
+
+def test_unigram_matches_pure_python_em(spark):
+    """Property: in-engine unigram-LM training + encoding equals a
+    pure-Python replica of the exact arithmetic — seed substring
+    counts with min-count/char-keep, enumerated-composition Viterbi
+    with (score DESC, comp DESC) ties and left-fold scores, add-one
+    character floor recounts, char-preserving prune, libm ln, and the
+    fixed-point encode digest — on randomized corpora."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.unigram import (
+        UNIGRAM_FIXED_POINT,
+        compositions,
+        unigram_encode,
+        unigram_train,
+    )
+
+    W, L, V, EM, MIN = 6, 3, 12, 2, 2
+    COMPS = {}
+    for wlen, comp, k, s, l in compositions(W, L):
+        COMPS.setdefault(wlen, {}).setdefault(comp, []).append((k, s, l))
+
+    def train_replica(texts):
+        wf = Counter()
+        for t in texts:
+            for w in t.split():
+                if w and len(w) <= W:
+                    wf[w] += 1
+        words = {w: (f, len(w)) for w, (f, wl) in (
+            (w, (f, len(w))) for w, f in wf.items()
+        )}
+        # seed
+        sc = Counter()
+        for w, f in wf.items():
+            n = len(w)
+            for s in range(1, n + 1):
+                for l in range(1, L + 1):
+                    if s + l - 1 <= n:
+                        sc[w[s - 1 : s - 1 + l]] += f
+        chars = {c for w in wf for c in w}
+        cnt = {p: c for p, c in sc.items() if len(p) == 1 or c >= MIN}
+
+        def with_logp(cnt):
+            tot = sum(cnt.values())
+            return {p: (c, math.log(float(c)) - math.log(float(tot)))
+                    for p, c in cnt.items()}
+
+        def viterbi(model):
+            out = {}
+            for w, f in wf.items():
+                best = None
+                for comp, parts in COMPS.get(len(w), {}).items():
+                    pieces = [w[s - 1 : s - 1 + l] for _, s, l in sorted(parts)]
+                    if any(p not in model for p in pieces):
+                        continue
+                    sc_ = 0.0
+                    for p in pieces:
+                        sc_ = sc_ + model[p][1]
+                    key = (sc_, comp)
+                    if best is None or key > best[0]:
+                        best = (key, pieces)
+                if best is not None:
+                    out[w] = (best[1], best[0][0])
+            return out
+
+        model = with_logp(cnt)
+        for _ in range(EM):
+            seg = viterbi(model)
+            u = Counter()
+            for w, (pieces, _) in seg.items():
+                for p in pieces:
+                    u[p] += wf[w]
+            cnt = {p: c for p, c in u.items() if len(p) > 1}
+            for c in chars:
+                cnt[c] = u.get(c, 0) + 1
+            model = with_logp(cnt)
+        n_chars = sum(1 for p in model if len(p) == 1)
+        multi = sorted(
+            ((p, c) for p, (c, _) in model.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: max(V - n_chars, 0)]
+        kept = {p: c for p, (c, _) in model.items() if len(p) == 1}
+        kept.update(dict(multi))
+        return with_logp(kept), viterbi, wf
+
+    word = st.sampled_from(["ab", "abab", "ba", "aabb", "abc", "cab", "c", "abcab"])
+    doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+    @settings(max_examples=3, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=5))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        model, viterbi, wf = train_replica(texts)
+
+        got = unigram_train(
+            df, vocab_size=V, em_iters=EM, max_piece_len=L,
+            max_word_len=W, min_count=MIN,
+        )
+        got_m = {r.piece: (r.cnt, r.logp) for r in got.collect()}
+        assert set(got_m) == set(model)
+        for p, (c, lp) in model.items():
+            assert got_m[p][0] == c, (p, got_m[p], c)
+            assert got_m[p][1] == lp, (p, got_m[p], lp)
+
+        seg = viterbi(model)
+        enc = unigram_encode(df, got, max_piece_len=L, max_word_len=W)
+        got_e = {r.id: (r.n_pieces, r.pieces_md5, r.logp_fx) for r in enc.collect()}
+        enc.release_caches()
+        for i, t in rows:
+            toks = [w for w in t.split() if w and len(w) <= W]
+            stream, n, fxsum = [], 0, 0
+            for w in toks:
+                pieces, sc_ = seg[w]
+                stream.append(" ".join(pieces))
+                n += len(pieces)
+                fxsum += math.floor(sc_ * UNIGRAM_FIXED_POINT)
+            want_md5 = hashlib.md5(" ".join(stream).encode()).hexdigest()
+            assert got_e[i] == (n, want_md5, fxsum), (i, got_e[i], (n, want_md5, fxsum))
+
+    prop()
