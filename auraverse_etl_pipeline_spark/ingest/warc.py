@@ -140,15 +140,27 @@ def documents_to_warc(
     gzip: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    uri_col: str | None = None,
 ) -> DataFrame:
     """Stage a document table as multi-record WARC files:
     ``(file_id, content binary)`` with ``records_per_file`` documents
     per file (grouped by ``id DIV records_per_file``, ordered by id
     inside the file — fully deterministic bytes). The fixture half of
     the roundtrip; the bytes are REAL WARC that any external reader
-    ingests."""
+    ingests.
+
+    ``uri_col`` (optional) supplies the ``WARC-Target-URI`` per
+    document (default: ``http://corpus.invalid/doc/<id>``). A custom
+    URI MUST still end in ``/<doc_id>`` — :func:`warc_documents`
+    recovers the id from the trailing path segment — and the staging
+    kernel enforces it loudly."""
     ship_package(docs.sparkSession)
 
+    uri = (
+        F.col(uri_col)
+        if uri_col
+        else F.concat(F.lit("http://corpus.invalid/doc/"), F.col(id_col).cast("string"))
+    )
     grouped = (
         docs.select(
             # integer DIV, never float-divide+cast: above 2^53 the
@@ -158,10 +170,11 @@ def documents_to_warc(
             ),
             F.col(id_col).cast("bigint").alias("id"),
             F.col(text_col).alias("text"),
+            uri.alias("uri"),
         )
         .groupBy("file_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("id", "text"))).alias("recs")
+            F.sort_array(F.collect_list(F.struct("id", "text", "uri"))).alias("recs")
         )
     )
 
@@ -178,12 +191,13 @@ def documents_to_warc(
                         raise ValueError(
                             f"documents_to_warc: NULL text for doc id {r['id']}"
                         )
+                    if r["uri"] is None or r["uri"].rsplit("/", 1)[-1] != str(r["id"]):
+                        raise ValueError(
+                            "documents_to_warc: WARC-Target-URI must end in "
+                            f"/<doc_id>; got {r['uri']!r} for doc id {r['id']}"
+                        )
                 records = [
-                    (
-                        f"http://corpus.invalid/doc/{r['id']}",
-                        r["text"].encode("utf-8"),
-                    )
-                    for r in rec.recs
+                    (r["uri"], r["text"].encode("utf-8")) for r in rec.recs
                 ]
                 rows.append(
                     {"file_id": rec.file_id, "content": build_warc(records, gzip=gzip)}
@@ -236,8 +250,17 @@ WARC_DOCUMENT_SCHEMA = StructType(
     ]
 )
 
+#: with_uri=True adds the crawl metadata column.
+WARC_DOCUMENT_URI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("target_uri", StringType()),
+    ]
+)
 
-def warc_documents(files: DataFrame) -> DataFrame:
+
+def warc_documents(files: DataFrame, with_uri: bool = False) -> DataFrame:
     """The re-ingestion inverse of :func:`documents_to_warc`: parse a
     ``(file_id, content)`` WARC-file table back into ``(doc_id, text)``
     document rows — doc_id recovered from the trailing path segment of
@@ -245,9 +268,12 @@ def warc_documents(files: DataFrame) -> DataFrame:
     is not valid UTF-8 fails loudly, same posture as the NULL-text
     staging guard). Only ``response`` records are documents; other
     record types (warcinfo, request, metadata in a real crawl) are
-    skipped. Arrow-batched ``mapInPandas``, stateful per file and
-    embarrassingly parallel across files."""
+    skipped. ``with_uri=True`` keeps the ``target_uri`` column for
+    domain-level curation (per-domain cards, blocklists). Arrow-batched
+    ``mapInPandas``, stateful per file and embarrassingly parallel
+    across files."""
     ship_package(files.sparkSession)
+    schema = WARC_DOCUMENT_URI_SCHEMA if with_uri else WARC_DOCUMENT_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -258,14 +284,13 @@ def warc_documents(files: DataFrame) -> DataFrame:
                     if h.get("WARC-Type") != "response":
                         continue
                     uri = h["WARC-Target-URI"]
-                    rows.append(
-                        {
-                            "doc_id": int(uri.rsplit("/", 1)[1]),
-                            "text": parsed["payload"].decode("utf-8"),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_DOCUMENT_SCHEMA.fields]
-            )
+                    row = {
+                        "doc_id": int(uri.rsplit("/", 1)[1]),
+                        "text": parsed["payload"].decode("utf-8"),
+                    }
+                    if with_uri:
+                        row["target_uri"] = uri
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return files.mapInPandas(run, WARC_DOCUMENT_SCHEMA)
+    return files.mapInPandas(run, schema)

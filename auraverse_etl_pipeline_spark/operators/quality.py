@@ -687,3 +687,167 @@ def pmi_phrases(
         )
     )
     return release_after(scored, *([uni] if cache_unigrams else []))
+
+
+def registrable_domain(uri: str | Column) -> Column:
+    """Registrable domain of a URL: host = the authority between
+    ``://`` and the next ``/``, registrable = the last two dot-labels
+    (``docs.example.net`` → ``example.net``). A production deployment
+    swaps the last-two-labels rule for a public-suffix-list lookup
+    (the PSL is data — a broadcast join against the published list,
+    same plan shape); the simplification is documented, deterministic
+    and engine-portable (both regexes are RE2-safe)."""
+    u = F.col(uri) if isinstance(uri, str) else uri
+    host = F.regexp_extract(u, r"://([^/]+)", 1)
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def domain_card(
+    docs: DataFrame,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registrable-domain curation card — the RefinedWeb/C4-style
+    stage that decides DOMAIN-level keep/drop before any document-level
+    gate runs: ``(domain, n_docs, n_dup, dup_rate, n_gopher,
+    gopher_rate, n_lang_ok, lang_ok_rate, tok_q25, tok_q50, tok_q75)``.
+
+    ``n_dup`` counts documents that are NOT the md5 keep-first
+    canonical of their exact-duplicate group — corpus-GLOBAL dedup
+    attributed to the domain (a mirror domain shows dup_rate ≈ 1 even
+    though its copies are "first" within itself). Token-count
+    quartiles are exact ``percentile_disc`` values from ONE cumulative
+    histogram per domain (the percentile-ladder discipline — never N
+    percentile states).
+
+    Scale shape: one corpus scan computes fixed-width flag rows
+    (domain, n_tokens, canonical, gopher, lang_ok); the md5 canonical
+    join shuffles hashes (never text); the card aggregates are
+    domain-bounded. The flag table is cached (two consumers: the rate
+    aggregate and the histogram) — release via ``release_caches()``."""
+    from auraverse_etl_pipeline_spark.functions.text import lang_guess
+
+    d = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        registrable_domain(uri_col).alias("domain"),
+    )
+    canon = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    n, mwl, sw = gopher_metrics("text")
+    ok_n, ok_len, ok_stop = gopher_rules(n, mwl, sw)
+    flags = (
+        d.withColumn("h", F.md5("text"))
+        .join(canon, "h")
+        .select(
+            "domain",
+            n.alias("n_tokens"),
+            (F.col("doc_id") == F.col("keep_id")).alias("canonical"),
+            (ok_n & ok_len & ok_stop).alias("gopher"),
+            (lang_guess("text") != F.lit("und")).alias("lang_ok"),
+        )
+        .cache()
+    )
+    big = F.lit(0).cast("bigint")
+    base = flags.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("canonical"), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        F.sum(F.when(F.col("gopher"), 1).otherwise(0)).cast("bigint").alias("n_gopher"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).cast("bigint").alias("n_lang_ok"),
+    )
+    hist = flags.groupBy("domain", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("domain").orderBy("n_tokens")
+    wt = Window.partitionBy("domain")
+    cum = hist.select(
+        "domain",
+        "n_tokens",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    # percentile_disc(q) = smallest value with cum >= q·tot — exact
+    # integer comparisons (cum·4 >= tot·4q), no float quantile state.
+    quarts = cum.groupBy("domain").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot"), F.col("n_tokens"))).alias("tok_q25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("n_tokens"))).alias("tok_q50"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot") * 3, F.col("n_tokens"))).alias("tok_q75"),
+    )
+    out = base.join(quarts, "domain").select(
+        "domain",
+        "n_docs",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_docs").cast("double")).alias("dup_rate"),
+        "n_gopher",
+        (F.col("n_gopher").cast("double") / F.col("n_docs").cast("double")).alias("gopher_rate"),
+        "n_lang_ok",
+        (F.col("n_lang_ok").cast("double") / F.col("n_docs").cast("double")).alias("lang_ok_rate"),
+        "tok_q25",
+        "tok_q50",
+        "tok_q75",
+    )
+    return release_after(out, flags)
+
+
+def domain_blocklist_funnel(
+    docs: DataFrame,
+    blocked_domains: list[str],
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 63 * 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The domain-blocklist gate as a funnel stage — the curation step
+    that consumes a (potentially huge) blocked-domain list through the
+    Bloom tier: ``(domain, n_docs, bloom_flagged, blocked, kept,
+    kept_gopher)``.
+
+    Every document's registrable domain probes a Bloom filter BUILT
+    from the blocklist (at web scale the list is millions of domains —
+    the filter is ``num_bits/63`` BIGINT words, broadcastable where the
+    list is not); only bloom-flagged domains hit the exact verify join
+    (the bloom-decontaminate discipline: the filter prunes, the join
+    confirms, so false positives cost a lookup but never a wrong
+    drop). Survivors then pass the Gopher gate — the per-domain report
+    shows exactly what the blocklist and the quality gate each cost.
+
+    Scale shape: one corpus scan to fixed-width (domain, gopher) rows;
+    the bloom probe is one distinct-domain-sized map-side join; the
+    exact verify joins only flagged domains against the blocklist."""
+    from auraverse_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(x,) for x in sorted(blocked_domains)], "domain string")
+    bloom = bloom_build(bl, "domain", num_bits, num_hashes)
+    n, mwl, sw = gopher_metrics(text_col)
+    ok_n, ok_len, ok_stop = gopher_rules(n, mwl, sw)
+    d = docs.select(
+        registrable_domain(uri_col).alias("domain"),
+        (ok_n & ok_len & ok_stop).alias("gopher"),
+    )
+    probed = bloom_might_contain(d, bloom, "domain", num_bits, num_hashes)
+    verified = probed.join(
+        F.broadcast(bl.withColumn("on_list", F.lit(True))), "domain", "left"
+    ).select(
+        "domain",
+        "gopher",
+        "bloom_hit",
+        # flagged-but-unverified = Bloom false positive: kept.
+        (F.col("bloom_hit") & F.coalesce("on_list", F.lit(False))).alias("blocked"),
+    ).cache()
+    out = verified.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("bigint").alias("bloom_flagged"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("blocked"),
+        F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("kept"),
+        F.sum(F.when(~F.col("blocked") & F.col("gopher"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_gopher"),
+    )
+    return release_after(out, verified)

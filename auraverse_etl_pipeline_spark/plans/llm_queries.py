@@ -5993,3 +5993,218 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, model, max_piece_len=_UNI_L, max_word_len=_UNI_W
     )
     return out.select(F.col("id").alias("doc_id"), "n_pieces", "pieces_md5", "logp_fx")
+
+
+#: Synthetic crawl-metadata URI — the fixture has no URL column, so the
+#: WARC staging derives one registrable domain per source tag. ONE
+#: definition feeds the Spark column and the oracle literal.
+_DOMAIN_URI_SQL = "'http://docs.' || source || '.net/doc/' || CAST(doc_id AS VARCHAR)"
+_DOMAIN_SQL = (
+    "regexp_extract(regexp_extract({uri}, '://([^/]+)', 1), '([^.]+\\.[^.]+)$', 1)"
+)
+
+
+def _domain_card_oracle() -> str:
+    """DuckDB replica of the WARC-staged domain card: staging +
+    re-ingestion replay as identity (prose corpus — the crawl-funnel
+    attestation pattern), the registrable-domain regexes run over the
+    same synthesized URI, flags mirror the funnel's g/flag CTEs, and
+    the quartiles are the cumulative-histogram percentile_disc."""
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
+
+    domain = _DOMAIN_SQL.format(uri=_DOMAIN_URI_SQL)
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, text, {domain} AS domain FROM documents
+    ),
+    canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+    g AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mwl,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT) AS sw,
+               {_LANG_CASE} AS guessed
+        FROM d
+    ),
+    flags AS MATERIALIZED (
+        SELECT d.domain, g.n_words AS n_tokens,
+               d.doc_id = c.keep_id AS canonical,
+               {gopher_keep_sql("g.n_words", "g.mwl", "g.sw")} AS gopher,
+               g.guessed <> 'und' AS lang_ok
+        FROM d JOIN canon c ON md5(d.text) = c.h JOIN g USING (doc_id)
+    ),
+    base AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+               CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok
+        FROM flags GROUP BY domain
+    ),
+    hist AS (
+        SELECT domain, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+        FROM flags GROUP BY domain, n_tokens
+    ),
+    cum AS (
+        SELECT domain, n_tokens,
+               SUM(c) OVER (PARTITION BY domain ORDER BY n_tokens) AS cum,
+               SUM(c) OVER (PARTITION BY domain) AS tot
+        FROM hist
+    ),
+    quarts AS (
+        SELECT domain,
+               MIN(CASE WHEN cum * 4 >= tot THEN n_tokens END) AS tok_q25,
+               MIN(CASE WHEN cum * 2 >= tot THEN n_tokens END) AS tok_q50,
+               MIN(CASE WHEN cum * 4 >= tot * 3 THEN n_tokens END) AS tok_q75
+        FROM cum GROUP BY domain
+    )
+    SELECT b.domain, b.n_docs, b.n_dup,
+           CAST(b.n_dup AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate,
+           b.n_gopher,
+           CAST(b.n_gopher AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS gopher_rate,
+           b.n_lang_ok,
+           CAST(b.n_lang_ok AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS lang_ok_rate,
+           q.tok_q25, q.tok_q50, q.tok_q75
+    FROM base b JOIN quarts q USING (domain)
+    """
+
+
+@query(
+    "corpus_domain_card",
+    oracle=_domain_card_oracle(),
+    description="per-registrable-domain curation card over the CRAWL "
+    "METADATA - the RefinedWeb/C4-style stage that decides domain-"
+    "level keep/drop before any document-level gate runs: documents "
+    "stage into real WARC files with per-source target URIs, re-ingest "
+    "through the WARC parser WITH the WARC-Target-URI column, the "
+    "registrable domain extracts by regex (last-two-labels; a "
+    "production run swaps in the public-suffix list as a broadcast "
+    "join, same plan), then ONE corpus scan computes fixed-width "
+    "(domain, n_tokens, canonical, gopher, lang_ok) flag rows and the "
+    "card aggregates are domain-bounded: doc counts, corpus-global "
+    "exact-dup attribution, Gopher and lang-ID pass rates, exact "
+    "token-count quartiles from one cumulative histogram per domain "
+    "(the percentile-ladder discipline). md5 canonical join shuffles "
+    "hashes, never text",
+)
+def corpus_domain_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.ingest.warc import (
+        documents_to_warc,
+        warc_documents,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import domain_card
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://docs."),
+            F.col("source"),
+            F.lit(".net/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+    )
+    files = documents_to_warc(docs, gzip=True, uri_col="uri")
+    crawl = warc_documents(files, with_uri=True)
+    return domain_card(crawl)
+
+
+#: Blocklist fixture: two real fixture domains + one absent entry (the
+#: list may name domains the crawl never saw). Shared Spark/oracle.
+_BLOCKED_DOMAINS = ["src3.net", "src7.net", "never-crawled.example"]
+_BLOCK_BITS = 63 * 16
+_BLOCK_HASHES = 5
+
+
+def _domain_blocklist_oracle() -> str:
+    """Replica of the Bloom-gated domain blocklist funnel: the filter
+    builds from the blocklist literal with the register-blocked
+    word/mask arithmetic, every distinct domain probes it, flagged
+    domains exact-verify against the list, survivors meet Gopher."""
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
+
+    domain = _DOMAIN_SQL.format(uri=_DOMAIN_URI_SQL)
+    bl_vals = ", ".join(f"('{d}')" for d in sorted(_BLOCKED_DOMAINS))
+    nw = _BLOCK_BITS // 63
+    return f"""
+    WITH bl(bdomain) AS (VALUES {bl_vals}),
+    bloom AS MATERIALIZED (
+        SELECT word, bit_or(m) AS bits FROM (
+            SELECT {_bloom_word_sql("bdomain", nw)} AS word,
+                   {_bloom_mask_sql("bdomain", _BLOCK_HASHES)} AS m
+            FROM bl
+        ) GROUP BY word
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mwl,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT) AS sw
+        FROM documents
+    ),
+    d AS MATERIALIZED (
+        SELECT {domain} AS domain,
+               {gopher_keep_sql("g.n_words", "g.mwl", "g.sw")} AS gopher
+        FROM documents JOIN g USING (doc_id)
+    ),
+    probe AS (
+        SELECT domain,
+               {_bloom_word_sql("domain", nw)} AS word,
+               {_bloom_mask_sql("domain", _BLOCK_HASHES)} AS m
+        FROM (SELECT DISTINCT domain FROM d)
+    ),
+    pv AS MATERIALIZED (
+        SELECT p.domain,
+               (COALESCE(b.bits, 0) & p.m) = p.m AS bloom_hit,
+               ((COALESCE(b.bits, 0) & p.m) = p.m
+                AND bl.bdomain IS NOT NULL) AS is_blocked
+        FROM probe p LEFT JOIN bloom b USING (word)
+        LEFT JOIN bl ON bl.bdomain = p.domain
+    )
+    SELECT d.domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pv.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_flagged,
+           CAST(SUM(CASE WHEN pv.is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+           CAST(SUM(CASE WHEN NOT pv.is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN NOT pv.is_blocked AND d.gopher THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_gopher
+    FROM d JOIN pv USING (domain)
+    GROUP BY d.domain
+    """
+
+
+@query(
+    "corpus_domain_blocklist",
+    oracle=_domain_blocklist_oracle(),
+    description="the domain-blocklist gate as a funnel stage, fed "
+    "through the Bloom tier: the blocked-domain list (millions of "
+    "entries at web scale - the filter is num_bits/63 broadcastable "
+    "BIGINT words where the raw list is not) builds a register-blocked "
+    "Bloom filter, every document's registrable domain probes it "
+    "map-side, only FLAGGED domains hit the exact verify join (false "
+    "positives cost a lookup, never a wrong drop - the bloom-"
+    "decontaminate discipline), survivors pass the Gopher gate; "
+    "per-domain report shows what the blocklist and the quality gate "
+    "each cost. One corpus scan to fixed-width (domain, gopher) rows; "
+    "the probe is distinct-domain-sized",
+)
+def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        domain_blocklist_funnel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://docs."),
+            F.col("source"),
+            F.lit(".net/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+    )
+    return domain_blocklist_funnel(
+        docs,
+        _BLOCKED_DOMAINS,
+        num_bits=_BLOCK_BITS,
+        num_hashes=_BLOCK_HASHES,
+    )

@@ -83,6 +83,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_topk_ivf",  # REWRITTEN: clamp defaults on for exact_fold searches (ADVICE r9)
     "text_unigram_train",  # NEW: unigram-LM (SentencePiece-style) trainer (VERDICT r9 #4)
     "text_unigram_encode",  # NEW: Viterbi encode under the trained unigram model
+    "corpus_domain_card",  # NEW: per-domain curation card over WARC metadata (VERDICT r9 #6)
+    "corpus_domain_blocklist",  # NEW: Bloom-gated domain blocklist funnel stage
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

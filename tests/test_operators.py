@@ -2999,3 +2999,36 @@ def test_corpus_to_chunk_index_planted_retrieval(spark):
     for (q, rank), (_, c) in rows.items():
         if q == 101:
             assert c < 1.0
+
+
+def test_domain_card_attribution_and_blocklist(spark):
+    """domain_card: corpus-global dup attribution (the SECOND copy's
+    domain carries the dup, even across domains), exact per-domain
+    quartiles; domain_blocklist_funnel: listed domains blocked, others
+    kept, Bloom never false-NEGATIVES a listed domain."""
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        domain_blocklist_funnel,
+        domain_card,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (0, prose + "alpha", "http://a.one.net/doc/0"),
+        (1, prose + "alpha", "http://b.one.net/doc/1"),   # dup of 0, same domain
+        (2, prose + "alpha", "http://c.two.net/doc/2"),   # dup of 0, OTHER domain
+        (3, prose + "beta", "http://two.net/doc/3"),
+        (4, prose + "gamma " * 20, "http://two.net/doc/4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, target_uri string")
+    card = {r.domain: r for r in domain_card(docs).collect()}
+    assert set(card) == {"one.net", "two.net"}
+    assert card["one.net"].n_docs == 2 and card["one.net"].n_dup == 1
+    assert card["two.net"].n_docs == 3 and card["two.net"].n_dup == 1
+    assert card["one.net"].dup_rate == 0.5
+    # quartiles: one.net has two equal-length docs -> all quartiles equal
+    assert card["one.net"].tok_q25 == card["one.net"].tok_q75
+
+    fun = {r.domain: r for r in domain_blocklist_funnel(docs, ["one.net"]).collect()}
+    assert fun["one.net"].blocked == 2 and fun["one.net"].kept == 0
+    assert fun["two.net"].blocked == 0 and fun["two.net"].kept == 3
+    assert fun["one.net"].bloom_flagged == 2  # no false negative possible
