@@ -6208,3 +6208,138 @@ def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bits=_BLOCK_BITS,
         num_hashes=_BLOCK_HASHES,
     )
+
+
+@query(
+    "sim_ivfpq_rebalance",
+    oracle=_PQ_CTES
+    + f"""
+    , cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT 4)
+    ),
+    assigned AS (
+        SELECT id, v, cell FROM (
+            SELECT c.id, c.v, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
+    hot AS (SELECT cell FROM sizes WHERE n > 100),
+    hot_rank AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) AS rk FROM hot),
+    maxid AS (SELECT MAX(cell) AS m FROM cent),
+    rsubs AS (
+        SELECT a.cell AS old_cell,
+               CASE WHEN a.rn2 = 1 THEN a.cell
+                    ELSE CAST(m + hr.rk AS INTEGER) END AS new_cell,
+               a.v AS centroid
+        FROM (
+            SELECT assigned.*,
+                   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY id) AS rn2
+            FROM assigned SEMI JOIN hot USING (cell)
+        ) a JOIN hot_rank hr ON a.cell = hr.cell, maxid
+        WHERE a.rn2 <= 2
+    ),
+    moved AS (
+        SELECT id, new_cell AS cell FROM (
+            SELECT hm.id, s.new_cell,
+                   ROW_NUMBER() OVER (PARTITION BY hm.id
+                       ORDER BY list_cosine_similarity(hm.v, s.centroid) DESC,
+                                s.new_cell) AS rn3
+            FROM (SELECT assigned.* FROM assigned SEMI JOIN hot USING (cell)) hm
+            JOIN rsubs s ON hm.cell = s.old_cell
+        ) WHERE rn3 = 1
+    ),
+    cold AS (SELECT id, cell FROM assigned ANTI JOIN hot USING (cell)),
+    nass AS MATERIALIZED (
+        SELECT id, cell FROM cold UNION ALL SELECT id, cell FROM moved
+    ),
+    ncent AS MATERIALIZED (
+        SELECT cell, centroid FROM cent ANTI JOIN hot USING (cell)
+        UNION ALL
+        SELECT new_cell AS cell, centroid FROM rsubs
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, nc.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, nc.centroid) DESC,
+                                nc.cell) AS pr
+            FROM q CROSS JOIN ncent nc
+        ) WHERE pr <= 2
+    ),
+    lut AS (
+        SELECT q2.query_id, cb.sub, cb.code, {_l2sq_sql("qsub", "centroid")} AS pd
+        FROM (SELECT query_id, sr.sub,
+                     qv[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS qsub
+              FROM q CROSS JOIN sr) q2
+        JOIN cb ON q2.sub = cb.sub
+    ),
+    cand AS (
+        SELECT p.query_id, a.id AS neighbor_id
+        FROM probes p JOIN nass a USING (cell)
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(SUM(CAST(l.pd AS DECIMAL(38,12))) AS DOUBLE) AS approx_dist
+        FROM cand cd
+        JOIN enc e ON e.id = cd.neighbor_id
+        JOIN lut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.code = e.code
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, l2_sq FROM (
+        SELECT s.query_id, s.neighbor_id, {_l2sq_sql("q.qv", "c.v")} AS l2_sq,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {_l2sq_sql("q.qv", "c.v")} ASC, s.neighbor_id) AS rank
+        FROM short s
+        JOIN c ON c.id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ) WHERE rank <= 5
+    """,
+    description="IVF-PQ day-2 MAINTENANCE, the PQ twin of "
+    "sim_ivf_rebalance: a skew-fattened coarse index is rebalanced "
+    "(over-cap cells split on their two lowest-id members, cold cells "
+    "and probe layouts untouched) and the COMPRESSED search path runs "
+    "against the rebalanced index with the ORIGINAL PQ codes - codes "
+    "encode the vectors themselves, not cell residuals, so maintenance "
+    "never re-encodes a single vector (the operational property that "
+    "makes nightly rebalance affordable at 100 TB: it moves "
+    "assignment rows, m-small-int code rows stay immutable). Probe "
+    "the rebalanced centroids, ADC over only probed cells' codes, "
+    "shortlist, exact-L2^2 refine; oracle replays quantizer, hot "
+    "split, re-assignment, probing, LUT sums and refinement "
+    "digit-for-digit",
+)
+def sim_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_rebalance,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = ivf_index(corpus, nlist=4, quantizer="sample")
+    new = ivf_rebalance(idx, max_cell_size=100)
+    cb = pq_codebooks(corpus, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
+    codes = pq_encode(corpus, cb, m=_PQ_M, dim=64)
+    out = ivfpq_search(
+        queries, new, codes, cb, corpus=corpus,
+        k=5, nprobe=2, shortlist=_PQ_SHORTLIST,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

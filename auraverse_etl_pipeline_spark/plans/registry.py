@@ -85,6 +85,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_unigram_encode",  # NEW: Viterbi encode under the trained unigram model
     "corpus_domain_card",  # NEW: per-domain curation card over WARC metadata (VERDICT r9 #6)
     "corpus_domain_blocklist",  # NEW: Bloom-gated domain blocklist funnel stage
+    "sim_ivfpq_rebalance",  # NEW: rebalance + compressed search composition (VERDICT r9 #8)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
