@@ -234,3 +234,151 @@ def bpe_encode(
 
 
 __all__ = ["MERGES_SCHEMA", "bpe_encode", "bpe_train", "word_freqs"]
+
+
+#: WordPiece merge-table schema: BPE's plus the likelihood score.
+WP_MERGES_SCHEMA = "step bigint, lhs string, rhs string, pair_count bigint, score double"
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges (Schuster & Nakajima; the
+    BERT tokenizer family) — the BPE loop with the LIKELIHOOD merge
+    criterion: pick the pair maximizing ``count(lhs,rhs) /
+    (count(lhs)·count(rhs))``, the pair whose merge most increases a
+    unigram LM's corpus likelihood, instead of raw pair count. Returns
+    ``(step, lhs, rhs, pair_count, score)``.
+
+    The score is a single IEEE division of exact BIGINT counts —
+    engine-portable arithmetic (ties break (score DESC, lhs, rhs));
+    everything else (state, greedy non-overlap merge application,
+    per-round checkpoint) is shared with :func:`bpe_train`. Same scale
+    shape: one corpus scan, vocabulary-bounded rounds, 1-row argmax to
+    the driver. The ``##`` continuation-prefix display convention is
+    not modeled — symbols are plain substrings (documented deviation;
+    it affects rendering, not segmentation)."""
+    spark = docs.sparkSession
+    syms = _initial_symbols(word_freqs(docs, text_col, id_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int, float]] = []
+    try:
+        for step in range(num_merges):
+            w = Window.partitionBy("word").orderBy("i")
+            unit = syms.groupBy("sym").agg(F.sum("freq").cast("bigint").alias("c"))
+            pairs = (
+                syms.withColumn("nxt", F.lead("sym").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy("sym", "nxt")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            )
+            scored = (
+                pairs.join(unit.select(F.col("sym").alias("l_sym"), F.col("c").alias("cl")),
+                           F.col("sym") == F.col("l_sym"))
+                .join(unit.select(F.col("sym").alias("r_sym"), F.col("c").alias("cr")),
+                      F.col("nxt") == F.col("r_sym"))
+                .select(
+                    "sym", "nxt", "cnt",
+                    (
+                        F.col("cnt").cast("double")
+                        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+                    ).alias("score"),
+                )
+            )
+            best = scored.orderBy(
+                F.col("score").desc(), F.col("sym").asc(), F.col("nxt").asc()
+            ).limit(1).collect()
+            if not best or best[0]["cnt"] < min_pair_count:
+                break
+            lhs, rhs = best[0]["sym"], best[0]["nxt"]
+            merges.append((step, lhs, rhs, int(best[0]["cnt"]), float(best[0]["score"])))
+            nxt_state = _apply_merge(syms, lhs, rhs).localCheckpoint()
+            syms.unpersist()
+            syms = nxt_state
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(merges, WP_MERGES_SCHEMA)
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    max_word_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a WordPiece vocabulary (the corpus alphabet plus
+    every merge result) by MAXIMAL MUNCH over enumerated compositions:
+    among the segmentations whose pieces are all in the vocabulary,
+    pick the composition-key maximum — longest first piece, then
+    longest second, i.e. longest-match WITH backtracking (greedy HF
+    WordPiece UNKs on greedy dead-ends; this variant degrades to
+    single characters instead, deterministic and engine-portable —
+    documented deviation). Single characters are always in the
+    vocabulary, so every trainable word segments.
+
+    Output: ``(id, n_pieces, pieces_md5)`` — the BPE-encode digest
+    contract. Same scale shape as the unigram encoder: the composition
+    search runs over the DISTINCT-word table; the corpus-sized work is
+    one token explode joined to per-word segmentations."""
+    from auraverse_etl_pipeline_spark.functions.text import tokens
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+    from auraverse_etl_pipeline_spark.operators.unigram import compositions, word_table
+
+    spark = docs.sparkSession
+    words = word_table(docs, max_word_len=max_word_len, text_col=text_col)
+    chars = words.select(F.explode(F.split("word", "")).alias("piece")).distinct()
+    merged = merges.select(F.concat("lhs", "rhs").alias("piece")).distinct()
+    vocab = chars.unionByName(merged).distinct()
+    comp = F.broadcast(
+        spark.createDataFrame(
+            compositions(max_word_len, max_word_len),
+            "wlen int, comp string, k int, s int, l int",
+        )
+    )
+    parts = words.join(comp, "wlen").select(
+        "word", "comp", "k", F.expr("substring(word, s, l)").alias("piece")
+    )
+    per_comp = (
+        parts.join(vocab, "piece")
+        .groupBy("word", "comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.array_sort(F.collect_list(F.struct("k", "piece"))).alias("ps"),
+        )
+        .filter(F.col("n_found") == F.size(F.split("comp", ",")))
+        .select(
+            "word",
+            "comp",
+            F.array_join(F.transform("ps", lambda t: t["piece"]), " ").alias("seg"),
+            F.size("ps").cast("bigint").alias("n_pieces"),
+        )
+    )
+    seg = (
+        per_comp.groupBy("word")
+        .agg(F.max_by(F.struct("seg", "n_pieces"), F.col("comp")).alias("_b"))
+        .select("word", "_b.seg", "_b.n_pieces")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("tpos", "word")
+    ).filter(F.col("word") != "")
+    out = (
+        toks.join(seg, "word")
+        .groupBy("id")
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("tpos", "seg"))),
+                        lambda t: t["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("pieces_md5"),
+        )
+    )
+    return release_after(out)

@@ -6343,3 +6343,206 @@ def sim_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, nprobe=2, shortlist=_PQ_SHORTLIST,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+#: WordPiece geometry (the BERT tokenizer family — third next to BPE
+#: and unigram). Shared Spark/oracle.
+_WP_MERGES = 6
+_WP_WORD_LEN = 8
+
+
+def _wordpiece_chain(m: int) -> str:
+    """Unrolled DuckDB replay of :func:`~auraverse_etl_pipeline_spark.
+    operators.bpe.wordpiece_train` — the BPE round template with the
+    likelihood argmax: per round a symbol-count CTE joins into the
+    pair counts and the winner maximizes cnt/(c_lhs·c_rhs) (one IEEE
+    division of exact BIGINTs — identical in any engine), ties
+    (score DESC, lhs, rhs)."""
+    sql = [
+        f"""
+    WITH wf AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+        SELECT word, freq, CAST(u.i AS BIGINT) AS i, u.sym
+        FROM (SELECT word, freq,
+                     unnest(list_transform(range(1, len(string_split(word, '')) + 1),
+                            i -> {{'i': i, 'sym': string_split(word, '')[i]}})) AS u
+              FROM wf) t(word, freq, u)
+    )"""
+    ]
+    for r in range(m):
+        sql.append(
+            f""",
+    p{r} AS MATERIALIZED (
+        SELECT word, freq, i, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+        FROM s{r}
+    ),
+    u{r} AS (
+        SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM s{r} GROUP BY sym
+    ),
+    c{r} AS (
+        SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT lhs, rhs, cnt,
+               CAST(cnt AS DOUBLE) / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))
+                 AS score
+        FROM (SELECT c.lhs, c.rhs, c.cnt, ul.c AS cl, ur.c AS cr
+              FROM c{r} c
+              JOIN u{r} ul ON ul.sym = c.lhs
+              JOIN u{r} ur ON ur.sym = c.rhs)
+        ORDER BY score DESC, lhs ASC, rhs ASC LIMIT 1
+    ),
+    m{r} AS (
+        SELECT p.word, p.i FROM p{r} p, b{r} b
+        WHERE p.sym = b.lhs AND p.nxt = b.rhs
+    ),
+    k{r} AS MATERIALIZED (
+        SELECT word, i FROM (
+            SELECT word, i, i - MIN(i) OVER (PARTITION BY word, isl) AS off
+            FROM (SELECT word, i,
+                         i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+                  FROM m{r})
+        ) WHERE off % 2 = 0
+    ),
+    s{r + 1} AS MATERIALIZED (
+        SELECT p.word, p.freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.i)
+                    AS BIGINT) AS i,
+               CASE WHEN k1.i IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+        FROM p{r} p
+        LEFT JOIN k{r} k1 ON p.word = k1.word AND p.i = k1.i
+        LEFT JOIN k{r} k2 ON p.word = k2.word AND p.i = k2.i + 1
+        WHERE k2.i IS NULL
+    )"""
+        )
+    return "".join(sql)
+
+
+def _wordpiece_train_oracle(m: int) -> str:
+    return (
+        _wordpiece_chain(m)
+        + "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count, score FROM b{r}"
+            for r in range(m)
+        )
+    )
+
+
+@query(
+    "text_wordpiece_train",
+    oracle=_wordpiece_train_oracle(_WP_MERGES),
+    description="WordPiece tokenizer training IN the engine - the "
+    "THIRD tokenizer family (BERT's) next to BPE and unigram-LM: the "
+    "BPE merge loop with the LIKELIHOOD criterion, each round merging "
+    "the pair maximizing count(pair)/(count(lhs)*count(rhs)) - the "
+    "merge that most increases a unigram LM's corpus likelihood - "
+    "computed as ONE IEEE division of exact BIGINT counts (engine-"
+    "portable arithmetic, no transcendentals), ties (score DESC, lhs, "
+    "rhs). Same scale shape as BPE: one corpus scan, vocabulary-"
+    "bounded rounds, one extra vocabulary-sized symbol-count "
+    "aggregate per round, 1-row argmax to the driver; DuckDB replays "
+    "every round digit-for-digit",
+)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import wordpiece_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_train(docs, num_merges=_WP_MERGES)
+
+
+def _wordpiece_encode_oracle(m: int) -> str:
+    """Encode oracle: the training chain's merge results + the corpus
+    alphabet form the vocabulary; per-word segmentation is maximal
+    munch over the enumerated compositions (comp-key maximum ==
+    longest-match with backtracking), then the per-document digest."""
+    from auraverse_etl_pipeline_spark.operators.unigram import compositions
+
+    comp_vals = ",\n               ".join(
+        f"({wlen}, '{comp}', {k}, {s}, {l})"
+        for wlen, comp, k, s, l in compositions(_WP_WORD_LEN, _WP_WORD_LEN)
+    )
+    vocab_union = "\n        UNION\n        ".join(
+        f"SELECT lhs || rhs AS piece FROM b{r}" for r in range(m)
+    )
+    return (
+        _wordpiece_chain(m)
+        + f""",
+    vocab AS MATERIALIZED (
+        SELECT DISTINCT sym AS piece FROM s0
+        UNION
+        {vocab_union}
+    ),
+    wwords AS (
+        SELECT word, CAST(len(string_split(word, '')) AS INT) AS wlen
+        FROM wf WHERE len(string_split(word, '')) <= {_WP_WORD_LEN}
+    ),
+    wcomps(wlen, comp, k, s, l) AS MATERIALIZED (
+        VALUES {comp_vals}
+    ),
+    wparts AS (
+        SELECT w.word, c.comp, c.k, substr(w.word, c.s, c.l) AS piece
+        FROM wwords w JOIN wcomps c USING (wlen)
+    ),
+    wpc AS (
+        SELECT word, comp,
+               string_agg(piece, ' ' ORDER BY k) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM (SELECT wp2.* FROM wparts wp2 SEMI JOIN vocab ON wp2.piece = vocab.piece)
+        GROUP BY word, comp
+        HAVING COUNT(*) = len(string_split(comp, ','))
+    ),
+    wseg AS MATERIALIZED (
+        SELECT word, seg, n_pieces FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY word ORDER BY comp DESC) AS rn
+            FROM wpc
+        ) WHERE rn = 1
+    ),
+    walltok AS (
+        SELECT doc_id, u.pos AS tpos, u.tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKS}) + 1),
+                            i -> {{'pos': i, 'tok': ({_TOKS})[i]}})) AS u
+              FROM documents) t(doc_id, u)
+        WHERE u.tok <> ''
+    )
+    SELECT a.doc_id,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces,
+           md5(string_agg(v.seg, ' ' ORDER BY a.tpos)) AS pieces_md5
+    FROM walltok a JOIN wseg v ON a.tok = v.word
+    GROUP BY a.doc_id
+    """
+    )
+
+
+@query(
+    "text_wordpiece_encode",
+    oracle=_wordpiece_encode_oracle(_WP_MERGES),
+    description="corpus tokenization with the trained WordPiece "
+    "vocabulary (corpus alphabet + every merge result), oracle-gated "
+    "end-to-end: per-word MAXIMAL MUNCH spelled over the enumerated "
+    "composition table - the composition-key maximum among fully-in-"
+    "vocabulary segmentations IS longest-match with backtracking "
+    "(greedy HF WordPiece UNKs on greedy dead-ends; this variant "
+    "degrades to shorter pieces instead - documented deviation, "
+    "deterministic and engine-portable; single chars are always in "
+    "vocabulary so every word segments). Compares per-document piece "
+    "count AND the in-order piece-stream md5 (the tokenizer-encode "
+    "digest contract)",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = wordpiece_train(docs, num_merges=_WP_MERGES)
+    out = wordpiece_encode(docs, merges, max_word_len=_WP_WORD_LEN)
+    return out.select(F.col("id").alias("doc_id"), "n_pieces", "pieces_md5")

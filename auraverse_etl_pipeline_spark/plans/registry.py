@@ -86,6 +86,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "corpus_domain_card",  # NEW: per-domain curation card over WARC metadata (VERDICT r9 #6)
     "corpus_domain_blocklist",  # NEW: Bloom-gated domain blocklist funnel stage
     "sim_ivfpq_rebalance",  # NEW: rebalance + compressed search composition (VERDICT r9 #8)
+    "text_wordpiece_train",  # NEW: WordPiece (BERT-family) tokenizer trainer
+    "text_wordpiece_encode",  # NEW: maximal-munch encode under the WordPiece vocab
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -3032,3 +3032,32 @@ def test_domain_card_attribution_and_blocklist(spark):
     assert fun["one.net"].blocked == 2 and fun["one.net"].kept == 0
     assert fun["two.net"].blocked == 0 and fun["two.net"].kept == 3
     assert fun["one.net"].bloom_flagged == 2  # no false negative possible
+
+
+def test_wordpiece_differs_from_bpe_and_maxmunch_holds(spark):
+    """The likelihood criterion must pick a DIFFERENT first merge than
+    raw pair count on a fixture built for it (frequent-but-expected
+    pair vs rare-but-surprising pair), and the encoder must prefer the
+    longest vocabulary prefix (maximal munch)."""
+    from auraverse_etl_pipeline_spark.operators.bpe import (
+        bpe_train,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    # 'ab' occurs 6x but a,b are everywhere (expected); 'xy' occurs 3x
+    # and x,y occur ONLY there (surprising): score(xy)=3/9 > score(ab).
+    rows = [(i, "ab ab ab ab ab ab a b a b a b xy xy xy") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bpe_first = bpe_train(docs, num_merges=1).collect()[0]
+    wp_first = wordpiece_train(docs, num_merges=1).collect()[0]
+    assert (bpe_first.lhs, bpe_first.rhs) == ("a", "b")
+    assert (wp_first.lhs, wp_first.rhs) == ("x", "y")
+
+    merges = wordpiece_train(docs, num_merges=2)  # learns xy then ab
+    enc = wordpiece_encode(docs, merges)
+    got = {r.id: r.n_pieces for r in enc.collect()}
+    enc.release_caches()
+    # 'ab' -> 1 piece (maximal munch), single chars stay 1 piece,
+    # 'xy' -> 1 piece: 6*1 + 6*1 + 3*1 = 15 pieces per doc
+    assert got == {0: 15, 1: 15}

@@ -477,3 +477,58 @@ def test_crawl_to_corpus_funnel_plan(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "MapInPandas" in plan
     assert "ntile(" not in plan  # no global-sort window anywhere
+
+
+def test_unigram_viterbi_is_single_plan_no_python(spark, sf_dir):
+    """The composition-Viterbi E-step must stay one declarative JVM
+    plan: broadcast composition literal, no Python stage, no
+    cartesian; and the train query's returned model is checkpointed
+    (model-sized, corpus lineage cut)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.unigram import (
+        seed_counts,
+        viterbi_segment,
+        word_table,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_table(docs)
+    model = seed_counts(words).withColumn("logp", F.lit(-1.0))
+    plan = _plan(viterbi_segment(words, model))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the composition literal
+
+    train_plan = _plan(QS["text_unigram_train"].fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in train_plan or "LogicalRDD" in train_plan  # checkpointed
+
+
+def test_domain_card_single_scan_and_released_cache(spark, sf_dir):
+    """domain_card: the flag table is cached (two consumers — rates +
+    histogram) and carries a release handle; no Python past the WARC
+    re-ingest; quartiles come from window sums, not percentile states."""
+    plan = _plan(QS["corpus_domain_card"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan  # flags cached
+    assert "percentile" not in plan.lower()  # cumulative histogram, no sketch
+    assert "CartesianProduct" not in plan
+
+    from auraverse_etl_pipeline_spark.operators.quality import domain_card
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "http://x.y.net/doc/0")],
+        "doc_id bigint, text string, target_uri string",
+    )
+    out = domain_card(docs)
+    assert callable(out.release_caches)
+    out.collect()
+    out.release_caches()
+
+
+def test_domain_blocklist_probe_broadcasts_filter(spark, sf_dir):
+    """The Bloom probe must broadcast the filter words (num_bits/63
+    rows) — a shuffle join on the filter would defeat the tier."""
+    plan = _plan(QS["corpus_domain_blocklist"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
