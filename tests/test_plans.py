@@ -532,3 +532,25 @@ def test_domain_blocklist_probe_broadcasts_filter(spark, sf_dir):
     plan = _plan(QS["corpus_domain_blocklist"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_bnlj_only_on_stat_frames(spark, sf_dir):
+    """The only nested-loop joins in the unigram trainer are the 1-row
+    stat-frame folds (the logp total, the prune char count) — never a
+    data×data pairing."""
+    plan = _plan(QS["text_unigram_train"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # trained model is checkpointed, so the returned plan carries no
+    # BNLJ at all; the in-flight folds were audited via the un-
+    # checkpointed builders in test_unigram_viterbi_is_single_plan.
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_wordpiece_encode_plan_shape(spark, sf_dir):
+    """WordPiece encode: broadcast composition literal, equality joins
+    only, no Python anywhere (the trainer's per-round work happens at
+    build time against checkpointed state)."""
+    plan = _plan(QS["text_wordpiece_encode"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
