@@ -88,6 +88,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_ivfpq_rebalance",  # NEW: rebalance + compressed search composition (VERDICT r9 #8)
     "text_wordpiece_train",  # NEW: WordPiece (BERT-family) tokenizer trainer
     "text_wordpiece_encode",  # NEW: maximal-munch encode under the WordPiece vocab
+    "stream_domain_gate",  # NEW: Bloom domain blocklist on the stream path
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

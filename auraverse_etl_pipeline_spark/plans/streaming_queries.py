@@ -685,3 +685,77 @@ def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_sum"),
         )
     )
+
+
+def _domain_gate_oracle() -> str:
+    """Identical to the batch twin's oracle — the stream/batch parity
+    contract (the logreg-gate pattern): decisions tallied per domain
+    must equal the batch funnel exactly."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _domain_blocklist_oracle,
+    )
+
+    return _domain_blocklist_oracle()
+
+
+@query(
+    "stream_domain_gate",
+    oracle=_domain_gate_oracle(),
+    description="the domain-blocklist gate on the stream path: the "
+    "Bloom filter builds ONCE from the blocklist (offline, like the "
+    "logreg model), every micro-batch of crawl documents extracts its "
+    "registrable domain from the target URI, probes the broadcast "
+    "filter map-side and exact-verifies only flagged domains - a "
+    "stateless per-document projection, no state store, safe on an "
+    "unbounded stream (a crawl frontier applying a blocklist "
+    "continuously). Per-doc decisions land as fixed-width parquet "
+    "rows; the query reports the per-domain attrition tally and the "
+    "oracle is byte-identical to the batch twin corpus_domain_"
+    "blocklist - stream/batch gate parity at the oracle level",
+)
+def stream_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _BLOCK_BITS,
+        _BLOCK_HASHES,
+        _BLOCKED_DOMAINS,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_domain_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    def with_uri(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("http://docs."),
+                F.col("source"),
+                F.lit(".net/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+        )
+
+    root = tempfile.mkdtemp(prefix="domain_gate_")
+    run_stream_domain_gate(
+        with_uri(stream_documents(spark, sf_dir)),
+        _BLOCKED_DOMAINS,
+        decisions_path=f"{root}/decisions",
+        num_bits=_BLOCK_BITS,
+        num_hashes=_BLOCK_HASHES,
+    )
+    return (
+        spark.read.parquet(f"{root}/decisions")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_flagged"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("blocked"),
+            F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("kept"),
+            F.sum(F.when(~F.col("blocked") & F.col("gopher"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_gopher"),
+        )
+    )

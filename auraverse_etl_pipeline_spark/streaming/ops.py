@@ -679,3 +679,82 @@ def run_stream_logreg_gate(
         audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
+
+
+def run_stream_domain_gate(
+    docs_stream: DataFrame,
+    blocked_domains: list[str],
+    decisions_path: str,
+    num_bits: int = 63 * 16,
+    num_hashes: int = 5,
+    timeout_s: int = 600,
+) -> None:
+    """Streaming domain-blocklist gate — the stream twin of
+    :func:`~auraverse_etl_pipeline_spark.operators.quality.
+    domain_blocklist_funnel`: the Bloom filter builds ONCE from the
+    blocklist (offline, like the logreg model), then every micro-batch
+    of documents (carrying a ``target_uri`` column) extracts its
+    registrable domain, probes the broadcast filter map-side, and
+    exact-verifies only FLAGGED domains against the list — a stateless
+    per-document projection, no state store, safe on an unbounded
+    stream (exactly how a crawl frontier applies a domain blocklist
+    continuously). Per-doc decisions (doc_id, domain, gopher,
+    bloom_hit, blocked) append to ``decisions_path``."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        gopher_metrics,
+        gopher_rules,
+        registrable_domain,
+    )
+
+    spark = docs_stream.sparkSession
+    bl = spark.createDataFrame(
+        [(x,) for x in sorted(blocked_domains)], "bdomain string"
+    ).cache()
+    bloom = bloom_build(bl.select(F.col("bdomain").alias("k")), "k", num_bits, num_hashes).cache()
+    bloom.count()  # materialize the filter once, before the first batch
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n, mwl, sw = gopher_metrics("text")
+        ok_n, ok_len, ok_stop = gopher_rules(n, mwl, sw)
+        d = batch_df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            registrable_domain("target_uri").alias("domain"),
+            (ok_n & ok_len & ok_stop).alias("gopher"),
+        )
+        probed = bloom_might_contain(d, bloom, "domain", num_bits, num_hashes)
+        dec = probed.join(
+            F.broadcast(bl.withColumn("on_list", F.lit(True))),
+            probed.domain == bl.bdomain,
+            "left",
+        ).select(
+            "doc_id",
+            "domain",
+            "gopher",
+            "bloom_hit",
+            (F.col("bloom_hit") & F.coalesce("on_list", F.lit(False))).alias("blocked"),
+        )
+        audit_batch_plan("domain_gate:decisions", dec)
+        dec.write.mode("append").parquet(decisions_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_domain_gate_")
+    q = (
+        docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()
+        bloom.unpersist()
+        bl.unpersist()

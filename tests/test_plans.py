@@ -554,3 +554,15 @@ def test_wordpiece_encode_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ivfpq_rebalance_bnlj_only_stat_folds(spark, sf_dir):
+    """sim_ivfpq_rebalance embeds the rebalance subplan under several
+    consumers (probes, candidates, centroid union), so the 1-row
+    max_id crossJoin fold replicates — every BroadcastNestedLoopJoin
+    must still be that fold (bounded count, rebalance caches in
+    force), never a data×data pairing."""
+    plan = _plan(QS["sim_ivfpq_rebalance"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # asg/hot/subs caches
+    assert plan.count("BroadcastNestedLoopJoin") <= 16

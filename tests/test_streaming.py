@@ -695,3 +695,66 @@ def test_stream_logreg_gate_multi_batch(spark, sf_dir, tmp_path):
         model.unpersist()
     assert len(got) == 90
     assert got == want
+
+
+def test_stream_domain_gate_multi_batch(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the domain-blocklist gate: the
+    streaming gate over three micro-batches must produce exactly the
+    per-domain tally of the batch funnel — the Bloom probe and verify
+    are stateless projections, so micro-batch boundaries must not
+    change any decision."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.quality import (
+        domain_blocklist_funnel,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_domain_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    def with_uri(df):
+        return df.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("http://docs."),
+                F.col("source"),
+                F.lit(".net/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 90")
+    blocked = ["src1.net", "src4.net", "absent.example"]
+
+    chunk_dir = tmp_path / "domain_gate_chunks"
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    run_stream_domain_gate(
+        with_uri(stream_documents(spark, str(chunk_dir), max_files_per_trigger=1)),
+        blocked,
+        decisions_path=str(tmp_path / "decisions"),
+    )
+    dec = spark.read.parquet(str(tmp_path / "decisions"))
+    assert dec.count() == 90
+    got = {
+        (r.domain, r.n_docs, r.blocked, r.kept): r.kept_gopher
+        for r in dec.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("blocked"),
+            F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).cast("bigint").alias("kept"),
+            F.sum(F.when(~F.col("blocked") & F.col("gopher"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_gopher"),
+        ).collect()
+    }
+    want = {
+        (r.domain, r.n_docs, r.blocked, r.kept): r.kept_gopher
+        for r in domain_blocklist_funnel(with_uri(docs), blocked).collect()
+    }
+    assert got == want
+    assert any(k[2] > 0 for k in got)  # the blocklist actually blocked
