@@ -6546,3 +6546,187 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = wordpiece_train(docs, num_merges=_WP_MERGES)
     out = wordpiece_encode(docs, merges, max_word_len=_WP_WORD_LEN)
     return out.select(F.col("id").alias("doc_id"), "n_pieces", "pieces_md5")
+
+
+#: Training-objective transform geometry (operators/objectives.py).
+_SC_LEN = 3
+_SC_EVERY = 20
+_FIM_MIN = 4
+
+#: Engine-portable md5 draw: leading 60 bits mod m.
+def _md5_mod_sql(key: str, mod: str) -> str:
+    return f"('0x' || substr(md5({key}), 1, 15))::BIGINT % ({mod})"
+
+
+def _objective_toks_sql() -> str:
+    """Shared token-stream CTE (id, n_tokens, pos, tok)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id, u.pos, u.tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKS}) + 1),
+                            i -> {{'pos': i, 'tok': ({_TOKS})[i]}})) AS u
+              FROM documents) t(doc_id, u)
+        WHERE u.tok <> ''
+    ),
+    nt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY id)
+    """
+
+
+def _span_corruption_oracle() -> str:
+    off = _md5_mod_sql(
+        "CAST(id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)",
+        str(_SC_EVERY - _SC_LEN + 1),
+    )
+    return (
+        _objective_toks_sql()
+        + f""",
+    t2 AS MATERIALIZED (
+        SELECT id, n_tokens, pos, tok,
+               CAST((pos - 1) // {_SC_EVERY} AS BIGINT) AS blk
+        FROM toks JOIN nt USING (id)
+    ),
+    t3 AS MATERIALIZED (
+        SELECT *,
+               ((blk + 1) * {_SC_EVERY} <= n_tokens) AS blk_ok,
+               {off} AS off
+        FROM t2
+    ),
+    t4 AS MATERIALIZED (
+        SELECT *,
+               (blk_ok AND pos - 1 - blk * {_SC_EVERY} >= off
+                       AND pos - 1 - blk * {_SC_EVERY} < off + {_SC_LEN}) AS in_span,
+               (blk_ok AND pos - 1 - blk * {_SC_EVERY} = off) AS span_first
+        FROM t3
+    ),
+    inp AS (
+        SELECT id,
+               md5(string_agg(
+                   CASE WHEN span_first THEN '<extra_id_' || blk || '>' ELSE tok END,
+                   ' ' ORDER BY pos)) AS inputs_md5
+        FROM t4 WHERE NOT in_span OR span_first GROUP BY id
+    ),
+    tgt_rows AS (
+        SELECT id, pos * 2 + 1 AS opos, tok AS piece FROM t4 WHERE in_span
+        UNION ALL
+        SELECT id, pos * 2 AS opos, '<extra_id_' || blk || '>' AS piece
+        FROM t4 WHERE span_first
+    ),
+    tgt AS (
+        SELECT id, md5(string_agg(piece, ' ' ORDER BY opos)) AS targets_md5
+        FROM tgt_rows GROUP BY id
+    ),
+    spans AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN span_first THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN in_span THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        FROM t4 GROUP BY id
+    )
+    SELECT nt.id AS doc_id, nt.n_tokens, s.n_spans, s.n_masked,
+           i.inputs_md5, COALESCE(g.targets_md5, '') AS targets_md5
+    FROM nt JOIN spans s USING (id) JOIN inp i USING (id)
+    LEFT JOIN tgt g USING (id)
+    """
+    )
+
+
+@query(
+    "text_span_corruption",
+    oracle=_span_corruption_oracle(),
+    description="T5-style masked-span denoising pairs built "
+    "DETERMINISTICALLY in the engine - the training-objective "
+    "transform tier (curated text -> model inputs): BLOCKED span "
+    "placement masks one md5-offset span of 3 tokens per complete "
+    "20-token block (15% corruption at mean span 3, the T5 defaults) "
+    "- non-overlap holds BY CONSTRUCTION, so there is no sequential "
+    "per-document rejection loop (the usual RNG sampler is hostile at "
+    "100 TB), and the exact corruption replays in any engine, any "
+    "partitioning, any run. Emits per-doc token/span/mask counts plus "
+    "md5 digests of the sentinel-substituted INPUT stream and the "
+    "sentinel-prefixed TARGET stream - the full encoder/decoder pair "
+    "value-hashed. One token explode, codegen'd flag algebra, one "
+    "ordered re-assembly per stream",
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.objectives import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_corruption(docs, span_len=_SC_LEN, span_every=_SC_EVERY)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens", "n_spans", "n_masked", "inputs_md5", "targets_md5",
+    )
+
+
+def _fim_oracle() -> str:
+    ra = _md5_mod_sql("CAST(id AS VARCHAR) || ':a'", "n_tokens - 2")
+    rb = _md5_mod_sql("CAST(id AS VARCHAR) || ':b'", "n_tokens - 2")
+    return (
+        _objective_toks_sql()
+        + f""",
+    draws AS (
+        SELECT id, n_tokens,
+               CASE WHEN n_tokens >= {_FIM_MIN} THEN 1 + {ra} ELSE 0 END AS ra,
+               CASE WHEN n_tokens >= {_FIM_MIN} THEN 1 + {rb} ELSE 0 END AS rb
+        FROM nt
+    ),
+    cuts AS MATERIALIZED (
+        SELECT id, n_tokens,
+               least(ra, rb) AS cut_a,
+               greatest(ra, rb)
+                 + CASE WHEN ra = rb AND ra > 0 THEN 1 ELSE 0 END AS cut_b
+        FROM draws
+    ),
+    pieces AS (
+        SELECT t.id,
+               CASE WHEN c.cut_b = 0 THEN 0
+                    WHEN t.pos <= c.cut_a THEN 0
+                    WHEN t.pos > c.cut_b THEN 1
+                    ELSE 2 END AS region,
+               CAST(t.pos AS BIGINT) AS k, t.tok AS piece
+        FROM toks t JOIN cuts c USING (id)
+        UNION ALL
+        SELECT id, 0 AS region, CAST(0 AS BIGINT) AS k, '<PRE>' AS piece FROM cuts
+        UNION ALL
+        SELECT id, 1, 0, '<SUF>' FROM cuts WHERE cut_b > 0
+        UNION ALL
+        SELECT id, 2, 0, '<MID>' FROM cuts WHERE cut_b > 0
+    ),
+    dig AS (
+        SELECT id, md5(string_agg(piece, ' ' ORDER BY region, k)) AS fim_md5
+        FROM pieces GROUP BY id
+    )
+    SELECT c.id AS doc_id, c.n_tokens,
+           CAST(c.cut_a AS BIGINT) AS cut_a, CAST(c.cut_b AS BIGINT) AS cut_b,
+           d.fim_md5
+    FROM cuts c JOIN dig d USING (id)
+    """
+    )
+
+
+@query(
+    "text_fim_transform",
+    oracle=_fim_oracle(),
+    description="fill-in-middle (PSM) reordering built "
+    "DETERMINISTICALLY in the engine - the code-model training "
+    "objective (Bavarian et al.): two md5-derived cuts split every "
+    "document's token stream into prefix/middle/suffix and the "
+    "emitted stream is <PRE> prefix <SUF> suffix <MID> middle, so the "
+    "exact same transform replays in any engine with no RNG state to "
+    "ship (the mixture-tier determinism contract); short documents "
+    "pass through as <PRE>-prefixed streams. One token explode, one "
+    "per-doc ordered re-assembly; cut positions + stream md5 all "
+    "value-hashed",
+)
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.objectives import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fim_transform(docs, min_tokens=_FIM_MIN)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.col("cut_a").cast("bigint").alias("cut_a"),
+        F.col("cut_b").cast("bigint").alias("cut_b"),
+        "fim_md5",
+    )

@@ -89,6 +89,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_wordpiece_train",  # NEW: WordPiece (BERT-family) tokenizer trainer
     "text_wordpiece_encode",  # NEW: maximal-munch encode under the WordPiece vocab
     "stream_domain_gate",  # NEW: Bloom domain blocklist on the stream path
+    "text_span_corruption",  # NEW: deterministic T5 masked-span denoising pairs
+    "text_fim_transform",  # NEW: deterministic fill-in-middle (PSM) reordering
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

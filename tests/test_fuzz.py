@@ -1312,3 +1312,100 @@ def test_unigram_matches_pure_python_em(spark):
             assert got_e[i] == (n, want_md5, fxsum), (i, got_e[i], (n, want_md5, fxsum))
 
     prop()
+
+
+def test_objectives_match_pure_python(spark):
+    """Property: span_corruption and fim_transform equal a pure-Python
+    replica of the md5-derived placement arithmetic and stream
+    re-assembly, on randomized corpora."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.objectives import (
+        fim_transform,
+        span_corruption,
+    )
+
+    LEN, EVERY, FMIN = 2, 5, 4
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def replica_sc(i, toks):
+        n = len(toks)
+        inp, tgt, n_spans, n_masked = [], [], 0, 0
+        for p0, tok in enumerate(toks):
+            blk = p0 // EVERY
+            ok = (blk + 1) * EVERY <= n
+            off = h60(f"{i}:{blk}") % (EVERY - LEN + 1)
+            rel = p0 - blk * EVERY
+            in_span = ok and off <= rel < off + LEN
+            first = ok and rel == off
+            if first:
+                inp.append(f"<extra_id_{blk}>")
+                tgt.append((p0 + 1) * 2)
+                n_spans += 1
+            elif not in_span:
+                inp.append(tok)
+            if in_span:
+                tgt.append((p0 + 1) * 2 + 1)
+                n_masked += 1
+        # rebuild target stream in opos order
+    # (keep replica simple: rebuild in a second pass)
+        tgt_pieces = []
+        for p0, tok in enumerate(toks):
+            blk = p0 // EVERY
+            ok = (blk + 1) * EVERY <= n
+            off = h60(f"{i}:{blk}") % (EVERY - LEN + 1)
+            rel = p0 - blk * EVERY
+            if ok and rel == off:
+                tgt_pieces.append((((p0 + 1) * 2), f"<extra_id_{blk}>"))
+            if ok and off <= rel < off + LEN:
+                tgt_pieces.append((((p0 + 1) * 2 + 1), tok))
+        tgt_pieces.sort()
+        inputs_md5 = hashlib.md5(" ".join(inp).encode()).hexdigest()
+        targets_md5 = (
+            hashlib.md5(" ".join(p for _, p in tgt_pieces).encode()).hexdigest()
+            if tgt_pieces else ""
+        )
+        return (n, n_spans, n_masked, inputs_md5, targets_md5)
+
+    def replica_fim(i, toks):
+        n = len(toks)
+        if n >= FMIN:
+            ra = 1 + h60(f"{i}:a") % (n - 2)
+            rb = 1 + h60(f"{i}:b") % (n - 2)
+            a, b = min(ra, rb), max(ra, rb) + (1 if ra == rb else 0)
+        else:
+            a = b = 0
+        if b == 0:
+            stream = ["<PRE>"] + toks
+        else:
+            stream = (
+                ["<PRE>"] + toks[:a] + ["<SUF>"] + toks[b:] + ["<MID>"] + toks[a:b]
+            )
+        return (n, a, b, hashlib.md5(" ".join(stream).encode()).hexdigest())
+
+    word = st.sampled_from(["aa", "b", "ccc", "dd"])
+    doc = st.lists(word, min_size=1, max_size=14).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got_sc = {
+            r.id: (r.n_tokens, r.n_spans, r.n_masked, r.inputs_md5, r.targets_md5)
+            for r in span_corruption(df, span_len=LEN, span_every=EVERY).collect()
+        }
+        got_fim = {
+            r.id: (r.n_tokens, r.cut_a, r.cut_b, r.fim_md5)
+            for r in fim_transform(df, min_tokens=FMIN).collect()
+        }
+        for i, t in rows:
+            toks = t.split()
+            assert got_sc[i] == replica_sc(i, toks), (i, got_sc[i], replica_sc(i, toks))
+            assert got_fim[i] == replica_fim(i, toks), (i, got_fim[i])
+
+    prop()
