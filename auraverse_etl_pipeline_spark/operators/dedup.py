@@ -257,6 +257,30 @@ def minhash_near_duplicates(
     consumer). Call ``result.release_caches()`` when done; the 100 TB
     spelling of the same decision is persisting the shingle/signature
     table to disk once and reusing it."""
+    scored, caches = _lsh_candidate_jaccard(
+        df, n, num_hash_tables, text_col, id_col, seed, hash_fn, max_bucket_size
+    )
+    result = scored.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "id1", "id2", "jaccard"
+    )
+    return release_after(result, *caches)
+
+
+def _lsh_candidate_jaccard(
+    df: DataFrame,
+    n: int,
+    num_hash_tables: int,
+    text_col: str,
+    id_col: str,
+    seed: int,
+    hash_fn: str,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """The shared LSH candidate + exact-verify stage: every band-
+    collision pair with its exact shingle Jaccard — ``(id1, id2,
+    jaccard)``, unfiltered. Callers filter (near-dup mining) or label
+    (contrastive mining); the returned caches must ride a
+    ``release_after``."""
     sh = _shingle_table(df, n=n, text_col=text_col, id_col=id_col).cache()
     mins = _minhash_mins(sh, num_hashes=num_hash_tables, seed=seed, hash_fn=hash_fn)
     banded = mins.select(
@@ -284,12 +308,49 @@ def minhash_near_duplicates(
     )
     shared = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - shared
-    result = (
-        pairs.withColumn("jaccard", shared / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id1", "id2", "jaccard")
+    scored = pairs.withColumn("jaccard", shared / union)
+    return scored, (sh, banded, bands)
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Contrastive training pairs for embedding models, mined from the
+    SAME MinHash-LSH pass as near-dup detection: ``(id1, id2, jaccard,
+    label)`` where band-collision candidates verifying at exact
+    Jaccard ≥ τ are ``'pos'`` (anchor/positive pairs) and candidates
+    that collided but FAILED the verify are ``'neg'`` — HARD negatives
+    by construction (they share enough rare shingles to collide in a
+    band, which is exactly the "lexically close but not duplicate"
+    band that random negatives never sample). The standard recipe for
+    contrastive encoder data (SimCSE-style hard-negative mining,
+    E5-style consistency pairs) as one engine pass.
+
+    Scale shape: identical to :func:`minhash_near_duplicates` — the
+    labeling replaces the filter, so the 100 TB cost is the SAME LSH
+    pass a dedup run already pays; a pipeline can emit dedup decisions
+    AND contrastive pairs from one scan. Call ``release_caches()``
+    when done."""
+    scored, caches = _lsh_candidate_jaccard(
+        df, n, num_hash_tables, text_col, id_col, seed, hash_fn, max_bucket_size
     )
-    return release_after(result, sh, banded, bands)
+    result = scored.select(
+        "id1",
+        "id2",
+        "jaccard",
+        F.when(F.col("jaccard") >= jaccard_threshold, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    return release_after(result, *caches)
 
 
 def minhash_index(

@@ -3201,13 +3201,16 @@ def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_sql(
-    num_hashes: int = 8, seed: int = 42, threshold: float = 0.5
+    num_hashes: int = 8, seed: int = 42, threshold: float = 0.5,
+    labeled: bool = False,
 ) -> str:
     """DuckDB replica of the full MinHash-LSH pipeline under the md5
     base hash: hex15(md5(shingle)) % P, the exact affine coefficients
     from ``minhash_coeffs(num_hashes, seed)``, per-doc minima, r=1 band
     join, exact-Jaccard verification — byte-for-byte the Spark operator
-    at the same (num_hash_tables, seed, jaccard_threshold)."""
+    at the same (num_hash_tables, seed, jaccard_threshold).
+    ``labeled=True`` emits EVERY candidate with a pos/neg label at the
+    threshold instead of filtering (the contrastive-mining twin)."""
     from auraverse_etl_pipeline_spark.operators.dedup import _MINHASH_P, minhash_coeffs
 
     coeffs = minhash_coeffs(num_hashes, seed)
@@ -3244,12 +3247,11 @@ def _minhash_oracle_sql(
     )
     SELECT c.id1, c.id2,
            CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard{", CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= " + str(threshold) + " THEN 'pos' ELSE 'neg' END AS label" if labeled else ""}
     FROM cand c
     JOIN sh2 x ON x.doc_id = c.id1
     JOIN sh2 y ON y.doc_id = c.id2
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
+    {"" if labeled else f"WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}"}
     """
 
 
@@ -6729,4 +6731,28 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cut_a").cast("bigint").alias("cut_a"),
         F.col("cut_b").cast("bigint").alias("cut_b"),
         "fim_md5",
+    )
+
+
+@query(
+    "sim_contrastive_pairs",
+    oracle=_minhash_oracle_sql(num_hashes=8, seed=42, threshold=0.5, labeled=True),
+    description="contrastive training pairs for embedding models "
+    "mined from the SAME MinHash-LSH pass as near-dup detection: "
+    "band-collision candidates verifying at exact Jaccard >= 0.5 are "
+    "'pos' anchor/positive pairs, candidates that collided but FAILED "
+    "the verify are 'neg' - HARD negatives by construction (lexically "
+    "close enough to share a band minimum, not duplicates; the band "
+    "random negatives never sample). The SimCSE/E5-style mining "
+    "recipe as one engine pass - a dedup run can emit its decisions "
+    "AND the contrastive set from one scan, since the labeling "
+    "replaces the filter on the identical plan. md5 base hash, fully "
+    "oracle-gated including every label",
+)
+def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import contrastive_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_pairs(
+        docs, jaccard_threshold=0.5, n=3, hash_fn="md5", max_bucket_size=1000
     )

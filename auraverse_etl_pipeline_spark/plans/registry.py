@@ -91,6 +91,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "stream_domain_gate",  # NEW: Bloom domain blocklist on the stream path
     "text_span_corruption",  # NEW: deterministic T5 masked-span denoising pairs
     "text_fim_transform",  # NEW: deterministic fill-in-middle (PSM) reordering
+    "sim_contrastive_pairs",  # NEW: pos/hard-neg mining from the LSH pass
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
