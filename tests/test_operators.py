@@ -3061,3 +3061,36 @@ def test_wordpiece_differs_from_bpe_and_maxmunch_holds(spark):
     # 'ab' -> 1 piece (maximal munch), single chars stay 1 piece,
     # 'xy' -> 1 piece: 6*1 + 6*1 + 3*1 = 15 pieces per doc
     assert got == {0: 15, 1: 15}
+
+
+def test_contrastive_pairs_labels_and_shared_pass(spark):
+    """Planted near-dup must label 'pos'; a lexically-overlapping
+    non-dup that shares band minima must label 'neg' (the hard
+    negative); and the pos set must equal minhash_near_duplicates on
+    the same corpus (same pass, labeling replaces the filter)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        contrastive_pairs,
+        minhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),  # near-dup of 0 (J ≈ 0.92)
+        # one verb changed: collides in the bands (J ≈ 0.55) but sits
+        # under the 0.8 threshold — the hard negative
+        (2, "the quick brown fox leaps over the lazy dog again and again today"),
+        (3, "completely unrelated text about parquet shuffles and joins here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cp = contrastive_pairs(docs, jaccard_threshold=0.8, n=3, hash_fn="md5")
+    got = {(r.id1, r.id2): r.label for r in cp.collect()}
+    cp.release_caches()
+    assert got[(0, 1)] == "pos"
+    negs = [k for k, v in got.items() if v == "neg"]
+    assert (0, 2) in negs, "LSH collisions below tau must surface as hard negatives"
+
+    nd = minhash_near_duplicates(docs, jaccard_threshold=0.8, n=3, hash_fn="md5")
+    want_pos = {(r.id1, r.id2) for r in nd.collect()}
+    nd.release_caches()
+    assert {k for k, v in got.items() if v == "pos"} == want_pos
