@@ -2184,3 +2184,59 @@ def q53_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+_Q55_SQL_BODY = """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM {supplier} s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM {lineitem} l
+        WHERE l.l_partkey IN (
+            SELECT p.p_partkey FROM {part} p WHERE p.p_brand = 'Brand#1'
+        )
+        GROUP BY l.l_suppkey
+        HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) > (
+            -- scale-free threshold: 1.2x the MEAN per-supplier brand
+            -- volume, so selectivity holds at any SF (a fixed share
+            -- of the total degenerates as the supplier count grows)
+            SELECT 1.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(COUNT(DISTINCT l2.l_suppkey) AS DOUBLE)
+            FROM {lineitem} l2
+            WHERE l2.l_partkey IN (
+                SELECT p2.p_partkey FROM {part} p2 WHERE p2.p_brand = 'Brand#1'
+            )
+        )
+    )
+      AND EXISTS (
+        SELECT 1 FROM {lineitem} lx
+        WHERE lx.l_suppkey = s.s_suppkey AND lx.l_discount > 0.05
+    )
+"""
+
+
+@query(
+    "q55_stock_threshold_suppliers",
+    oracle=_Q55_SQL_BODY.format(
+        supplier="supplier", lineitem="lineitem", part="part"
+    ),
+    description="TPC-H Q20-shaped NESTED/CORRELATED subquery ladder: "
+    "an IN subquery over a grouped HAVING whose threshold is itself a "
+    "SCALAR subquery (share of total brand volume), plus a correlated "
+    "EXISTS - the decorrelation surface. Catalyst rewrites the IN to "
+    "a left-semi join, the scalar subquery to a broadcast 1-row "
+    "aggregate and the correlated EXISTS to a semi join (plan-guarded: "
+    "no CartesianProduct, semi joins present), so the declared nested "
+    "shape executes as the join DAG a hand-planner would build - the "
+    "exact property that makes declarative SQL survive 100 TB. Same "
+    "ANSI text runs on DuckDB as the oracle",
+)
+def q55_stock_threshold_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q55_{t}")
+    return spark.sql(
+        _Q55_SQL_BODY.format(
+            supplier="_q55_supplier", lineitem="_q55_lineitem", part="_q55_part"
+        )
+    )

@@ -92,6 +92,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_span_corruption",  # NEW: deterministic T5 masked-span denoising pairs
     "text_fim_transform",  # NEW: deterministic fill-in-middle (PSM) reordering
     "sim_contrastive_pairs",  # NEW: pos/hard-neg mining from the LSH pass
+    "q55_stock_threshold_suppliers",  # NEW: nested/correlated-subquery decorrelation surface
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -566,3 +566,14 @@ def test_ivfpq_rebalance_bnlj_only_stat_folds(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # asg/hot/subs caches
     assert plan.count("BroadcastNestedLoopJoin") <= 16
+
+
+def test_q55_decorrelates_to_joins(spark, sf_dir):
+    """The nested IN / scalar-subquery / correlated-EXISTS ladder must
+    decorrelate: semi joins present, no CartesianProduct anywhere, and
+    the scalar threshold folds through a 1-row aggregate (never a
+    per-row re-evaluation)."""
+    plan = _plan(QS["q55_stock_threshold_suppliers"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
