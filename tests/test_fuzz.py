@@ -1409,3 +1409,109 @@ def test_objectives_match_pure_python(spark):
             assert got_fim[i] == replica_fim(i, toks), (i, got_fim[i])
 
     prop()
+
+
+def test_wordpiece_matches_pure_python(spark):
+    """Property: in-engine WordPiece training + maximal-munch encoding
+    equals a pure-Python replica — likelihood-scored merges with
+    (score DESC, lhs, rhs) ties, greedy non-overlapping application,
+    composition-key-max encoding — on randomized corpora."""
+    import hashlib
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.bpe import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+    from auraverse_etl_pipeline_spark.operators.unigram import compositions
+
+    M, W = 3, 6
+    COMPS = {}
+    for wlen, comp, k, s, l in compositions(W, W):
+        COMPS.setdefault(wlen, {}).setdefault(comp, []).append((k, s, l))
+
+    def replica_train(texts):
+        wf = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    wf[w] += 1
+        state = {w: list(w) for w in wf}
+        merges = []
+        for step in range(M):
+            unit, pairs = Counter(), Counter()
+            for w, syms in state.items():
+                for s in syms:
+                    unit[s] += wf[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += wf[w]
+            if not pairs:
+                break
+            # deterministic (score DESC, lhs ASC, rhs ASC)
+            best_key, best_score = None, None
+            for (a, b), c in pairs.items():
+                sc = c / (unit[a] * unit[b])
+                cand = (-sc, a, b)
+                if best_key is None or cand < best_key:
+                    best_key, best_score = cand, (a, b, c, sc)
+            a, b, cnt, sc = best_score
+            if cnt < 2:
+                break
+            merges.append((step, a, b, cnt, sc))
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                state[w] = out
+        return merges, wf
+
+    def replica_encode(texts, merges, wf):
+        vocab = {c for w in wf for c in w} | {a + b for _, a, b, _, _ in merges}
+        seg = {}
+        for w in wf:
+            if len(w) > W:
+                continue
+            best = None
+            for comp, parts in COMPS.get(len(w), {}).items():
+                pieces = [w[s - 1 : s - 1 + l] for _, s, l in sorted(parts)]
+                if all(p in vocab for p in pieces):
+                    if best is None or comp > best[0]:
+                        best = (comp, pieces)
+            seg[w] = best[1]
+        out = {}
+        for i, t in enumerate(texts):
+            toks = [w for w in t.split() if w and len(w) <= W]
+            stream = [" ".join(seg[w]) for w in toks]
+            n = sum(len(seg[w]) for w in toks)
+            out[i] = (n, hashlib.md5(" ".join(stream).encode()).hexdigest())
+        return out
+
+    word = st.sampled_from(["ab", "abab", "ba", "bab", "aab", "c", "cc", "abc"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=3, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=5))
+    def prop(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        merges, wf = replica_train(texts)
+        got_m = wordpiece_train(df, num_merges=M).collect()
+        assert len(got_m) == len(merges)
+        for r, (step, a, b, cnt, sc) in zip(sorted(got_m, key=lambda r: r.step), merges):
+            assert (r.step, r.lhs, r.rhs, r.pair_count) == (step, a, b, cnt)
+            assert r.score == sc, (r, sc)
+
+        enc = wordpiece_encode(df, wordpiece_train(df, num_merges=M), max_word_len=W)
+        got_e = {r.id: (r.n_pieces, r.pieces_md5) for r in enc.collect()}
+        enc.release_caches()
+        want = replica_encode(texts, merges, wf)
+        assert got_e == want, (got_e, want)
+
+    prop()
