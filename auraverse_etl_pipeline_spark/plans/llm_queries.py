@@ -6756,3 +6756,60 @@ def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(
         docs, jaccard_threshold=0.5, n=3, hash_fn="md5", max_bucket_size=1000
     )
+
+
+#: Messy-URL synthesis (the fixture has no URL column): five variant
+#: families cycling on doc_id — uppercase scheme/host, default ports,
+#: tracking params, unsorted queries, fragments, missing paths. ONE
+#: CASE template formatted for each engine.
+_MESSY_URL_CASES = [
+    "'HTTP://Docs.' || {src} || '.NET:80/a/b?utm_source=x&q=1#frag'",
+    "'https://docs.' || {src} || '.net:443/a/b/?z=2&a=1'",
+    "'http://DOCS.' || {src} || '.net/items?b=2&a=1&utm_campaign=c&utm_x=1'",
+    "'http://docs.' || {src} || '.net'",
+    "'https://docs.' || {src} || '.net/path?q=' || {did}",
+]
+
+
+def _messy_url_sql(src: str = "source", did: str = "doc_id") -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN " + c.format(src=src, did=did)
+        for i, c in enumerate(_MESSY_URL_CASES)
+    )
+    return f"CASE {did} % 5 {arms} END"
+
+
+def _url_canonicalize_oracle() -> str:
+    from auraverse_etl_pipeline_spark.functions.urls import canonical_url_sql
+
+    return f"""
+    WITH raw AS (SELECT doc_id, {_messy_url_sql()} AS raw_url FROM documents)
+    SELECT doc_id, raw_url,
+           {canonical_url_sql('raw_url')} AS canon_url
+    FROM raw
+    """
+
+
+@query(
+    "ingest_url_canonicalize",
+    oracle=_url_canonicalize_oracle(),
+    description="URL canonicalization - the crawl-frontier "
+    "normalization before URL-level dedup and domain curation "
+    "(lowercase scheme/host, strip default ports + fragments, "
+    "normalize the empty path, drop utm_* tracking params, sort the "
+    "query string - the CommonCrawl/Heritrix rule family): two raw "
+    "URLs canonicalizing equal are the same fetch target, so the "
+    "canonical form is the URL tier's dedup key. Pure string/array "
+    "algebra (regex extract, split, filter, lexicographic sort, "
+    "join), no UDF; ONE rule definition emits both the Spark Column "
+    "and the byte-equivalent DuckDB expression, every output URL "
+    "value-hashed over a 5-family messy fixture",
+)
+def ingest_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.functions.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", F.expr(_messy_url_sql()).alias("raw_url")
+    )
+    return raw.select("doc_id", "raw_url", canonical_url("raw_url").alias("canon_url"))

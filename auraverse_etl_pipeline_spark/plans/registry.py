@@ -93,6 +93,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "text_fim_transform",  # NEW: deterministic fill-in-middle (PSM) reordering
     "sim_contrastive_pairs",  # NEW: pos/hard-neg mining from the LSH pass
     "q55_stock_threshold_suppliers",  # NEW: nested/correlated-subquery decorrelation surface
+    "ingest_url_canonicalize",  # NEW: crawl-frontier URL normalization rules
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
