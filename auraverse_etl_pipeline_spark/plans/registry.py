@@ -94,6 +94,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_contrastive_pairs",  # NEW: pos/hard-neg mining from the LSH pass
     "q55_stock_threshold_suppliers",  # NEW: nested/correlated-subquery decorrelation surface
     "ingest_url_canonicalize",  # NEW: crawl-frontier URL normalization rules
+    "mix_temperature_sampling",  # NEW: temperature-scaled multilingual mixture weights
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
