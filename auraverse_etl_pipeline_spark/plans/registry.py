@@ -95,6 +95,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "q55_stock_threshold_suppliers",  # NEW: nested/correlated-subquery decorrelation surface
     "ingest_url_canonicalize",  # NEW: crawl-frontier URL normalization rules
     "mix_temperature_sampling",  # NEW: temperature-scaled multilingual mixture weights
+    "stream_url_frontier",  # NEW: closed incremental URL-frontier dedup loop
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

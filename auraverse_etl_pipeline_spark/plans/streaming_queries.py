@@ -759,3 +759,47 @@ def stream_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_gopher"),
         )
     )
+
+
+def _url_frontier_oracle() -> str:
+    """Batch spelling of the frontier's final contents: canonical URL →
+    first discovering doc id (batches arrive in id order over the
+    staged corpus, so cross-batch first-wins == global min)."""
+    from auraverse_etl_pipeline_spark.functions.urls import canonical_url_sql
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _messy_url_sql
+
+    return f"""
+    WITH raw AS (SELECT doc_id, {_messy_url_sql()} AS raw_url FROM documents),
+    c AS (SELECT doc_id, {canonical_url_sql('raw_url')} AS canon_url FROM raw)
+    SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM c GROUP BY canon_url
+    """
+
+
+@query(
+    "stream_url_frontier",
+    oracle=_url_frontier_oracle(),
+    description="continuous crawl-frontier URL dedup - the URL-tier "
+    "closed incremental loop next to the MinHash/BM25/IVF ones: each "
+    "micro-batch of discovered raw URLs canonicalizes (lowercase, "
+    "default-port/fragment strip, utm_* drop, query sort) and only "
+    "never-seen canonical forms append to the frontier parquet "
+    "(within-batch first-writer-wins, index-wins anti-join vs batches "
+    "1..N-1, eager lineage cut before the read-then-append - the "
+    "pinned foreachBatch gotcha). A URL discovered in batch N is "
+    "never re-fetched later; the oracle is the batch canonical-min "
+    "spelling over the same messy fixture",
+)
+def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _messy_url_sql
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_url_frontier
+    from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
+
+    root = tempfile.mkdtemp(prefix="url_frontier_")
+    urls = stream_documents(spark, sf_dir).select(
+        "doc_id", F.expr(_messy_url_sql()).alias("raw_url")
+    )
+    run_stream_url_frontier(urls, frontier_path=f"{root}/frontier")
+    return spark.read.parquet(f"{root}/frontier")

@@ -758,3 +758,65 @@ def run_stream_domain_gate(
         q.stop()
         bloom.unpersist()
         bl.unpersist()
+
+
+def run_stream_url_frontier(
+    urls_stream: DataFrame,
+    frontier_path: str,
+    url_col: str = "raw_url",
+    id_col: str = "doc_id",
+    timeout_s: int = 600,
+) -> None:
+    """Continuous crawl-frontier URL dedup — the URL-tier twin of the
+    MinHash/BM25/IVF incremental loops: each micro-batch of discovered
+    raw URLs CANONICALIZES (``functions/urls.py`` — lowercase, port/
+    fragment strip, utm drop, query sort) and only canonical forms
+    never seen before append to the frontier, so a URL discovered in
+    batch N is never re-fetched by any later batch. Exactly how a
+    crawler's frontier dedup runs: the canonical form is the identity,
+    the frontier is an append-only parquet set.
+
+    Per batch: within-batch first-writer-wins (min id per canonical
+    URL), index-wins left-anti against the persisted frontier's
+    canonical column, EAGER ``localCheckpoint`` before the append (the
+    delta reads the path it appends into — the lineage-cut gotcha
+    pinned in tests/test_streaming.py), one fixed-width row per new
+    URL. State lives on disk, never in a state store."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.functions.urls import canonical_url
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        firsts = (
+            batch_df.select(
+                F.col(id_col).cast("bigint").alias("doc_id"),
+                canonical_url(url_col).alias("canon_url"),
+            )
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("first_doc_id"))
+        )
+        try:
+            seen = spark.read.parquet(frontier_path).select("canon_url")
+        except AnalysisException:  # first batch: no frontier yet
+            seen = None
+        if seen is not None:
+            firsts = firsts.join(seen.distinct(), "canon_url", "left_anti")
+        delta = firsts.localCheckpoint()
+        audit_batch_plan("url_frontier:delta", delta)
+        delta.write.mode("append").parquet(frontier_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_url_frontier_")
+    q = (
+        urls_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()

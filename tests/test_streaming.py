@@ -758,3 +758,51 @@ def test_stream_domain_gate_multi_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert any(k[2] > 0 for k in got)  # the blocklist actually blocked
+
+
+def test_stream_url_frontier_multi_batch(spark, sf_dir, tmp_path):
+    """Cross-batch frontier dedup: a canonical URL discovered in batch
+    1 must NOT re-enter the frontier when batch 2 rediscovers it under
+    a different raw spelling; within-batch duplicates keep the lowest
+    doc id; and the final frontier equals the batch canonical-min."""
+    import time
+
+    from auraverse_etl_pipeline_spark.functions.urls import canonical_url
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_url_frontier
+
+    rows = [
+        # batch 1: two spellings of ONE canonical + a unique
+        (0, "HTTP://A.One.NET:80/x?b=2&a=1#f"),
+        (1, "http://a.one.net/x?a=1&b=2"),
+        (2, "https://b.two.net/y"),
+        # batch 2: rediscovers batch-1's canonical + adds one new
+        (3, "http://a.one.net:80/x?utm_source=z&a=1&b=2"),
+        (4, "https://c.three.net/z?q=1"),
+    ]
+    chunk_dir = tmp_path / "url_chunks"
+    for lo, hi in [(0, 3), (3, 5)]:
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id bigint, raw_url string"
+        ).coalesce(1).write.mode("append").parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, raw_url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    run_stream_url_frontier(stream, frontier_path=str(tmp_path / "frontier"))
+    got = {
+        r.canon_url: r.first_doc_id
+        for r in spark.read.parquet(str(tmp_path / "frontier")).collect()
+    }
+    assert got == {
+        "http://a.one.net/x?a=1&b=2": 0,   # batch-1 winner, batch-2 rediscovery dropped
+        "https://b.two.net/y": 2,
+        "https://c.three.net/z?q=1": 4,
+    }
+    # sanity: all three raw spellings of the first URL canonicalize equal
+    c = spark.createDataFrame(
+        [(r,) for _, r in rows[:2] + [rows[3]]], "u string"
+    ).select(canonical_url("u").alias("c")).distinct()
+    assert c.count() == 1
