@@ -62,16 +62,19 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: recently-scored queries enumerate first each round.
 #:
 #: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
-#:   green driver row — these go first. ROUND-10 START: run
-#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r09.json into
+#:   green driver row — these go first. ROUND-11 START: run
+#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r10.json into
 #:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
-#:   back red, or round 10 rewrites something after its green).
+#:   back red, or round 11 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
-#:   whose CORRECTNESS_r0N.json carries a green — or, for the
-#:   rows-only-by-design names, a rows-recorded — row for the name):
-#:   oldest evidence enumerates first. After round 9 scores its
-#:   window (14 fresh + the 18 round-4 names + the oldest round-6
-#:   names), the oldest remaining evidence is round 6.
+#:   whose CORRECTNESS_r0N.json carries a green row for the name):
+#:   oldest evidence enumerates first. Round 10's window = 20 fresh +
+#:   all 27 round-6 names + the 3 oldest round-7 names; after it
+#:   scores, the oldest remaining evidence is round 7 — round 11's
+#:   window should head with its own fresh names then the r7 cohort.
+#:   20 fresh was round 10's hard ceiling (23 would evict r6 names);
+#:   the same arithmetic applies each round: fresh ≤ 50 − (size of
+#:   the oldest-vintage cohort that must score this round).
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 10 start: CORRECTNESS_r09.json folded into _LAST_GREEN (49
     # green + 1 rows-recorded; zero red). Round-10 rewrites after their
