@@ -282,11 +282,31 @@ def unigram_train(
     per round (the BPE lineage-cut discipline) so the returned plan is
     model-sized with no corpus lineage."""
     words = word_table(docs, max_word_len=max_word_len, text_col=text_col).cache()
+    try:
+        return _unigram_train_cached(
+            words, vocab_size, em_iters, max_piece_len, max_word_len, min_count
+        )
+    finally:
+        # bpe_train/wordpiece_train discipline: a failed mid-EM job
+        # (e.g. a localCheckpoint error) must not leak the words cache.
+        words.unpersist()
+
+
+def _unigram_train_cached(
+    words: DataFrame,
+    vocab_size: int,
+    em_iters: int,
+    max_piece_len: int,
+    max_word_len: int,
+    min_count: int,
+) -> DataFrame:
     model = _with_logp(seed_counts(words, max_piece_len, min_count)).localCheckpoint()
     for _ in range(em_iters):
         seg = viterbi_segment(words, model, max_piece_len, max_word_len)
-        model = _with_logp(_char_floor_counts(seg, words)).localCheckpoint()
-        seg.release_caches()
+        try:
+            model = _with_logp(_char_floor_counts(seg, words)).localCheckpoint()
+        finally:
+            seg.release_caches()
     # prune: all single chars + top (vocab_size − n_chars) multi-char
     # by (cnt DESC, piece ASC); the char count joins from a 1-row
     # aggregate so nothing collects to the driver.
@@ -306,9 +326,7 @@ def unigram_train(
         .select("piece", "cnt")
     )
     kept = model.filter(F.length("piece") == 1).select("piece", "cnt").unionByName(multi)
-    out = _with_logp(kept).localCheckpoint()
-    words.unpersist()
-    return out
+    return _with_logp(kept).localCheckpoint()
 
 
 def unigram_encode(

@@ -57,83 +57,35 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 173 queries full single-
-#: round attestation is impossible — the order rotates so the least-
-#: recently-scored queries enumerate first each round.
+#: the registry (50 rows per round), so with 188 queries (see
+#: ``all_queries()`` — the count grows as tiers land) full single-round
+#: attestation is impossible — the order rotates so the least-recently-
+#: scored queries enumerate first each round.
 #:
 #: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
-#:   green driver row — these go first. ROUND-11 START: run
-#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r10.json into
+#:   green driver row — these go first. ROUND-12 START: run
+#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r11.json into
 #:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
-#:   back red, or round 11 rewrites something after its green).
+#:   back red, or round 12 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
-#:   oldest evidence enumerates first. Round 10's window = 20 fresh +
-#:   all 27 round-6 names + the 3 oldest round-7 names; after it
-#:   scores, the oldest remaining evidence is round 7 — round 11's
-#:   window should head with its own fresh names then the r7 cohort.
-#:   20 fresh was round 10's hard ceiling (23 would evict r6 names);
-#:   the same arithmetic applies each round: fresh ≤ 50 − (size of
-#:   the oldest-vintage cohort that must score this round).
+#:   oldest evidence enumerates first. Round 11 starts with 45 r7-
+#:   vintage names as the oldest cohort, so its fresh budget is
+#:   50 − 45 = 5 before r7 names spill to round 12; round 11
+#:   deliberately overspends (new tokenizer/SQ8 tiers + PSL/codepoint
+#:   rewrites), spilling the newest-alphabetical tail of the r7 cohort
+#:   — round 12 must head its window with that spilled tail.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 10 start: CORRECTNESS_r09.json folded into _LAST_GREEN (49
-    # green + 1 rows-recorded; zero red). Round-10 rewrites after their
-    # last green/recorded row go here as they land:
-    "dedup_minhash_pairs",  # REWRITTEN: md5 base hash + 12-table/0.35 config, now oracle-gated (VERDICT r9 #2)
-    "text_logreg_quality",  # REWRITTEN: fixed-point 2^40 partials replace DECIMAL(38,12) casts (ADVICE r9)
-    "stream_logreg_gate",  # REWRITTEN: same fixed-point discipline in the tally
-    "pipeline_corpus_to_index",  # REWRITTEN: 2^20 chunk-id namespace + overflow guard (ADVICE r9)
-    "sim_topk_ivf",  # REWRITTEN: clamp defaults on for exact_fold searches (ADVICE r9)
-    "text_unigram_train",  # NEW: unigram-LM (SentencePiece-style) trainer (VERDICT r9 #4)
-    "text_unigram_encode",  # NEW: Viterbi encode under the trained unigram model
-    "corpus_domain_card",  # NEW: per-domain curation card over WARC metadata (VERDICT r9 #6)
-    "corpus_domain_blocklist",  # NEW: Bloom-gated domain blocklist funnel stage
-    "sim_ivfpq_rebalance",  # NEW: rebalance + compressed search composition (VERDICT r9 #8)
-    "text_wordpiece_train",  # NEW: WordPiece (BERT-family) tokenizer trainer
-    "text_wordpiece_encode",  # NEW: maximal-munch encode under the WordPiece vocab
-    "stream_domain_gate",  # NEW: Bloom domain blocklist on the stream path
-    "text_span_corruption",  # NEW: deterministic T5 masked-span denoising pairs
-    "text_fim_transform",  # NEW: deterministic fill-in-middle (PSM) reordering
-    "sim_contrastive_pairs",  # NEW: pos/hard-neg mining from the LSH pass
-    "q55_stock_threshold_suppliers",  # NEW: nested/correlated-subquery decorrelation surface
-    "ingest_url_canonicalize",  # NEW: crawl-frontier URL normalization rules
-    "mix_temperature_sampling",  # NEW: temperature-scaled multilingual mixture weights
-    "stream_url_frontier",  # NEW: closed incremental URL-frontier dedup loop
+    # round 11 start: CORRECTNESS_r10.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red). Round-11 new queries and
+    # rewrites-after-green land here as the round progresses.
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
-#: from CORRECTNESS_r0{1..6}.json. Regenerate each round with
+#: from CORRECTNESS_r0{1..10}.json. Regenerate each round with
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 6
-    "corpus_data_card": 6,
-    "corpus_snapshot_diff": 6,
-    "curation_funnel": 6,
-    "dedup_embedding_clean": 6,
-    "dedup_incremental_minhash": 6,
-    "dedup_lsh_quality_audit": 6,
-    "mix_length_buckets": 6,
-    "mix_stratified_quota": 6,
-    "mix_weighted_sample": 6,
-    "multimodal_bmp_features": 6,
-    "q50_bipartite_pagerank": 6,
-    "q51_conversion_funnel": 6,
-    "sim_hybrid_search": 6,
-    "sim_random_projection": 6,
-    "stream_bm25_index": 6,
-    "stream_compaction_dedup": 6,
-    "stream_enriched_segment_revenue": 6,
-    "stream_incremental_dedup": 6,
-    "stream_ingest_fragment_summary": 6,
-    "stream_quality_gate": 6,
-    "text_bm25_index": 6,
-    "text_bm25_merge": 6,
-    "text_bm25_search": 6,
-    "text_bpe_encode": 6,
-    "text_bpe_train": 6,
-    "text_pmi_phrases": 6,
-    "text_tfidf_keywords": 6,
     # round 7
     "converted_documents": 7,
     "dedup_containment_join": 7,
@@ -145,9 +97,7 @@ _LAST_GREEN = {
     "fragment_summary": 7,
     "ingest_jsonl_roundtrip": 7,
     "mix_dsir_select": 7,
-    "multimodal_feature_digest": 7,
     "multimodal_jpeg_features": 7,
-    "multimodal_resize_digest": 7,
     "q01_pricing_summary": 7,
     "q02_top_revenue_orders": 7,
     "q03_region_nation_revenue": 7,
@@ -178,7 +128,6 @@ _LAST_GREEN = {
     "sim_hashed_embeddings": 7,
     "sql_lateral_fragment_summary": 7,
     "stream_ivf_assign": 7,
-    "text_line_dedup": 7,
     "text_lm_buckets": 7,
     "text_lm_perplexity": 7,
     "text_pack_manifest": 7,
@@ -242,7 +191,6 @@ _LAST_GREEN = {
     "dedup_hot_bucket_audit": 9,
     "dedup_merge_index": 9,
     "dedup_minhash_md5_pairs": 9,
-    "dedup_minhash_pairs": 9,
     "dedup_prefix_join_audit": 9,
     "fixture_schema_field_types": 9,
     "mix_cluster_balanced": 9,
@@ -252,7 +200,6 @@ _LAST_GREEN = {
     "multimodal_media_features": 9,
     "multimodal_png_features": 9,
     "multimodal_wav_features": 9,
-    "pipeline_corpus_to_index": 9,
     "q09_nation_year_profit": 9,
     "q28_sketch_distinct_users": 9,
     "q54_user_value_anomalies": 9,
@@ -264,11 +211,9 @@ _LAST_GREEN = {
     "sim_pq_lloyd": 9,
     "sim_pq_search": 9,
     "sim_range_search": 9,
-    "sim_topk_ivf": 9,
     "sql_udaf_source_stats": 9,
     "stream_dedup_events": 9,
     "stream_hourly_event_windows": 9,
-    "stream_logreg_gate": 9,
     "stream_purchase_attribution": 9,
     "stream_sliding_windows": 9,
     "stream_user_running_totals": 9,
@@ -278,11 +223,61 @@ _LAST_GREEN = {
     "text_cms_token_counts": 9,
     "text_gopher_filter": 9,
     "text_lm_trigram": 9,
-    "text_logreg_quality": 9,
     "text_nb_classifier": 9,
     "text_span_dedup": 9,
     "text_span_dedup_apply": 9,
     "text_unicode_normalize": 9,
+    # round 10
+    "corpus_data_card": 10,
+    "corpus_domain_blocklist": 10,
+    "corpus_domain_card": 10,
+    "corpus_snapshot_diff": 10,
+    "curation_funnel": 10,
+    "dedup_embedding_clean": 10,
+    "dedup_incremental_minhash": 10,
+    "dedup_lsh_quality_audit": 10,
+    "dedup_minhash_pairs": 10,
+    "ingest_url_canonicalize": 10,
+    "mix_length_buckets": 10,
+    "mix_stratified_quota": 10,
+    "mix_temperature_sampling": 10,
+    "mix_weighted_sample": 10,
+    "multimodal_bmp_features": 10,
+    "multimodal_feature_digest": 10,
+    "multimodal_resize_digest": 10,
+    "pipeline_corpus_to_index": 10,
+    "q50_bipartite_pagerank": 10,
+    "q51_conversion_funnel": 10,
+    "q55_stock_threshold_suppliers": 10,
+    "sim_contrastive_pairs": 10,
+    "sim_hybrid_search": 10,
+    "sim_ivfpq_rebalance": 10,
+    "sim_random_projection": 10,
+    "sim_topk_ivf": 10,
+    "stream_bm25_index": 10,
+    "stream_compaction_dedup": 10,
+    "stream_domain_gate": 10,
+    "stream_enriched_segment_revenue": 10,
+    "stream_incremental_dedup": 10,
+    "stream_ingest_fragment_summary": 10,
+    "stream_logreg_gate": 10,
+    "stream_quality_gate": 10,
+    "stream_url_frontier": 10,
+    "text_bm25_index": 10,
+    "text_bm25_merge": 10,
+    "text_bm25_search": 10,
+    "text_bpe_encode": 10,
+    "text_bpe_train": 10,
+    "text_fim_transform": 10,
+    "text_line_dedup": 10,
+    "text_logreg_quality": 10,
+    "text_pmi_phrases": 10,
+    "text_span_corruption": 10,
+    "text_tfidf_keywords": 10,
+    "text_unigram_encode": 10,
+    "text_unigram_train": 10,
+    "text_wordpiece_encode": 10,
+    "text_wordpiece_train": 10,
 }
 
 

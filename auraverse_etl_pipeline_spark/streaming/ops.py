@@ -781,7 +781,16 @@ def run_stream_url_frontier(
     canonical column, EAGER ``localCheckpoint`` before the append (the
     delta reads the path it appends into — the lineage-cut gotcha
     pinned in tests/test_streaming.py), one fixed-width row per new
-    URL. State lives on disk, never in a state store."""
+    URL. State lives on disk, never in a state store.
+
+    Cross-batch semantics: first-DISCOVERY-wins. The frontier keeps
+    the id that first reached it, so it equals a global MIN(doc_id)
+    oracle only when micro-batches arrive in doc_id order (true for
+    the rate/file sources used here); with unordered batches a later
+    batch carrying a lower id for an already-seen canonical URL keeps
+    the earlier, higher id — frontier ids are first-discovery ids,
+    which is the crawler contract (the first fetch wins), not an
+    argmin."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from auraverse_etl_pipeline_spark.functions.urls import canonical_url
