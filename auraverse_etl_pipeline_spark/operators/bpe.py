@@ -27,10 +27,16 @@ Determinism/parity: ties in the argmax break on (count DESC, left ASC,
 right ASC) — a documented deviation from insertion-order tie-breaking
 in some reference implementations, chosen because it is reproducible
 in ANY engine; the DuckDB oracle replays every round digit-for-digit
-as an unrolled CTE chain. Character splitting is per UTF-16 code unit
-on the JVM vs per codepoint in DuckDB — identical on ASCII corpora
-(the multimodal frame-manifest ASCII guard applies; non-BMP input
-would diverge).
+as an unrolled CTE chain. Character splitting parity: on this Spark
+line ``split(word, '')`` splits per CODEPOINT (probed: non-BMP
+``a𝄞b`` → 3 symbols, decomposed ``éx`` → 3), exactly matching
+DuckDB's ``string_split(word, '')`` — the historical ASCII-only
+UTF-16-code-unit guard is retired and pinned by non-ASCII fixtures in
+tests/test_operators.py. Grapheme clusters still split into their
+component codepoints on BOTH engines (not a divergence, but a
+semantics note). The byte-level variants below sidestep character
+semantics entirely: symbols are UTF-8 bytes spelled as two-hex-char
+strings, identical in any engine by construction.
 """
 
 from __future__ import annotations
@@ -141,6 +147,18 @@ def bpe_train(
     vocabulary-bounded and checkpointed; the corpus is scanned once."""
     spark = docs.sparkSession
     syms = _initial_symbols(word_freqs(docs, text_col, id_col)).localCheckpoint()
+    return spark.createDataFrame(
+        _merge_loop(syms, num_merges, min_pair_count), MERGES_SCHEMA
+    )
+
+
+def _merge_loop(
+    syms: DataFrame, num_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, int]]:
+    """The count-criterion BPE merge loop over an already-checkpointed
+    symbol state (char- and byte-level training share it verbatim —
+    the loop never inspects what a symbol IS). Owns and releases the
+    state; returns the learned merge rows."""
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(num_merges):
@@ -163,7 +181,7 @@ def bpe_train(
             syms = nxt_state
     finally:
         syms.unpersist()
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return merges
 
 
 def bpe_encode(
@@ -233,7 +251,14 @@ def bpe_encode(
     ).withColumn("n_pieces", F.size("pieces").cast("bigint"))
 
 
-__all__ = ["MERGES_SCHEMA", "bpe_encode", "bpe_train", "word_freqs"]
+__all__ = [
+    "MERGES_SCHEMA",
+    "bpe_encode",
+    "bpe_train",
+    "bytebpe_encode",
+    "bytebpe_train",
+    "word_freqs",
+]
 
 
 #: WordPiece merge-table schema: BPE's plus the likelihood score.
@@ -382,3 +407,120 @@ def wordpiece_encode(
         )
     )
     return release_after(out)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2 / Llama-3 vocabulary family)
+# ---------------------------------------------------------------------------
+
+
+def _initial_byte_symbols(words: DataFrame) -> DataFrame:
+    """Explode each vocabulary word into (word, freq, i, sym) rows
+    where ``sym`` is one UTF-8 BYTE spelled as two uppercase hex chars
+    (``hex(encode(word, 'UTF-8'))`` sliced pairwise). Merged symbols
+    concatenate to longer even-length hex strings, so the whole merge
+    machinery is shared with char-level BPE. Bytes make the alphabet
+    closed (≤256 initial symbols, no UNK) and the arithmetic
+    engine-neutral for ARBITRARY unicode input — the UTF-8 encoding of
+    a string is identical everywhere, unlike character segmentation."""
+    return (
+        words.withColumn("h", F.hex(F.encode("word", "UTF-8")))
+        .select(
+            "word",
+            "freq",
+            F.posexplode(
+                F.expr("transform(sequence(1, length(h) div 2), i -> substring(h, 2*i-1, 2))")
+            ).alias("i", "sym"),
+        )
+        .select("word", "freq", (F.col("i") + 1).cast("bigint").alias("i"), "sym")
+    )
+
+
+def bytebpe_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``num_merges`` BYTE-level BPE merges (Radford et al. 2019;
+    the GPT-2/Llama-3 tokenizer family): identical loop to
+    :func:`bpe_train` but the initial symbols are UTF-8 bytes as hex
+    pairs, so ``lhs``/``rhs`` in the returned ``(step, lhs, rhs,
+    pair_count)`` table are even-length hex strings. Pre-tokenization
+    is the same whitespace split as the word-level trainer (documented
+    deviation from GPT-2's regex pre-tokenizer — the merge algebra,
+    not the regex, is the operator under test). Same scale shape: one
+    corpus scan, vocabulary-bounded rounds, 1-row argmax."""
+    spark = docs.sparkSession
+    syms = _initial_byte_symbols(word_freqs(docs, text_col, id_col)).localCheckpoint()
+    return spark.createDataFrame(
+        _merge_loop(syms, num_merges, min_pair_count), MERGES_SCHEMA
+    )
+
+
+def bytebpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned byte-level merge table: ``(doc_id,
+    pieces array<string>, n_pieces)`` with pieces as hex strings.
+    Identical rank-dict + memoized Arrow-batched kernel to
+    :func:`bpe_encode`; the only difference is the initial symbol
+    sequence of a word is its UTF-8 bytes as hex pairs — computed by
+    Python's encoder, byte-identical to the JVM's and DuckDB's."""
+    ship_package(docs.sparkSession)
+    ranks = {
+        (r["lhs"], r["rhs"]): int(r["step"])
+        for r in merges.select("step", "lhs", "rhs").collect()
+    }
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = ["%02X" % b for b in word.encode("utf-8")]
+        while len(syms) > 1:
+            ranked = [
+                ranks[(a, b)]
+                for a, b in zip(syms, syms[1:])
+                if (a, b) in ranks
+            ]
+            if not ranked:
+                break
+            rank = min(ranked)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and ranks.get((syms[i], syms[i + 1])) == rank
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return texts.map(
+            lambda t: [
+                piece
+                for wrd in (t or "").strip().split()
+                for piece in _encode_word(wrd, memo)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _encode(F.col(text_col)).alias("pieces")
+    ).withColumn("n_pieces", F.size("pieces").cast("bigint"))

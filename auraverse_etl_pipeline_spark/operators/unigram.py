@@ -34,8 +34,11 @@ CTE chain generated from the same round template. Words longer than
 ``max_word_len`` are EXCLUDED from training and encoding (documented
 cap — SentencePiece's own trainer caps sentence/word lengths); the
 synthetic corpus' longest word is 8 chars, so nothing is excluded at
-any test SF. Character splitting is per UTF-16 code unit on the JVM vs
-per codepoint in DuckDB — identical on ASCII corpora (the BPE guard).
+any test SF. Character splitting is per CODEPOINT on both engines
+(the retired-ASCII-guard probe pinned in operators/bpe.py and
+tests/test_operators.py — non-BMP and combining-mark inputs segment
+identically), so the char-level tiers hash-compare on any codepoint
+corpus.
 """
 
 from __future__ import annotations

@@ -4141,13 +4141,25 @@ def text_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_MERGES = 6
 
 
-def _bpe_train_oracle(m: int) -> str:
-    """Unrolled round-for-round DuckDB replay of :func:`bpe_train`:
-    each learned merge is three window/aggregate CTEs (pair counts +
+#: Initial-symbol fragments for the BPE oracle chain: (list-length
+#: expression, i-th symbol expression) over a vocabulary word. Char
+#: level splits per codepoint (string_split('') — matches Spark's
+#: split('') per the probe pinned in operators/bpe.py); byte level
+#: slices the uppercase UTF-8 hex pairwise, engine-neutral for any
+#: unicode input.
+_BPE_CHAR_S0 = ("len(string_split(word, ''))", "string_split(word, '')[i]")
+_BPE_BYTE_S0 = ("length(hex(word)) // 2", "substring(hex(word), 2*i-1, 2)")
+
+
+def _bpe_train_oracle(m: int, s0: tuple[str, str] = _BPE_CHAR_S0) -> str:
+    """Unrolled round-for-round DuckDB replay of :func:`bpe_train` /
+    :func:`bytebpe_train` (``s0`` picks the symbol alphabet): each
+    learned merge is three window/aggregate CTEs (pair counts +
     deterministic argmax, greedy non-overlap via consecutive-run even
     offsets, rebuild with renumbered positions) — plain chained CTEs,
     generated from the same round template the Spark loop executes, so
     a geometry change touches one definition."""
+    n_expr, sym_expr = s0
     sql = [
         f"""
     WITH wf AS (
@@ -4158,8 +4170,8 @@ def _bpe_train_oracle(m: int) -> str:
     s0 AS (
         SELECT word, freq, CAST(u.i AS BIGINT) AS i, u.sym
         FROM (SELECT word, freq,
-                     unnest(list_transform(range(1, len(string_split(word, '')) + 1),
-                            i -> {{'i': i, 'sym': string_split(word, '')[i]}})) AS u
+                     unnest(list_transform(range(1, {n_expr} + 1),
+                            i -> {{'i': i, 'sym': {sym_expr}}})) AS u
               FROM wf) t(word, freq, u)
     )"""
     ]
@@ -4234,13 +4246,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=_BPE_TRAIN_MERGES)
 
 
-def _bpe_encode_oracle(m: int) -> str:
+def _bpe_encode_oracle(m: int, s0: tuple[str, str] = _BPE_CHAR_S0) -> str:
     """Encode-path oracle: the final training state ``s{m}`` IS the
     piece sequence of every training-corpus word (rank-order encoding
     replays the merge history — pinned in pytest), so the per-document
     piece stream is tokens-in-order joined to per-word piece strings,
     digested per document."""
-    chain = _bpe_train_oracle(m)
+    chain = _bpe_train_oracle(m, s0)
     chain = chain[: chain.index("\n    SELECT CAST(0 AS BIGINT) AS step")]
     return (
         chain
@@ -6859,3 +6871,58 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture(docs, alpha=_TEMP_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (operators/bpe.py — GPT-2/Llama-3 vocabulary family)
+# ---------------------------------------------------------------------------
+
+_BYTEBPE_TRAIN_MERGES = 6
+
+
+@query(
+    "text_bytebpe_train",
+    oracle=_bpe_train_oracle(_BYTEBPE_TRAIN_MERGES, _BPE_BYTE_S0),
+    description="BYTE-level BPE training (Radford et al. 2019 - the "
+    "GPT-2/Llama-3 tokenizer family), completing the in-engine "
+    "tokenizer matrix next to char BPE / WordPiece / unigram-LM: "
+    "initial symbols are UTF-8 bytes spelled as uppercase hex pairs "
+    "(hex(encode(word,'UTF-8')) on the JVM == hex(word) in DuckDB, "
+    "byte-identical for ARBITRARY unicode - no character-segmentation "
+    "parity surface at all), merges concatenate to even-length hex "
+    "strings, and the merge loop/argmax/greedy-non-overlap machinery "
+    "is shared verbatim with char BPE (vocabulary-bounded rounds, one "
+    "corpus scan, 1-row argmax, per-round localCheckpoint). DuckDB "
+    "replays every round digit-for-digit from the same unrolled CTE "
+    "template with the byte s0",
+)
+def text_bytebpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import bytebpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bytebpe_train(docs, num_merges=_BYTEBPE_TRAIN_MERGES)
+
+
+@query(
+    "text_bytebpe_encode",
+    oracle=_bpe_encode_oracle(_BYTEBPE_TRAIN_MERGES, _BPE_BYTE_S0),
+    description="corpus tokenization with the learned byte-level "
+    "merges: rank-dict closed over a memoized Arrow-batched kernel "
+    "whose initial word symbols are Python's UTF-8 bytes (byte-"
+    "identical to both engines' encoders) - embarrassingly parallel, "
+    "no corpus shuffle; DuckDB replays from the byte training chain's "
+    "final state (rank-order encoding == merge-history replay, pinned "
+    "for the byte alphabet in pytest), comparing per-document piece "
+    "count and the md5 of the space-joined hex piece stream",
+)
+def text_bytebpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.bpe import bytebpe_encode, bytebpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bytebpe_train(docs, num_merges=_BYTEBPE_TRAIN_MERGES)
+    enc = bytebpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_md5"),
+    )

@@ -79,6 +79,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 11 start: CORRECTNESS_r10.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-11 new queries and
     # rewrites-after-green land here as the round progresses.
+    "text_bytebpe_train",  # NEW: byte-level BPE trainer (GPT-2/Llama-3 family)
+    "text_bytebpe_encode",  # NEW: byte-level encode under the learned merges
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -300,7 +300,7 @@ def test_bpe_train_matches_model(spark):
 
     from auraverse_etl_pipeline_spark.operators.bpe import bpe_train
 
-    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    word = st.text(alphabet="abé\U0001d11e", min_size=1, max_size=5)
     doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
 
     def ref(texts, num_merges):
@@ -1276,7 +1276,7 @@ def test_unigram_matches_pure_python_em(spark):
         kept.update(dict(multi))
         return with_logp(kept), viterbi, wf
 
-    word = st.sampled_from(["ab", "abab", "ba", "aabb", "abc", "cab", "c", "abcab"])
+    word = st.sampled_from(["ab", "abab", "ba", "aabb", "abc", "cab", "c", "abcab", "é𝄞", "世界b"])
     doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
 
     @settings(max_examples=3, deadline=None)
@@ -1387,7 +1387,7 @@ def test_objectives_match_pure_python(spark):
             )
         return (n, a, b, hashlib.md5(" ".join(stream).encode()).hexdigest())
 
-    word = st.sampled_from(["aa", "b", "ccc", "dd"])
+    word = st.sampled_from(["aa", "b", "ccc", "dd", "éé", "𝄞a"])
     doc = st.lists(word, min_size=1, max_size=14).map(" ".join)
 
     @settings(max_examples=4, deadline=None)
@@ -1493,7 +1493,7 @@ def test_wordpiece_matches_pure_python(spark):
             out[i] = (n, hashlib.md5(" ".join(stream).encode()).hexdigest())
         return out
 
-    word = st.sampled_from(["ab", "abab", "ba", "bab", "aab", "c", "cc", "abc"])
+    word = st.sampled_from(["ab", "abab", "ba", "bab", "aab", "c", "cc", "abc", "éb𝄞", "世界"])
     doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
 
     @settings(max_examples=3, deadline=None)

@@ -3094,3 +3094,120 @@ def test_contrastive_pairs_labels_and_shared_pass(spark):
     want_pos = {(r.id1, r.id2) for r in nd.collect()}
     nd.release_caches()
     assert {k for k, v in got.items() if v == "pos"} == want_pos
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE + codepoint-split parity (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bytebpe_train(texts, num_merges, min_pair_count=2):
+    """Pure-Python byte-level reference: identical merge algebra to
+    ``_ref_bpe_train`` but over UTF-8 bytes spelled as hex pairs."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.strip().split() if w)
+    vocab = {w: ["%02X" % b for b in w.encode("utf-8")] for w in wf}
+    merges = []
+    for step in range(num_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((step, l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+#: Deliberately hostile unicode: 2-byte (é ö ï), 3-byte (世界), and
+#: 4-byte non-BMP (𝄞, a UTF-16 surrogate pair) codepoints.
+_MULTIBYTE_TEXTS = [
+    "héllo héllo wörld naïve",
+    "héllo wörld 𝄞𝄞ab 𝄞𝄞ab",
+    "世界 世界 abab abab naïve",
+]
+
+
+def test_bytebpe_train_matches_reference_on_multibyte_utf8(spark):
+    from auraverse_etl_pipeline_spark.operators.bpe import bytebpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(_MULTIBYTE_TEXTS)), "doc_id bigint, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in bytebpe_train(docs, num_merges=8).orderBy("step").collect()
+    ]
+    want, _ = _ref_bytebpe_train(_MULTIBYTE_TEXTS, 8)
+    assert got == want
+    # every learned symbol is a valid even-length hex string
+    assert all(len(l) % 2 == 0 and len(r) % 2 == 0 for _, l, r, _c in got)
+
+
+def test_bytebpe_encode_multibyte_roundtrip(spark):
+    """Pieces hex-decode back to each token's exact UTF-8 bytes, and
+    encoding the training corpus reproduces training's final state
+    (rank-order replay — the assumption the encode oracle rests on)."""
+    from auraverse_etl_pipeline_spark.operators.bpe import bytebpe_encode, bytebpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(_MULTIBYTE_TEXTS)), "doc_id bigint, text string"
+    )
+    merges = bytebpe_train(docs, num_merges=8)
+    enc = {r.doc_id: r.pieces for r in bytebpe_encode(docs, merges).collect()}
+    _, final_state = _ref_bytebpe_train(_MULTIBYTE_TEXTS, 8)
+    for i, t in enumerate(_MULTIBYTE_TEXTS):
+        toks = t.strip().split()
+        # concatenated pieces == concatenated UTF-8 hex of the tokens
+        assert "".join(enc[i]) == "".join(
+            "%02X" % b for w in toks for b in w.encode("utf-8")
+        )
+        # rank-order encode == final training segmentation, per token
+        want = [p for w in toks for p in final_state[w]]
+        assert enc[i] == want
+
+
+def test_char_split_codepoint_parity_with_duckdb(spark):
+    """Retires the historical ASCII-only guard: Spark's split('') and
+    DuckDB's string_split('') BOTH segment per codepoint — including
+    non-BMP (UTF-16 surrogate pair) and decomposed combining marks —
+    so char-level BPE/WordPiece/unigram hash-compare on any codepoint
+    corpus. Probes the engines side by side, then pins char-level
+    bpe_train == the pure-Python (codepoint-iterating) replica on a
+    non-ASCII corpus."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.bpe import bpe_train
+
+    probes = ["a\U0001d11eb", "éx", "héllo", "世界ab", "𝄞𝄞"]
+    sdf = spark.createDataFrame([(w,) for w in probes], "w string")
+    got_spark = {
+        r.w: r.parts for r in sdf.select("w", F.split("w", "").alias("parts")).collect()
+    }
+    con = duckdb.connect()
+    for w in probes:
+        duck = con.execute("SELECT string_split(?, '')", [w]).fetchone()[0]
+        assert got_spark[w] == duck == list(w), w
+
+    texts = ["héllo héllo wörld 世界", "héllo 世界 世界ab naïve"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, num_merges=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe_train(texts, 6)
