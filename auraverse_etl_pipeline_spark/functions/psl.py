@@ -1,0 +1,172 @@
+"""Public-suffix-list registrable-domain extraction — the domain
+grouping rule every crawl-curation stage (domain cards, blocklists,
+per-domain mixing) keys on. A naive last-two-labels rule groups
+``foo.co.uk`` and ``bar.co.uk`` together as ``co.uk`` — every ccTLD
+site under a multi-label public suffix aggregates at the wrong level.
+The fix is data, not code: the published public-suffix list (PSL,
+publicsuffix.org — public domain data) names the suffixes under which
+registrations happen; the registrable domain is the LONGEST matching
+public suffix plus one more label.
+
+One definition, two spellings (the ``functions/urls.py`` pattern):
+:func:`registrable_domain` builds the Spark Column,
+:func:`registrable_domain_sql` emits the equivalent DuckDB expression
+— both generated from the same committed rule snapshot, pure regex +
+IN-set algebra (Catalyst folds a large literal IN into an ``InSet``
+hash probe, DuckDB into a hash IN — O(1) per row, map-side, no join,
+no shuffle, whole-stage-codegen-safe at any corpus scale).
+
+Snapshot scope (documented subset): plain ICANN-section multi-label
+rules of 2 and 3 labels. Single-label suffixes are the PSL's implicit
+default rule (``*``) and need no table; wildcard (``*.ck``) and
+exception (``!www.ck``) rules are NOT modeled — a production run
+passes a fuller ``rules=`` snapshot and extends the matcher the same
+way (they are <1% of the list). When the host IS exactly a public
+suffix, the host itself is returned (conservative grouping). The
+matcher caps at 3-label rules by construction of the snapshot; pass
+longer rules and they are ignored with a ValueError at import, never
+silently.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: Snapshot date of the curated rule subset below (publicsuffix.org
+#: ICANN section; plain rules only).
+PSL_SNAPSHOT_DATE = "2026-08-15"
+
+#: Multi-label public suffixes under which registrations happen.
+PSL_MULTILABEL_RULES: tuple[str, ...] = (
+    # United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Australia (incl. state education registries — 3-label rules)
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
+    # New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "gen.nz", "geek.nz",
+    "maori.nz", "school.nz",
+    # Japan
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    # Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    # China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # Mexico
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    # India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "nic.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    # South Africa
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    # Singapore
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    # Turkey
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    # Argentina
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    # South Korea
+    "co.kr", "ne.kr", "or.kr", "go.kr", "re.kr", "pe.kr", "ac.kr",
+    # Taiwan
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    # Hong Kong
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    # Malaysia
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    # Indonesia
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    # Ukraine
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    # Israel
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    # Poland
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
+    # Thailand
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th",
+    # Philippines
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    # Vietnam
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    # Egypt
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    # Saudi Arabia
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    # Nigeria
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    # Kenya
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    # United States locality namespaces (state + k12/cc/lib — 2- and
+    # 3-label rules)
+    "ma.us", "ca.us", "ny.us", "tx.us", "wa.us",
+    "k12.ma.us", "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.wa.us",
+    "cc.ca.us", "lib.ca.us",
+)
+
+
+def _split_rules(rules: tuple[str, ...]) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    two = tuple(r for r in rules if r.count(".") == 1)
+    three = tuple(r for r in rules if r.count(".") == 2)
+    bad = [r for r in rules if r.count(".") not in (1, 2)]
+    if bad:
+        raise ValueError(f"PSL snapshot rules must have 2 or 3 labels: {bad}")
+    return two, three
+
+
+_HOST_RE = r"://([^/?#]+)"
+_LAST2_RE = r"([^.]+\.[^.]+)$"
+_LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+_LAST4_RE = r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$"
+
+
+def registrable_domain(
+    uri: str | Column, rules: tuple[str, ...] = PSL_MULTILABEL_RULES
+) -> Column:
+    """Registrable domain of a URL under the PSL snapshot: lowercase
+    the authority, strip userinfo and any explicit port (the
+    ``canonical_url`` port rule, generalized — a ported URI must group
+    with its unported twin), then longest-matching-suffix: a 3-label
+    rule keeps 4 trailing labels, a 2-label rule keeps 3, anything
+    else keeps the last two (the PSL's implicit single-label default).
+    A host that IS exactly a public suffix returns itself."""
+    two, three = _split_rules(rules)
+    u = F.col(uri) if isinstance(uri, str) else uri
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    last2 = F.regexp_extract(host, _LAST2_RE, 1)
+    last3 = F.regexp_extract(host, _LAST3_RE, 1)
+    last4 = F.regexp_extract(host, _LAST4_RE, 1)
+    return (
+        F.when(last3.isin(*three) & (last4 != ""), last4)
+        .when(last3.isin(*three), host)
+        .when(last2.isin(*two) & (last3 != ""), last3)
+        .when(last2.isin(*two), host)
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_sql(
+    expr: str, rules: tuple[str, ...] = PSL_MULTILABEL_RULES
+) -> str:
+    """DuckDB spelling of :func:`registrable_domain` over SQL
+    expression ``expr`` — the same regexes, rule sets and rule order,
+    generated from the same snapshot."""
+    two, three = _split_rules(rules)
+    host = f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+    host = f"regexp_replace({host}, '^[^@]*@', '')"
+    host = f"regexp_replace({host}, ':[0-9]+$', '')"
+    last2 = f"regexp_extract({host}, '{_LAST2_RE}', 1)"
+    last3 = f"regexp_extract({host}, '{_LAST3_RE}', 1)"
+    last4 = f"regexp_extract({host}, '{_LAST4_RE}', 1)"
+    in2 = "(" + ", ".join(f"'{r}'" for r in two) + ")"
+    in3 = "(" + ", ".join(f"'{r}'" for r in three) + ")"
+    return (
+        f"CASE WHEN {last3} IN {in3} AND {last4} <> '' THEN {last4} "
+        f"WHEN {last3} IN {in3} THEN {host} "
+        f"WHEN {last2} IN {in2} AND {last3} <> '' THEN {last3} "
+        f"WHEN {last2} IN {in2} THEN {host} "
+        f"ELSE {last2} END"
+    )

@@ -690,16 +690,17 @@ def pmi_phrases(
 
 
 def registrable_domain(uri: str | Column) -> Column:
-    """Registrable domain of a URL: host = the authority between
-    ``://`` and the next ``/``, registrable = the last two dot-labels
-    (``docs.example.net`` → ``example.net``). A production deployment
-    swaps the last-two-labels rule for a public-suffix-list lookup
-    (the PSL is data — a broadcast join against the published list,
-    same plan shape); the simplification is documented, deterministic
-    and engine-portable (both regexes are RE2-safe)."""
-    u = F.col(uri) if isinstance(uri, str) else uri
-    host = F.regexp_extract(u, r"://([^/]+)", 1)
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain of a URL under the public-suffix-list
+    snapshot — see :mod:`auraverse_etl_pipeline_spark.functions.psl`
+    (one shared rule definition emits this Spark Column and the DuckDB
+    oracle expression): lowercased host, userinfo/port stripped,
+    longest-matching-suffix over the committed multi-label rules with
+    the last-two-labels fallback for single-label suffixes."""
+    from auraverse_etl_pipeline_spark.functions.psl import (
+        registrable_domain as _psl_domain,
+    )
+
+    return _psl_domain(uri)
 
 
 def domain_card(

@@ -16,7 +16,7 @@ and the approximate sketches (error bounds pinned by pytest).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from auraverse_etl_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
@@ -6010,12 +6010,39 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Synthetic crawl-metadata URI — the fixture has no URL column, so the
-#: WARC staging derives one registrable domain per source tag. ONE
-#: definition feeds the Spark column and the oracle literal.
-_DOMAIN_URI_SQL = "'http://docs.' || source || '.net/doc/' || CAST(doc_id AS VARCHAR)"
-_DOMAIN_SQL = (
-    "regexp_extract(regexp_extract({uri}, '://([^/]+)', 1), '([^.]+\\.[^.]+)$', 1)"
+#: WARC staging derives one registrable domain per source tag. The
+#: doc_id%4 variants exercise the public-suffix-list matcher end to
+#: end: a plain gTLD host, a ``co.uk`` host WITH an explicit port (the
+#: port-strip rule), a ``com.au`` host, and a 3-label-rule
+#: ``k12.ma.us`` host. The Spark twin is :func:`_domain_uri`; the
+#: oracle-parity gate is the sync check between the two spellings.
+_DOMAIN_URI_SQL = (
+    "CASE CAST(doc_id % 4 AS INTEGER)"
+    " WHEN 0 THEN 'http://docs.' || source || '.net/doc/' || CAST(doc_id AS VARCHAR)"
+    " WHEN 1 THEN 'http://www.' || source || '.co.uk:8080/doc/' || CAST(doc_id AS VARCHAR)"
+    " WHEN 2 THEN 'https://' || source || '.com.au/doc/' || CAST(doc_id AS VARCHAR)"
+    " ELSE 'http://media.' || source || '.k12.ma.us/doc/' || CAST(doc_id AS VARCHAR)"
+    " END"
 )
+
+
+def _domain_uri(id_col: str = "doc_id", source_col: str = "source") -> Column:
+    """Spark twin of ``_DOMAIN_URI_SQL``."""
+    sid = F.col(id_col).cast("string")
+    src = F.col(source_col)
+    m = F.col(id_col) % 4
+    return (
+        F.when(m == 0, F.concat(F.lit("http://docs."), src, F.lit(".net/doc/"), sid))
+        .when(m == 1, F.concat(F.lit("http://www."), src, F.lit(".co.uk:8080/doc/"), sid))
+        .when(m == 2, F.concat(F.lit("https://"), src, F.lit(".com.au/doc/"), sid))
+        .otherwise(F.concat(F.lit("http://media."), src, F.lit(".k12.ma.us/doc/"), sid))
+    )
+
+
+def _domain_sql_expr(uri_sql: str) -> str:
+    from auraverse_etl_pipeline_spark.functions.psl import registrable_domain_sql
+
+    return registrable_domain_sql(uri_sql)
 
 
 def _domain_card_oracle() -> str:
@@ -6026,7 +6053,7 @@ def _domain_card_oracle() -> str:
     the quartiles are the cumulative-histogram percentile_disc."""
     from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
 
-    domain = _DOMAIN_SQL.format(uri=_DOMAIN_URI_SQL)
+    domain = _domain_sql_expr(_DOMAIN_URI_SQL)
     return f"""
     WITH d AS MATERIALIZED (
         SELECT doc_id, text, {domain} AS domain FROM documents
@@ -6090,9 +6117,12 @@ def _domain_card_oracle() -> str:
     "level keep/drop before any document-level gate runs: documents "
     "stage into real WARC files with per-source target URIs, re-ingest "
     "through the WARC parser WITH the WARC-Target-URI column, the "
-    "registrable domain extracts by regex (last-two-labels; a "
-    "production run swaps in the public-suffix list as a broadcast "
-    "join, same plan), then ONE corpus scan computes fixed-width "
+    "registrable domain extracts under the committed public-suffix-"
+    "list snapshot (functions/psl.py - lowercased host, userinfo/port "
+    "strip, longest-matching-suffix as an InSet probe, map-side, no "
+    "join; co.uk/com.au/k12.ma.us fixtures exercise 2- and 3-label "
+    "rules and the port strip), then ONE corpus scan computes fixed-"
+    "width "
     "(domain, n_tokens, canonical, gopher, lang_ok) flag rows and the "
     "card aggregates are domain-bounded: doc counts, corpus-global "
     "exact-dup attribution, Gopher and lang-ID pass rates, exact "
@@ -6108,23 +6138,26 @@ def corpus_domain_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.operators.quality import domain_card
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "text",
-        F.concat(
-            F.lit("http://docs."),
-            F.col("source"),
-            F.lit(".net/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("uri"),
+        "doc_id", "text", _domain_uri().alias("uri")
     )
     files = documents_to_warc(docs, gzip=True, uri_col="uri")
     crawl = warc_documents(files, with_uri=True)
     return domain_card(crawl)
 
 
-#: Blocklist fixture: two real fixture domains + one absent entry (the
-#: list may name domains the crawl never saw). Shared Spark/oracle.
-_BLOCKED_DOMAINS = ["src3.net", "src7.net", "never-crawled.example"]
+#: Blocklist fixture: real fixture domains across suffix classes (a
+#: gTLD, a co.uk multi-label, a 3-label k12.ma.us) + one absent entry
+#: (the list may name domains the crawl never saw). Shared
+#: Spark/oracle.
+#: (suffix class per source is doc_id%4 == N%4 for srcN, so each entry
+#: below names a domain that genuinely occurs in its class).
+_BLOCKED_DOMAINS = [
+    "src4.net",
+    "src9.co.uk",
+    "src6.com.au",
+    "src7.k12.ma.us",
+    "never-crawled.example",
+]
 _BLOCK_BITS = 63 * 16
 _BLOCK_HASHES = 5
 
@@ -6136,7 +6169,7 @@ def _domain_blocklist_oracle() -> str:
     domains exact-verify against the list, survivors meet Gopher."""
     from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
 
-    domain = _DOMAIN_SQL.format(uri=_DOMAIN_URI_SQL)
+    domain = _domain_sql_expr(_DOMAIN_URI_SQL)
     bl_vals = ", ".join(f"('{d}')" for d in sorted(_BLOCKED_DOMAINS))
     nw = _BLOCK_BITS // 63
     return f"""
@@ -6207,14 +6240,7 @@ def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "text",
-        F.concat(
-            F.lit("http://docs."),
-            F.col("source"),
-            F.lit(".net/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("target_uri"),
+        "doc_id", "text", _domain_uri().alias("target_uri")
     )
     return domain_blocklist_funnel(
         docs,

@@ -81,6 +81,9 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # rewrites-after-green land here as the round progresses.
     "text_bytebpe_train",  # NEW: byte-level BPE trainer (GPT-2/Llama-3 family)
     "text_bytebpe_encode",  # NEW: byte-level encode under the learned merges
+    "corpus_domain_card",  # REWRITTEN: PSL registrable-domain + multi-label/ported URI fixtures
+    "corpus_domain_blocklist",  # REWRITTEN: same, blocklist spans all suffix classes
+    "stream_domain_gate",  # REWRITTEN: same PSL gate on the stream path
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -724,17 +724,10 @@ def stream_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.streaming.ops import run_stream_domain_gate
     from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
 
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _domain_uri
+
     def with_uri(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "text",
-            F.concat(
-                F.lit("http://docs."),
-                F.col("source"),
-                F.lit(".net/doc/"),
-                F.col("doc_id").cast("string"),
-            ).alias("target_uri"),
-        )
+        return df.select("doc_id", "text", _domain_uri().alias("target_uri"))
 
     root = tempfile.mkdtemp(prefix="domain_gate_")
     run_stream_domain_gate(

@@ -3211,3 +3211,42 @@ def test_char_split_codepoint_parity_with_duckdb(spark):
         for r in bpe_train(docs, num_merges=6).orderBy("step").collect()
     ]
     assert got == _ref_bpe_train(texts, 6)
+
+
+def test_registrable_domain_psl_matching(spark):
+    """PSL matcher semantics, both spellings side by side: 2-label
+    rules (co.uk), 3-label rules (k12.ma.us), the gTLD fallback,
+    port/userinfo stripping, host lowercasing, host-is-exactly-a-
+    public-suffix, and single-label hosts."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.functions.psl import (
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    cases = [
+        ("http://docs.example.net/x", "example.net"),
+        ("http://docs.example.net:8080/x", "example.net"),  # port strips
+        ("https://user:pw@docs.example.net/x", "example.net"),  # userinfo strips
+        ("http://WWW.Example.CO.UK/x", "example.co.uk"),  # lowercased, 2-label rule
+        ("http://a.b.example.co.uk/x", "example.co.uk"),  # deep subdomain
+        ("http://media.src1.k12.ma.us:99/x", "src1.k12.ma.us"),  # 3-label rule + port
+        ("http://foo.ma.us/x", "foo.ma.us"),  # 2-label us-state rule
+        ("http://co.uk/x", "co.uk"),  # host IS a public suffix
+        ("http://k12.ma.us/x", "k12.ma.us"),  # host IS a 3-label suffix
+        ("http://localhost/x", ""),  # single label: no registrable domain
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = {
+        r.u: r.d
+        for r in df.select("u", registrable_domain("u").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for u, want in cases:
+        duck = con.execute(
+            f"SELECT {registrable_domain_sql('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        assert got[u] == want, (u, got[u], want)
+        assert duck == want, (u, duck, want)
