@@ -1664,3 +1664,174 @@ def hashed_embeddings(
         .alias("embedding"),
         norm.alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the int8 member of the faiss index family
+# ---------------------------------------------------------------------------
+
+
+def sq_stats(
+    corpus: DataFrame,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension quantization stats for SQ8 (faiss
+    ``ScalarQuantizer.QT_8bit`` semantics): ONE corpus aggregate →
+    a 1-row frame ``(vmin array<double>, vmax array<double>)``.
+
+    Scale shape: posexplode to (dim, x) fixed-width rows, min/max are
+    map-side-combined partials (dim-bounded shuffle — 64 rows), the
+    arrays assemble in a final 1-row aggregate. MIN/MAX select existing
+    values (no arithmetic), so the stats are engine-exact by
+    construction."""
+    d = _as_double(corpus, vec_col).select(F.posexplode(vec_col).alias("j", "x"))
+    per = d.groupBy("j").agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "vmin"))), lambda t: t["vmin"]
+        ).alias("vmin"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "vmax"))), lambda t: t["vmax"]
+        ).alias("vmax"),
+    )
+
+
+def _sq_code_expr(dim: int) -> Column:
+    """codes[j] = clamp(floor((v[j]-vmin[j])·255/(vmax[j]-vmin[j])),
+    0, 255) − 128, stored as a REAL int8 (tinyint) — the 4× (float32)
+    / 8× (double) compression. Constant dimensions quantize to code 0.
+    Every operation is exactly-specified IEEE arithmetic (sub, mul,
+    div, floor), so codes are bit-identical in any engine — no libm
+    surface anywhere in this tier."""
+    return F.expr(
+        f"""transform(sequence(1, {dim}), j -> CAST(
+            CASE WHEN element_at(vmax, j) = element_at(vmin, j) THEN 0
+                 ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                      CAST(floor((element_at(v, j) - element_at(vmin, j)) * 255.0D
+                                 / (element_at(vmax, j) - element_at(vmin, j))) AS BIGINT)))
+            END - 128 AS TINYINT))"""
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    stats: DataFrame,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to SQ8: ``(id, codes array<tinyint>)`` — dim
+    bytes replace dim floats. The 1-row stats frame broadcasts (the
+    stat-frame fold pattern); encoding is a single map-side projection
+    over one corpus scan, no shuffle at all. No refit: new batches
+    encode against yesterday's stats (the ``ivf_assign`` day-2
+    contract); out-of-range components clamp to the byte edges."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    return (
+        _as_double(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(stats))
+        .select("id", _sq_code_expr(dim).alias("codes"))
+    )
+
+
+def _sq_recon_expr(dim: int) -> Column:
+    """Decoded vector: recon[j] = vmin[j] + (codes[j]+128)·
+    (vmax[j]-vmin[j])/255 — the same exact-IEEE inverse both engines
+    replay digit-for-digit."""
+    return F.expr(
+        f"""transform(sequence(1, {dim}), j ->
+            element_at(vmin, j)
+            + (CAST(element_at(codes, j) AS DOUBLE) + 128.0D)
+              * (element_at(vmax, j) - element_at(vmin, j)) / 255.0D)"""
+    )
+
+
+def sq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: decode each code array against
+    the broadcast stats and rank by the ordered-fold L2² between the
+    float query and the reconstruction. Output: (query_id,
+    neighbor_id, rank, approx_dist), ties to the lowest id.
+
+    Scale shape: the compressed code table is the ONLY corpus-sized
+    input (the raw vectors are never read); queries and the 1-row
+    stats broadcast, so the scan is shuffle-free up to the per-query
+    top-k window. The fold is sequential, so the double is
+    bit-identical across engines (the ``l2_sq_expr`` discipline — no
+    DECIMAL partials needed because nothing re-orders the sum).
+
+    PERSIST THE CODES (the ``pq_search`` lesson): ``codes`` is the
+    index — write it once and search the stored table, or every search
+    re-encodes the corpus."""
+    q = F.broadcast(
+        _as_double(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .crossJoin(q)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_sq_expr("qv", _sq_recon_expr(dim)).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+    )
+
+
+def sq_topk_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production SQ8 retrieval shape (the ``pq_topk_rerank``
+    twin): the compressed-domain scan SHORTLISTS ``shortlist``
+    candidates per query, exact L2² over only those re-ranks the true
+    top-``k``. SQ8's reconstruction error is per-dimension-bounded by
+    one quantization step, so the shortlist recall is far tighter than
+    PQ's at the same depth (pinned in pytest). Output: (query_id,
+    neighbor_id, rank, l2_sq)."""
+    cand = sq_search(
+        queries, codes, stats, k=shortlist, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_sq").asc(), F.col("neighbor_id"))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2_sq")
+    )

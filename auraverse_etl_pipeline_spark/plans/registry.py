@@ -84,6 +84,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "corpus_domain_card",  # REWRITTEN: PSL registrable-domain + multi-label/ported URI fixtures
     "corpus_domain_blocklist",  # REWRITTEN: same, blocklist spans all suffix classes
     "stream_domain_gate",  # REWRITTEN: same PSL gate on the stream path
+    "sim_sq_codes",  # NEW: int8 scalar-quantization encode (faiss SQ8 tier)
+    "sim_sq_search",  # NEW: SQ8 compressed shortlist + exact re-rank
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -3250,3 +3250,99 @@ def test_registrable_domain_psl_matching(spark):
         ).fetchone()[0]
         assert got[u] == want, (u, got[u], want)
         assert duck == want, (u, duck, want)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization SQ8 (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_roundtrip_error_and_edge_cases(spark):
+    """Reconstruction error ≤ one quantization step per dimension,
+    codes are real int8 (tinyint array), constant dimensions quantize
+    to code 0 (−128 stored), and out-of-range components clamp to the
+    byte edges when encoding against stale stats."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _sq_recon_expr,
+        sq_encode,
+        sq_stats,
+    )
+
+    rows = [
+        (0, [0.0, 5.0, -1.0, 7.0]),
+        (1, [1.0, 5.0, 3.0, -2.0]),
+        (2, [0.25, 5.0, 1.5, 4.0]),  # dim 2 (5.0) is constant
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats = sq_stats(corpus, dim=4)
+    codes = sq_encode(corpus, stats, dim=4)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    got = {r.id: r.codes for r in codes.collect()}
+    assert all(c == -128 for c in (got[0][1], got[1][1], got[2][1]))  # constant dim
+    st = stats.first()
+    recon = {
+        r.id: r.rv
+        for r in codes.crossJoin(F.broadcast(stats))
+        .select("id", _sq_recon_expr(4).alias("rv"))
+        .collect()
+    }
+    for vid, v in rows:
+        for j, (x, xr) in enumerate(zip(v, recon[vid])):
+            step = (st.vmax[j] - st.vmin[j]) / 255.0
+            assert abs(x - xr) <= step + 1e-12, (vid, j, x, xr)
+
+    # stale-stats clamp: a component beyond the trained range
+    newbie = spark.createDataFrame(
+        [(9, [100.0, 5.0, -100.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    nc = sq_encode(newbie, stats, dim=4).first().codes
+    assert nc[0] == 127 and nc[2] == -128
+
+
+def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
+    """The SQ8 shortlist-then-rerank recall of the exact top-5 —
+    pinned alongside the PQ pin: SQ8's per-dim-bounded reconstruction
+    error makes the depth-50 shortlist exact-recall 1.0 on the test
+    corpus (PQ's sample codebooks recall 0.98 at the same depth)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        l2_sq_expr,
+        sq_encode,
+        sq_stats,
+        sq_topk_rerank,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    stats = sq_stats(corpus, dim=64)
+    codes = sq_encode(corpus, stats, dim=64)
+    got = sq_topk_rerank(queries, codes, stats, corpus, k=5, shortlist=50, dim=64)
+    approx_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+
+    q = corpus.sparkSession.createDataFrame(
+        [(r.vec_id, r.embedding) for r in queries.collect()],
+        "query_id bigint, qv array<double>",
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall == 1.0, recall
