@@ -39,34 +39,45 @@ def crawl_to_corpus_funnel(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    blocked_domains: list[str] | None = None,
+    uri_col: str | None = None,
 ) -> DataFrame:
     """Run ``docs`` through the whole curation pipeline and report
     per-stage attrition plus a final-corpus digest:
 
     1. ``warc_roundtrip`` — stage documents into gzipped WARC files
-       (:func:`documents_to_warc`) and re-ingest them
+       (:func:`documents_to_warc`, with per-document target URIs when
+       ``uri_col`` is given) and re-ingest them
        (:func:`warc_documents`): the CommonCrawl entry point.
     2. ``detect_extract`` — the full fragment detector suite over the
        re-ingested text; documents re-assembled from their fragments
        in span order (identity on prose, and the detector's occupied-
        interval reservation guarantees non-overlapping spans).
-    3. ``exact_dedup`` — keep-first per ``md5(text)`` group.
-    4. ``gopher`` — the Gopher quality rules.
-    5. ``lang_id`` — stopword-vote language ID resolves (≠ 'und').
-    6. ``lm_fluency`` — bigram-LM cross-entropy against ``ref`` (the
+    3. ``domain_blocklist`` — the Bloom-gated registrable-domain gate
+       (the RefinedWeb stage order: the blocklist runs BEFORE dedup,
+       so a blocked mirror never decides a duplicate group's
+       canonical): domains extract from the re-ingested crawl's
+       WARC-Target-URI under the PSL snapshot, probe the Bloom filter
+       built from ``blocked_domains``, flagged domains exact-verify.
+       A no-op pass-through when no blocklist/URI is supplied.
+    4. ``exact_dedup`` — keep-first per ``md5(text)`` group, among
+       domain-stage survivors.
+    5. ``gopher`` — the Gopher quality rules.
+    6. ``lang_id`` — stopword-vote language ID resolves (≠ 'und').
+    7. ``lm_fluency`` — bigram-LM cross-entropy against ``ref`` (the
        trusted slice) at most ``xent_max`` nats/token; scored only for
-       stage-5 survivors (the expensive gate runs last, CCNet's order).
-    7. ``minhash_dedup`` — MinHash-LSH near-duplicate pairs (exact-
-       Jaccard verified) among stage-6 survivors; every doc that pairs
+       stage-6 survivors (the expensive gate runs last, CCNet's order).
+    8. ``minhash_dedup`` — MinHash-LSH near-duplicate pairs (exact-
+       Jaccard verified) among stage-7 survivors; every doc that pairs
        with a smaller-id survivor is dropped (keep-first edge rule,
        :func:`drop_near_duplicates`' contract).
-    8. ``final_corpus`` — the summary row: surviving doc count, total
+    9. ``final_corpus`` — the summary row: surviving doc count, total
        whitespace tokens, and ``bit_xor`` over the leading 60 bits of
        each survivor's ``sha256(text)`` — an order-independent content
        digest (bit 63 stays unused per the engine-portability rule).
 
     Output: ``(stage_id, stage, docs_in, docs_out, dropped,
-    corpus_tokens, text_xor60)`` — the last two null except on row 8.
+    corpus_tokens, text_xor60)`` — the last two null except on row 9.
     """
     from auraverse_etl_pipeline_spark.functions.text import lang_guess, tokens
     from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments
@@ -83,7 +94,9 @@ def crawl_to_corpus_funnel(
         gopher_rules,
     )
 
-    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    with_domains = blocked_domains is not None and uri_col is not None
+    src_cols = ["text"] + ([uri_col] if with_domains else [])
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), *src_cols)
     c_src = src.agg(F.count(F.lit(1)).cast("bigint").alias("c0"))
 
     # Stage 1: WARC staging + re-ingestion. Cached: the parse chain is
@@ -91,9 +104,48 @@ def crawl_to_corpus_funnel(
     # crawl would be built and parsed twice. This is the first of the
     # two boundaries a real run checkpoints to parquet (raw
     # re-extracted crawl text).
-    files = documents_to_warc(src, records_per_file=records_per_file, gzip=True)
-    parsed = warc_documents(files).cache()
+    files = documents_to_warc(
+        src,
+        records_per_file=records_per_file,
+        gzip=True,
+        uri_col=uri_col if with_domains else None,
+    )
+    parsed = warc_documents(files, with_uri=with_domains).cache()
     c_parsed = parsed.agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+
+    # Stage 3 input: per-doc domain verdict from the re-ingested
+    # crawl's own metadata (NOT the pre-staging column — the gate must
+    # consume what the WARC path preserved). Bloom probe over the
+    # distinct-domain table, exact verify of flagged only; the blocked
+    # table is model-sized and broadcasts back onto doc ids.
+    if with_domains:
+        from auraverse_etl_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+        from auraverse_etl_pipeline_spark.operators.quality import (
+            registrable_domain,
+        )
+
+        num_bits, num_hashes = 63 * 16, 5
+        bl = src.sparkSession.createDataFrame(
+            [(x,) for x in sorted(blocked_domains)], "domain string"
+        )
+        bloom = bloom_build(bl, "domain", num_bits, num_hashes)
+        doms = parsed.select(
+            "doc_id", registrable_domain("target_uri").alias("domain")
+        )
+        flagged_doms = bloom_might_contain(
+            doms.select("domain").distinct(), bloom, "domain", num_bits, num_hashes
+        ).filter("bloom_hit")
+        blocked_tbl = flagged_doms.join(F.broadcast(bl), "domain").select("domain")
+        domain_ok_tbl = doms.join(
+            F.broadcast(blocked_tbl.withColumn("hit", F.lit(True))), "domain", "left"
+        ).select("doc_id", (~F.coalesce("hit", F.lit(False))).alias("domain_ok"))
+    else:
+        domain_ok_tbl = parsed.select(
+            "doc_id", F.lit(True).alias("domain_ok")
+        )
 
     # Stage 2: detector + span-ordered re-assembly. Cached: feeds the
     # flag projection AND the stage-5 survivor text lookup —
@@ -114,7 +166,10 @@ def crawl_to_corpus_funnel(
         .cache()
     )
 
-    # Fixed-width per-doc flags (text dropped before caching).
+    # Fixed-width per-doc flags (text dropped before caching). The
+    # keep-first canonical is decided among DOMAIN-STAGE SURVIVORS
+    # only — a blocked mirror must not absorb a duplicate group's
+    # canonical slot (stage order is load-bearing here).
     wc_ok, wl_ok, st_ok = gopher_rules(*gopher_metrics("text"))
     flags = redocs.select(
         "doc_id",
@@ -125,15 +180,21 @@ def crawl_to_corpus_funnel(
         F.conv(F.substring(F.sha2("text", 256), 1, 15), 16, 10)
         .cast("bigint")
         .alias("sha60"),
+    ).join(domain_ok_tbl, "doc_id")
+    canon = (
+        flags.filter("domain_ok").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
-    canon = flags.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     flagged = (
-        flags.join(canon, "h")
+        flags.join(canon, "h", "left")
         .select(
             "doc_id",
             "n_tokens",
             "sha60",
-            (F.col("doc_id") == F.col("keep_id")).alias("canonical"),
+            "domain_ok",
+            (
+                F.col("domain_ok")
+                & (F.col("doc_id") == F.coalesce("keep_id", F.lit(-1)))
+            ).alias("canonical"),
             "gopher",
             "lang_ok",
         )
@@ -143,8 +204,8 @@ def crawl_to_corpus_funnel(
     s5_pass = F.col("canonical") & F.col("gopher") & F.col("lang_ok")
     s5 = redocs.join(flagged.filter(s5_pass).select("doc_id"), "doc_id")
 
-    # Stage 6: LM gate over stage-5 survivors only. Scores cached: the
-    # frame feeds the stage-6 survivor cut AND the funnel flag join.
+    # Stage 7: LM gate over stage-6 survivors only. Scores cached: the
+    # frame feeds the stage-7 survivor cut AND the funnel flag join.
     # The lm_score_report result is kept (not just its .select) so its
     # chained release handle — the three model-table caches plus the
     # internal bigram-count cache — releases with everything else.
@@ -157,7 +218,7 @@ def crawl_to_corpus_funnel(
     ).cache()
     s6 = s5.join(scores.filter("fluent").select("doc_id"), "doc_id")
 
-    # Stage 7: near-dedup among stage-6 survivors (keep-first edge rule).
+    # Stage 8: near-dedup among stage-7 survivors (keep-first edge rule).
     pairs = minhash_near_duplicates(
         s6,
         jaccard_threshold=jaccard_threshold,
@@ -172,6 +233,7 @@ def crawl_to_corpus_funnel(
         .select(
             "n_tokens",
             "sha60",
+            "domain_ok",
             "canonical",
             "gopher",
             "lang_ok",
@@ -184,15 +246,18 @@ def crawl_to_corpus_funnel(
         return F.sum(cond.cast("int")).cast("bigint")
 
     c = F.col
+    # canonical already implies domain_ok (keep-first runs among
+    # domain survivors), so the cascade stays one conjunction chain.
     final = c("canonical") & c("gopher") & c("lang_ok") & c("fluent") & ~c("is_dup")
     agg = (
         joined.agg(
             F.count(F.lit(1)).cast("bigint").alias("c2"),
-            _n(c("canonical")).alias("c3"),
-            _n(c("canonical") & c("gopher")).alias("c4"),
-            _n(c("canonical") & c("gopher") & c("lang_ok")).alias("c5"),
-            _n(c("canonical") & c("gopher") & c("lang_ok") & c("fluent")).alias("c6"),
-            _n(final).alias("c7"),
+            _n(c("domain_ok")).alias("c3"),
+            _n(c("canonical")).alias("c4"),
+            _n(c("canonical") & c("gopher")).alias("c5"),
+            _n(c("canonical") & c("gopher") & c("lang_ok")).alias("c6"),
+            _n(c("canonical") & c("gopher") & c("lang_ok") & c("fluent")).alias("c7"),
+            _n(final).alias("c8"),
             F.sum(F.when(final, c("n_tokens"))).cast("bigint").alias("corpus_tokens"),
             F.bit_xor(F.when(final, c("sha60"))).cast("bigint").alias("text_xor60"),
         )
@@ -203,6 +268,7 @@ def crawl_to_corpus_funnel(
     stage_names = (
         "warc_roundtrip",
         "detect_extract",
+        "domain_blocklist",
         "exact_dedup",
         "gopher",
         "lang_id",
@@ -222,10 +288,10 @@ def crawl_to_corpus_funnel(
             for i, name in enumerate(stage_names)
         ],
         F.struct(
-            F.lit(8).cast("bigint").alias("stage_id"),
+            F.lit(9).cast("bigint").alias("stage_id"),
             F.lit("final_corpus").alias("stage"),
-            c("c7").alias("docs_in"),
-            c("c7").alias("docs_out"),
+            c("c8").alias("docs_in"),
+            c("c8").alias("docs_out"),
             c("corpus_tokens").alias("corpus_tokens"),
             c("text_xor60").alias("text_xor60"),
         ),

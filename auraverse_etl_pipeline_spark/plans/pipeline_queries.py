@@ -35,12 +35,17 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
     )
     from auraverse_etl_pipeline_spark.operators.quality import gopher_keep_sql
     from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _BLOCKED_DOMAINS,
+        _DOMAIN_URI_SQL,
         _EN_LIST,
         _LANG_CASE,
         _SH3,
         _TOKS,
+        _domain_sql_expr,
     )
 
+    domain = _domain_sql_expr(_DOMAIN_URI_SQL)
+    blocked = ", ".join(f"'{d}'" for d in sorted(_BLOCKED_DOMAINS))
     coeffs = minhash_coeffs(8, 42)
     mins = ",\n               ".join(
         f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
@@ -48,7 +53,15 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
     band_case = " ".join(f"WHEN {i} THEN m{i}" for i in range(8))
     return f"""
     WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
-    canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+    dom AS MATERIALIZED (
+        SELECT doc_id, {domain} AS domain,
+               {domain} NOT IN ({blocked}) AS domain_ok
+        FROM documents
+    ),
+    canon AS (
+        SELECT md5(text) AS h, MIN(d.doc_id) AS keep_id
+        FROM d JOIN dom USING (doc_id) WHERE dom.domain_ok GROUP BY h
+    ),
     g AS (
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_words,
@@ -61,10 +74,12 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
         SELECT d.doc_id,
                g.n_words AS n_tokens,
                ('0x' || substr(sha256(d.text), 1, 15))::BIGINT AS sha60,
-               d.doc_id = c.keep_id AS canonical,
+               dom.domain_ok,
+               dom.domain_ok AND d.doc_id = COALESCE(c.keep_id, -1) AS canonical,
                {gopher_keep_sql("g.n_words", "g.mwl", "g.sw")} AS gopher,
                g.guessed <> 'und' AS lang_ok
-        FROM d JOIN canon c ON md5(d.text) = c.h JOIN g USING (doc_id)
+        FROM d LEFT JOIN canon c ON md5(d.text) = c.h
+        JOIN g USING (doc_id) JOIN dom USING (doc_id)
     ),
     s5 AS MATERIALIZED (
         SELECT d.doc_id, d.text
@@ -170,12 +185,13 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c0,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c1,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS c2,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM flag WHERE canonical) AS c3,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flag WHERE domain_ok) AS c3,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flag WHERE canonical) AS c4,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM flag
-                WHERE canonical AND gopher) AS c4,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM s5) AS c5,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS c6,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS c7,
+                WHERE canonical AND gopher) AS c5,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s5) AS c6,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS c7,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS c8,
                (SELECT CAST(SUM(len({_TOKS})) AS BIGINT) FROM fin) AS tok,
                (SELECT bit_xor(('0x' || substr(sha256(text), 1, 15))::BIGINT)
                 FROM fin) AS xr
@@ -185,12 +201,13 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
            CAST(NULL AS BIGINT) AS corpus_tokens,
            CAST(NULL AS BIGINT) AS text_xor60 FROM counts
     UNION ALL SELECT 2, 'detect_extract', c1, c2, c1 - c2, NULL, NULL FROM counts
-    UNION ALL SELECT 3, 'exact_dedup', c2, c3, c2 - c3, NULL, NULL FROM counts
-    UNION ALL SELECT 4, 'gopher', c3, c4, c3 - c4, NULL, NULL FROM counts
-    UNION ALL SELECT 5, 'lang_id', c4, c5, c4 - c5, NULL, NULL FROM counts
-    UNION ALL SELECT 6, 'lm_fluency', c5, c6, c5 - c6, NULL, NULL FROM counts
-    UNION ALL SELECT 7, 'minhash_dedup', c6, c7, c6 - c7, NULL, NULL FROM counts
-    UNION ALL SELECT 8, 'final_corpus', c7, c7, 0, tok, xr FROM counts
+    UNION ALL SELECT 3, 'domain_blocklist', c2, c3, c2 - c3, NULL, NULL FROM counts
+    UNION ALL SELECT 4, 'exact_dedup', c3, c4, c3 - c4, NULL, NULL FROM counts
+    UNION ALL SELECT 5, 'gopher', c4, c5, c4 - c5, NULL, NULL FROM counts
+    UNION ALL SELECT 6, 'lang_id', c5, c6, c5 - c6, NULL, NULL FROM counts
+    UNION ALL SELECT 7, 'lm_fluency', c6, c7, c6 - c7, NULL, NULL FROM counts
+    UNION ALL SELECT 8, 'minhash_dedup', c7, c8, c7 - c8, NULL, NULL FROM counts
+    UNION ALL SELECT 9, 'final_corpus', c8, c8, 0, tok, xr FROM counts
     """
 
 
@@ -200,7 +217,10 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
     description="the whole crawl-to-corpus pipeline as ONE attested "
     "flow: documents staged into gzipped WARC files and re-ingested "
     "(the CommonCrawl entry point), the full fragment detector suite "
-    "with span-ordered re-assembly, exact keep-first dedup, the Gopher "
+    "with span-ordered re-assembly, the Bloom-gated PSL domain "
+    "blocklist (RefinedWeb order - BEFORE dedup, so a blocked mirror "
+    "never decides a duplicate group's canonical), exact keep-first "
+    "dedup among domain survivors, the Gopher "
     "rules, stopword-vote language ID, the bigram-LM fluency gate "
     "(scored over stage-5 survivors only - the expensive gate runs "
     "last), and md5-base MinHash-LSH near-dedup with exact-Jaccard "
@@ -214,10 +234,16 @@ def _crawl_to_corpus_oracle_sql(xent_max: float = LM_XENT_MAX, tau: float = 0.5)
 )
 def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auraverse_etl_pipeline_spark.operators.e2e import crawl_to_corpus_funnel
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _BLOCKED_DOMAINS,
+        _domain_uri,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn("uri", _domain_uri())
     ref = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
-    return crawl_to_corpus_funnel(docs, ref)
+    return crawl_to_corpus_funnel(
+        docs, ref, blocked_domains=_BLOCKED_DOMAINS, uri_col="uri"
+    )
 
 
 def _hashed_vec_sql(src: str, out: str) -> str:

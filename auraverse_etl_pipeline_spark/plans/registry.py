@@ -86,6 +86,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "stream_domain_gate",  # REWRITTEN: same PSL gate on the stream path
     "sim_sq_codes",  # NEW: int8 scalar-quantization encode (faiss SQ8 tier)
     "sim_sq_search",  # NEW: SQ8 compressed shortlist + exact re-rank
+    "pipeline_crawl_to_corpus",  # REWRITTEN: domain-blocklist stage inserted (RefinedWeb order)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

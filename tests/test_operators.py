@@ -2948,16 +2948,17 @@ def test_crawl_to_corpus_funnel_composition(spark):
         key=lambda r: r.stage_id,
     )
     assert [r.stage for r in out] == [
-        "warc_roundtrip", "detect_extract", "exact_dedup", "gopher",
-        "lang_id", "lm_fluency", "minhash_dedup", "final_corpus",
+        "warc_roundtrip", "detect_extract", "domain_blocklist", "exact_dedup",
+        "gopher", "lang_id", "lm_fluency", "minhash_dedup", "final_corpus",
     ]
     assert (out[0].docs_in, out[0].docs_out) == (6, 6)  # WARC is identity
     assert (out[1].docs_in, out[1].docs_out) == (6, 5)  # doc 5: no fragments
-    assert (out[2].docs_in, out[2].docs_out) == (5, 4)  # doc 2 gone
-    assert (out[3].docs_in, out[3].docs_out) == (4, 3)  # doc 6 gone
-    assert (out[4].docs_in, out[4].docs_out) == (3, 3)
-    assert (out[5].docs_in, out[5].docs_out) == (3, 3)  # xent_max=100
-    assert (out[6].docs_in, out[6].docs_out) == (3, 2)  # doc 3 gone
+    assert (out[2].docs_in, out[2].docs_out) == (5, 5)  # no blocklist: pass-through
+    assert (out[3].docs_in, out[3].docs_out) == (5, 4)  # doc 2 gone
+    assert (out[4].docs_in, out[4].docs_out) == (4, 3)  # doc 6 gone
+    assert (out[5].docs_in, out[5].docs_out) == (3, 3)
+    assert (out[6].docs_in, out[6].docs_out) == (3, 3)  # xent_max=100
+    assert (out[7].docs_in, out[7].docs_out) == (3, 2)  # doc 3 gone
     for prev, cur in zip(out, out[1:-1]):
         assert cur.docs_in == prev.docs_out
         assert cur.dropped == cur.docs_in - cur.docs_out >= 0
@@ -2969,6 +2970,37 @@ def test_crawl_to_corpus_funnel_composition(spark):
     assert fin.docs_in == fin.docs_out == 2
     assert fin.text_xor60 == xor
     assert fin.corpus_tokens == sum(len(t.split()) for t in survivors.values())
+
+    # Domain-gated run: doc 1 sits on a blocked domain. The RefinedWeb
+    # stage order is load-bearing: the blocklist runs BEFORE exact
+    # dedup, so doc 2 (the duplicate SURVIVOR) becomes its group's
+    # canonical instead of being dropped alongside the blocked mirror.
+    import pyspark.sql.functions as F
+
+    docs_u = docs.withColumn(
+        "uri",
+        F.when(F.col("doc_id") == 1, F.lit("http://bad.example.com/doc/1")).otherwise(
+            F.concat(F.lit("http://ok.example.net/doc/"), F.col("doc_id").cast("string"))
+        ),
+    )
+    out2 = sorted(
+        crawl_to_corpus_funnel(
+            docs_u, ref, records_per_file=2, xent_max=100.0,
+            blocked_domains=["example.com"], uri_col="uri",
+        ).collect(),
+        key=lambda r: r.stage_id,
+    )
+    by = {r.stage: (r.docs_in, r.docs_out) for r in out2}
+    assert by["domain_blocklist"] == (5, 4)  # doc 1 blocked
+    assert by["exact_dedup"] == (4, 4)  # doc 2 inherits the canonical slot
+    assert by["minhash_dedup"] == (3, 2)  # doc 3 still near-dups against doc 2
+    fin2 = out2[-1]
+    survivors2 = {2: text1, 4: text4}
+    xor2 = 0
+    for t in survivors2.values():
+        xor2 ^= int(hashlib.sha256(t.encode()).hexdigest()[:15], 16)
+    assert fin2.docs_in == fin2.docs_out == 2
+    assert fin2.text_xor60 == xor2
 
 
 def test_corpus_to_chunk_index_planted_retrieval(spark):
