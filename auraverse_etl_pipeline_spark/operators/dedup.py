@@ -1237,3 +1237,66 @@ def containment_join_audit(
         ).alias("candidates_per_doc"),
     )
     return release_after(result, sh)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup (the CCNet curation stage —
+    CCNet dedups at PARAGRAPH hashes, not whole documents): every
+    non-blank paragraph occurring more than once corpus-wide survives
+    only at its FIRST occurrence (lowest (doc_id, position)); all
+    later copies are deleted and each document reassembles from its
+    surviving paragraphs in original order. Keep-first is the
+    difference from :func:`drop_boilerplate_lines`, which deletes
+    EVERY copy of an over-threshold line — boilerplate removal loses
+    the content, paragraph dedup keeps exactly one copy.
+
+    Output: (id_col, text_col, n_paras_kept, n_paras_dropped).
+
+    Scale shape: the keep-first aggregation groups on
+    ``md5(paragraph)`` — fixed-width keys, partial-aggregated
+    map-side, and ``MIN(struct(doc_id, pos))`` is one order-free
+    aggregate, so the shuffle carries hashes + two ints, never text;
+    the winner table joins back on the hash (left to AQE — at web
+    scale the duplicated-paragraph set outgrows any broadcast limit).
+    Reassembly is the line-dedup groupBy: ``array_sort`` over
+    (position, paragraph) structs, no sort exchange. Blank paragraphs
+    (runs of blank lines) are formatting, not content — always kept."""
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
+    )
+    winners = (
+        paras.filter(F.trim("para") != "")
+        .groupBy(F.md5("para").alias("ph"))
+        .agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+        .select("ph", F.col("k.doc_id").alias("kdoc"), F.col("k.pos").alias("kpos"))
+    )
+    tagged = paras.join(winners, F.md5(F.col("para")) == F.col("ph"), "left")
+    kept = tagged.withColumn(
+        "_keep",
+        F.col("ph").isNull()  # blank paragraph: never a dedup candidate
+        | ((F.col("doc_id") == F.col("kdoc")) & (F.col("pos") == F.col("kpos"))),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_keep"), F.struct("pos", "para")))
+                    ),
+                    lambda x: x["para"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_paras_kept"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_paras_dropped"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col), text_col, "n_paras_kept", "n_paras_dropped"
+        )
+    )

@@ -7088,3 +7088,76 @@ def sim_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, stats, corpus, k=5, shortlist=_SQ_SHORTLIST, dim=_SQ_DIM
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH docs2 AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || chr(10) ||
+                                 'Subscribe to our newsletter for weekly updates'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    split AS (
+        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM docs2
+    ),
+    p AS (
+        SELECT doc_id, pos, ps[pos] AS para
+        FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos FROM split)
+    ),
+    win AS (
+        SELECT ph, doc_id AS kdoc, pos AS kpos FROM (
+            SELECT md5(para) AS ph, doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM p WHERE trim(para) <> ''
+        ) WHERE rn = 1
+    ),
+    tagged AS (
+        SELECT p.doc_id, p.pos, p.para,
+               (w.ph IS NULL OR (p.doc_id = w.kdoc AND p.pos = w.kpos)) AS keep
+        FROM p LEFT JOIN win w ON md5(p.para) = w.ph
+    )
+    SELECT doc_id,
+           md5(COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '')) AS cleaned_md5,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_paras_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_paras_dropped
+    FROM tagged GROUP BY doc_id
+    """,
+    description="CCNet-style paragraph-granularity exact dedup: every "
+    "non-blank paragraph repeated corpus-wide survives only at its "
+    "first (doc_id, position) occurrence - KEEP-FIRST, the semantics "
+    "that distinguishes it from boilerplate line removal (which "
+    "deletes every copy and loses the content); an injected shared "
+    "promo paragraph on even doc_ids survives exactly once. The "
+    "keep-first aggregate groups md5(paragraph) hashes into one "
+    "MIN(struct(doc,pos)) - fixed-width shuffle, text never moves - "
+    "and the winner set joins back un-hinted (AQE decides: at web "
+    "scale CCNet's duplicated-paragraph set outgrows any broadcast). "
+    "Reassembly is the array_sort struct groupBy, no sort exchange",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\n\nSubscribe to our newsletter for weekly updates"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(docs2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("cleaned_md5"),
+        F.col("n_paras_kept").cast("bigint").alias("n_paras_kept"),
+        F.col("n_paras_dropped").cast("bigint").alias("n_paras_dropped"),
+    )

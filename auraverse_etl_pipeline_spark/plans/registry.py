@@ -87,6 +87,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_sq_codes",  # NEW: int8 scalar-quantization encode (faiss SQ8 tier)
     "sim_sq_search",  # NEW: SQ8 compressed shortlist + exact re-rank
     "pipeline_crawl_to_corpus",  # REWRITTEN: domain-blocklist stage inserted (RefinedWeb order)
+    "text_paragraph_dedup",  # NEW: CCNet keep-first paragraph-hash dedup
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -3378,3 +3378,28 @@ def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall == 1.0, recall
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    """dedup_paragraphs is KEEP-FIRST (CCNet), not delete-all
+    (boilerplate removal): a corpus-repeated paragraph survives at its
+    lowest (doc_id, pos) occurrence only; unique paragraphs and blank
+    separators always survive; reassembly preserves order."""
+    from auraverse_etl_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    shared = "this exact paragraph appears in three documents"
+    rows = [
+        (1, f"alpha one\n\n{shared}\n\nbeta one"),
+        (2, f"{shared}\n\ngamma two"),
+        (3, f"delta three\n\n{shared}"),
+        (4, f"{shared}\n\n{shared}"),  # repeated WITHIN one doc too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1].text == f"alpha one\n\n{shared}\n\nbeta one"  # first occurrence kept
+    assert got[1].n_paras_dropped == 0
+    assert got[2].text == "gamma two" and got[2].n_paras_dropped == 1
+    assert got[3].text == "delta three" and got[3].n_paras_dropped == 1
+    assert got[4].text == "" and got[4].n_paras_dropped == 2
+    # 3 (doc 1) + gamma + delta; the shared paragraph counts ONCE
+    assert sum(r.n_paras_kept for r in got.values()) == 5
