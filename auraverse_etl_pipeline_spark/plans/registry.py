@@ -69,12 +69,17 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   back red, or round 12 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
-#:   oldest evidence enumerates first. Round 11 starts with 45 r7-
-#:   vintage names as the oldest cohort, so its fresh budget is
-#:   50 − 45 = 5 before r7 names spill to round 12; round 11
-#:   deliberately overspends (new tokenizer/SQ8 tiers + PSL/codepoint
-#:   rewrites), spilling the newest-alphabetical tail of the r7 cohort
-#:   — round 12 must head its window with that spilled tail.
+#:   oldest evidence enumerates first. Round 11 started with 45 r7-
+#:   vintage names as the oldest cohort (fresh budget 5) and
+#:   deliberately overspent: 9 fresh (byte-BPE ×2, PSL domain
+#:   rewrites ×3, SQ8 ×2, funnel rewrite, paragraph dedup) + 41 r7
+#:   names fill the window, spilling FOUR r7 names to round 12:
+#:   q23_events_json_extract, q25_salted_flag_totals,
+#:   q52_duplicate_lineage, q53_cohort_retention. ROUND-12 WINDOW
+#:   ARITHMETIC: those 4 + the 48-name r8 cohort = 52 > 50, so round
+#:   12's fresh budget is 0 and two r8 names spill to round 13 even
+#:   with zero additions — plan round 12 as a consolidation round
+#:   (perf/docs/tests), or accept a deeper r8 spill per new query.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 11 start: CORRECTNESS_r10.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-11 new queries and

@@ -163,6 +163,28 @@ def main() -> None:
 
     noop(spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long"))
 
+    # ... and the crawl-metadata operator classes (round 11): the PSL
+    # registrable-domain expression (7 regex extracts + two literal
+    # InSet probes — one large codegen unit shared by the domain
+    # card/blocklist/gate/funnel queries) and the WARC stage+parse
+    # roundtrip WITH the target-URI column (its Python kernels ride
+    # the already-warm Arrow workers; this compiles the JVM side of
+    # the grouped staging aggregate). Synthetic 4-row frame — no
+    # benchmark query's own data or plan.
+    from auraverse_etl_pipeline_spark.ingest.warc import (
+        documents_to_warc,
+        warc_documents,
+    )
+    from auraverse_etl_pipeline_spark.operators.quality import registrable_domain
+
+    wrows = [
+        (i, f"warm doc {i} body", f"http://w{i}.example.co.uk:8080/doc/{i}")
+        for i in range(4)
+    ]
+    wtiny = spark.createDataFrame(wrows, "doc_id long, text string, uri string")
+    noop(wtiny.select(registrable_domain("uri").alias("d")).groupBy("d").count())
+    noop(warc_documents(documents_to_warc(wtiny, gzip=True, uri_col="uri"), with_uri=True))
+
     # ... and the Structured Streaming machinery (micro-batch planner,
     # state store init, streaming Python workers): whichever streaming
     # query runs first otherwise absorbs ~6 s of engine spinup that is
