@@ -577,3 +577,38 @@ def test_q55_decorrelates_to_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sq8_bnlj_only_on_broadcast_stat_frames(spark, sf_dir):
+    """SQ8's nested-loop joins are exactly the blessed classes: the
+    1-row stats-frame crossJoin (encode + reconstruction) and the
+    bounded broadcast query frame (the cosine_top_k scan pattern) —
+    every BNLJ side is a BroadcastExchange, never a data×data pair,
+    and the corpus-sized code table scans once with no shuffle before
+    the per-query top-k window."""
+    codes_plan = _plan(QS["sim_sq_codes"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in codes_plan
+    assert codes_plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats frame
+    search_plan = _plan(QS["sim_sq_search"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in search_plan
+    assert search_plan.count("BroadcastNestedLoopJoin") <= 3  # stats x2 + query frame
+    assert "BatchEvalPython" not in codes_plan + search_plan
+
+
+def test_paragraph_dedup_hash_shuffle_only(spark, sf_dir):
+    """Paragraph dedup must shuffle hashes + positions, never text as
+    a grouping key, and carry no cartesian/Python nodes; the winner
+    join is left un-hinted for AQE."""
+    plan = _plan(QS["text_paragraph_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bytebpe_train_returns_model_sized_plan(spark, sf_dir):
+    """Byte-BPE training collects only the merge table (model-sized,
+    like centroids): the returned plan is a local relation with no
+    corpus lineage at all."""
+    plan = _plan(QS["text_bytebpe_train"].fn(spark, sf_dir))
+    assert "parquet" not in plan.lower()
+    assert "CartesianProduct" not in plan
