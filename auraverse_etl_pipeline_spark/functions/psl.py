@@ -17,15 +17,16 @@ hash probe, DuckDB into a hash IN — O(1) per row, map-side, no join,
 no shuffle, whole-stage-codegen-safe at any corpus scale).
 
 Snapshot scope (documented subset): plain ICANN-section multi-label
-rules of 2 and 3 labels. Single-label suffixes are the PSL's implicit
-default rule (``*``) and need no table; wildcard (``*.ck``) and
-exception (``!www.ck``) rules are NOT modeled — a production run
-passes a fuller ``rules=`` snapshot and extends the matcher the same
-way (they are <1% of the list). When the host IS exactly a public
-suffix, the host itself is returned (conservative grouping). The
-matcher caps at 3-label rules by construction of the snapshot; pass
-longer rules and they are ignored with a ValueError at import, never
-silently.
+rules of 2 and 3 labels, plus the PSL's WILDCARD rules (``*.ck`` —
+every 2-label suffix under the TLD is public, so registrable keeps 3
+labels) and their EXCEPTION rules (``!www.ck`` — carved back out, so
+``www.ck`` itself is registrable). Rule precedence follows the PSL
+algorithm: exceptions first, then longest match (3-label plain >
+wildcard/2-label), then the implicit single-label default.
+Single-label suffixes need no table. When the host IS exactly a
+public suffix, the host itself is returned (conservative grouping).
+The matcher caps at 3-label rules by construction of the snapshot;
+longer rules raise a ValueError at import, never silently.
 """
 
 from __future__ import annotations
@@ -105,6 +106,15 @@ PSL_MULTILABEL_RULES: tuple[str, ...] = (
     "cc.ca.us", "lib.ca.us",
 )
 
+#: TLDs carrying a PSL WILDCARD rule (``*.ck`` etc.): EVERY 2-label
+#: suffix under them is a public suffix, so the registrable domain
+#: keeps three labels.
+PSL_WILDCARD_TLDS: tuple[str, ...] = ("bd", "ck", "er", "fj", "kh", "mm", "np", "pg")
+
+#: PSL EXCEPTION rules (``!www.ck`` etc.): carved back OUT of a
+#: wildcard — the name itself is registrable.
+PSL_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
+
 
 def _split_rules(rules: tuple[str, ...]) -> tuple[tuple[str, ...], tuple[str, ...]]:
     two = tuple(r for r in rules if r.count(".") == 1)
@@ -116,32 +126,42 @@ def _split_rules(rules: tuple[str, ...]) -> tuple[tuple[str, ...], tuple[str, ..
 
 
 _HOST_RE = r"://([^/?#]+)"
+_TLD_RE = r"([^.]+)$"
 _LAST2_RE = r"([^.]+\.[^.]+)$"
 _LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
 _LAST4_RE = r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$"
 
 
 def registrable_domain(
-    uri: str | Column, rules: tuple[str, ...] = PSL_MULTILABEL_RULES
+    uri: str | Column,
+    rules: tuple[str, ...] = PSL_MULTILABEL_RULES,
+    wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
+    exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
 ) -> Column:
     """Registrable domain of a URL under the PSL snapshot: lowercase
     the authority, strip userinfo and any explicit port (the
     ``canonical_url`` port rule, generalized — a ported URI must group
-    with its unported twin), then longest-matching-suffix: a 3-label
-    rule keeps 4 trailing labels, a 2-label rule keeps 3, anything
-    else keeps the last two (the PSL's implicit single-label default).
-    A host that IS exactly a public suffix returns itself."""
+    with its unported twin), then the PSL match order: exception rules
+    first (the name itself is registrable), then longest matching
+    suffix (a 3-label rule keeps 4 trailing labels; a wildcard TLD or
+    2-label rule keeps 3), else the last two labels (the implicit
+    single-label default). A host that IS exactly a public suffix
+    returns itself."""
     two, three = _split_rules(rules)
     u = F.col(uri) if isinstance(uri, str) else uri
     host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")
+    tld = F.regexp_extract(host, _TLD_RE, 1)
     last2 = F.regexp_extract(host, _LAST2_RE, 1)
     last3 = F.regexp_extract(host, _LAST3_RE, 1)
     last4 = F.regexp_extract(host, _LAST4_RE, 1)
     return (
-        F.when(last3.isin(*three) & (last4 != ""), last4)
+        F.when((last2 != "") & last2.isin(*exceptions), last2)
+        .when(last3.isin(*three) & (last4 != ""), last4)
         .when(last3.isin(*three), host)
+        .when(tld.isin(*wildcard_tlds) & (last3 != ""), last3)
+        .when(tld.isin(*wildcard_tlds), host)
         .when(last2.isin(*two) & (last3 != ""), last3)
         .when(last2.isin(*two), host)
         .otherwise(last2)
@@ -149,7 +169,10 @@ def registrable_domain(
 
 
 def registrable_domain_sql(
-    expr: str, rules: tuple[str, ...] = PSL_MULTILABEL_RULES
+    expr: str,
+    rules: tuple[str, ...] = PSL_MULTILABEL_RULES,
+    wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
+    exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
 ) -> str:
     """DuckDB spelling of :func:`registrable_domain` over SQL
     expression ``expr`` — the same regexes, rule sets and rule order,
@@ -158,14 +181,20 @@ def registrable_domain_sql(
     host = f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
     host = f"regexp_replace({host}, '^[^@]*@', '')"
     host = f"regexp_replace({host}, ':[0-9]+$', '')"
+    tld = f"regexp_extract({host}, '{_TLD_RE}', 1)"
     last2 = f"regexp_extract({host}, '{_LAST2_RE}', 1)"
     last3 = f"regexp_extract({host}, '{_LAST3_RE}', 1)"
     last4 = f"regexp_extract({host}, '{_LAST4_RE}', 1)"
     in2 = "(" + ", ".join(f"'{r}'" for r in two) + ")"
     in3 = "(" + ", ".join(f"'{r}'" for r in three) + ")"
+    inw = "(" + ", ".join(f"'{t}'" for t in wildcard_tlds) + ")"
+    inx = "(" + ", ".join(f"'{x}'" for x in exceptions) + ")"
     return (
-        f"CASE WHEN {last3} IN {in3} AND {last4} <> '' THEN {last4} "
+        f"CASE WHEN {last2} <> '' AND {last2} IN {inx} THEN {last2} "
+        f"WHEN {last3} IN {in3} AND {last4} <> '' THEN {last4} "
         f"WHEN {last3} IN {in3} THEN {host} "
+        f"WHEN {tld} IN {inw} AND {last3} <> '' THEN {last3} "
+        f"WHEN {tld} IN {inw} THEN {host} "
         f"WHEN {last2} IN {in2} AND {last3} <> '' THEN {last3} "
         f"WHEN {last2} IN {in2} THEN {host} "
         f"ELSE {last2} END"

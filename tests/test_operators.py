@@ -3247,9 +3247,10 @@ def test_char_split_codepoint_parity_with_duckdb(spark):
 
 def test_registrable_domain_psl_matching(spark):
     """PSL matcher semantics, both spellings side by side: 2-label
-    rules (co.uk), 3-label rules (k12.ma.us), the gTLD fallback,
-    port/userinfo stripping, host lowercasing, host-is-exactly-a-
-    public-suffix, and single-label hosts."""
+    rules (co.uk), 3-label rules (k12.ma.us), wildcard rules (*.ck),
+    exception rules (!www.ck), the gTLD fallback, port/userinfo
+    stripping, host lowercasing, host-is-exactly-a-public-suffix, and
+    single-label hosts."""
     import duckdb
     import pyspark.sql.functions as F
 
@@ -3269,6 +3270,12 @@ def test_registrable_domain_psl_matching(spark):
         ("http://co.uk/x", "co.uk"),  # host IS a public suffix
         ("http://k12.ma.us/x", "k12.ma.us"),  # host IS a 3-label suffix
         ("http://localhost/x", ""),  # single label: no registrable domain
+        # wildcard rule *.ck: every 2-label suffix under .ck is public
+        ("http://www.site.co.ck/x", "site.co.ck"),
+        ("http://foo.ck/x", "foo.ck"),  # host IS a wildcard public suffix
+        # exception rule !www.ck carves www.ck back out as registrable
+        ("http://www.ck/x", "www.ck"),
+        ("http://deep.www.ck/x", "www.ck"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = {
