@@ -125,6 +125,27 @@ def _split_rules(rules: tuple[str, ...]) -> tuple[tuple[str, ...], tuple[str, ..
     return two, three
 
 
+def _check_wild_and_exceptions(
+    wildcard_tlds: tuple[str, ...], exceptions: tuple[str, ...]
+) -> None:
+    """The never-silently promise covers EVERY rule table: the matcher
+    probes wildcards at the single TLD label and exceptions at the
+    last two labels, so entries of any other arity (the real PSL has
+    3-label exceptions like ``!city.kobe.jp``) would silently never
+    match — reject them at build time instead."""
+    bad_w = [t for t in wildcard_tlds if "." in t or not t]
+    if bad_w:
+        raise ValueError(
+            f"PSL wildcard entries must be single TLD labels (*.<tld>): {bad_w}"
+        )
+    bad_x = [x for x in exceptions if x.count(".") != 1]
+    if bad_x:
+        raise ValueError(
+            "PSL exception entries beyond 2 labels are not supported by this "
+            f"matcher (it probes the last two labels only): {bad_x}"
+        )
+
+
 _HOST_RE = r"://([^/?#]+)"
 _TLD_RE = r"([^.]+)$"
 _LAST2_RE = r"([^.]+\.[^.]+)$"
@@ -148,6 +169,7 @@ def registrable_domain(
     single-label default). A host that IS exactly a public suffix
     returns itself."""
     two, three = _split_rules(rules)
+    _check_wild_and_exceptions(wildcard_tlds, exceptions)
     u = F.col(uri) if isinstance(uri, str) else uri
     host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^[^@]*@", "")
@@ -178,6 +200,7 @@ def registrable_domain_sql(
     expression ``expr`` — the same regexes, rule sets and rule order,
     generated from the same snapshot."""
     two, three = _split_rules(rules)
+    _check_wild_and_exceptions(wildcard_tlds, exceptions)
     host = f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
     host = f"regexp_replace({host}, '^[^@]*@', '')"
     host = f"regexp_replace({host}, ':[0-9]+$', '')"

@@ -184,18 +184,20 @@ def _merge_loop(
     return merges
 
 
-def bpe_encode(
+def _rank_merge_encode(
     docs: DataFrame,
     merges: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    initial_syms,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Tokenize with a learned merge table: ``(doc_id, pieces
-    array<string>, n_pieces)``. The merge table collects to a
-    rank dict (model-sized, like the NB weights) closed over an
-    Arrow-batched pandas_udf; encoding is the standard lowest-rank-
-    first merge loop per word, memoized per batch — embarrassingly
-    parallel over the corpus, no shuffle at all."""
+    """Shared encode kernel for the char- and byte-level tiers (the
+    training twin is ``_merge_loop``): the merge table collects to a
+    rank dict closed over a memoized Arrow-batched pandas_udf, and the
+    standard lowest-rank-first merge loop runs per word over
+    ``initial_syms(word)`` — ``list`` for char BPE, UTF-8 hex pairs
+    for byte BPE. Embarrassingly parallel over the corpus, no shuffle
+    at all. Returns (doc_id, pieces array<string>, n_pieces)."""
     ship_package(docs.sparkSession)
     ranks = {
         (r["lhs"], r["rhs"]): int(r["step"])
@@ -206,16 +208,16 @@ def bpe_encode(
         got = memo.get(word)
         if got is not None:
             return got
-        syms = list(word)
+        syms = initial_syms(word)
         while len(syms) > 1:
             ranked = [
-                (ranks[(a, b)], i)
-                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                ranks[(a, b)]
+                for a, b in zip(syms, syms[1:])
                 if (a, b) in ranks
             ]
             if not ranked:
                 break
-            rank = min(r for r, _ in ranked)
+            rank = min(ranked)
             out: list[str] = []
             i = 0
             while i < len(syms):
@@ -249,6 +251,21 @@ def bpe_encode(
     return docs.select(
         F.col(id_col).alias("doc_id"), _encode(F.col(text_col)).alias("pieces")
     ).withColumn("n_pieces", F.size("pieces").cast("bigint"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge table: ``(doc_id, pieces
+    array<string>, n_pieces)``. The merge table collects to a
+    rank dict (model-sized, like the NB weights) closed over an
+    Arrow-batched pandas_udf; encoding is the standard lowest-rank-
+    first merge loop per word, memoized per batch — see
+    :func:`_rank_merge_encode`."""
+    return _rank_merge_encode(docs, merges, list, text_col, id_col)
 
 
 __all__ = [
@@ -467,60 +484,11 @@ def bytebpe_encode(
 ) -> DataFrame:
     """Tokenize with a learned byte-level merge table: ``(doc_id,
     pieces array<string>, n_pieces)`` with pieces as hex strings.
-    Identical rank-dict + memoized Arrow-batched kernel to
-    :func:`bpe_encode`; the only difference is the initial symbol
-    sequence of a word is its UTF-8 bytes as hex pairs — computed by
-    Python's encoder, byte-identical to the JVM's and DuckDB's."""
-    ship_package(docs.sparkSession)
-    ranks = {
-        (r["lhs"], r["rhs"]): int(r["step"])
-        for r in merges.select("step", "lhs", "rhs").collect()
-    }
+    The shared :func:`_rank_merge_encode` kernel over a word's UTF-8
+    bytes as hex pairs — computed by Python's encoder, byte-identical
+    to the JVM's and DuckDB's."""
+    return _rank_merge_encode(docs, merges, _utf8_hex_syms, text_col, id_col)
 
-    def _encode_word(word: str, memo: dict) -> list[str]:
-        got = memo.get(word)
-        if got is not None:
-            return got
-        syms = ["%02X" % b for b in word.encode("utf-8")]
-        while len(syms) > 1:
-            ranked = [
-                ranks[(a, b)]
-                for a, b in zip(syms, syms[1:])
-                if (a, b) in ranks
-            ]
-            if not ranked:
-                break
-            rank = min(ranked)
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and ranks.get((syms[i], syms[i + 1])) == rank
-                ):
-                    out.append(syms[i] + syms[i + 1])
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        memo[word] = syms
-        return syms
 
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, StringType
-
-    @pandas_udf(ArrayType(StringType()))
-    def _encode(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
-        return texts.map(
-            lambda t: [
-                piece
-                for wrd in (t or "").strip().split()
-                for piece in _encode_word(wrd, memo)
-            ]
-        )
-
-    return docs.select(
-        F.col(id_col).alias("doc_id"), _encode(F.col(text_col)).alias("pieces")
-    ).withColumn("n_pieces", F.size("pieces").cast("bigint"))
+def _utf8_hex_syms(word: str) -> list[str]:
+    return ["%02X" % b for b in word.encode("utf-8")]

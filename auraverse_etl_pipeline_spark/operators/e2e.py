@@ -181,6 +181,11 @@ def crawl_to_corpus_funnel(
         .cast("bigint")
         .alias("sha60"),
     ).join(domain_ok_tbl, "doc_id")
+    # flags fans out to the canon aggregate AND the flagged join; its
+    # subtree now carries the whole domain-gate probe, so an uncached
+    # double consumption would run the Bloom verify and the
+    # gopher/lang/md5/sha2 projections twice.
+    flags = flags.cache()
     canon = (
         flags.filter("domain_ok").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
@@ -309,7 +314,7 @@ def crawl_to_corpus_funnel(
             "text_xor60",
         )
     )
-    return release_after(result, parsed, redocs, flagged, scores, lm_out)
+    return release_after(result, parsed, redocs, flags, flagged, scores, lm_out)
 
 
 def corpus_to_chunk_index(

@@ -1673,7 +1673,6 @@ def hashed_embeddings(
 
 def sq_stats(
     corpus: DataFrame,
-    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1779,15 +1778,18 @@ def sq_search(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    scored = (
+    # Decode ONCE PER NEIGHBOR, before the query fan-out (the oracle's
+    # recon-CTE shape) — decoding inside the codes×queries projection
+    # would re-run the 64-term transform per (query, neighbor) pair.
+    recon = (
         codes.withColumnRenamed("id", "neighbor_id")
-        .crossJoin(q)
         .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "neighbor_id",
-            l2_sq_expr("qv", _sq_recon_expr(dim)).alias("approx_dist"),
-        )
+        .select("neighbor_id", _sq_recon_expr(dim).alias("rv"))
+    )
+    scored = recon.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        l2_sq_expr("qv", "rv").alias("approx_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")

@@ -7017,7 +7017,7 @@ def sim_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
-    stats = sq_stats(corpus, dim=_SQ_DIM)
+    stats = sq_stats(corpus)
     return sq_encode(corpus, stats, dim=_SQ_DIM).select(
         F.col("id").alias("vec_id"),
         F.posexplode("codes").alias("dim0", "code"),
@@ -7082,12 +7082,15 @@ def sim_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
-    stats = sq_stats(corpus, dim=_SQ_DIM)
+    # the 1-row stats frame feeds BOTH the encode and the rerank's
+    # reconstruction — cache it (paired release) or the per-dimension
+    # min/max corpus aggregate executes twice in one returned plan.
+    stats = sq_stats(corpus).cache()
     codes = sq_encode(corpus, stats, dim=_SQ_DIM)
     out = sq_topk_rerank(
         queries, codes, stats, corpus, k=5, shortlist=_SQ_SHORTLIST, dim=_SQ_DIM
     )
-    return out.withColumn("rank", F.col("rank").cast("bigint"))
+    return release_after(out.withColumn("rank", F.col("rank").cast("bigint")), stats)
 
 
 @query(

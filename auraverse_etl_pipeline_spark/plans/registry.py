@@ -71,13 +71,14 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
 #:   oldest evidence enumerates first. Round 11 started with 45 r7-
 #:   vintage names as the oldest cohort (fresh budget 5) and
-#:   deliberately overspent: 9 fresh (byte-BPE ×2, PSL domain
-#:   rewrites ×3, SQ8 ×2, funnel rewrite, paragraph dedup) + 41 r7
-#:   names fill the window, spilling FOUR r7 names to round 12:
+#:   deliberately overspent: 10 fresh (byte-BPE ×2, PSL domain
+#:   rewrites ×3, SQ8 ×2, funnel rewrite, paragraph dedup, the
+#:   unified bpe_encode kernel) + 40 r7 names fill the window,
+#:   spilling FIVE r7 names to round 12: q24_user_sessions,
 #:   q23_events_json_extract, q25_salted_flag_totals,
 #:   q52_duplicate_lineage, q53_cohort_retention. ROUND-12 WINDOW
-#:   ARITHMETIC: those 4 + the 48-name r8 cohort = 52 > 50, so round
-#:   12's fresh budget is 0 and two r8 names spill to round 13 even
+#:   ARITHMETIC: those 5 + the 48-name r8 cohort = 53 > 50, so round
+#:   12's fresh budget is 0 and three r8 names spill to round 13 even
 #:   with zero additions — plan round 12 as a consolidation round
 #:   (perf/docs/tests), or accept a deeper r8 spill per new query.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
@@ -93,6 +94,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_sq_search",  # NEW: SQ8 compressed shortlist + exact re-rank
     "pipeline_crawl_to_corpus",  # REWRITTEN: domain-blocklist stage inserted (RefinedWeb order)
     "text_paragraph_dedup",  # NEW: CCNet keep-first paragraph-hash dedup
+    "text_bpe_encode",  # REWRITTEN: encode kernel unified with the byte tier (parity re-proven)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -3315,7 +3315,7 @@ def test_sq8_roundtrip_error_and_edge_cases(spark):
         (2, [0.25, 5.0, 1.5, 4.0]),  # dim 2 (5.0) is constant
     ]
     corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    stats = sq_stats(corpus, dim=4)
+    stats = sq_stats(corpus)
     codes = sq_encode(corpus, stats, dim=4)
     assert dict(codes.dtypes)["codes"] == "array<tinyint>"
     got = {r.id: r.codes for r in codes.collect()}
@@ -3358,7 +3358,7 @@ def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
-    stats = sq_stats(corpus, dim=64)
+    stats = sq_stats(corpus)
     codes = sq_encode(corpus, stats, dim=64)
     got = sq_topk_rerank(queries, codes, stats, corpus, k=5, shortlist=50, dim=64)
     approx_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
