@@ -1515,3 +1515,115 @@ def test_wordpiece_matches_pure_python(spark):
         assert got_e == want, (got_e, want)
 
     prop()
+
+
+def test_paragraph_dedup_matches_set_model(spark):
+    """Property: dedup_paragraphs == a Python first-occurrence model
+    (lowest (doc_id, pos) per non-blank paragraph keeps; blanks always
+    keep; reassembly in original order), over randomized corpora with
+    repeated, blank and unique paragraphs."""
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    para = st.sampled_from(["shared one", "shared two", "unique", " ", "alpha beta"])
+    doc = st.lists(para, min_size=1, max_size=5).map("\n\n".join)
+
+    def model(texts):
+        seen: dict[str, tuple[int, int]] = {}
+        split = {i: t.split("\n\n") for i, t in enumerate(texts)}
+        for i in sorted(split):
+            for p_idx, p in enumerate(split[i]):
+                if p.strip() and p not in seen:
+                    seen[p] = (i, p_idx)
+        out = {}
+        for i in sorted(split):
+            kept = [
+                p
+                for p_idx, p in enumerate(split[i])
+                if not p.strip() or seen[p] == (i, p_idx)
+            ]
+            dropped = len(split[i]) - len(kept)
+            out[i] = ("\n\n".join(kept), len(kept), dropped)
+        return out
+
+    @settings(max_examples=4, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=5))
+    def prop(texts):
+        # hypothesis may repeat whole docs; the model handles it
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_paras_kept, r.n_paras_dropped)
+            for r in dedup_paragraphs(df).collect()
+        }
+        assert got == model(texts)
+
+    prop()
+
+
+def test_psl_matcher_matches_python_model(spark):
+    """Property: the Spark PSL matcher == a pure-Python model of the
+    PSL algorithm over the committed snapshot (exceptions > longest
+    suffix > wildcard > implicit default), on randomized hosts built
+    from rule fragments, ports and userinfo."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.functions.psl import (
+        PSL_EXCEPTIONS,
+        PSL_MULTILABEL_RULES,
+        PSL_WILDCARD_TLDS,
+        registrable_domain,
+    )
+
+    two = {r for r in PSL_MULTILABEL_RULES if r.count(".") == 1}
+    three = {r for r in PSL_MULTILABEL_RULES if r.count(".") == 2}
+
+    def model(host):
+        host = host.lower().rsplit("@", 1)[-1]
+        import re
+
+        host = re.sub(r":[0-9]+$", "", host)
+        labels = host.split(".")
+        last2 = ".".join(labels[-2:]) if len(labels) >= 2 else ""
+        last3 = ".".join(labels[-3:]) if len(labels) >= 3 else ""
+        last4 = ".".join(labels[-4:]) if len(labels) >= 4 else ""
+        if last2 and last2 in PSL_EXCEPTIONS:
+            return last2
+        if last3 in three:
+            return last4 if last4 else host
+        if labels[-1] in PSL_WILDCARD_TLDS:
+            return last3 if last3 else host
+        if last2 in two:
+            return last3 if last3 else host
+        return last2
+
+    label = st.sampled_from(["www", "foo", "bar9", "x"])
+    suffix = st.sampled_from(
+        ["co.uk", "k12.ma.us", "ck", "www.ck", "net", "example.org", "com.au", "us"]
+    )
+    host = st.tuples(st.lists(label, min_size=0, max_size=3), suffix).map(
+        lambda t: ".".join(t[0] + [t[1]])
+    )
+    port = st.sampled_from(["", ":80", ":8080"])
+    user = st.sampled_from(["", "u:p@"])
+    url = st.tuples(user, host, port).map(lambda t: f"http://{t[0]}{t[1]}{t[2]}/x")
+
+    @settings(max_examples=4, deadline=None)
+    @given(urls=st.lists(url, min_size=1, max_size=12, unique=True))
+    def prop(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        got = {
+            r.u: r.d
+            for r in df.select("u", registrable_domain("u").alias("d")).collect()
+        }
+        import re
+
+        for u in urls:
+            h = re.match(r"http://(.*)/x", u).group(1)
+            assert got[u] == model(h), (u, got[u], model(h))
+
+    prop()
