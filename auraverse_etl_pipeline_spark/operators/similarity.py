@@ -1837,3 +1837,69 @@ def sq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
     )
+
+
+def semdedup_clusters(
+    corpus: DataFrame,
+    nlist: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with the paper's CLUSTER-BOUNDED
+    pairing: k-means cells bound the O(n²) — pairs only form INSIDE a
+    Lloyd cell — and among each above-threshold pair the MORE-CENTRAL
+    member (higher cosine to its cell centroid) is dropped, keeping
+    the example that adds the most diversity (the paper's
+    low-centroid-similarity keep preference), ties to the higher id.
+    The LSH-candidate variant of the same shape is
+    ``dedup_embedding_clean``; this is the quadratic-but-cell-bounded
+    exact path. Output: one row per vector —
+    (id, cell, centroid_cos, kept).
+
+    Deterministic end to end (Lloyd build, clamped exact-fold cosines,
+    declarative drop rule: a point is dropped iff it is the more-
+    central member of ANY above-threshold in-cell pair — order-free,
+    unlike the paper's greedy sweep), so a SQL oracle replays every
+    verdict. Scale shape: the pair join is keyed by cell (the
+    SemDeDup trick — shuffle partitions by cell, never a global
+    self-join); hot cells are the documented skew risk and compose
+    with :func:`ivf_rebalance` exactly like the search tier. The
+    assignment frame is cached (pair join consumes it twice + the
+    verdict output) with paired release."""
+    idx = ivf_index(corpus, nlist=nlist, quantizer="lloyd", max_iter=max_iter)
+    a = ivf_assign(corpus, idx.centroids, id_col=id_col, vec_col=vec_col, clamp=True).cache()
+    left = a.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), "cell",
+        F.col("centroid_cos").alias("cs1"),
+    )
+    right = a.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), "cell",
+        F.col("centroid_cos").alias("cs2"),
+    )
+    pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v1", "v2"))
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", pair_cos)
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    losers = pairs.select(
+        F.when(F.col("cs1") > F.col("cs2"), F.col("id1"))
+        .when(F.col("cs1") < F.col("cs2"), F.col("id2"))
+        .otherwise(F.greatest("id1", "id2"))
+        .alias("id")
+    ).distinct()
+    out = (
+        a.join(losers.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            "centroid_cos",
+            (~F.coalesce("_drop", F.lit(False))).alias("kept"),
+        )
+    )
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
+    return release_after(out, a)

@@ -71,16 +71,16 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
 #:   oldest evidence enumerates first. Round 11 started with 45 r7-
 #:   vintage names as the oldest cohort (fresh budget 5) and
-#:   deliberately overspent: 10 fresh (byte-BPE ×2, PSL domain
+#:   deliberately overspent: 11 fresh (byte-BPE ×2, PSL domain
 #:   rewrites ×3, SQ8 ×2, funnel rewrite, paragraph dedup, the
-#:   unified bpe_encode kernel) + 40 r7 names fill the window,
-#:   spilling FIVE r7 names to round 12: q24_user_sessions,
-#:   q23_events_json_extract, q25_salted_flag_totals,
-#:   q52_duplicate_lineage, q53_cohort_retention. ROUND-12 WINDOW
-#:   ARITHMETIC: those 5 + the 48-name r8 cohort = 53 > 50, so round
-#:   12's fresh budget is 0 and three r8 names spill to round 13 even
-#:   with zero additions — plan round 12 as a consolidation round
-#:   (perf/docs/tests), or accept a deeper r8 spill per new query.
+#:   unified bpe_encode kernel, cluster-bounded SemDeDup) + 39 r7
+#:   names fill the window, spilling SIX r7 names to round 12 (the
+#:   tail of the r7 cohort in enumeration order — run the window
+#:   check to list them). ROUND-12 WINDOW ARITHMETIC: those 6 + the
+#:   48-name r8 cohort = 54 > 50, so round 12's fresh budget is 0 and
+#:   four r8 names spill to round 13 even with zero additions — plan
+#:   round 12 as a consolidation round (perf/docs/tests), or accept a
+#:   deeper r8 spill per new query.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 11 start: CORRECTNESS_r10.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-11 new queries and
@@ -95,6 +95,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "pipeline_crawl_to_corpus",  # REWRITTEN: domain-blocklist stage inserted (RefinedWeb order)
     "text_paragraph_dedup",  # NEW: CCNet keep-first paragraph-hash dedup
     "text_bpe_encode",  # REWRITTEN: encode kernel unified with the byte tier (parity re-proven)
+    "dedup_semdedup",  # NEW: cluster-bounded SemDeDup (Abbas et al. 2023)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

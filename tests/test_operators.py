@@ -3410,3 +3410,35 @@ def test_paragraph_dedup_keep_first_semantics(spark):
     assert got[4].text == "" and got[4].n_paras_dropped == 2
     # 3 (doc 1) + gamma + delta; the shared paragraph counts ONCE
     assert sum(r.n_paras_kept for r in got.values()) == 5
+
+
+def test_semdedup_drops_central_member_within_cells(spark):
+    """SemDeDup semantics: among an above-threshold in-cell pair the
+    MORE-CENTRAL member (higher cosine to the cell centroid) drops and
+    the diversity-adding one survives; vectors in different cells
+    never pair (the cluster-bounded contract — a boundary near-dup
+    survives by design); far-apart vectors all survive."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import semdedup_clusters
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    rows = [
+        (0, vec(10, 0, 0)),       # cluster A anchor
+        (1, vec(10, 0.4, 0)),     # near-dup of 0, slightly off-center
+        (2, vec(0, 10, 0)),       # cluster B anchor
+        (3, vec(0, 10, 0.4)),     # near-dup of 2
+        (4, vec(0, 0, 10)),       # isolated direction, survives
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup_clusters(emb, nlist=3, threshold=0.95).collect()}
+    assert len(out) == 5 and out[4].kept
+    # exactly one member of each near-dup pair survives, and the
+    # survivor is the LESS central one of its pair
+    for a, b in [(0, 1), (2, 3)]:
+        assert out[a].kept != out[b].kept
+        kept_id = a if out[a].kept else b
+        drop_id = b if out[a].kept else a
+        assert out[kept_id].centroid_cos <= out[drop_id].centroid_cos
