@@ -1868,7 +1868,14 @@ def semdedup_clusters(
     with :func:`ivf_rebalance` exactly like the search tier. The
     assignment frame is cached (pair join consumes it twice + the
     verdict output) with paired release."""
-    idx = ivf_index(corpus, nlist=nlist, quantizer="lloyd", max_iter=max_iter)
+    idx = ivf_index(
+        corpus,
+        nlist=nlist,
+        quantizer="lloyd",
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     a = ivf_assign(corpus, idx.centroids, id_col=id_col, vec_col=vec_col, clamp=True).cache()
     left = a.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "cell",

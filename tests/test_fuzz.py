@@ -1526,22 +1526,26 @@ def test_paragraph_dedup_matches_set_model(spark):
 
     from auraverse_etl_pipeline_spark.operators.dedup import dedup_paragraphs
 
-    para = st.sampled_from(["shared one", "shared two", "unique", " ", "alpha beta"])
+    # "\t" is CONTENT under the engine rule (Spark/DuckDB trim strips
+    # ASCII spaces only), so it participates in dedup like any text.
+    para = st.sampled_from(["shared one", "shared two", "unique", " ", "\t", "alpha beta"])
     doc = st.lists(para, min_size=1, max_size=5).map("\n\n".join)
 
     def model(texts):
         seen: dict[str, tuple[int, int]] = {}
         split = {i: t.split("\n\n") for i, t in enumerate(texts)}
+        # blank == ASCII-space-only, matching Spark/DuckDB trim (python
+        # str.strip() would also strip tabs/newlines and diverge)
         for i in sorted(split):
             for p_idx, p in enumerate(split[i]):
-                if p.strip() and p not in seen:
+                if p.strip(" ") and p not in seen:
                     seen[p] = (i, p_idx)
         out = {}
         for i in sorted(split):
             kept = [
                 p
                 for p_idx, p in enumerate(split[i])
-                if not p.strip() or seen[p] == (i, p_idx)
+                if not p.strip(" ") or seen[p] == (i, p_idx)
             ]
             dropped = len(split[i]) - len(kept)
             out[i] = ("\n\n".join(kept), len(kept), dropped)

@@ -612,3 +612,21 @@ def test_bytebpe_train_returns_model_sized_plan(spark, sf_dir):
     plan = _plan(QS["text_bytebpe_train"].fn(spark, sf_dir))
     assert "parquet" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_lloyd_assignment_rule_in_sync_across_oracles():
+    """The clamped-cosine cell-assignment rule (least(1.0, cos) DESC,
+    ties to the lowest cell) is pinned by ivf_assign and replicated
+    verbatim in every Lloyd-consuming oracle builder; this guard fails
+    if any copy's clamp or tie-break spelling drifts one-sidedly."""
+    import re
+
+    pat = re.compile(
+        r"ROW_NUMBER\(\) OVER \(PARTITION BY \S+ "
+        r"ORDER BY least\(CAST\(1\.0 AS DOUBLE\), "
+        r"list_cosine_similarity\(\S+, \S+\.centroid\)\) DESC, "
+        r"\S+\.cell\) AS rn"
+    )
+    for name in ("sim_topk_ivf", "sim_ivf_lloyd", "dedup_semdedup"):
+        sql = " ".join(QS[name].oracle.split())
+        assert pat.search(sql), f"{name}: clamped assignment spelling drifted"
