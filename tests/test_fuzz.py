@@ -1631,3 +1631,86 @@ def test_psl_matcher_matches_python_model(spark):
             assert got[u] == model(h), (u, got[u], model(h))
 
     prop()
+
+
+def test_sq8_matches_pure_python_model(spark):
+    """Property: SQ8 stats → encode → reconstruct → asymmetric L2²
+    equals a pure-Python replica of the exact IEEE arithmetic
+    (min/max stats, clamp(floor((x−vmin)·255/(vmax−vmin)))−128 codes,
+    vmin+(c+128)·(vmax−vmin)/255 reconstruction, sequential-fold
+    distance), over randomized small corpora including constant and
+    negative dimensions."""
+    import math
+
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _sq_recon_expr,
+        l2_sq_expr,
+        sq_encode,
+        sq_stats,
+    )
+
+    D = 4
+    comp = st.sampled_from([-2.5, -1.0, 0.0, 0.25, 1.0, 3.75, 7.0])
+    vec = st.lists(comp, min_size=D, max_size=D)
+
+    def model(vecs):
+        vmin = [min(v[j] for v in vecs) for j in range(D)]
+        vmax = [max(v[j] for v in vecs) for j in range(D)]
+        codes = []
+        for v in vecs:
+            cs = []
+            for j in range(D):
+                if vmax[j] == vmin[j]:
+                    q = 0
+                else:
+                    q = min(255, max(0, int(math.floor((v[j] - vmin[j]) * 255.0 / (vmax[j] - vmin[j])))))
+                cs.append(q - 128)
+            codes.append(cs)
+        recon = [
+            [vmin[j] + (c[j] + 128.0) * (vmax[j] - vmin[j]) / 255.0 for j in range(D)]
+            for c in codes
+        ]
+        return vmin, vmax, codes, recon
+
+    @settings(max_examples=4, deadline=None)
+    @given(vecs=st.lists(vec, min_size=2, max_size=6))
+    def prop(vecs):
+        df = spark.createDataFrame(
+            list(enumerate(map(list, vecs))), "vec_id bigint, embedding array<double>"
+        )
+        stats = sq_stats(df)
+        vmin, vmax, codes, recon = model(vecs)
+        strow = stats.first()
+        assert list(strow.vmin) == vmin and list(strow.vmax) == vmax
+        enc = sq_encode(df, stats, dim=D)
+        got_codes = {r.id: list(r.codes) for r in enc.collect()}
+        assert got_codes == {i: codes[i] for i in range(len(vecs))}
+        got_recon = {
+            r.id: list(r.rv)
+            for r in enc.crossJoin(F.broadcast(stats))
+            .select("id", _sq_recon_expr(D).alias("rv"))
+            .collect()
+        }
+        for i in range(len(vecs)):
+            assert got_recon[i] == recon[i]  # exact IEEE equality
+        # asymmetric distance: sequential fold == python left fold
+        q = vecs[0]
+        want = {}
+        for i, rv in enumerate(recon):
+            acc = 0.0
+            for j in range(D):
+                acc = acc + (q[j] - rv[j]) * (q[j] - rv[j])
+            want[i] = acc
+        qdf = F.array(*[F.lit(float(x)) for x in q])
+        got_d = {
+            r.id: r.d
+            for r in enc.crossJoin(F.broadcast(stats))
+            .select("id", l2_sq_expr(qdf, _sq_recon_expr(D)).alias("d"))
+            .collect()
+        }
+        assert got_d == want
+
+    prop()
