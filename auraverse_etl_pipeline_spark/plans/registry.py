@@ -57,45 +57,26 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 
 #: Enumeration priority. The external driver scores a bounded prefix of
-#: the registry (50 rows per round), so with 188 queries (see
-#: ``all_queries()`` — the count grows as tiers land) full single-round
-#: attestation is impossible — the order rotates so the least-recently-
-#: scored queries enumerate first each round.
+#: the registry (50 rows per round), so with ``len(all_queries())``
+#: queries (194 at round-12 start — the count grows as tiers land)
+#: full single-round attestation is impossible — the order rotates so
+#: the least-recently-scored queries enumerate first each round.
 #:
 #: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
-#:   green driver row — these go first. ROUND-12 START: run
-#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r11.json into
+#:   green driver row — these go first. ROUND-13 START: run
+#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r12.json into
 #:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
-#:   back red, or round 12 rewrites something after its green).
+#:   back red, or round 13 rewrites something after its green).
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
-#:   oldest evidence enumerates first. Round 11 started with 45 r7-
-#:   vintage names as the oldest cohort (fresh budget 5) and
-#:   deliberately overspent: 11 fresh (byte-BPE ×2, PSL domain
-#:   rewrites ×3, SQ8 ×2, funnel rewrite, paragraph dedup, the
-#:   unified bpe_encode kernel, cluster-bounded SemDeDup) + 39 r7
-#:   names fill the window, spilling SIX r7 names to round 12 (the
-#:   tail of the r7 cohort in enumeration order — run the window
-#:   check to list them). ROUND-12 WINDOW ARITHMETIC: those 6 + the
-#:   48-name r8 cohort = 54 > 50, so round 12's fresh budget is 0 and
-#:   four r8 names spill to round 13 even with zero additions — plan
-#:   round 12 as a consolidation round (perf/docs/tests), or accept a
-#:   deeper r8 spill per new query.
+#:   oldest evidence enumerates first. Round-12 window arithmetic: the
+#:   oldest cohorts were 6 r7 + 47 r8 = 53 names against the 50-slot
+#:   window, so round 12 ran as a consolidation round — every new
+#:   query spills one more r8 name to round 13.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 11 start: CORRECTNESS_r10.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red). Round-11 new queries and
+    # round 12 start: CORRECTNESS_r11.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red). Round-12 new queries and
     # rewrites-after-green land here as the round progresses.
-    "text_bytebpe_train",  # NEW: byte-level BPE trainer (GPT-2/Llama-3 family)
-    "text_bytebpe_encode",  # NEW: byte-level encode under the learned merges
-    "corpus_domain_card",  # REWRITTEN: PSL registrable-domain + multi-label/ported URI fixtures
-    "corpus_domain_blocklist",  # REWRITTEN: same, blocklist spans all suffix classes
-    "stream_domain_gate",  # REWRITTEN: same PSL gate on the stream path
-    "sim_sq_codes",  # NEW: int8 scalar-quantization encode (faiss SQ8 tier)
-    "sim_sq_search",  # NEW: SQ8 compressed shortlist + exact re-rank
-    "pipeline_crawl_to_corpus",  # REWRITTEN: domain-blocklist stage inserted (RefinedWeb order)
-    "text_paragraph_dedup",  # NEW: CCNet keep-first paragraph-hash dedup
-    "text_bpe_encode",  # REWRITTEN: encode kernel unified with the byte tier (parity re-proven)
-    "dedup_semdedup",  # NEW: cluster-bounded SemDeDup (Abbas et al. 2023)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -104,51 +85,12 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
     # round 7
-    "converted_documents": 7,
-    "dedup_containment_join": 7,
-    "dedup_prefix_jaccard_join": 7,
-    "embedding_data_card": 7,
-    "fixture_fragment_summary": 7,
-    "fixture_record_summary": 7,
-    "fragment_spans": 7,
-    "fragment_summary": 7,
-    "ingest_jsonl_roundtrip": 7,
-    "mix_dsir_select": 7,
-    "multimodal_jpeg_features": 7,
-    "q01_pricing_summary": 7,
-    "q02_top_revenue_orders": 7,
-    "q03_region_nation_revenue": 7,
-    "q04_revenue_forecast": 7,
-    "q05_returned_customers": 7,
-    "q06_priority_with_big_items": 7,
-    "q07_acctbal_by_region": 7,
-    "q08_parts_by_brand": 7,
-    "q10_top3_orders_per_customer": 7,
-    "q11_running_revenue": 7,
-    "q12_orders_monthly_kpis": 7,
-    "q13_order_count_histogram": 7,
-    "q14_rollup_priority_status": 7,
-    "q15_cube_flag_status": 7,
-    "q16_repeat_buyers_setop": 7,
-    "q17_customers_without_orders": 7,
-    "q18_large_quantity_orders": 7,
-    "q19_event_lag_lead": 7,
-    "q20_hourly_event_windows": 7,
-    "q21_churned_buyers_setop": 7,
     "q22_asof_last_order": 7,
     "q23_events_json_extract": 7,
     "q24_user_sessions": 7,
     "q25_salted_flag_totals": 7,
     "q52_duplicate_lineage": 7,
     "q53_cohort_retention": 7,
-    "sim_ann_recall_audit": 7,
-    "sim_hashed_embeddings": 7,
-    "sql_lateral_fragment_summary": 7,
-    "stream_ivf_assign": 7,
-    "text_lm_buckets": 7,
-    "text_lm_perplexity": 7,
-    "text_pack_manifest": 7,
-    "text_pack_sequences": 7,
     # round 8
     "dedup_cluster_representatives": 8,
     "dedup_connected_components": 8,
@@ -160,7 +102,6 @@ _LAST_GREEN = {
     "dedup_ngram_jaccard": 8,
     "dedup_simhash_pairs": 8,
     "ingest_warc_roundtrip": 8,
-    "pipeline_crawl_to_corpus": 8,
     "q26_range_join_daytime_events": 8,
     "q27_rollup_cascade_daily": 8,
     "q29_sliding_event_windows": 8,
@@ -246,8 +187,6 @@ _LAST_GREEN = {
     "text_unicode_normalize": 9,
     # round 10
     "corpus_data_card": 10,
-    "corpus_domain_blocklist": 10,
-    "corpus_domain_card": 10,
     "corpus_snapshot_diff": 10,
     "curation_funnel": 10,
     "dedup_embedding_clean": 10,
@@ -273,7 +212,6 @@ _LAST_GREEN = {
     "sim_topk_ivf": 10,
     "stream_bm25_index": 10,
     "stream_compaction_dedup": 10,
-    "stream_domain_gate": 10,
     "stream_enriched_segment_revenue": 10,
     "stream_incremental_dedup": 10,
     "stream_ingest_fragment_summary": 10,
@@ -283,7 +221,6 @@ _LAST_GREEN = {
     "text_bm25_index": 10,
     "text_bm25_merge": 10,
     "text_bm25_search": 10,
-    "text_bpe_encode": 10,
     "text_bpe_train": 10,
     "text_fim_transform": 10,
     "text_line_dedup": 10,
@@ -295,6 +232,57 @@ _LAST_GREEN = {
     "text_unigram_train": 10,
     "text_wordpiece_encode": 10,
     "text_wordpiece_train": 10,
+    # round 11
+    "converted_documents": 11,
+    "corpus_domain_blocklist": 11,
+    "corpus_domain_card": 11,
+    "dedup_containment_join": 11,
+    "dedup_prefix_jaccard_join": 11,
+    "dedup_semdedup": 11,
+    "embedding_data_card": 11,
+    "fixture_fragment_summary": 11,
+    "fixture_record_summary": 11,
+    "fragment_spans": 11,
+    "fragment_summary": 11,
+    "ingest_jsonl_roundtrip": 11,
+    "mix_dsir_select": 11,
+    "multimodal_jpeg_features": 11,
+    "pipeline_crawl_to_corpus": 11,
+    "q01_pricing_summary": 11,
+    "q02_top_revenue_orders": 11,
+    "q03_region_nation_revenue": 11,
+    "q04_revenue_forecast": 11,
+    "q05_returned_customers": 11,
+    "q06_priority_with_big_items": 11,
+    "q07_acctbal_by_region": 11,
+    "q08_parts_by_brand": 11,
+    "q10_top3_orders_per_customer": 11,
+    "q11_running_revenue": 11,
+    "q12_orders_monthly_kpis": 11,
+    "q13_order_count_histogram": 11,
+    "q14_rollup_priority_status": 11,
+    "q15_cube_flag_status": 11,
+    "q16_repeat_buyers_setop": 11,
+    "q17_customers_without_orders": 11,
+    "q18_large_quantity_orders": 11,
+    "q19_event_lag_lead": 11,
+    "q20_hourly_event_windows": 11,
+    "q21_churned_buyers_setop": 11,
+    "sim_ann_recall_audit": 11,
+    "sim_hashed_embeddings": 11,
+    "sim_sq_codes": 11,
+    "sim_sq_search": 11,
+    "sql_lateral_fragment_summary": 11,
+    "stream_domain_gate": 11,
+    "stream_ivf_assign": 11,
+    "text_bpe_encode": 11,
+    "text_bytebpe_encode": 11,
+    "text_bytebpe_train": 11,
+    "text_lm_buckets": 11,
+    "text_lm_perplexity": 11,
+    "text_pack_manifest": 11,
+    "text_pack_sequences": 11,
+    "text_paragraph_dedup": 11,
 }
 
 
