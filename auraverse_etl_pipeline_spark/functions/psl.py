@@ -146,6 +146,22 @@ def _check_wild_and_exceptions(
         )
 
 
+def _in_set(col: Column, values: tuple[str, ...]) -> Column:
+    """Membership probe that stays valid for an EMPTY rule table
+    (``col.isin()`` with zero args raises; the FALSE literal keeps the
+    CASE arm shape identical on both engines)."""
+    return col.isin(*values) if values else F.lit(False)
+
+
+def _in_sql(expr: str, values: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`_in_set` — an empty tuple must NOT emit
+    ``IN ()`` (Binder error at query time, violating the module's
+    fail-at-build / degrade-identically posture)."""
+    if not values:
+        return "FALSE"
+    return f"{expr} IN (" + ", ".join(f"'{v}'" for v in values) + ")"
+
+
 _HOST_RE = r"://([^/?#]+)"
 _TLD_RE = r"([^.]+)$"
 _LAST2_RE = r"([^.]+\.[^.]+)$"
@@ -179,13 +195,13 @@ def registrable_domain(
     last3 = F.regexp_extract(host, _LAST3_RE, 1)
     last4 = F.regexp_extract(host, _LAST4_RE, 1)
     return (
-        F.when((last2 != "") & last2.isin(*exceptions), last2)
-        .when(last3.isin(*three) & (last4 != ""), last4)
-        .when(last3.isin(*three), host)
-        .when(tld.isin(*wildcard_tlds) & (last3 != ""), last3)
-        .when(tld.isin(*wildcard_tlds), host)
-        .when(last2.isin(*two) & (last3 != ""), last3)
-        .when(last2.isin(*two), host)
+        F.when((last2 != "") & _in_set(last2, exceptions), last2)
+        .when(_in_set(last3, three) & (last4 != ""), last4)
+        .when(_in_set(last3, three), host)
+        .when(_in_set(tld, wildcard_tlds) & (last3 != ""), last3)
+        .when(_in_set(tld, wildcard_tlds), host)
+        .when(_in_set(last2, two) & (last3 != ""), last3)
+        .when(_in_set(last2, two), host)
         .otherwise(last2)
     )
 
@@ -208,17 +224,17 @@ def registrable_domain_sql(
     last2 = f"regexp_extract({host}, '{_LAST2_RE}', 1)"
     last3 = f"regexp_extract({host}, '{_LAST3_RE}', 1)"
     last4 = f"regexp_extract({host}, '{_LAST4_RE}', 1)"
-    in2 = "(" + ", ".join(f"'{r}'" for r in two) + ")"
-    in3 = "(" + ", ".join(f"'{r}'" for r in three) + ")"
-    inw = "(" + ", ".join(f"'{t}'" for t in wildcard_tlds) + ")"
-    inx = "(" + ", ".join(f"'{x}'" for x in exceptions) + ")"
+    in2 = _in_sql(last2, two)
+    in3 = _in_sql(last3, three)
+    inw = _in_sql(tld, wildcard_tlds)
+    inx = _in_sql(last2, exceptions)
     return (
-        f"CASE WHEN {last2} <> '' AND {last2} IN {inx} THEN {last2} "
-        f"WHEN {last3} IN {in3} AND {last4} <> '' THEN {last4} "
-        f"WHEN {last3} IN {in3} THEN {host} "
-        f"WHEN {tld} IN {inw} AND {last3} <> '' THEN {last3} "
-        f"WHEN {tld} IN {inw} THEN {host} "
-        f"WHEN {last2} IN {in2} AND {last3} <> '' THEN {last3} "
-        f"WHEN {last2} IN {in2} THEN {host} "
+        f"CASE WHEN {last2} <> '' AND {inx} THEN {last2} "
+        f"WHEN {in3} AND {last4} <> '' THEN {last4} "
+        f"WHEN {in3} THEN {host} "
+        f"WHEN {inw} AND {last3} <> '' THEN {last3} "
+        f"WHEN {inw} THEN {host} "
+        f"WHEN {in2} AND {last3} <> '' THEN {last3} "
+        f"WHEN {in2} THEN {host} "
         f"ELSE {last2} END"
     )

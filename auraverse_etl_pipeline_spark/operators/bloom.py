@@ -42,6 +42,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+#: Domain-blocklist filter sizing, shared by the blocklist query tier
+#: (``corpus_domain_blocklist`` / ``stream_domain_gate``) and the crawl
+#: funnel's gate stage — ONE definition so the false-positive-probe
+#: workload can't silently drift between the documented tier and the
+#: funnel (flagged domains are exact-verified either way).
+BLOCKLIST_NUM_BITS = 63 * 16
+BLOCKLIST_NUM_HASHES = 5
+
+
 def bloom_parameters(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """Bloom sizing: bits = -n·ln p / ln²2 (rounded up to a multiple
     of 63 so every block is a full word), hashes = (bits/n)·ln 2,

@@ -1264,10 +1264,17 @@ def dedup_paragraphs(
     scale the duplicated-paragraph set outgrows any broadcast limit).
     Reassembly is the line-dedup groupBy: ``array_sort`` over
     (position, paragraph) structs, no sort exchange. Blank paragraphs
-    (runs of blank lines) are formatting, not content — always kept."""
+    (runs of blank lines) are formatting, not content — always kept.
+
+    NULL text coalesces to ``''`` BEFORE the split (a NULL split yields
+    zero posexplode rows, which would silently drop the document from
+    the output — every document must reassemble, as one blank kept
+    paragraph)."""
     paras = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")).alias(
+            "pos", "para"
+        ),
     )
     winners = (
         paras.filter(F.trim("para") != "")

@@ -120,6 +120,8 @@ def crawl_to_corpus_funnel(
     # table is model-sized and broadcasts back onto doc ids.
     if with_domains:
         from auraverse_etl_pipeline_spark.operators.bloom import (
+            BLOCKLIST_NUM_BITS,
+            BLOCKLIST_NUM_HASHES,
             bloom_build,
             bloom_might_contain,
         )
@@ -127,7 +129,7 @@ def crawl_to_corpus_funnel(
             registrable_domain,
         )
 
-        num_bits, num_hashes = 63 * 16, 5
+        num_bits, num_hashes = BLOCKLIST_NUM_BITS, BLOCKLIST_NUM_HASHES
         bl = src.sparkSession.createDataFrame(
             [(x,) for x in sorted(blocked_domains)], "domain string"
         )

@@ -28,6 +28,10 @@ from auraverse_etl_pipeline_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from auraverse_etl_pipeline_spark.operators.bloom import (
+    BLOCKLIST_NUM_BITS,
+    BLOCKLIST_NUM_HASHES,
+)
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.operators.quality import (
     gopher_fail_reason_sql as _gopher_fail_reason_sql,
@@ -6158,8 +6162,11 @@ _BLOCKED_DOMAINS = [
     "src7.k12.ma.us",
     "never-crawled.example",
 ]
-_BLOCK_BITS = 63 * 16
-_BLOCK_HASHES = 5
+# Single shared definition with the crawl funnel's gate stage — see
+# operators/bloom.py (the oracle f-strings below bake these in at
+# import, so the values must agree with what the funnel probes).
+_BLOCK_BITS = BLOCKLIST_NUM_BITS
+_BLOCK_HASHES = BLOCKLIST_NUM_HASHES
 
 
 def _domain_blocklist_oracle() -> str:

@@ -3291,6 +3291,42 @@ def test_registrable_domain_psl_matching(spark):
         assert duck == want, (u, duck, want)
 
 
+def test_registrable_domain_empty_rule_tables(spark):
+    """Empty rule tuples must degrade identically on both engines (the
+    CASE arm becomes literal FALSE) — never emit DuckDB ``IN ()``
+    (Binder error at query time) or a zero-arg ``isin()`` (pyspark
+    raises at build time)."""
+    import duckdb
+
+    from auraverse_etl_pipeline_spark.functions.psl import (
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    cases = [
+        ("http://a.b.example.co.uk/x", "co.uk"),  # 2-label rule gone → last2
+        ("http://www.site.co.ck/x", "co.ck"),  # wildcard gone
+        ("http://deep.www.ck/x", "www.ck"),  # exception gone, still last2
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = {
+        r.u: r.d
+        for r in df.select(
+            "u",
+            registrable_domain(
+                "u", rules=(), wildcard_tlds=(), exceptions=()
+            ).alias("d"),
+        ).collect()
+    }
+    sql = registrable_domain_sql("u", rules=(), wildcard_tlds=(), exceptions=())
+    assert "IN ()" not in sql
+    con = duckdb.connect()
+    for u, want in cases:
+        duck = con.execute(f"SELECT {sql} FROM (SELECT ? AS u)", [u]).fetchone()[0]
+        assert got[u] == want, (u, got[u], want)
+        assert duck == want, (u, duck, want)
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization SQ8 (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -3410,6 +3446,22 @@ def test_paragraph_dedup_keep_first_semantics(spark):
     assert got[4].text == "" and got[4].n_paras_dropped == 2
     # 3 (doc 1) + gamma + delta; the shared paragraph counts ONCE
     assert sum(r.n_paras_kept for r in got.values()) == 5
+
+
+def test_paragraph_dedup_null_text_passes_through(spark):
+    """A NULL-text document must NOT vanish from the output (split of
+    NULL yields zero posexplode rows): it reassembles as one blank
+    kept paragraph, and never claims a keep-first slot from a real
+    paragraph."""
+    from auraverse_etl_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "real paragraph"), (2, None), (3, "real paragraph")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].text == "" and got[2].n_paras_kept == 1
+    assert got[2].n_paras_dropped == 0
+    assert got[1].text == "real paragraph" and got[3].text == ""
 
 
 def test_semdedup_drops_central_member_within_cells(spark):
