@@ -1839,6 +1839,95 @@ def sq_topk_rerank(
     )
 
 
+def ivfsq_search(
+    queries: DataFrame,
+    index: "IvfIndex",
+    codes: DataFrame,
+    stats: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF,SQ8 (faiss ``IVF<nlist>,SQ8``) — the last cell of the index
+    matrix next to IVF,Flat (:func:`ivf_search`) and IVF,PQ
+    (:func:`ivfpq_search`): probe the ``nprobe`` nearest cells per
+    query (the :class:`IvfIndex`'s cosine geometry), decode ONLY the
+    probed cells' SQ8 codes against the broadcast 1-row stats — once
+    per neighbor, BEFORE the query fan-out (the :func:`sq_search`
+    discipline) — shortlist by the asymmetric ordered-fold L2², then,
+    with ``corpus`` given, exact-L2² refine the true top-``k``.
+    Output: (query_id, neighbor_id, rank, l2_sq) — or ``approx_dist``
+    without refinement.
+
+    Scale shape: the probed fraction (~nprobe/nlist) of the CODE table
+    (dim int8s per vector) is all the corpus-sized data the scan
+    touches; the probed-cell set is ≤ nlist rows (broadcast), the
+    1-row stats broadcast, queries broadcast, so the only wide
+    exchange is the per-query top-k window over candidate rows. The
+    decode fold is sequential exact-IEEE arithmetic — no libm, no
+    DECIMAL partials (nothing reorders the sum) — so DuckDB replays
+    every digit. Persist ``codes``/``index``; nothing refits per query
+    (new batches go through :func:`ivf_assign` + :func:`sq_encode`)."""
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cent_df = F.broadcast(index.centroids.select("cell", "centroid"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cos").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(cent_df)
+        .select(
+            "query_id", "qv", "cell",
+            cosine_similarity_expr("qv", "centroid").alias("centroid_cos"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    # Decode once per member of any probed cell (a vector lives in
+    # exactly one cell), never per (query, neighbor) candidate pair.
+    probed_cells = probes.select("cell").distinct()
+    recon = (
+        index.assignments.select(F.col("id").alias("neighbor_id"), "cell")
+        .join(F.broadcast(probed_cells), "cell")
+        .join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .crossJoin(F.broadcast(stats))
+        .select("cell", "neighbor_id", _sq_recon_expr(dim).alias("rv"))
+    )
+    scored = probes.join(recon, "cell").select(
+        "query_id", "neighbor_id", l2_sq_expr("qv", "rv").alias("approx_dist")
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("rank", F.row_number().over(short_w))
+        .filter(F.col("rank") <= (shortlist if corpus is not None else k))
+    )
+    if corpus is None:
+        return short.select("query_id", "neighbor_id", "rank", "approx_dist")
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    rer_w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_sq").asc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .withColumn("rank", F.row_number().over(rer_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2_sq")
+    )
+
+
 def semdedup_clusters(
     corpus: DataFrame,
     nlist: int = 8,

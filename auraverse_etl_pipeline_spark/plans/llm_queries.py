@@ -7101,6 +7101,103 @@ def sim_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfsq_search",
+    oracle=_SQ_CTES
+    + f"""
+    , cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT {_IVF_NLIST})
+    ),
+    assigned AS (
+        SELECT id, cell FROM (
+            SELECT c.id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.centroid) DESC,
+                                cent.cell) AS pr
+            FROM q CROSS JOIN cent
+        ) WHERE pr <= {_IVF_NPROBE}
+    ),
+    recon AS (
+        SELECT id, list_transform(range(1, {_SQ_DIM} + 1), j ->
+                   st.vmin[j] + (CAST(codes[j] AS DOUBLE) + 128.0)
+                                * (st.vmax[j] - st.vmin[j]) / 255.0) AS rv
+        FROM enc CROSS JOIN st
+    ),
+    cand AS (
+        SELECT p.query_id, a.id AS neighbor_id
+        FROM probes p JOIN assigned a USING (cell)
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               {_l2sq_sql("q.qv", "r.rv")} AS approx_dist
+        FROM cand cd
+        JOIN recon r ON r.id = cd.neighbor_id
+        JOIN q ON q.query_id = cd.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_dist ASC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_SQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, l2_sq FROM (
+        SELECT s.query_id, s.neighbor_id, {_l2sq_sql("q.qv", "c.v")} AS l2_sq,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {_l2sq_sql("q.qv", "c.v")} ASC, s.neighbor_id) AS rank
+        FROM short s
+        JOIN c ON c.id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ) WHERE rank <= 5
+    """,
+    description="IVF,SQ8 - the last cell of the faiss index matrix "
+    "next to IVF,Flat and IVF,PQ: probe the nprobe nearest cells per "
+    "query, decode ONLY the probed cells' int8 codes against the "
+    "broadcast 1-row stats (once per neighbor, BEFORE the query "
+    "fan-out - the sq_search discipline), shortlist by the asymmetric "
+    "ordered-fold L2^2, exact-L2^2 refine the true top-5. The probed "
+    "fraction of the code table (dim int8s per vector) is ALL the "
+    "corpus-sized data the scan touches; persisted index + persisted "
+    "codes, nothing refit per query. Pure exact-IEEE arithmetic so "
+    "DuckDB replays probing, assignment, decode, shortlist and "
+    "refinement digit-for-digit; full-probe equivalence to "
+    "sq_topk_rerank pinned in pytest",
+)
+def sim_ivfsq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfsq_search,
+        sq_encode,
+        sq_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = ivf_index(corpus, nlist=_IVF_NLIST, quantizer="sample")
+    # stats feeds both the encode and the probed-cell reconstruction —
+    # cache (paired release) or the corpus min/max aggregate runs twice.
+    stats = sq_stats(corpus).cache()
+    codes = sq_encode(corpus, stats, dim=_SQ_DIM)
+    out = ivfsq_search(
+        queries, idx, codes, stats, corpus=corpus,
+        k=5, nprobe=_IVF_NPROBE, shortlist=_SQ_SHORTLIST, dim=_SQ_DIM,
+    )
+    return release_after(out.withColumn("rank", F.col("rank").cast("bigint")), stats)
+
+
+@query(
     "text_paragraph_dedup",
     oracle="""
     WITH docs2 AS (

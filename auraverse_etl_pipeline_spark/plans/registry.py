@@ -77,6 +77,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 12 start: CORRECTNESS_r11.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-12 new queries and
     # rewrites-after-green land here as the round progresses.
+    "sim_ivfsq_search",  # NEW: IVF,SQ8 — last cell of the faiss index matrix
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

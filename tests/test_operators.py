@@ -1943,6 +1943,47 @@ def test_ivfpq_full_probe_equals_pq_rerank(spark, sf_dir):
     codes.unpersist(); corpus.unpersist()
 
 
+def test_ivfsq_full_probe_equals_sq_rerank(spark, sf_dir):
+    """IVF,SQ8's only approximation beyond SQ8 itself is the cell
+    truncation: with nprobe = nlist it must return EXACTLY
+    sq_topk_rerank's answer, and at the standard nprobe the recall
+    floor tracks probe coverage (the ivfpq pin's twin)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfsq_search,
+        sq_encode,
+        sq_stats,
+        sq_topk_rerank,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id >= 10").cache()
+    queries = emb.filter("vec_id < 10")
+    idx = ivf_index(corpus, nlist=16, quantizer="sample")
+    stats = sq_stats(corpus).cache()
+    codes = sq_encode(corpus, stats, dim=64).cache()
+    full = ivfsq_search(
+        queries, idx, codes, stats, corpus=corpus, k=5, nprobe=16, shortlist=50
+    )
+    ref = sq_topk_rerank(queries, codes, stats, corpus, k=5, shortlist=50, dim=64)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in ref.collect())
+    assert a == b
+    part = ivfsq_search(
+        queries, idx, codes, stats, corpus=corpus, k=5, nprobe=8, shortlist=50
+    )
+    got = {}
+    for r in part.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in b:
+        want.setdefault(r[0], set()).add(r[1])
+    hits = sum(len(got.get(q, set()) & ns) for q, ns in want.items())
+    assert hits / sum(len(ns) for ns in want.values()) >= 0.5
+    codes.unpersist(); stats.unpersist(); corpus.unpersist()
+
+
 def test_unicode_normalization_semantics(spark):
     """NFC composes combining sequences; fold strips accents and
     lowers; dedup keys that differed only by composition now agree."""

@@ -595,6 +595,20 @@ def test_sq8_bnlj_only_on_broadcast_stat_frames(spark, sf_dir):
     assert "BatchEvalPython" not in codes_plan + search_plan
 
 
+def test_ivfsq_bnlj_only_on_broadcast_folds(spark, sf_dir):
+    """IVF,SQ8's nested-loop joins are the blessed classes only — the
+    1-row stats folds (encode + probed-cell reconstruction) and the
+    broadcast query/centroid frames of the probe stage; every
+    corpus-sized join (cell membership, codes, rerank corpus) is an
+    equality hash join, never a data×data loop."""
+    plan = _plan(QS["sim_ivfsq_search"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 5
+    assert plan.count("BroadcastHashJoin") >= 4  # cells, codes, rerank joins
+    assert "SortMergeJoin" not in plan
+
+
 def test_paragraph_dedup_hash_shuffle_only(spark, sf_dir):
     """Paragraph dedup must shuffle hashes + positions, never text as
     a grouping key, and carry no cartesian/Python nodes; the winner
