@@ -1935,6 +1935,7 @@ def semdedup_clusters(
     max_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) with the paper's CLUSTER-BOUNDED
     pairing: k-means cells bound the O(n²) — pairs only form INSIDE a
@@ -1956,16 +1957,28 @@ def semdedup_clusters(
     self-join); hot cells are the documented skew risk and compose
     with :func:`ivf_rebalance` exactly like the search tier. The
     assignment frame is cached (pair join consumes it twice + the
-    verdict output) with paired release."""
-    idx = ivf_index(
-        corpus,
-        nlist=nlist,
-        quantizer="lloyd",
-        max_iter=max_iter,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    a = ivf_assign(corpus, idx.centroids, id_col=id_col, vec_col=vec_col, clamp=True).cache()
+    verdict output) with paired release.
+
+    Pass a prebuilt ``index`` (persisted, or an :func:`ivf_rebalance`
+    output) to skip the in-operator Lloyd build — the 100 TB posture:
+    the quantizer is day-1 work amortized across runs, and the
+    20× stress (SCALE.md r12) measured the in-operator build's
+    O(n·nlist) assignment passes DOMINATING once nlist scales with the
+    corpus, while a prebuilt index leaves only the pair join. A hot
+    cell (the quadratic tail) is then mitigated by rebalancing the
+    index, which splits the cell and bounds the in-cell pair volume —
+    the cell geometry is part of the contract, so verdicts follow the
+    rebalanced cells by design."""
+    if index is None:
+        index = ivf_index(
+            corpus,
+            nlist=nlist,
+            quantizer="lloyd",
+            max_iter=max_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    a = ivf_assign(corpus, index.centroids, id_col=id_col, vec_col=vec_col, clamp=True).cache()
     left = a.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "cell",
         F.col("centroid_cos").alias("cs1"),

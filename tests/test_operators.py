@@ -3505,6 +3505,32 @@ def test_paragraph_dedup_null_text_passes_through(spark):
     assert got[1].text == "real paragraph" and got[3].text == ""
 
 
+def test_semdedup_prebuilt_index_matches_default_build(spark):
+    """semdedup_clusters(index=...) with the index the default path
+    would have built returns identical verdicts — the prebuilt-index
+    day-2 contract (quantizer amortized across runs, rebalance
+    composable) changes WHERE the index comes from, never a verdict."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        semdedup_clusters,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    import os
+
+    sf = os.environ.get("AURAVERSE_TEST_SF", "sf0.001")
+    emb = load_table(spark, f"/root/testdata/{sf}", "embeddings")
+    default = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semdedup_clusters(emb, nlist=4, threshold=0.9, max_iter=2).collect()
+    )
+    idx = ivf_index(emb, nlist=4, quantizer="lloyd", max_iter=2)
+    prebuilt = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semdedup_clusters(emb, threshold=0.9, index=idx).collect()
+    )
+    assert default == prebuilt
+
+
 def test_semdedup_drops_central_member_within_cells(spark):
     """SemDeDup semantics: among an above-threshold in-cell pair the
     MORE-CENTRAL member (higher cosine to the cell centroid) drops and
