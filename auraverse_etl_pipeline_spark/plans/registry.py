@@ -78,6 +78,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # (50 scored, 50 hash-green, zero red). Round-12 new queries and
     # rewrites-after-green land here as the round progresses.
     "sim_ivfsq_search",  # NEW: IVF,SQ8 — last cell of the faiss index matrix
+    "stream_semdedup_gate",  # NEW: streaming SemDeDup gate (8th incremental loop)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

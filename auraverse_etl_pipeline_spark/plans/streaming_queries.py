@@ -796,3 +796,214 @@ def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_url_frontier(urls, frontier_path=f"{root}/frontier")
     return spark.read.parquet(f"{root}/frontier")
+
+
+#: Streaming SemDeDup gate constants, shared Spark/oracle.
+_SDG_NLIST = 8
+_SDG_TAU = 0.9
+
+
+def _stream_semdedup_oracle() -> str:
+    """DuckDB replay of the full streaming SemDeDup run: day-1 corpus
+    build (sample quantizer + the batch drop rule), then each
+    micro-batch's decisions in arrival order — id anti-join, clamped
+    argmax assignment, index-wins content dedup against the members as
+    of that batch, and the batch twin's declarative centrality rule
+    within the batch."""
+    clamp = "least(CAST(1.0 AS DOUBLE), list_cosine_similarity({a}, {b}))"
+    c0 = clamp.format(a="x.v", b="y.v")
+
+    def assign(src: str, name: str) -> str:
+        cs = clamp.format(a=f"{src}.v", b="cent.centroid")
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT id, v, cell, cs FROM (
+            SELECT {src}.id, {src}.v, cent.cell, {cs} AS cs,
+                   ROW_NUMBER() OVER (PARTITION BY {src}.id
+                       ORDER BY {cs} DESC, cent.cell) AS rn
+            FROM {src} CROSS JOIN cent
+        ) WHERE rn = 1
+    )"""
+
+    def batch_round(n: int, prev_members: str) -> str:
+        return f"""
+    n{n} AS (SELECT * FROM b{n} WHERE id NOT IN (SELECT id FROM {prev_members})),
+    {assign(f"n{n}", f"a{n}").strip()},
+    i{n} AS (
+        SELECT DISTINCT x.id
+        FROM a{n} x JOIN {prev_members} y ON x.cell = y.cell
+        WHERE {c0} >= {_SDG_TAU!r}
+    ),
+    r{n} AS (SELECT * FROM a{n} WHERE id NOT IN (SELECT id FROM i{n})),
+    bl{n} AS (
+        SELECT DISTINCT CASE WHEN x.cs > y.cs THEN x.id
+                             WHEN x.cs < y.cs THEN y.id
+                             ELSE greatest(x.id, y.id) END AS id
+        FROM r{n} x JOIN r{n} y ON x.cell = y.cell AND x.id < y.id
+        WHERE {c0} >= {_SDG_TAU!r}
+    ),
+    k{n} AS (SELECT * FROM r{n} WHERE id NOT IN (SELECT id FROM bl{n})),
+    m{n} AS MATERIALIZED (
+        SELECT id, v, cell, cs FROM {prev_members}
+        UNION ALL SELECT id, v, cell, cs FROM k{n}
+    ),
+    d{n} AS (
+        SELECT id, cell, cs,
+               CASE WHEN id IN (SELECT id FROM i{n}) THEN 'index_dup'
+                    WHEN id IN (SELECT id FROM bl{n}) THEN 'batch_dup'
+                    ELSE 'kept' END AS reason
+        FROM a{n}
+    )"""
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS id, v FROM base WHERE vec_id >= 20 AND vec_id < 220),
+    cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM c ORDER BY id LIMIT {_SDG_NLIST})
+    ),
+    {assign("c", "a0").strip()},
+    bl0 AS (
+        SELECT DISTINCT CASE WHEN x.cs > y.cs THEN x.id
+                             WHEN x.cs < y.cs THEN y.id
+                             ELSE greatest(x.id, y.id) END AS id
+        FROM a0 x JOIN a0 y ON x.cell = y.cell AND x.id < y.id
+        WHERE {c0} >= {_SDG_TAU!r}
+    ),
+    m0 AS MATERIALIZED (SELECT * FROM a0 WHERE id NOT IN (SELECT id FROM bl0)),
+    b1 AS (
+        SELECT vec_id + 200000 AS id, list_transform(v, x -> x + 0.05) AS v
+        FROM base WHERE vec_id IN (20, 21)
+        UNION ALL
+        SELECT vec_id + 210000, list_reverse(v) FROM base WHERE vec_id IN (0, 1, 2)
+        UNION ALL
+        SELECT 210003, list_transform(list_reverse(v), x -> x + 0.05)
+        FROM base WHERE vec_id = 2
+        UNION ALL
+        SELECT 25, v FROM base WHERE vec_id = 25
+    ),
+    {batch_round(1, "m0").strip()},
+    b2 AS (
+        SELECT 300000 AS id, list_transform(list_reverse(v), x -> x + 0.05) AS v
+        FROM base WHERE vec_id = 0
+        UNION ALL
+        SELECT 300030, list_transform(v, x -> x + 0.05) FROM base WHERE vec_id = 30
+        UNION ALL
+        SELECT 310003, list_reverse(v) FROM base WHERE vec_id = 3
+    ),
+    {batch_round(2, "m1").strip()}
+    SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell, cs AS centroid_cos,
+           reason = 'kept' AS kept, reason
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+    """
+
+
+@query(
+    "stream_semdedup_gate",
+    oracle=_stream_semdedup_oracle(),
+    description="continuous SEMANTIC dedup (foreachBatch) - the "
+    "SemDeDup twin of stream_compaction_dedup and the eighth closed "
+    "incremental loop: a day-1 corpus index (persisted sample-"
+    "quantizer centroids + the batch drop rule's kept members) gates "
+    "arriving embedding micro-batches - clamped argmax cell "
+    "assignment against the PERSISTED centroids (no refit), "
+    "index-wins content dedup against in-cell accepted members "
+    "(already-accepted vectors are never retracted - the append-safe "
+    "streaming deviation, documented on the operator), then the batch "
+    "twin's declarative centrality rule WITHIN the batch; survivors "
+    "append into the members' cell partitions so a batch-1 survivor "
+    "catches its batch-2 near-duplicate. Fixtures force every verdict "
+    "class: corpus near-dups (index_dup), novel directions (kept), a "
+    "within-batch near-pair (batch_dup), a cross-batch near-pair "
+    "(index_dup vs a STREAMED member), and a re-ingested corpus id "
+    "(silently skipped, no decision row). DuckDB replays the build "
+    "and both batches decision-for-decision",
+)
+def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        semdedup_clusters,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 220))
+    idx = ivf_index(corpus, nlist=_SDG_NLIST, quantizer="sample")
+    verd = semdedup_clusters(corpus, threshold=_SDG_TAU, index=idx)
+    members = (
+        verd.filter("kept")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+            "centroid_cos",
+        )
+        .join(
+            corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+            "id",
+        )
+        .select("id", "v", "cell", "centroid_cos")
+    )
+    root = tempfile.mkdtemp(prefix="semdedup_stream_")
+    idx.centroids.write.parquet(f"{root}/index/centroids")
+    members.write.partitionBy("cell").parquet(f"{root}/index/members")
+    plus = lambda c: F.transform(c, lambda x: x + F.lit(0.05))
+    b1 = (
+        emb.filter(F.col("vec_id").isin(20, 21))
+        .select((F.col("vec_id") + 200000).alias("vec_id"), plus("embedding").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+                (F.col("vec_id") + 210000).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 2).select(
+                F.lit(210003).cast("bigint").alias("vec_id"),
+                plus(F.reverse("embedding")).alias("embedding"),
+            )
+        )
+        .unionByName(emb.filter(F.col("vec_id") == 25).select("vec_id", "embedding"))
+    )
+    b2 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(300000).cast("bigint").alias("vec_id"),
+            plus(F.reverse("embedding")).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 30).select(
+                F.lit(300030).cast("bigint").alias("vec_id"),
+                plus("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 3).select(
+                F.lit(310003).cast("bigint").alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+    )
+    chunks = f"{root}/chunks"
+    b1.coalesce(1).write.mode("append").parquet(chunks)
+    b2.coalesce(1).write.mode("append").parquet(chunks)
+    svec = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    run_stream_semdedup_gate(svec, index_path=f"{root}/index", threshold=_SDG_TAU)
+    return spark.read.parquet(f"{root}/index/decisions").select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        "centroid_cos",
+        "kept",
+        "reason",
+    )

@@ -760,6 +760,150 @@ def run_stream_domain_gate(
         bl.unpersist()
 
 
+def run_stream_semdedup_gate(
+    new_vectors: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_s: int = 600,
+) -> None:
+    """Continuous semantic dedup — the SemDeDup twin of
+    :func:`run_stream_dedup_compaction` (MinHash) and the eighth
+    closed incremental loop: each micro-batch of new embeddings is
+    cell-assigned against the PERSISTED centroids (no quantizer refit,
+    ever — the ``ivf_assign`` day-2 contract) and pairs ONLY against
+    the in-cell members of the persisted index (the cluster-bounded
+    SemDeDup trick, :func:`semdedup_clusters`), so a near-duplicate of
+    anything accepted in any earlier batch — or in the day-1 corpus
+    build — is caught without ever re-pairing the corpus.
+
+    Per batch, in order:
+
+    1. within-batch first-writer-wins (deterministic ``min(v)`` per
+       id),
+    2. index-wins on IDs (left-anti against the members' id
+       projection — a re-ingested id adds nothing and writes no
+       decision row),
+    3. ``ivf_assign`` against the persisted centroids (clamped
+       exact-fold cosine — engine-reproducible cells),
+    4. INDEX-WINS on content: an arrival whose clamped cosine to ANY
+       in-cell accepted member ≥ ``threshold`` is dropped with reason
+       ``index_dup`` — already-accepted members are never retracted
+       (the streaming deviation from the batch twin's symmetric
+       centrality rule: retraction is not append-safe; the batch
+       operator re-run over the full corpus remains the ground truth),
+    5. the survivors of (4) play the batch twin's DECLARATIVE
+       centrality rule among themselves (drop iff the more-central
+       member of any above-threshold in-cell within-batch pair, ties
+       to the higher id) — reason ``batch_dup``,
+    6. EAGER ``localCheckpoint`` of both deltas (the members delta is
+       derived from a scan of the path it appends into — the
+       lineage-cut gotcha pinned in tests/test_streaming.py), then
+       append survivors to ``{index_path}/members`` (partitioned by
+       cell) and every verdict to ``{index_path}/decisions``.
+
+    Scale shape: per batch the work is one batch scan, one broadcast
+    argmax (centroids: nlist rows), and a cell-keyed equality join of
+    the batch against in-cell members — batch × occupancy pairs, never
+    corpus × corpus; hot cells are the same documented skew risk as
+    the batch operator and compose with ``ivf_rebalance`` on the
+    persisted index between batches. State lives on disk in the index
+    layout, never in executor memory."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        cosine_similarity_expr,
+        ivf_assign,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = spark.read.parquet(f"{index_path}/centroids")
+        members = spark.read.parquet(f"{index_path}/members")
+        uniq = batch_df.groupBy(F.col(id_col).alias("id")).agg(
+            F.min(vec_col).alias("v")
+        )
+        uniq = uniq.join(members.select("id").distinct(), "id", "left_anti")
+        a = ivf_assign(uniq, cent, id_col="id", vec_col="v", clamp=True).cache()
+        pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v", "mv"))
+        idx_dup = (
+            a.join(
+                members.select("cell", F.col("v").alias("mv")), "cell"
+            )
+            .filter(pair_cos >= F.lit(float(threshold)))
+            .select("id")
+            .distinct()
+        )
+        rest = a.join(idx_dup.withColumn("_i", F.lit(True)), "id", "left").cache()
+        surv = rest.filter(F.col("_i").isNull()).select(
+            "id", "v", "cell", "centroid_cos"
+        )
+        left = surv.select(
+            F.col("id").alias("id1"), F.col("v").alias("v1"), "cell",
+            F.col("centroid_cos").alias("cs1"),
+        )
+        right = surv.select(
+            F.col("id").alias("id2"), F.col("v").alias("v2"), "cell",
+            F.col("centroid_cos").alias("cs2"),
+        )
+        in_batch_cos = F.least(F.lit(1.0), cosine_similarity_expr("v1", "v2"))
+        losers = (
+            left.join(right, "cell")
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(in_batch_cos >= F.lit(float(threshold)))
+            .select(
+                F.when(F.col("cs1") > F.col("cs2"), F.col("id1"))
+                .when(F.col("cs1") < F.col("cs2"), F.col("id2"))
+                .otherwise(F.greatest("id1", "id2"))
+                .alias("id")
+            )
+            .distinct()
+        )
+        verdicts = (
+            rest.join(losers.withColumn("_b", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                "cell",
+                "centroid_cos",
+                F.when(F.col("_i").isNotNull(), F.lit("index_dup"))
+                .when(F.col("_b").isNotNull(), F.lit("batch_dup"))
+                .otherwise(F.lit("kept"))
+                .alias("reason"),
+                "v",
+            )
+        )
+        decisions = verdicts.select(
+            "id", "cell", "centroid_cos", (F.col("reason") == "kept").alias("kept"),
+            "reason",
+        ).localCheckpoint()
+        delta = (
+            verdicts.filter(F.col("reason") == "kept")
+            .select("id", "v", "cell", "centroid_cos")
+            .localCheckpoint()
+        )
+        audit_batch_plan("semdedup_gate:delta", delta)
+        rest.unpersist()
+        a.unpersist()
+        delta.write.mode("append").partitionBy("cell").parquet(
+            f"{index_path}/members"
+        )
+        decisions.write.mode("append").parquet(f"{index_path}/decisions")
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_semdedup_gate_")
+    q = (
+        new_vectors.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()
+
+
 def run_stream_url_frontier(
     urls_stream: DataFrame,
     frontier_path: str,

@@ -806,3 +806,99 @@ def test_stream_url_frontier_multi_batch(spark, sf_dir, tmp_path):
         [(r,) for _, r in rows[:2] + [rows[3]]], "u string"
     ).select(canonical_url("u").alias("c")).distinct()
     assert c.count() == 1
+
+
+def test_stream_semdedup_gate_multi_batch(spark, tmp_path):
+    """The streaming SemDeDup gate end to end on hand-built geometry:
+    corpus near-dups drop as index_dup, novel directions survive, a
+    within-batch near-pair drops its MORE-central member (the batch
+    twin's rule), a batch-2 near-dup of a batch-1 STREAMED survivor
+    drops (cross-batch), a near-dup of a DROPPED batch-1 vector does
+    NOT re-drop against it (only members gate), and re-ingested ids
+    (corpus or streamed) write no decision row. Decision parity with
+    the batch twin is pinned on the arrival-more-central construction
+    (the one case where the append-safe index-wins deviation cannot
+    differ from the symmetric batch rule)."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        semdedup_clusters,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+
+    # sample quantizer nlist=2: centroids = vectors of ids 10 (+x) and
+    # 11 (+y); no corpus pair reaches tau=0.9, so day-1 keeps everyone
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.8, 0.6, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    verd = semdedup_clusters(corpus, threshold=0.9, index=idx)
+    assert all(r.kept for r in verd.collect())
+    members = (
+        verd.select("vec_id", F.col("cell").cast("int").alias("cell"), "centroid_cos")
+        .join(corpus, "vec_id")
+        .select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+            "cell", "centroid_cos",
+        )
+    )
+    root = tmp_path / "semdedup"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.write.partitionBy("cell").parquet(str(root / "members"))
+
+    batch1 = [
+        (20, [0.999, 0.01, 0.0, 0.0]),   # near-dup of centroid 10 -> index_dup
+        (21, [0.0, 0.1, 0.0, 0.995]),    # novel w-direction -> kept
+        (22, [0.0, 0.3, 0.9, 0.0]),      # within-batch pair, less central -> kept
+        (23, [0.0, 0.32, 0.9, 0.0]),     # same pair, MORE central -> batch_dup
+        (24, [0.84, 0.55, 0.0, 0.0]),    # more-central near-dup of member 12 -> index_dup
+        (11, [9.0, 9.0, 9.0, 9.0]),      # re-ingested corpus id: skipped silently
+    ]
+    batch2 = [
+        (30, [0.0, 0.31, 0.9, 0.0]),     # near-dup of STREAMED member 22 -> index_dup
+        (31, [0.0, 0.1, 0.0, -0.995]),   # anti-parallel to 21 -> novel, kept
+        (21, [9.0, 9.0, 9.0, 9.0]),      # re-ingested streamed id: skipped silently
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    chunks = tmp_path / "sem_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunks))
+        time.sleep(1.2)
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_semdedup_gate(svec, index_path=str(root), threshold=0.9)
+
+    dec = {r.id: r for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert set(dec) == {20, 21, 22, 23, 24, 30, 31}  # no rows for re-ingests
+    assert dec[20].reason == "index_dup" and not dec[20].kept
+    assert dec[21].reason == "kept" and dec[21].kept
+    assert dec[22].reason == "kept"
+    assert dec[23].reason == "batch_dup" and not dec[23].kept
+    assert dec[24].reason == "index_dup"
+    assert dec[30].reason == "index_dup"  # caught by batch-1 survivor 22
+    assert dec[31].reason == "kept"
+    mem_ids = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
+    assert mem_ids == {10, 11, 12, 21, 22, 31}
+
+    # decision parity vs the batch twin on the more-central-arrival
+    # construction: the twin over corpus+24 drops exactly 24 too
+    twin = semdedup_clusters(
+        corpus.unionByName(
+            spark.createDataFrame([(24, [0.84, 0.55, 0.0, 0.0])], schema)
+        ),
+        threshold=0.9,
+        index=idx,
+    )
+    twin_dropped = {r.vec_id for r in twin.collect() if not r.kept}
+    assert twin_dropped == {24}
