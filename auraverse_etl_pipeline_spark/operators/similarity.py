@@ -45,13 +45,43 @@ def batch_cosine(v1, v2) -> Column:
     return F.pandas_udf(_batch_cosine_fn, "double")(v1, v2)
 
 
-def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
+def _unrolled_sum(terms) -> Column:
+    """``0.0 + t1 + t2 + …`` — EXACTLY the fold's left-to-right
+    association including the leading zero (``0.0 + (-0.0)`` is
+    ``+0.0``, so dropping the init could flip a signed zero)."""
+    acc = F.lit(0.0).cast("double")
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def cosine_similarity_expr(
+    a: str | Column, b: str | Column, dim: int | None = None
+) -> Column:
     """Cosine similarity of two double-array columns as a single native
     expression (ordered left-fold → deterministic, matches DuckDB's
-    ``list_cosine_similarity`` bit-for-bit on the same arrays)."""
+    ``list_cosine_similarity`` bit-for-bit on the same arrays).
+
+    With ``dim`` given, the fold UNROLLS into a flat sum of
+    ``element_at`` terms — the same left-to-right association, so the
+    double is still bit-identical (probed: 0 diffs / 20k rows), but
+    the expression participates in whole-stage codegen, which the
+    higher-order ``aggregate``/``zip_with`` form does not
+    (CodegenFallback) — measured 1.4× on the 6.4M-row assignment
+    workload (SCALE.md r12). Callers must know the true width: under
+    ANSI mode an out-of-range ``element_at`` raises (the same
+    fixed-width contract as the SQ tier's ``transform(sequence(…))``
+    spellings)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     zero = F.lit(0.0).cast("double")
+    if dim is not None:
+        ea = [F.element_at(a, j) for j in range(1, dim + 1)]
+        eb = [F.element_at(b, j) for j in range(1, dim + 1)]
+        dot = _unrolled_sum(x * y for x, y in zip(ea, eb))
+        norm_a = F.sqrt(_unrolled_sum(x * x for x in ea))
+        norm_b = F.sqrt(_unrolled_sum(x * x for x in eb))
+        return dot / (norm_a * norm_b)
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x)
     norm_a = F.sqrt(F.aggregate(a, zero, lambda acc, x: acc + x * x))
     norm_b = F.sqrt(F.aggregate(b, zero, lambda acc, x: acc + x * x))
@@ -550,6 +580,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     clamp: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign vectors to their nearest centroid (max cosine, ties to
     the lowest cell) WITHOUT touching the quantizer — the incremental
@@ -573,7 +604,7 @@ def ivf_assign(
     labels digit-for-digit."""
     b = _as_double(batch, vec_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cent = F.broadcast(centroids.select("cell", "centroid"))
-    cos = cosine_similarity_expr("v", "centroid")
+    cos = cosine_similarity_expr("v", "centroid", dim=dim)
     if clamp:
         cos = F.least(F.lit(1.0), cos)
     scored = b.crossJoin(cent).select(
@@ -607,6 +638,7 @@ def ivf_index(
     max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> IvfIndex:
     """Build the IVF coarse quantizer + inverted file over a corpus.
 
@@ -660,7 +692,7 @@ def ivf_index(
             )
         )
         if quantizer == "sample":
-            assignments = ivf_assign(c, cent, id_col="id", vec_col="v").select(
+            assignments = ivf_assign(c, cent, id_col="id", vec_col="v", dim=dim).select(
                 "id", "v", "cell"
             )
             return IvfIndex(centroids=cent, assignments=assignments)
@@ -685,9 +717,10 @@ def ivf_index(
         # 0.1983642578125 → …813 vs …812). floor() makes sub-quantum
         # components deterministic rather than exact (bias < 2^-43).
         fx = F.lit(_LLOYD_FIXED_POINT)
+        vdim = dim if dim is not None else (len(cent_rows[0][1]) if cent_rows else None)
         for _ in range(max_iter):
             cur = spark.createDataFrame(cent_rows, schema)
-            asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True)
+            asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True, dim=vdim)
             upd = (
                 asg.select("cell", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cell", "dim")
@@ -710,7 +743,7 @@ def ivf_index(
             cent_rows = [(cell, got.get(cell, prev)) for cell, prev in cent_rows]
         cent = spark.createDataFrame(cent_rows, schema)
         c.unpersist()  # lazy consumers below re-derive from source
-        assignments = ivf_assign(c, cent, id_col="id", vec_col="v", clamp=True).select(
+        assignments = ivf_assign(c, cent, id_col="id", vec_col="v", clamp=True, dim=vdim).select(
             "id", "v", "cell"
         )
         return IvfIndex(centroids=cent, assignments=assignments)
@@ -743,6 +776,7 @@ def ivf_search(
     vec_col: str = "embedding",
     exact_fold: bool = False,
     clamp: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe an :class:`IvfIndex`: score the ``nprobe`` nearest
     centroids per query, brute-force only the vectors assigned to
@@ -777,14 +811,16 @@ def ivf_search(
     )
     probes = (
         q.crossJoin(cent_df)
-        .select("query_id", "qv", "cell", cosine_similarity_expr("qv", "centroid").alias("centroid_cos"))
+        .select("query_id", "qv", "cell", cosine_similarity_expr("qv", "centroid", dim=dim).alias("centroid_cos"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "qv", "cell")
     )
-    score = cosine_similarity_expr if exact_fold else batch_cosine
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    cos = score(F.col("qv"), F.col("cv"))
+    if exact_fold:
+        cos = cosine_similarity_expr(F.col("qv"), F.col("cv"), dim=dim)
+    else:
+        cos = batch_cosine(F.col("qv"), F.col("cv"))
     if clamp:
         cos = F.least(F.lit(1.0), cos)
     return (
@@ -796,7 +832,7 @@ def ivf_search(
     )
 
 
-def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
+def ivf_rebalance(index: IvfIndex, max_cell_size: int, dim: int | None = None) -> IvfIndex:
     """Split every over-full IVF cell in two — the day-2 maintenance
     op of a long-lived index: incremental :func:`ivf_assign` /
     ``stream_ivf_assign`` appends skew cells over time (a hot topic, a
@@ -884,7 +920,7 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int) -> IvfIndex:
             # clamp so the cross-engine argmax tie-break agrees
             # (CLAUDE.md clamp rule, same as mix_cluster_balanced).
             F.least(
-                F.lit(1.0), cosine_similarity_expr("v", "centroid")
+                F.lit(1.0), cosine_similarity_expr("v", "centroid", dim=dim)
             ).alias("c"),
         )
         .groupBy("id")
@@ -921,6 +957,7 @@ def ivf_top_k(
     max_iter: int = 8,
     quantizer: str = "kmeans",
     clamp: bool | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """One-shot IVF-flat approximate top-k: :func:`ivf_index` (KMeans
     quantizer by default; pass ``quantizer="lloyd"`` for the
@@ -937,22 +974,31 @@ def ivf_top_k(
     r9) — pass ``clamp=False`` explicitly to see the raw fold."""
     index = ivf_index(
         corpus, nlist=nlist, quantizer=quantizer, seed=seed, max_iter=max_iter,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
     return ivf_search(
         queries, index, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         exact_fold=exact_fold,
         clamp=exact_fold if clamp is None else clamp,
+        dim=dim,
     )
 
 
-def l2_sq_expr(a: str | Column, b: str | Column) -> Column:
+def l2_sq_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     """Squared Euclidean distance as a native ORDERED fold — the same
     left-to-right accumulation DuckDB's sequential list kernels use, so
     the double is bit-identical across engines (measured, not assumed:
-    see the PQ oracle tests)."""
+    see the PQ oracle tests). ``dim`` unrolls the fold into flat
+    codegen-able terms with the identical association — see
+    :func:`cosine_similarity_expr`."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        return _unrolled_sum(
+            (F.element_at(ca, j) - F.element_at(cb, j))
+            * (F.element_at(ca, j) - F.element_at(cb, j))
+            for j in range(1, dim + 1)
+        )
     return F.aggregate(
         F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1075,7 +1121,7 @@ def pq_codebooks(
                     "sub",
                     "subv",
                     "code",
-                    l2_sq_expr("subv", "centroid").alias("d"),
+                    l2_sq_expr("subv", "centroid", dim=dsub).alias("d"),
                 )
                 .groupBy("id", "sub")
                 .agg(
@@ -1163,7 +1209,7 @@ def pq_encode(
         .select("id", "sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv"))
     )
     scored = subs.join(F.broadcast(codebooks), "sub").select(
-        "id", "sub", "code", l2_sq_expr("subv", "centroid").alias("d")
+        "id", "sub", "code", l2_sq_expr("subv", "centroid", dim=dsub).alias("d")
     )
     best = F.max_by("code", F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc")))
     return scored.groupBy("id", "sub").agg(best.alias("code"))
@@ -1207,7 +1253,7 @@ def pq_search(
         q.select("query_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "qv")
         .select("query_id", "sub", F.slice("qv", F.col("sub") * dsub + 1, dsub).alias("qsub"))
         .join(F.broadcast(codebooks), "sub")
-        .select("query_id", "sub", "code", l2_sq_expr("qsub", "centroid").alias("pd"))
+        .select("query_id", "sub", "code", l2_sq_expr("qsub", "centroid", dim=dsub).alias("pd"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id"))
     return (
@@ -1259,6 +1305,10 @@ def pq_topk_rerank(
     return (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
+        # full corpus width, NOT m·dsub (trailing dim % m components
+        # are ignored by quantization but count in the exact re-rank)
+        # and not derivable from the codebooks — keep the fold on this
+        # shortlist-bounded stage
         .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1277,6 +1327,7 @@ def ivfpq_search(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the complete compressed-domain ANN pipeline. Probe the
     ``nprobe`` nearest cells per query (the :class:`IvfIndex`'s own
@@ -1310,7 +1361,7 @@ def ivfpq_search(
         q.crossJoin(cent_df)
         .select(
             "query_id", "qv", "cell",
-            cosine_similarity_expr("qv", "centroid").alias("centroid_cos"),
+            cosine_similarity_expr("qv", "centroid", dim=dim).alias("centroid_cos"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
@@ -1322,7 +1373,7 @@ def ivfpq_search(
         q.select("query_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "qv")
         .select("query_id", "sub", F.slice("qv", F.col("sub") * dsub + 1, dsub).alias("qsub"))
         .join(F.broadcast(codebooks), "sub")
-        .select("query_id", "sub", "code", l2_sq_expr("qsub", "centroid").alias("pd"))
+        .select("query_id", "sub", "code", l2_sq_expr("qsub", "centroid", dim=dsub).alias("pd"))
     )
     cand = probes.select("query_id", "cell").join(
         index.assignments.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
@@ -1352,7 +1403,7 @@ def ivfpq_search(
         short.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv", dim=dim).alias("l2_sq"))
         .withColumn("rank", F.row_number().over(rer_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
@@ -1789,7 +1840,7 @@ def sq_search(
     scored = recon.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        l2_sq_expr("qv", "rv").alias("approx_dist"),
+        l2_sq_expr("qv", "rv", dim=dim).alias("approx_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1832,7 +1883,7 @@ def sq_topk_rerank(
     return (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv", dim=dim).alias("l2_sq"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
@@ -1883,7 +1934,7 @@ def ivfsq_search(
         q.crossJoin(cent_df)
         .select(
             "query_id", "qv", "cell",
-            cosine_similarity_expr("qv", "centroid").alias("centroid_cos"),
+            cosine_similarity_expr("qv", "centroid", dim=dim).alias("centroid_cos"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
@@ -1900,7 +1951,7 @@ def ivfsq_search(
         .select("cell", "neighbor_id", _sq_recon_expr(dim).alias("rv"))
     )
     scored = probes.join(recon, "cell").select(
-        "query_id", "neighbor_id", l2_sq_expr("qv", "rv").alias("approx_dist")
+        "query_id", "neighbor_id", l2_sq_expr("qv", "rv", dim=dim).alias("approx_dist")
     )
     short_w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1921,7 +1972,7 @@ def ivfsq_search(
         short.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv", dim=dim).alias("l2_sq"))
         .withColumn("rank", F.row_number().over(rer_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
@@ -1936,6 +1987,7 @@ def semdedup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: "IvfIndex | None" = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) with the paper's CLUSTER-BOUNDED
     pairing: k-means cells bound the O(n²) — pairs only form INSIDE a
@@ -1977,8 +2029,11 @@ def semdedup_clusters(
             max_iter=max_iter,
             id_col=id_col,
             vec_col=vec_col,
+            dim=dim,
         )
-    a = ivf_assign(corpus, index.centroids, id_col=id_col, vec_col=vec_col, clamp=True).cache()
+    a = ivf_assign(
+        corpus, index.centroids, id_col=id_col, vec_col=vec_col, clamp=True, dim=dim
+    ).cache()
     left = a.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), "cell",
         F.col("centroid_cos").alias("cs1"),
@@ -1987,7 +2042,7 @@ def semdedup_clusters(
         F.col("id").alias("id2"), F.col("v").alias("v2"), "cell",
         F.col("centroid_cos").alias("cs2"),
     )
-    pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v1", "v2"))
+    pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v1", "v2", dim=dim))
     pairs = (
         left.join(right, "cell")
         .filter(F.col("id1") < F.col("id2"))

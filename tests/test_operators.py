@@ -3561,3 +3561,62 @@ def test_semdedup_drops_central_member_within_cells(spark):
         kept_id = a if out[a].kept else b
         drop_id = b if out[a].kept else a
         assert out[kept_id].centroid_cos <= out[drop_id].centroid_cos
+
+
+def test_distance_kernels_unrolled_bit_parity(spark, sf_dir):
+    """The dim-unrolled spellings of cosine_similarity_expr and
+    l2_sq_expr are BIT-IDENTICAL to the HOF folds on real embedding
+    pairs (same left-to-right association including the leading 0.0 —
+    a dropped init could flip a signed zero). The unrolled form is the
+    volume knob (SCALE.md r12): codegen-able where the fold is
+    CodegenFallback, but it pays a large janino compile per distinct
+    plan and can exceed the 64 KB method limit inside join consume
+    functions — so registry queries keep the fold and callers opt in
+    via dim=."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        cosine_similarity_expr,
+        l2_sq_expr,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = emb.alias("a").crossJoin(
+        emb.alias("b").select(
+            F.col("vec_id").alias("vid2"), F.col("v").alias("v2")
+        )
+    ).limit(5000)
+    diffs = pairs.select(
+        (
+            cosine_similarity_expr("v", "v2") == cosine_similarity_expr("v", "v2", dim=64)
+        ).alias("c_eq"),
+        (l2_sq_expr("v", "v2") == l2_sq_expr("v", "v2", dim=64)).alias("l_eq"),
+    ).filter("NOT c_eq OR NOT l_eq")
+    assert diffs.count() == 0
+
+
+def test_ivf_assign_dim_knob_identical_cells(spark, sf_dir):
+    """ivf_assign(dim=64) returns byte-identical assignments to the
+    fold path — the knob changes the expression spelling, never a cell
+    or a cosine."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(emb.filter("vec_id >= 10"), nlist=8, quantizer="sample")
+    batch = emb.filter("vec_id < 10")
+    fold = sorted(
+        (r.id, r.cell, r.centroid_cos)
+        for r in ivf_assign(batch, idx.centroids, clamp=True).collect()
+    )
+    unrolled = sorted(
+        (r.id, r.cell, r.centroid_cos)
+        for r in ivf_assign(batch, idx.centroids, clamp=True, dim=64).collect()
+    )
+    assert fold == unrolled
