@@ -717,7 +717,7 @@ def ivf_index(
         # 0.1983642578125 → …813 vs …812). floor() makes sub-quantum
         # components deterministic rather than exact (bias < 2^-43).
         fx = F.lit(_LLOYD_FIXED_POINT)
-        vdim = dim if dim is not None else (len(cent_rows[0][1]) if cent_rows else None)
+        vdim = dim  # unroll only when the caller opted in (SCALE.md r12)
         for _ in range(max_iter):
             cur = spark.createDataFrame(cent_rows, schema)
             asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True, dim=vdim)
@@ -1840,7 +1840,7 @@ def sq_search(
     scored = recon.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        l2_sq_expr("qv", "rv", dim=dim).alias("approx_dist"),
+        l2_sq_expr("qv", "rv").alias("approx_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1883,7 +1883,7 @@ def sq_topk_rerank(
     return (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv", dim=dim).alias("l2_sq"))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
@@ -1934,7 +1934,7 @@ def ivfsq_search(
         q.crossJoin(cent_df)
         .select(
             "query_id", "qv", "cell",
-            cosine_similarity_expr("qv", "centroid", dim=dim).alias("centroid_cos"),
+            cosine_similarity_expr("qv", "centroid").alias("centroid_cos"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
@@ -1951,7 +1951,7 @@ def ivfsq_search(
         .select("cell", "neighbor_id", _sq_recon_expr(dim).alias("rv"))
     )
     scored = probes.join(recon, "cell").select(
-        "query_id", "neighbor_id", l2_sq_expr("qv", "rv", dim=dim).alias("approx_dist")
+        "query_id", "neighbor_id", l2_sq_expr("qv", "rv").alias("approx_dist")
     )
     short_w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1972,7 +1972,7 @@ def ivfsq_search(
         short.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv", dim=dim).alias("l2_sq"))
+        .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
         .withColumn("rank", F.row_number().over(rer_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_sq")
