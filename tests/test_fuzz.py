@@ -1714,3 +1714,173 @@ def test_sq8_matches_pure_python_model(spark):
         assert got_d == want
 
     prop()
+
+
+def test_stream_semdedup_gate_matches_pure_python(spark, tmp_path):
+    """Property: the streaming SemDeDup gate's every verdict equals a
+    pure-Python replica of the exact arithmetic — sample-quantizer
+    argmax (clamped sequential-fold cosine, ties to the lowest cell),
+    day-1 batch drop rule (more-central member of any above-threshold
+    in-cell pair, ties to the higher id), then per batch: id anti-join,
+    index-wins content dedup against members as of that batch, the
+    within-batch centrality rule, members append — on randomized
+    dyadic corpora with planted exact and perturbed duplicates."""
+    import pyspark.sql.functions as F
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        semdedup_clusters,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+
+    DIM, TAU, NLIST = 4, 0.9, 2
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        import math
+        return min(1.0, dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    def assign(v, cents):
+        scored = [(cos(v, c), -cell) for cell, c in cents]
+        best = max(scored)
+        return -best[1], best[0]
+
+    def batch_losers(assigned):
+        # assigned: {id: (cell, cs, v)}; declarative more-central rule
+        losers = set()
+        ids = sorted(assigned)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ca, cb = assigned[a], assigned[b]
+                if ca[0] != cb[0]:
+                    continue
+                if cos(ca[2], cb[2]) < TAU:
+                    continue
+                if ca[1] > cb[1]:
+                    losers.add(a)
+                elif ca[1] < cb[1]:
+                    losers.add(b)
+                else:
+                    losers.add(max(a, b))
+        return losers
+
+    comp = st.integers(min_value=-64, max_value=64).map(lambda v: v / 64.0)
+    vec = st.lists(comp, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0.0 for x in v)
+    )
+    # each arrival: (source index into the pool, perturbation step)
+    arr = st.tuples(st.integers(0, 7), st.integers(0, 3))
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        corpus=st.lists(vec, min_size=4, max_size=6),
+        b1=st.lists(arr, min_size=1, max_size=3),
+        b2=st.lists(arr, min_size=1, max_size=3),
+        data=st.data(),
+    )
+    def prop(corpus, b1, b2, data):
+        import shutil
+        import time
+        import uuid
+
+        pool = corpus + [[x + 0.015625 for x in v] for v in corpus]
+
+        def build_batch(spec, base_id):
+            rows = []
+            for i, (src, step) in enumerate(spec):
+                v = pool[src % len(pool)]
+                rows.append(
+                    (base_id + i, [x + step * 0.03125 for x in v])
+                )
+            return rows
+
+        rows1 = build_batch(b1, 1000)
+        rows2 = build_batch(b2, 2000)
+        cdf = spark.createDataFrame(
+            list(enumerate(corpus)), "vec_id bigint, embedding array<double>"
+        )
+        idx = ivf_index(cdf, nlist=NLIST, quantizer="sample")
+        verd = semdedup_clusters(cdf, threshold=TAU, index=idx)
+        members_df = (
+            verd.filter("kept")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"), "centroid_cos")
+            .join(cdf, "vec_id")
+            .select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+                "cell", "centroid_cos",
+            )
+        )
+        root = tmp_path / f"gate_{uuid.uuid4().hex[:8]}"
+        idx.centroids.write.parquet(str(root / "centroids"))
+        members_df.write.partitionBy("cell").parquet(str(root / "members"))
+        schema = "vec_id bigint, embedding array<double>"
+        chunks = root / "chunks"
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(chunks))
+            time.sleep(1.1)
+        svec = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+        )
+        run_stream_semdedup_gate(svec, index_path=str(root), threshold=TAU)
+        got = {
+            r.id: (r.cell, r.reason)
+            for r in spark.read.parquet(str(root / "decisions")).collect()
+        }
+
+        # ---- pure-Python replica ----
+        cents = sorted(
+            (cell, list(c))
+            for cell, c in (
+                (i, corpus[i]) for i in range(min(NLIST, len(corpus)))
+            )
+        )
+        assigned0 = {}
+        for vid, v in enumerate(corpus):
+            cell, cs = assign(v, cents)
+            assigned0[vid] = (cell, cs, v)
+        members = {
+            vid: assigned0[vid]
+            for vid in assigned0
+            if vid not in batch_losers(assigned0)
+        }
+        want = {}
+        for rows in (rows1, rows2):
+            batch = {}
+            for vid, v in rows:
+                if vid in members or vid in batch:
+                    continue  # id anti-join (re-ingest / within-batch dup id)
+                cell, cs = assign(v, cents)
+                batch[vid] = (cell, cs, v)
+            survivors = {}
+            for vid, (cell, cs, v) in batch.items():
+                if any(
+                    m[0] == cell and cos(v, m[2]) >= TAU for m in members.values()
+                ):
+                    want[vid] = (cell, "index_dup")
+                else:
+                    survivors[vid] = (cell, cs, v)
+            dropped = batch_losers(survivors)
+            for vid, (cell, cs, v) in survivors.items():
+                if vid in dropped:
+                    want[vid] = (cell, "batch_dup")
+                else:
+                    want[vid] = (cell, "kept")
+                    members[vid] = (cell, cs, v)
+        assert got == want, (got, want)
+        shutil.rmtree(root, ignore_errors=True)
+
+    prop()
