@@ -816,9 +816,20 @@ def run_stream_semdedup_gate(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         spark = batch_df.sparkSession
         cent = spark.read.parquet(f"{index_path}/centroids")
-        members = spark.read.parquet(f"{index_path}/members")
+        try:
+            members = spark.read.parquet(f"{index_path}/members")
+        except AnalysisException:
+            # fresh gate: centroids only, nothing accepted yet — the
+            # first batch plays the within-batch rule against itself
+            # (same posture as run_stream_ivf_assign's fresh index)
+            members = spark.createDataFrame(
+                [],
+                "id bigint, v array<double>, centroid_cos double, cell int",
+            )
         uniq = batch_df.groupBy(F.col(id_col).alias("id")).agg(
             F.min(vec_col).alias("v")
         )

@@ -902,3 +902,41 @@ def test_stream_semdedup_gate_multi_batch(spark, tmp_path):
     )
     twin_dropped = {r.vec_id for r in twin.collect() if not r.kept}
     assert twin_dropped == {24}
+
+
+def test_stream_semdedup_gate_fresh_index(spark, tmp_path):
+    """A gate started with centroids only (no members written yet)
+    must not throw: batch 1 plays the within-batch rule against
+    itself, its survivors found the members table, and batch 2 gates
+    against them — the fresh-index posture of the other loops."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "fresh"
+    idx.centroids.write.parquet(str(root / "centroids"))  # NO members
+    batch1 = [(20, [0.0, 0.3, 0.9, 0.0]), (21, [0.0, 0.32, 0.9, 0.0])]
+    batch2 = [(30, [0.0, 0.31, 0.9, 0.0])]
+    schema = "vec_id bigint, embedding array<double>"
+    chunks = tmp_path / "fresh_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunks))
+        time.sleep(1.2)
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_semdedup_gate(svec, index_path=str(root), threshold=0.9)
+    dec = {r.id: r.reason for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert dec == {20: "kept", 21: "batch_dup", 30: "index_dup"}
+    mem_ids = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
+    assert mem_ids == {20}
