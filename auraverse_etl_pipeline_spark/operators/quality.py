@@ -45,6 +45,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from auraverse_etl_pipeline_spark.operators.bloom import (
+    BLOCKLIST_NUM_BITS,
+    BLOCKLIST_NUM_HASHES,
+)
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 
 
@@ -798,8 +802,8 @@ def domain_blocklist_funnel(
     uri_col: str = "target_uri",
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_bits: int = 63 * 16,
-    num_hashes: int = 5,
+    num_bits: int = BLOCKLIST_NUM_BITS,
+    num_hashes: int = BLOCKLIST_NUM_HASHES,
 ) -> DataFrame:
     """The domain-blocklist gate as a funnel stage — the curation step
     that consumes a (potentially huge) blocked-domain list through the

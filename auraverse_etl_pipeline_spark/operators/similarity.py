@@ -1939,7 +1939,9 @@ def ivfsq_search(
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "qv", "cell")
-    )
+    ).cache()  # feeds the probed-cell semi-join AND the scored join —
+    # uncached, the queries×centroids crossJoin and its rank window
+    # execute twice per action (the multi-consumer cache rule)
     # Decode once per member of any probed cell (a vector lives in
     # exactly one cell), never per (query, neighbor) candidate pair.
     probed_cells = probes.select("cell").distinct()
@@ -1960,22 +1962,27 @@ def ivfsq_search(
         scored.withColumn("rank", F.row_number().over(short_w))
         .filter(F.col("rank") <= (shortlist if corpus is not None else k))
     )
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
     if corpus is None:
-        return short.select("query_id", "neighbor_id", "rank", "approx_dist")
+        return release_after(
+            short.select("query_id", "neighbor_id", "rank", "approx_dist"), probes
+        )
     c = _as_double(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     rer_w = Window.partitionBy("query_id").orderBy(
         F.col("l2_sq").asc(), F.col("neighbor_id")
     )
-    return (
+    return release_after(
         short.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", l2_sq_expr("qv", "cv").alias("l2_sq"))
         .withColumn("rank", F.row_number().over(rer_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "l2_sq")
+        .select("query_id", "neighbor_id", "rank", "l2_sq"),
+        probes,
     )
 
 

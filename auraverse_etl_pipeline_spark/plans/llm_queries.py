@@ -7209,7 +7209,10 @@ def sim_ivfsq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     split AS (
-        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM docs2
+        -- COALESCE mirrors dedup_paragraphs' NULL-text passthrough (a
+        -- NULL split yields zero unnest rows and the doc would vanish)
+        SELECT doc_id, string_split(COALESCE(text, ''), chr(10) || chr(10)) AS ps
+        FROM docs2
     ),
     p AS (
         SELECT doc_id, pos, ps[pos] AS para

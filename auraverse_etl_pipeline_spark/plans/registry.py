@@ -79,6 +79,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # rewrites-after-green land here as the round progresses.
     "sim_ivfsq_search",  # NEW: IVF,SQ8 — last cell of the faiss index matrix
     "stream_semdedup_gate",  # NEW: streaming SemDeDup gate (8th incremental loop)
+    "text_paragraph_dedup",  # REWRITTEN: oracle NULL-text coalesce aligned with the operator
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

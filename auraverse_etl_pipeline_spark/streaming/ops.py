@@ -29,6 +29,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from auraverse_etl_pipeline_spark.operators.bloom import (
+    BLOCKLIST_NUM_BITS,
+    BLOCKLIST_NUM_HASHES,
+)
 from auraverse_etl_pipeline_spark.plans.analytics import dsum
 from auraverse_etl_pipeline_spark.streaming.runner import (
     audit_batch_plan,
@@ -685,8 +689,8 @@ def run_stream_domain_gate(
     docs_stream: DataFrame,
     blocked_domains: list[str],
     decisions_path: str,
-    num_bits: int = 63 * 16,
-    num_hashes: int = 5,
+    num_bits: int = BLOCKLIST_NUM_BITS,
+    num_hashes: int = BLOCKLIST_NUM_HASHES,
     timeout_s: int = 600,
 ) -> None:
     """Streaming domain-blocklist gate — the stream twin of

@@ -3505,7 +3505,7 @@ def test_paragraph_dedup_null_text_passes_through(spark):
     assert got[1].text == "real paragraph" and got[3].text == ""
 
 
-def test_semdedup_prebuilt_index_matches_default_build(spark):
+def test_semdedup_prebuilt_index_matches_default_build(spark, sf_dir):
     """semdedup_clusters(index=...) with the index the default path
     would have built returns identical verdicts — the prebuilt-index
     day-2 contract (quantizer amortized across runs, rebalance
@@ -3515,10 +3515,8 @@ def test_semdedup_prebuilt_index_matches_default_build(spark):
         semdedup_clusters,
     )
     from auraverse_etl_pipeline_spark.sources.tables import load_table
-    import os
 
-    sf = os.environ.get("AURAVERSE_TEST_SF", "sf0.001")
-    emb = load_table(spark, f"/root/testdata/{sf}", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     default = sorted(
         (r.vec_id, r.cell, r.kept)
         for r in semdedup_clusters(emb, nlist=4, threshold=0.9, max_iter=2).collect()
