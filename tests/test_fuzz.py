@@ -1884,3 +1884,111 @@ def test_stream_semdedup_gate_matches_pure_python(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
     prop()
+
+
+def test_ivfsq_matches_pure_python_model(spark):
+    """Property: IVF,SQ8 equals a pure-Python replica of the exact
+    arithmetic on randomized dyadic corpora — sample-quantizer cells,
+    clamped sequential-fold probe ranking (ties to the lowest cell),
+    SQ8 encode/decode (floor/clamp byte codes against per-dim min/max),
+    the asymmetric sequential-fold L2² shortlist over probed cells
+    only, and the exact re-rank (ties to the lowest neighbor id)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfsq_search,
+        sq_encode,
+        sq_stats,
+    )
+
+    DIM, NLIST, NPROBE, K, SHORT = 4, 2, 1, 2, 3
+
+    def fold(terms):
+        acc = 0.0
+        for t in terms:
+            acc = acc + t
+        return acc
+
+    def cos(a, b):
+        dot = fold(x * y for x, y in zip(a, b))
+        na = math.sqrt(fold(x * x for x in a))
+        nb = math.sqrt(fold(y * y for y in b))
+        return dot / (na * nb)
+
+    def l2(a, b):
+        return fold((x - y) * (x - y) for x, y in zip(a, b))
+
+    comp = st.integers(min_value=-64, max_value=64).map(lambda v: v / 64.0)
+    vec = st.lists(comp, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0.0 for x in v)
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        corpus=st.lists(vec, min_size=5, max_size=9),
+        queries=st.lists(vec, min_size=1, max_size=2),
+    )
+    def prop(corpus, queries):
+        crows = [(i + 10, v) for i, v in enumerate(corpus)]
+        qrows = [(i, v) for i, v in enumerate(queries)]
+        cdf = spark.createDataFrame(crows, "vec_id bigint, embedding array<double>")
+        qdf = spark.createDataFrame(qrows, "vec_id bigint, embedding array<double>")
+        idx = ivf_index(cdf, nlist=NLIST, quantizer="sample")
+        stats = sq_stats(cdf).cache()
+        codes = sq_encode(cdf, stats, dim=DIM)
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.l2_sq)
+            for r in ivfsq_search(
+                qdf, idx, codes, stats, corpus=cdf,
+                k=K, nprobe=NPROBE, shortlist=SHORT, dim=DIM,
+            ).collect()
+        )
+        stats.unpersist()
+
+        # ---- pure-Python replica ----
+        cents = [(cell, crows[cell][1]) for cell in range(min(NLIST, len(crows)))]
+        assigned = {}
+        for vid, v in crows:
+            best = max((min(1.0, cos(v, c)), -cell) for cell, c in cents)
+            assigned[vid] = -best[1]
+        vmin = [min(v[j] for _, v in crows) for j in range(DIM)]
+        vmax = [max(v[j] for _, v in crows) for j in range(DIM)]
+
+        def code(v):
+            out = []
+            for j in range(DIM):
+                if vmax[j] == vmin[j]:
+                    c = 0
+                else:
+                    c = int(math.floor((v[j] - vmin[j]) * 255.0 / (vmax[j] - vmin[j])))
+                    c = min(255, max(0, c))
+                out.append(c - 128)
+            return out
+
+        def recon(cd):
+            return [
+                vmin[j] + (cd[j] + 128.0) * (vmax[j] - vmin[j]) / 255.0
+                for j in range(DIM)
+            ]
+
+        want = []
+        for qid, qv in qrows:
+            probe = sorted(
+                ((min(1.0, cos(qv, c)), -cell) for cell, c in cents), reverse=True
+            )[:NPROBE]
+            cells = {-x[1] for x in probe}
+            cand = [
+                (l2(qv, recon(code(v))), vid)
+                for vid, v in crows
+                if assigned[vid] in cells
+            ]
+            short = [vid for _, vid in sorted(cand)[:SHORT]]
+            rer = sorted((l2(qv, dict(crows)[vid]), vid) for vid in short)
+            for rank, (d, vid) in enumerate(rer[:K], start=1):
+                want.append((qid, rank, vid, d))
+        assert got == sorted(want), (got, sorted(want))
+
+    prop()
