@@ -7194,7 +7194,10 @@ def sim_ivfsq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, idx, codes, stats, corpus=corpus,
         k=5, nprobe=_IVF_NPROBE, shortlist=_SQ_SHORTLIST, dim=_SQ_DIM,
     )
-    return release_after(out.withColumn("rank", F.col("rank").cast("bigint")), stats)
+    # chain out's own handle (the operator's probes cache) alongside stats
+    return release_after(
+        out.withColumn("rank", F.col("rank").cast("bigint")), stats, out
+    )
 
 
 @query(

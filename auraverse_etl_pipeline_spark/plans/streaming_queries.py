@@ -993,22 +993,13 @@ def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = f"{root}/chunks"
     # The DECISIONS depend on batch order (a b1 survivor gates its b2
-    # near-dup) and the oracle hard-codes b1-before-b2, but the file
-    # source orders pending files by MODIFICATION TIME — back-to-back
-    # writes can collide on coarse-mtime filesystems and flip the
-    # batches. Pin distinct mtimes explicitly (no sleeps).
-    import glob as _glob
-    import os as _os
+    # near-dup) and the oracle hard-codes b1-before-b2 — stage with
+    # pinned mtimes (no sleeps; see stage_ordered_batches).
+    from auraverse_etl_pipeline_spark.streaming.sources import (
+        stage_ordered_batches,
+    )
 
-    b1.coalesce(1).write.mode("append").parquet(chunks)
-    first = set(_glob.glob(f"{chunks}/part-*"))
-    b2.coalesce(1).write.mode("append").parquet(chunks)
-    second = set(_glob.glob(f"{chunks}/part-*")) - first
-    t0 = _os.stat(next(iter(first))).st_mtime
-    for f in first:
-        _os.utime(f, (t0, t0))
-    for f in second:
-        _os.utime(f, (t0 + 10, t0 + 10))
+    stage_ordered_batches([b1, b2], chunks)
     svec = (
         spark.readStream.schema("vec_id bigint, embedding array<double>")
         .option("maxFilesPerTrigger", 1)

@@ -116,3 +116,27 @@ def stream_documents(
     table = os.path.join(path, "documents.parquet")
     stream_dir = _as_stream_dir(table) if os.path.exists(table) else path
     return reader.parquet(stream_dir)
+
+
+def stage_ordered_batches(batches, path: str) -> None:
+    """Stage DataFrames as one parquet part file each under ``path``
+    with strictly increasing, explicitly PINNED mtimes — the file
+    stream source orders pending files by MODIFICATION time, so
+    back-to-back writes can collide on coarse-mtime filesystems and
+    replay micro-batches out of order. Order-sensitive fixtures (a
+    batch-1 survivor must gate its batch-2 near-duplicate) stage
+    through this instead of sleeping between writes."""
+    import glob
+    import os
+
+    seen: set[str] = set()
+    groups = []
+    for df in batches:
+        df.coalesce(1).write.mode("append").parquet(path)
+        now = set(glob.glob(f"{path}/part-*"))
+        groups.append(now - seen)
+        seen = now
+    t0 = os.stat(next(iter(groups[0]))).st_mtime
+    for i, grp in enumerate(groups):
+        for f in grp:
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))

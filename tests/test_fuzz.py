@@ -1790,7 +1790,6 @@ def test_stream_semdedup_gate_matches_pure_python(spark, tmp_path):
     )
     def prop(corpus, b1, b2, data):
         import shutil
-        import time
         import uuid
 
         pool = corpus + [[x + 0.015625 for x in v] for v in corpus]
@@ -1823,13 +1822,16 @@ def test_stream_semdedup_gate_matches_pure_python(spark, tmp_path):
         root = tmp_path / f"gate_{uuid.uuid4().hex[:8]}"
         idx.centroids.write.parquet(str(root / "centroids"))
         members_df.write.partitionBy("cell").parquet(str(root / "members"))
+        from auraverse_etl_pipeline_spark.streaming.sources import (
+            stage_ordered_batches,
+        )
+
         schema = "vec_id bigint, embedding array<double>"
         chunks = root / "chunks"
-        for rows in (rows1, rows2):
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(str(chunks))
-            time.sleep(1.1)
+        stage_ordered_batches(
+            [spark.createDataFrame(rows, schema) for rows in (rows1, rows2)],
+            str(chunks),
+        )
         svec = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -1939,13 +1941,14 @@ def test_ivfsq_matches_pure_python_model(spark):
         idx = ivf_index(cdf, nlist=NLIST, quantizer="sample")
         stats = sq_stats(cdf).cache()
         codes = sq_encode(cdf, stats, dim=DIM)
-        got = sorted(
-            (r.query_id, r.rank, r.neighbor_id, r.l2_sq)
-            for r in ivfsq_search(
-                qdf, idx, codes, stats, corpus=cdf,
-                k=K, nprobe=NPROBE, shortlist=SHORT, dim=DIM,
-            ).collect()
+        out = ivfsq_search(
+            qdf, idx, codes, stats, corpus=cdf,
+            k=K, nprobe=NPROBE, shortlist=SHORT, dim=DIM,
         )
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.l2_sq) for r in out.collect()
+        )
+        out.release_caches()  # the operator's probes cache
         stats.unpersist()
 
         # ---- pure-Python replica ----

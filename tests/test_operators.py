@@ -1970,12 +1970,14 @@ def test_ivfsq_full_probe_equals_sq_rerank(spark, sf_dir):
     a = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
     b = sorted((r.query_id, r.neighbor_id, r.rank) for r in ref.collect())
     assert a == b
+    full.release_caches()
     part = ivfsq_search(
         queries, idx, codes, stats, corpus=corpus, k=5, nprobe=8, shortlist=50
     )
     got = {}
     for r in part.collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    part.release_caches()
     want = {}
     for r in b:
         want.setdefault(r[0], set()).add(r[1])

@@ -865,13 +865,14 @@ def test_stream_semdedup_gate_multi_batch(spark, tmp_path):
         (31, [0.0, 0.1, 0.0, -0.995]),   # anti-parallel to 21 -> novel, kept
         (21, [9.0, 9.0, 9.0, 9.0]),      # re-ingested streamed id: skipped silently
     ]
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
     schema = "vec_id bigint, embedding array<double>"
     chunks = tmp_path / "sem_chunks"
-    for rows in (batch1, batch2):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(chunks))
-        time.sleep(1.2)
+    stage_ordered_batches(
+        [spark.createDataFrame(rows, schema) for rows in (batch1, batch2)],
+        str(chunks),
+    )
     svec = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -923,13 +924,14 @@ def test_stream_semdedup_gate_fresh_index(spark, tmp_path):
     idx.centroids.write.parquet(str(root / "centroids"))  # NO members
     batch1 = [(20, [0.0, 0.3, 0.9, 0.0]), (21, [0.0, 0.32, 0.9, 0.0])]
     batch2 = [(30, [0.0, 0.31, 0.9, 0.0])]
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
     schema = "vec_id bigint, embedding array<double>"
     chunks = tmp_path / "fresh_chunks"
-    for rows in (batch1, batch2):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(chunks))
-        time.sleep(1.2)
+    stage_ordered_batches(
+        [spark.createDataFrame(rows, schema) for rows in (batch1, batch2)],
+        str(chunks),
+    )
     svec = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
