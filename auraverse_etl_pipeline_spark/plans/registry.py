@@ -74,12 +74,9 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   window, so round 12 ran as a consolidation round — every new
 #:   query spills one more r8 name to round 13.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 12 start: CORRECTNESS_r11.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red). Round-12 new queries and
+    # round 13 start: CORRECTNESS_r12.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red). Round-13 new queries and
     # rewrites-after-green land here as the round progresses.
-    "sim_ivfsq_search",  # NEW: IVF,SQ8 — last cell of the faiss index matrix
-    "stream_semdedup_gate",  # NEW: streaming SemDeDup gate (8th incremental loop)
-    "text_paragraph_dedup",  # REWRITTEN: oracle NULL-text coalesce aligned with the operator
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -87,61 +84,13 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 7
-    "q22_asof_last_order": 7,
-    "q23_events_json_extract": 7,
-    "q24_user_sessions": 7,
-    "q25_salted_flag_totals": 7,
-    "q52_duplicate_lineage": 7,
-    "q53_cohort_retention": 7,
     # round 8
-    "dedup_cluster_representatives": 8,
-    "dedup_connected_components": 8,
-    "dedup_corpus_clean": 8,
-    "dedup_decontaminate": 8,
-    "dedup_embedding_cosine": 8,
-    "dedup_exact_groups": 8,
-    "dedup_exact_stats": 8,
-    "dedup_ngram_jaccard": 8,
-    "dedup_simhash_pairs": 8,
-    "ingest_warc_roundtrip": 8,
-    "q26_range_join_daytime_events": 8,
-    "q27_rollup_cascade_daily": 8,
-    "q29_sliding_event_windows": 8,
-    "q30_grouping_sets_revenue": 8,
-    "q31_pivot_daily_event_matrix": 8,
-    "q32_variant_json_extract": 8,
-    "q33_hll_sketch_union": 8,
-    "q34_full_outer_user_reconciliation": 8,
-    "q35_profile_orders": 8,
-    "q36_trailing_7day_revenue": 8,
-    "q37_percentile_ladder": 8,
-    "q38_changeset_apply": 8,
-    "q39_scd2_history": 8,
-    "q40_referential_audit": 8,
-    "q41_unpivot_metrics": 8,
-    "q42_customer_value_distribution": 8,
-    "q43_exact_correlation": 8,
     "q44_global_ids": 8,
     "q45_messy_date_ladder": 8,
     "q46_approx_percentile_scale_path": 8,
     "q47_cascade_delete_audit": 8,
     "q48_gap_filled_daily_revenue": 8,
     "q49_shuffled_hash_strategy": 8,
-    "sim_ivf_rebalance": 8,
-    "sim_topk_cosine": 8,
-    "stream_lm_quality_gate": 8,
-    "text_bpe_token_budget": 8,
-    "text_fingerprints": 8,
-    "text_lang_guess": 8,
-    "text_length_histogram": 8,
-    "text_pii_redaction": 8,
-    "text_quality_scores": 8,
-    "text_rare_bigram_filter": 8,
-    "text_repeated_ngrams": 8,
-    "text_repetition_filter": 8,
-    "text_token_stats": 8,
-    "text_vocab_topk": 8,
     # round 9
     "dedup_bloom_audit": 9,
     "dedup_bloom_bits": 9,
@@ -285,7 +234,57 @@ _LAST_GREEN = {
     "text_lm_perplexity": 11,
     "text_pack_manifest": 11,
     "text_pack_sequences": 11,
-    "text_paragraph_dedup": 11,
+    # round 12
+    "dedup_cluster_representatives": 12,
+    "dedup_connected_components": 12,
+    "dedup_corpus_clean": 12,
+    "dedup_decontaminate": 12,
+    "dedup_embedding_cosine": 12,
+    "dedup_exact_groups": 12,
+    "dedup_exact_stats": 12,
+    "dedup_ngram_jaccard": 12,
+    "dedup_simhash_pairs": 12,
+    "ingest_warc_roundtrip": 12,
+    "q22_asof_last_order": 12,
+    "q23_events_json_extract": 12,
+    "q24_user_sessions": 12,
+    "q25_salted_flag_totals": 12,
+    "q26_range_join_daytime_events": 12,
+    "q27_rollup_cascade_daily": 12,
+    "q29_sliding_event_windows": 12,
+    "q30_grouping_sets_revenue": 12,
+    "q31_pivot_daily_event_matrix": 12,
+    "q32_variant_json_extract": 12,
+    "q33_hll_sketch_union": 12,
+    "q34_full_outer_user_reconciliation": 12,
+    "q35_profile_orders": 12,
+    "q36_trailing_7day_revenue": 12,
+    "q37_percentile_ladder": 12,
+    "q38_changeset_apply": 12,
+    "q39_scd2_history": 12,
+    "q40_referential_audit": 12,
+    "q41_unpivot_metrics": 12,
+    "q42_customer_value_distribution": 12,
+    "q43_exact_correlation": 12,
+    "q52_duplicate_lineage": 12,
+    "q53_cohort_retention": 12,
+    "sim_ivf_rebalance": 12,
+    "sim_ivfsq_search": 12,
+    "sim_topk_cosine": 12,
+    "stream_lm_quality_gate": 12,
+    "stream_semdedup_gate": 12,
+    "text_bpe_token_budget": 12,
+    "text_fingerprints": 12,
+    "text_lang_guess": 12,
+    "text_length_histogram": 12,
+    "text_paragraph_dedup": 12,
+    "text_pii_redaction": 12,
+    "text_quality_scores": 12,
+    "text_rare_bigram_filter": 12,
+    "text_repeated_ngrams": 12,
+    "text_repetition_filter": 12,
+    "text_token_stats": 12,
+    "text_vocab_topk": 12,
 }
 
 
