@@ -944,6 +944,46 @@ def ivf_rebalance(index: IvfIndex, max_cell_size: int, dim: int | None = None) -
     )
 
 
+def ivf_occupancy(assignments: DataFrame, cap: int) -> DataFrame:
+    """Per-cell occupancy audit over a persisted IVF inverted file —
+    the measurement that decides when :func:`ivf_rebalance` fires.
+    The incremental write paths (:func:`ivf_assign`, the
+    ``stream_ivf_assign`` / ``stream_semdedup_gate`` loops) skew cells
+    over time, and an oversized cell makes every probe that hits it
+    scan ``occupancy`` vectors; rebalancing "between batches" (the
+    gate's documented advice) needs a trigger signal, not a guess.
+    The vector twin of :func:`~auraverse_etl_pipeline_spark.operators.
+    dedup.hot_buckets` — same audit-before-you-cap discipline.
+
+    Output, one row per occupied cell: (cell, n_members, max_members,
+    med_members, skew_ratio = n_members/median, over_cap = n_members >
+    ``cap``) — ``cap`` is the same absolute ``max_cell_size`` you
+    would hand :func:`ivf_rebalance`, so the over-cap list IS the set
+    of cells the next rebalance pass will split.
+
+    Shape: one fixed-width count aggregate over the assignments (the
+    only corpus-sized input; at scale this is a scan of the cell-
+    partitioned index — column-pruned to the partition column), then a
+    1-row stats frame (max/median over nlist rows) broadcast back over
+    the per-cell counts — the pinned 1-row-stat-fold BNLJ pattern,
+    never a data×data pair."""
+    occ = assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    stats = occ.agg(
+        F.max("n_members").alias("max_members"),
+        F.percentile("n_members", F.lit(0.5)).cast("double").alias("med_members"),
+    )
+    return occ.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "n_members",
+        "max_members",
+        "med_members",
+        (F.col("n_members").cast("double") / F.col("med_members")).alias("skew_ratio"),
+        (F.col("n_members") > F.lit(int(cap))).alias("over_cap"),
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -687,6 +687,63 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sim_ivf_occupancy_audit's rebalance cap — sits between the median
+#: (~30 at the correctness SF) and the max (47), so the over-cap list
+#: is non-trivial in BOTH directions (3 cells over, 13 under — pinned
+#: in pytest; real caps are set the same way: from this audit's output).
+_IVF_OCC_CAP = 35
+
+
+@query(
+    "sim_ivf_occupancy_audit",
+    oracle=_IVF_CTES
+    + f"""
+    , assigned AS (
+        SELECT id, cell FROM (
+            SELECT c.id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    occ AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM assigned GROUP BY cell
+    ),
+    stats AS (
+        SELECT MAX(n_members) AS mx,
+               CAST(median(n_members) AS DOUBLE) AS md
+        FROM occ
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, n_members,
+           CAST(mx AS BIGINT) AS max_members, md AS med_members,
+           CAST(n_members AS DOUBLE) / md AS skew_ratio,
+           n_members > {_IVF_OCC_CAP} AS over_cap
+    FROM occ, stats
+    """,
+    description="the IVF index's SKEW TRIGGER: per-cell occupancy of "
+    "the persisted inverted file with max/median context and the "
+    "over-cap cell list (ivf_occupancy) - the measurement that "
+    "decides when ivf_rebalance fires between stream-gate batches, "
+    "mirroring dedup_hot_bucket_audit's audit-before-you-cap "
+    "discipline on the embedding tier. One fixed-width aggregate "
+    "over the assignments plus a broadcast 1-row stats fold; the "
+    "oracle replays quantizer, argmax cells and the median ladder",
+)
+def sim_ivf_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_occupancy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    return ivf_occupancy(idx.assignments, cap=_IVF_OCC_CAP)
+
+
 #: Deterministic Lloyd quantizer geometry for the oracle-gated tier.
 _LLOYD_NLIST = 8
 _LLOYD_ITERS = 2

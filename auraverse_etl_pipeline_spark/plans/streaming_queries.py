@@ -1013,3 +1013,87 @@ def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept",
         "reason",
     )
+
+
+def _compact_decisions_oracle() -> str:
+    # batch-1 verdicts reuse the exact Gopher spelling of
+    # _quality_gate_oracle (shared constants via gopher_fail_reason_sql);
+    # batch-2 is the re-score rule over the doc_id % 3 slice; the
+    # compaction is arg-max-per-id on batch_id, spelled as a window.
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_fail_reason_sql
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _EN_LIST, _TOKS
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}) AS mean_word_len,
+               CAST(len(list_intersect(list_distinct({_TOKS}), {_EN_LIST})) AS BIGINT)
+                 AS stopword_hits
+        FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS batch_id,
+               fr AS fail_reason, fr = 'ok' AS kept
+        FROM (SELECT doc_id, {gopher_fail_reason_sql()} AS fr FROM m)
+    ),
+    b2 AS (
+        SELECT doc_id, CAST(2 AS BIGINT) AS batch_id,
+               CASE WHEN n_chars < 200 THEN 'too_short' ELSE 'ok' END AS fail_reason,
+               n_chars >= 200 AS kept
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    log AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT doc_id, batch_id, fail_reason, kept FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY batch_id DESC) AS rn
+        FROM log
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "compact_decisions",
+    oracle=_compact_decisions_oracle(),
+    description="RETENTION for the gates' append-only verdict logs: "
+    "every run_stream_*_gate loop appends one decision row per "
+    "document per scoring forever, so a re-scored corpus accretes "
+    "superseded rows and micro-batch small files - at 100 TB the "
+    "decisions log outgrows the index it audits. compact_decisions "
+    "keeps the LATEST verdict per id (one max_by hash aggregate, "
+    "never a window sort over the full log) and rewrites the log "
+    "with bounded file sizes, in place behind the eager-"
+    "localCheckpoint lineage cut. Fixture: a full Gopher scoring "
+    "(batch 1, the stream_quality_gate spelling) overlaid by a "
+    "re-score of the doc_id % 3 slice (batch 2); the oracle replays "
+    "latest-per-id over the union",
+)
+def compact_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from auraverse_etl_pipeline_spark.operators.quality import gopher_report
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions as compact
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = gopher_report(docs).select(
+        "doc_id",
+        F.lit(1).cast("bigint").alias("batch_id"),
+        "fail_reason",
+        F.col("keep").alias("kept"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(2).cast("bigint").alias("batch_id"),
+        F.when(F.col("n_chars") < 200, F.lit("too_short"))
+        .otherwise(F.lit("ok"))
+        .alias("fail_reason"),
+        (F.col("n_chars") >= 200).alias("kept"),
+    )
+    path = tempfile.mkdtemp(prefix="decisions_log_")
+    b1.write.mode("append").parquet(path)  # two appends = two scoring
+    b2.write.mode("append").parquet(path)  # runs accreting one log
+    compacted = compact(
+        spark, path, order_col="batch_id", id_cols=("doc_id",)
+    )
+    return compacted.select("doc_id", "batch_id", "fail_reason", "kept")

@@ -21,7 +21,7 @@ import json
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
 
@@ -89,6 +89,64 @@ def compact_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(dst_path)
+
+
+def compact_decisions(
+    spark: SparkSession,
+    decisions_path: str,
+    order_col: str,
+    id_cols: tuple[str, ...] = ("id",),
+    dst_path: str | None = None,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    compression: str = "zstd",
+) -> DataFrame:
+    """Retention compaction for append-only decision/verdict logs —
+    the missing maintenance pass behind the streaming gates (every
+    ``run_stream_*_gate`` loop appends one verdict row per document
+    per scoring, forever). At 100 TB a decisions log outgrows the
+    index it audits: re-scored documents accrete superseded rows and
+    every micro-batch accretes small files. This pass keeps exactly
+    ONE row per id — the latest by ``order_col`` (a batch id or
+    scoring timestamp) — and rewrites the log with bounded file sizes
+    (the :func:`compact_parquet` discipline).
+
+    Shape: one hash aggregate (``max_by`` of the whole row over
+    ``order_col`` — partial map-side combine, one fixed-width row per
+    id on the shuffle, never a window sort over the full log).
+    Precondition: (``id_cols``, ``order_col``) identifies a row — the
+    gates guarantee it (one verdict per id per batch); ties would
+    compact nondeterministically.
+
+    ``dst_path=None`` rewrites IN PLACE: the survivors are eagerly
+    ``localCheckpoint``-ed BEFORE the overwrite because the plan reads
+    the very files it replaces (the read-then-overwrite lineage cut
+    pinned in tests/test_streaming.py). A production pipeline at real
+    scale compacts to a fresh ``dst_path`` and swaps, keeping the old
+    log until readers drain; in-place is the single-writer spelling.
+
+    Returns the compacted log read back from its final path, so the
+    caller sees exactly what is on disk."""
+    log = spark.read.parquet(decisions_path)
+    ids = list(id_cols)
+    rest = [c for c in log.columns if c not in ids]
+    latest = (
+        log.groupBy(*ids)
+        .agg(F.max_by(F.struct(*rest), F.col(order_col)).alias("_r"))
+        .select(*ids, "_r.*")
+    )
+    out = dst_path or decisions_path
+    if dst_path is None:
+        latest = latest.localCheckpoint(eager=True)
+    w = (
+        latest.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
+    return spark.read.parquet(out)
 
 
 def write_clustered_parquet(
