@@ -438,6 +438,60 @@ def extract_media_features(media: DataFrame, frame_stride: int = 64) -> DataFram
     return media.select("media_id", "kind", "payload").mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 
 
+def multimodal_pair_dedup(
+    pairs: DataFrame,
+    caption_pairs: DataFrame,
+    id_col: str = "pair_id",
+    media_col: str = "payload",
+) -> DataFrame:
+    """LAION-style image-text PAIR dedup — where the multimodal tier
+    and the dedup ladder meet: a pair is a duplicate of another if its
+    media payload is byte-identical (exact tier: sha256, the same
+    digest :func:`extract_media_features` emits) OR its caption is a
+    near-duplicate (any text tier's pair output), and whole duplicate
+    CLUSTERS collapse via connected components — so a re-hosted image
+    with a paraphrased caption and a distinct image with a plagiarized
+    caption both land in the original's component.
+
+    ``pairs``: (``id_col``, ``media_col`` binary). ``caption_pairs``:
+    (id1, id2) from any caption near-dup tier — exact n-gram Jaccard
+    (:func:`~auraverse_etl_pipeline_spark.operators.dedup.
+    ngram_jaccard_pairs`) at audit scale, MinHash-LSH
+    (:func:`~auraverse_etl_pipeline_spark.operators.dedup.
+    minhash_near_duplicates`) at corpus scale; the composition does
+    not care which. Output: (``id_col``, component) for every pair
+    touched by an edge, component = smallest reachable pair id.
+
+    Scale shape: image edges cost one hash aggregate over fixed-width
+    digests (group per sha256, anchored at the group-min id — a STAR
+    per duplicate group, linear in members, never the quadratic
+    within-group pairing) and payloads are digested map-side (native
+    ``sha2``, no Python, no payload shuffle — only 64-hex-char
+    digests move). The caption tier carries the banding/bucketing
+    discipline of whichever dedup operator produced it, and the
+    closure is the checkpointed pointer-doubling CC operator."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    sha = pairs.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(media_col), 256).alias("s")
+    )
+    grp = (
+        sha.groupBy("s")
+        .agg(F.min("id").alias("id1"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("s", "id1")
+    )
+    img_edges = (
+        sha.join(grp, "s")
+        .filter(F.col("id") > F.col("id1"))
+        .select("id1", F.col("id").alias("id2"))
+    )
+    edges = img_edges.unionByName(caption_pairs.select("id1", "id2"))
+    return connected_component_labels(edges, id_col=id_col)
+
+
 def sample_frames(media: DataFrame, frame_stride: int = 64, max_frames: int = 8) -> DataFrame:
     """Strided frame sampling: payload → ≤max_frames byte windows.
     Native (posexplode over slice offsets); with a real codec the UDF

@@ -2124,6 +2124,100 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_pair_dedup",
+    # Edges: byte-identical media (sha256 groups anchored at the group
+    # min — a star per group) ∪ caption near-dups (exact 3-gram Jaccard,
+    # the CC fixtures' tier); closure is the recursive min-label walk.
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id AS pair_id, text AS img_text, text AS caption
+        FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, text, 'photo number ' || doc_id
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 200000, text || ' [v2]', text
+        FROM documents WHERE doc_id < 15
+    ),
+    sha AS (SELECT pair_id, sha256(img_text) AS s FROM corpus),
+    grp AS (SELECT s, MIN(pair_id) AS id1 FROM sha GROUP BY s HAVING COUNT(*) > 1),
+    img_edges AS (
+        SELECT g.id1 AS id1, h.pair_id AS id2
+        FROM sha h JOIN grp g USING (s) WHERE h.pair_id > g.id1
+    ),
+    shg AS (SELECT pair_id, {_SH3.replace("text", "caption")} AS shingles FROM corpus),
+    cap_edges AS (
+        SELECT a.pair_id AS id1, b.pair_id AS id2
+        FROM shg a JOIN shg b ON a.pair_id < b.pair_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM img_edges
+        UNION SELECT id2, id1 FROM img_edges
+        UNION SELECT id1, id2 FROM cap_edges
+        UNION SELECT id2, id1 FROM cap_edges
+    ),
+    walk(id, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id
+    )
+    SELECT id AS pair_id, MIN(label) AS component FROM walk GROUP BY id
+    """,
+    description="LAION-style image-text PAIR dedup - the multimodal "
+    "tier composed with the dedup ladder: connected components over "
+    "(byte-identical media via native sha256 digests, star edges per "
+    "group) UNION (caption near-dup pairs, exact 3-gram Jaccard "
+    "tier). Fixture plants BOTH collapse directions: a duplicate "
+    "image with an unrelated caption (doc_id+100000) and a distinct "
+    "image with an identical caption (doc_id+200000) - each lands in "
+    "its original's component through a different edge type. "
+    "Recursive-CTE transitive-closure oracle",
+)
+def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        multimodal_pair_dedup as pair_dedup_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 150).cache()
+    corpus = (
+        base.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("img_text"),
+            F.col("text").alias("caption"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("pair_id"),
+                F.col("text").alias("img_text"),
+                F.concat(
+                    F.lit("photo number "), F.col("doc_id").cast("string")
+                ).alias("caption"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 200000).alias("pair_id"),
+                F.concat(F.col("text"), F.lit(" [v2]")).alias("img_text"),
+                F.col("text").alias("caption"),
+            )
+        )
+    ).cache()  # consumed by the media digest AND the caption tier
+    media = attach_fake_media(corpus, text_col="img_text", id_col="pair_id")
+    cap_pairs = ngram_jaccard_pairs(
+        corpus, threshold=0.5, n=3, text_col="caption", id_col="pair_id"
+    )
+    labels = pair_dedup_op(
+        media.select(F.col("media_id").alias("pair_id"), "payload"), cap_pairs
+    )
+    return release_after(labels, base, corpus)
+
+
+@query(
     "dedup_corpus_clean",
     oracle=f"""
     WITH corpus AS (

@@ -73,10 +73,21 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #:   oldest cohorts were 6 r7 + 47 r8 = 53 names against the 50-slot
 #:   window, so round 12 ran as a consolidation round — every new
 #:   query spills one more r8 name to round 13.
+#: GROWTH POLICY (round 13): at ~200 queries the 50-slot window already
+#: puts re-scoring on a ~4-round cadence, so registry growth is capped
+#: at 2-3 names per round and ONLY for a genuinely new capability tier
+#: (a maintenance/audit surface or a cross-tier composition that exists
+#: nowhere else) — never a fourth configuration of an existing tier.
+#: A new configuration of an existing operator belongs in pytest, where
+#: coverage is free; a new registry name costs one stale slot per round
+#: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 13 start: CORRECTNESS_r12.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-13 new queries and
     # rewrites-after-green land here as the round progresses.
+    "compact_decisions",  # NEW: verdict-log retention (latest-per-id rewrite)
+    "sim_ivf_occupancy_audit",  # NEW: the ivf_rebalance trigger measurement
+    "multimodal_pair_dedup",  # NEW: media-sha ∪ caption-near-dup CC composition
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
