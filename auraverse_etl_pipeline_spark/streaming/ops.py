@@ -988,3 +988,80 @@ def run_stream_url_frontier(
         audit_stream_plan("foreachBatch_stream", q)
     finally:
         q.stop()
+
+
+def rebalance_gate_index(
+    spark,
+    index_path: str,
+    max_cell_size: int,
+    dim: int | None = None,
+) -> list[int]:
+    """Between-batches maintenance for the SemDeDup gate's index — the
+    operational loop :func:`run_stream_semdedup_gate` documents (gate
+    batches, rebalance the persisted index when cells run hot, gate
+    more batches) as one callable: load ``{index_path}/centroids`` +
+    ``/members``, split every cell above ``max_cell_size`` with the
+    deterministic :func:`~auraverse_etl_pipeline_spark.operators.
+    similarity.ivf_rebalance` (no RNG, no refit of cold cells), and
+    rewrite ONLY the affected partitions. Fire it when
+    :func:`~auraverse_etl_pipeline_spark.operators.similarity.
+    ivf_occupancy`'s over-cap list is non-empty.
+
+    Members are never dropped or retracted — every accepted id
+    survives with its vector; only the (cell, centroid_cos) labels of
+    HOT-cell members change, so anything searchable before the
+    rebalance stays searchable after (pinned in tests). Decisions are
+    untouched: verdicts record history, not layout.
+
+    Scale shape: cold cells' partition directories are NEVER rewritten
+    (dynamic partition overwrite writes just the split cells' old ids
+    + the appended new ids); the rewrite reads the very partitions it
+    replaces, so both deltas are eagerly ``localCheckpoint``-ed before
+    the first write (the read-then-overwrite lineage cut pinned in
+    tests/test_streaming.py). Centroids (nlist rows, model-sized) are
+    rewritten whole.
+
+    Returns the list of cell ids that were split (empty = no-op)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        cosine_similarity_expr,
+        ivf_rebalance,
+    )
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    members = spark.read.parquet(f"{index_path}/members")
+    sizes = members.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    hot = [r.cell for r in sizes.filter(F.col("n") > max_cell_size).collect()]
+    if not hot:  # model-sized collect: one row per over-cap cell
+        return hot
+    old = IvfIndex(centroids=cent, assignments=members.select("id", "v", "cell"))
+    new = ivf_rebalance(old, max_cell_size=max_cell_size, dim=dim)
+    # only HOT-cell members moved; their new (cell, centroid_cos) labels
+    # come from the split sub-centroids (clamped — sub-centroids ARE
+    # member vectors, the CLAUDE.md clamp rule)
+    moved_ids = members.filter(F.col("cell").isin(hot)).select("id")
+    delta = (
+        new.assignments.join(moved_ids, "id")
+        .join(F.broadcast(new.centroids), "cell")
+        .select(
+            "id",
+            "v",
+            "cell",
+            F.least(
+                F.lit(1.0), cosine_similarity_expr("v", "centroid", dim=dim)
+            ).alias("centroid_cos"),
+        )
+    )
+    new_cent = new.centroids.localCheckpoint(eager=True)
+    delta = delta.localCheckpoint(eager=True)
+    handle = getattr(new.assignments, "release_caches", None)
+    if callable(handle):
+        handle()
+    new_cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        delta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/members")
+    )
+    return hot

@@ -3620,3 +3620,73 @@ def test_ivf_assign_dim_knob_identical_cells(spark, sf_dir):
         for r in ivf_assign(batch, idx.centroids, clamp=True, dim=64).collect()
     )
     assert fold == unrolled
+
+
+def test_ivf_occupancy_audit_shape(spark):
+    """ivf_occupancy on hand-built assignments: counts, max/median
+    context and the over-cap list must be exact, and over_cap must
+    agree with what ivf_rebalance at the same cap would split."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_occupancy
+
+    asg = spark.createDataFrame(
+        [(i, [float(i)], 0) for i in range(5)]
+        + [(10 + i, [float(i)], 1) for i in range(2)]
+        + [(20 + i, [float(i)], 2) for i in range(3)],
+        "id bigint, v array<double>, cell int",
+    )
+    rows = {r.cell: r for r in ivf_occupancy(asg, cap=3).collect()}
+    assert {c: r.n_members for c, r in rows.items()} == {0: 5, 1: 2, 2: 3}
+    assert all(r.max_members == 5 for r in rows.values())
+    assert all(r.med_members == 3.0 for r in rows.values())
+    assert rows[0].over_cap and not rows[1].over_cap and not rows[2].over_cap
+    assert rows[0].skew_ratio == 5 / 3.0
+
+
+def test_ivf_occupancy_nontrivial_at_test_sf(spark, sf_dir):
+    """The registry query's cap (35) must split the sample-quantizer
+    cells non-trivially at the correctness SF — some over, some under
+    (the audit is the rebalance trigger; an all-false or all-true
+    over_cap column guards nothing)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_occupancy,
+    )
+    from auraverse_etl_pipeline_spark.plans.llm_queries import _IVF_OCC_CAP
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(emb.filter(F.col("vec_id") >= 10), nlist=16, quantizer="sample")
+    occ = ivf_occupancy(idx.assignments, cap=_IVF_OCC_CAP).collect()
+    n_over = sum(1 for r in occ if r.over_cap)
+    assert 0 < n_over < len(occ)
+
+
+def test_multimodal_pair_dedup_planted_edges(spark):
+    """Both collapse directions on hand-built pairs: a byte-identical
+    image with an unrelated caption joins via the media edge, a
+    distinct image with a near-identical caption joins via the caption
+    edge, and an unrelated pair gets no label at all."""
+    from auraverse_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        multimodal_pair_dedup,
+    )
+
+    rows = [
+        (1, b"IMG-X", "a quick brown fox jumps over the lazy dog"),
+        (2, b"IMG-X", "completely unrelated caption about mountains"),  # media edge
+        (3, b"IMG-Y", "a quick brown fox jumps over the lazy dogs"),   # caption edge
+        (4, b"IMG-Z", "nothing shared with anything else here at all"),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id bigint, payload binary, caption string"
+    )
+    cap_pairs = ngram_jaccard_pairs(
+        pairs, threshold=0.5, n=3, text_col="caption", id_col="pair_id"
+    )
+    labels = {
+        r.pair_id: r.component
+        for r in multimodal_pair_dedup(
+            pairs.select("pair_id", "payload"), cap_pairs
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}  # 4 touched by no edge

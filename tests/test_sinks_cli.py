@@ -5,6 +5,9 @@ from __future__ import annotations
 import json
 import os
 
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
 from auraverse_etl_pipeline_spark.ingest.convert import convert_corpus
 from auraverse_etl_pipeline_spark.ingest.pipeline import detect_fragments
 from auraverse_etl_pipeline_spark.plans.ingest_queries import fixture_documents
@@ -195,3 +198,66 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     global_order = li.selectExpr("max(l_orderkey) - min(l_orderkey) AS r").first().r
     assert mean_spread(zord, "l_orderkey") < 0.7 * global_order
     assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_compact_decisions_keeps_latest_per_id(spark, tmp_path):
+    """Three appended scoring runs with overlapping ids compact to
+    exactly the latest verdict per id (max batch_id), equal to the
+    latest-per-id replay of the UNCOMPACTED log, with the small-file
+    accretion collapsed; untouched ids keep their original rows."""
+    import glob
+
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions
+
+    path = str(tmp_path / "decisions")
+    schema = "id bigint, batch_id bigint, kept boolean, reason string"
+    b1 = [(i, 1, True, "v1") for i in range(40)]
+    b2 = [(i, 2, i % 2 == 0, "v2") for i in range(0, 40, 3)]
+    b3 = [(i, 3, False, "v3") for i in range(0, 40, 5)]
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    raw = spark.read.parquet(path)
+    # latest-per-id replay of the uncompacted log (the oracle rule)
+    expect = {
+        r.id: (r.batch_id, r.kept, r.reason)
+        for r in raw.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    n_files_before = len(glob.glob(f"{path}/part-*"))
+    out = compact_decisions(spark, path, order_col="batch_id", id_cols=("id",))
+    got = {r.id: (r.batch_id, r.kept, r.reason) for r in out.collect()}
+    assert got == expect
+    assert len(got) == 40  # one row per id, no duplicates survive
+    assert got[0] == (3, False, "v3")   # re-scored twice -> batch 3 wins
+    assert got[3] == (2, False, "v2")   # re-scored once  -> batch 2 wins
+    assert got[1] == (1, True, "v1")    # never re-scored -> batch 1 row
+    n_files_after = len(glob.glob(f"{path}/part-*"))
+    assert n_files_after < n_files_before  # small files collapsed
+    # in-place rewrite: reading the path again sees only the compacted log
+    assert spark.read.parquet(path).count() == 40
+
+
+def test_compact_decisions_to_fresh_path(spark, tmp_path):
+    """dst_path mode (the compact-and-swap spelling at real scale)
+    leaves the source log untouched."""
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    schema = "id bigint, batch_id bigint, verdict string"
+    spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema).write.parquet(src)
+    spark.createDataFrame([(1, 2, "c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = compact_decisions(
+        spark, src, order_col="batch_id", id_cols=("id",), dst_path=dst
+    )
+    assert {(r.id, r.verdict) for r in out.collect()} == {(1, "c"), (2, "b")}
+    assert spark.read.parquet(src).count() == 3  # source untouched

@@ -942,3 +942,110 @@ def test_stream_semdedup_gate_fresh_index(spark, tmp_path):
     assert dec == {20: "kept", 21: "batch_dup", 30: "index_dup"}
     mem_ids = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
     assert mem_ids == {20}
+
+
+def test_semdedup_gate_rebalance_gate_composition(spark, tmp_path):
+    """The documented operational loop end to end: gate a batch,
+    rebalance the persisted index when a cell runs hot (the
+    ivf_occupancy trigger), gate another batch against the REBALANCED
+    index. Pins: (a) no member is lost or retracted by the rebalance,
+    (b) a member that MOVED cells is still searchable (its batch-2
+    near-dup drops as index_dup), (c) a batch-1 STREAMED survivor is
+    still searchable after the rebalance, (d) the cold cell's
+    partition is untouched (dynamic partition overwrite), (e) the
+    over-cap list empties."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_occupancy,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        rebalance_gate_index,
+        run_stream_semdedup_gate,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    import math
+
+    def xz(deg):  # unit vector in the x-z plane
+        return [math.cos(math.radians(deg)), 0.0, math.sin(math.radians(deg)), 0.0]
+
+    # sample quantizer nlist=2: centroids = vectors of ids 10 (+x) and
+    # 11 (+y). Corpus spreads the x-z plane 30 degrees apart, so no
+    # pair reaches tau=0.9 (cos30 = .866) and day-1 keeps everyone:
+    # cell 0 holds {10, 12, 13, 14}, cell 1 holds {11}.
+    corpus = spark.createDataFrame(
+        [(10, xz(0)), (11, [0.0, 1.0, 0.0, 0.0]), (12, xz(30)),
+         (13, xz(60)), (14, xz(90))],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    members = idx.assignments.join(
+        corpus.select(F.col("vec_id").alias("id")), "id"
+    ).join(F.broadcast(idx.centroids), "cell").select(
+        "id", "v", "cell",
+        F.least(
+            F.lit(1.0),
+            F.aggregate(
+                F.zip_with("v", "centroid", lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        ).alias("centroid_cos"),
+    )
+    root = tmp_path / "rebal_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.write.partitionBy("cell").parquet(str(root / "members"))
+
+    schema = "vec_id bigint, embedding array<double>"
+    batch1 = [
+        (20, xz(62)),                 # near-dup of member 13 -> index_dup
+        (21, [0.0, 0.0, 0.0, 1.0]),   # novel w-direction -> kept, lands cell 0
+    ]
+    chunks1 = tmp_path / "rg_chunks1"
+    stage_ordered_batches([spark.createDataFrame(batch1, schema)], str(chunks1))
+    s1 = spark.readStream.schema(schema).parquet(str(chunks1))
+    run_stream_semdedup_gate(s1, index_path=str(root), threshold=0.9)
+
+    # cell 0 now holds {10, 12, 13, 14, 21}: the occupancy audit fires
+    occ = {r.cell: r for r in ivf_occupancy(
+        spark.read.parquet(str(root / "members")).select("id", "v", "cell"), cap=3
+    ).collect()}
+    assert occ[0].over_cap and occ[0].n_members == 5 and not occ[1].over_cap
+    cold_before = sorted(
+        (r.id, r.centroid_cos)
+        for r in spark.read.parquet(str(root / "members")).filter("cell = 1").collect()
+    )
+
+    split = rebalance_gate_index(spark, str(root), max_cell_size=3)
+    assert split == [0]
+    mem = spark.read.parquet(str(root / "members"))
+    by_cell: dict[int, set[int]] = {}
+    for r in mem.collect():
+        by_cell.setdefault(r.cell, set()).add(r.id)
+    # sub-centroids are the two lowest-id hot members (10, 12); 10 and
+    # the tie-broken 21 stay on the surviving cell id, 12/13/14 move
+    assert by_cell == {0: {10, 21}, 1: {11}, 2: {12, 13, 14}}
+    assert {r.cell for r in spark.read.parquet(str(root / "centroids")).collect()} == {0, 1, 2}
+    occ2 = ivf_occupancy(mem.select("id", "v", "cell"), cap=3).collect()
+    assert not any(r.over_cap for r in occ2)  # trigger list emptied
+    cold_after = sorted(
+        (r.id, r.centroid_cos) for r in mem.filter("cell = 1").collect()
+    )
+    assert cold_after == cold_before  # cold partition byte-level untouched
+
+    batch2 = [
+        (30, xz(58)),                      # near-dup of MOVED member 13 -> index_dup
+        (31, [0.01, 0.0, 0.0, 0.99995]),   # near-dup of streamed survivor 21 -> index_dup
+        (32, [0.0, -1.0, 0.0, 0.0]),       # anti-parallel to 11, lands cell 0 -> kept
+    ]
+    chunks2 = tmp_path / "rg_chunks2"
+    stage_ordered_batches([spark.createDataFrame(batch2, schema)], str(chunks2))
+    s2 = spark.readStream.schema(schema).parquet(str(chunks2))
+    run_stream_semdedup_gate(s2, index_path=str(root), threshold=0.9)
+
+    dec = {r.id: r.reason for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert dec == {
+        20: "index_dup", 21: "kept",
+        30: "index_dup", 31: "index_dup", 32: "kept",
+    }
+    final_ids = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
+    assert final_ids == {10, 11, 12, 13, 14, 21, 32}  # nothing retracted
