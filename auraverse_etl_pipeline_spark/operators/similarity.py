@@ -966,15 +966,19 @@ def ivf_occupancy(assignments: DataFrame, cap: int) -> DataFrame:
     partitioned index — column-pruned to the partition column), then a
     1-row stats frame (max/median over nlist rows) broadcast back over
     the per-cell counts — the pinned 1-row-stat-fold BNLJ pattern,
-    never a data×data pair."""
+    never a data×data pair. The nlist-row count table feeds both the
+    output and the stats fold, so it is cached (else the corpus scan
+    runs once per consumer); call ``release_caches()`` when done."""
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
     occ = assignments.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
+    ).cache()
     stats = occ.agg(
         F.max("n_members").alias("max_members"),
         F.percentile("n_members", F.lit(0.5)).cast("double").alias("med_members"),
     )
-    return occ.crossJoin(F.broadcast(stats)).select(
+    result = occ.crossJoin(F.broadcast(stats)).select(
         "cell",
         "n_members",
         "max_members",
@@ -982,6 +986,7 @@ def ivf_occupancy(assignments: DataFrame, cap: int) -> DataFrame:
         (F.col("n_members").cast("double") / F.col("med_members")).alias("skew_ratio"),
         (F.col("n_members") > F.lit(int(cap))).alias("over_cap"),
     )
+    return release_after(result, occ)
 
 
 def ivf_top_k(

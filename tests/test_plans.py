@@ -644,3 +644,54 @@ def test_lloyd_assignment_rule_in_sync_across_oracles():
     for name in ("sim_topk_ivf", "sim_ivf_lloyd", "dedup_semdedup"):
         sql = " ".join(QS[name].oracle.split())
         assert pat.search(sql), f"{name}: clamped assignment spelling drifted"
+
+
+def test_ivf_occupancy_bnlj_only_stat_fold(spark, sf_dir):
+    """The occupancy audit's only non-equality join is the broadcast
+    1-row max/median stats frame folded back over the per-cell counts
+    (the pinned stat-fold pattern); the corpus-sized work is one hash
+    aggregate over the assignments — never a sort, never a data×data
+    pair. The cached nlist-row count table keeps the assignments scan
+    single-pass; every BNLJ builds from a broadcast (the centroid fold
+    inside ivf_assign and the 1-row stats frame). String count is 3
+    because the plan printer embeds the cached relation's child (which
+    holds the centroid fold) under BOTH InMemoryTableScans — physically
+    it runs once."""
+    df = QS["sim_ivf_occupancy_audit"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") == 2  # count table cached, both consumers hit it
+    df.release_caches()
+
+
+def test_multimodal_pair_dedup_edges_are_equality_joins(spark, sf_dir):
+    """Image edges join on the sha256 digest and caption edges on the
+    shingle — both equality joins; payload bytes are digested map-side
+    and never shuffled. The returned labels plan is the CC operator's
+    checkpointed output, so the shape to guard is the edge build."""
+    from auraverse_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("text").alias("caption"),
+    )
+    sha = pairs.select("pair_id", F.sha2("payload", 256).alias("s"))
+    grp = (
+        sha.groupBy("s")
+        .agg(F.min("pair_id").alias("id1"), F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+    )
+    img_edges = sha.join(grp, "s").filter("pair_id > id1")
+    cap_edges = ngram_jaccard_pairs(
+        pairs, threshold=0.5, n=3, text_col="caption", id_col="pair_id"
+    )
+    for df in (img_edges, cap_edges):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
