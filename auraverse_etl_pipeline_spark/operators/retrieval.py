@@ -32,10 +32,13 @@ DECIMAL(38,12) partials.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
 
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.runtime import ship_package
@@ -365,4 +368,95 @@ def hybrid_rrf(
         fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
+@pandas_udf("double")
+def _log2(s: pd.Series) -> pd.Series:
+    # Python-libm log2 — probed bit-identical to DuckDB's ``log2`` on
+    # 40k inputs (0 mismatches; integer args 2..20001 and uniform
+    # doubles), where JVM ``F.log2`` carries the same last-ulp risk as
+    # ``F.log`` (the CLAUDE.md libm rule). Same discipline as the NB
+    # classifier's ``_ln`` / ``_sigmoid``.
+    return s.map(math.log2)
+
+
+def retrieval_quality_audit(
+    runs: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k evaluation harness — the lexical/hybrid twin of the ANN
+    tier's ``sim_ann_recall_audit``: given one or more retrieval
+    systems' rankings and a graded ground truth, score every (system,
+    query) with normalized discounted cumulative gain. This is the
+    measurement that justifies fusion constants (RRF's k=60) and
+    arbitrates BM25-only vs dense-only vs hybrid instead of guessing.
+
+    Inputs: ``runs`` = (system, query_id, doc_id, rank) — each
+    system's ranked list, rank 1 best; ``truth`` = (query_id, doc_id,
+    rel) — graded relevance (e.g. exact-cosine top-g with grades
+    g..1; any non-negative integer grades work). Output: one row per
+    (system, query_id): (system, query_id, dcg, idcg, ndcg).
+
+    Engine-exact by construction: ranks ≤ k join a k-row log2
+    discount table (Python-libm pandas_udf — bit-matches DuckDB's
+    ``log2``, probed), each gain is ONE division rel/log2(rank+1),
+    and both DCG and IDCG are ORDERED left-to-right folds over
+    rank-sorted arrays (``F.aggregate`` over ``array_sort`` — the
+    same sequential association DuckDB's ``list_reduce`` uses), so
+    no float ever crosses an unordered aggregate.
+
+    Scale shape: rankings are already top-k per query (the expensive
+    retrieval happened upstream), so everything here is bounded by
+    systems × queries × k; the discount table is k rows, broadcast.
+    The truth join is a left join on (query_id, doc_id) — a retrieved
+    document outside the truth set scores 0 gain, the standard
+    convention."""
+    spark = runs.sparkSession
+    ship_package(spark)  # the log2 kernel is pickled by reference
+    discounts = F.broadcast(
+        spark.range(1, k + 1)
+        .select(F.col("id").cast("bigint").alias("rank"))
+        .select("rank", _log2((F.col("rank") + 1).cast("double")).alias("disc"))
+    )
+
+    def _dcg(df: DataFrame, keys: list[str], gain_col) -> DataFrame:
+        scored = (
+            df.filter(F.col("rank") <= k)
+            .join(discounts, "rank")
+            .select(*keys, "rank", (gain_col / F.col("disc")).alias("g"))
+        )
+        folded = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "g"))),
+                lambda s: s["g"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return scored.groupBy(*keys).agg(folded.alias("dcg"))
+
+    rel = truth.select(
+        "query_id", "doc_id", F.col("rel").cast("double").alias("rel")
+    )
+    got = runs.join(rel, ["query_id", "doc_id"], "left").select(
+        "system", "query_id", "rank", F.coalesce("rel", F.lit(0.0)).alias("rel")
+    )
+    dcg = _dcg(got, ["system", "query_id"], F.col("rel"))
+    # ideal ranking: the truth set's own grades, best-first (ties by
+    # doc_id so the ideal list is deterministic), re-ranked 1..k
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = rel.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    idcg = _dcg(ideal, ["query_id"], F.col("rel")).withColumnRenamed(
+        "dcg", "idcg"
+    )
+    return dcg.join(idcg, "query_id").select(
+        "system",
+        "query_id",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )

@@ -3690,3 +3690,124 @@ def test_multimodal_pair_dedup_planted_edges(spark):
         ).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1}  # 4 touched by no edge
+
+
+def test_retrieval_quality_audit_hand_geometry(spark):
+    """nDCG pins on hand-built rankings: a system that returns the
+    ideal order scores exactly 1.0, a system with nothing relevant
+    scores 0.0, and a reversed order lands strictly between."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        retrieval_quality_audit,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 2), (1, 12, 1)],
+        "query_id bigint, doc_id bigint, rel bigint",
+    )
+    runs = spark.createDataFrame(
+        [("ideal", 1, 10, 1), ("ideal", 1, 11, 2), ("ideal", 1, 12, 3),
+         ("reversed", 1, 12, 1), ("reversed", 1, 11, 2), ("reversed", 1, 10, 3),
+         ("lost", 1, 90, 1), ("lost", 1, 91, 2), ("lost", 1, 92, 3)],
+        "system string, query_id bigint, doc_id bigint, rank bigint",
+    )
+    out = {r.system: r for r in retrieval_quality_audit(runs, truth, k=3).collect()}
+    assert out["ideal"].ndcg == 1.0
+    assert out["lost"].dcg == 0.0 and out["lost"].ndcg == 0.0
+    assert 0.0 < out["reversed"].ndcg < 1.0
+    assert out["ideal"].idcg == out["reversed"].idcg
+
+
+def test_retrieval_quality_audit_hybrid_stack_and_engine_parity(spark, sf_dir, duck):
+    """The real measurement the operator exists for: nDCG@10 of
+    BM25-only vs dense-only vs RRF hybrid against exact-cosine graded
+    truth, on the sim_hybrid_search stack. Pins: (a) dense-only is
+    exactly 1.0 (the truth IS the exact dense ranking), (b) every
+    score is in [0, 1], (c) the whole output — log2 discounts, ordered
+    folds, divisions — is BIT-IDENTICAL to a DuckDB replay over the
+    same rankings (the libm/fold discipline, not approximately)."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+        hybrid_rrf,
+        retrieval_quality_audit,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qids = (3, 47, 101)
+    qf = F.col("doc_id").isin(*qids)
+    idx = bm25_index(corpus, cache=True)
+    lex = bm25_search(
+        corpus.filter(qf).select(F.col("doc_id").alias("query_id"), "text"),
+        idx, k=10,
+    ).select("query_id", "doc_id", "rank")
+    dense = cosine_top_k(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        corpus.filter(qf).select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=10, exact_fold=True,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    hybrid = hybrid_rrf(lex, dense, k=10).select("query_id", "doc_id", "rank")
+    runs = (
+        lex.select(F.lit("bm25").alias("system"), "query_id", "doc_id", "rank")
+        .unionByName(dense.select(F.lit("dense").alias("system"), "query_id", "doc_id", "rank"))
+        .unionByName(hybrid.select(F.lit("hybrid").alias("system"), "query_id", "doc_id", "rank"))
+        .cache()
+    )
+    truth = dense.select(
+        "query_id", "doc_id", (11 - F.col("rank")).cast("bigint").alias("rel")
+    ).cache()
+    out = retrieval_quality_audit(runs, truth, k=10)
+    rows = out.collect()
+    assert len(rows) == 9  # 3 systems x 3 queries
+    assert all(0.0 <= r.ndcg <= 1.0 for r in rows)
+    assert all(r.ndcg == 1.0 for r in rows if r.system == "dense")
+
+    # bit-exact DuckDB replay over the same rankings
+    duck.register("ndcg_runs", runs.toPandas())
+    duck.register("ndcg_truth", truth.toPandas())
+    oracle = duck.execute("""
+        WITH got AS (
+            SELECT r.system, r.query_id, r.rank, COALESCE(t.rel, 0) AS rel
+            FROM ndcg_runs r LEFT JOIN ndcg_truth t USING (query_id, doc_id)
+            WHERE r.rank <= 10
+        ),
+        g AS (SELECT system, query_id, rank,
+                     CAST(rel AS DOUBLE) / log2(CAST(rank + 1 AS DOUBLE)) AS gain
+              FROM got),
+        dcg AS (
+            SELECT system, query_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(gain ORDER BY rank)),
+                               (a, b) -> a + b) AS dcg
+            FROM g GROUP BY system, query_id
+        ),
+        ide AS (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS rank
+            FROM ndcg_truth
+        ),
+        ig AS (SELECT query_id, rank,
+                      CAST(rel AS DOUBLE) / log2(CAST(rank + 1 AS DOUBLE)) AS gain
+               FROM ide WHERE rank <= 10),
+        idcg AS (
+            SELECT query_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(gain ORDER BY rank)),
+                               (a, b) -> a + b) AS idcg
+            FROM ig GROUP BY query_id
+        )
+        SELECT d.system, d.query_id, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
+        FROM dcg d JOIN idcg i USING (query_id)
+    """).fetchdf()
+    got = {(r.system, r.query_id): (r.dcg, r.idcg, r.ndcg) for r in rows}
+    for rec in oracle.itertuples(index=False):
+        assert got[(rec.system, rec.query_id)] == (rec.dcg, rec.idcg, rec.ndcg)
+    runs.unpersist()
+    truth.unpersist()
+    idx.cache_handle.unpersist()
