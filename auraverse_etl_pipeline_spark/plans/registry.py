@@ -80,7 +80,10 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: nowhere else) — never a fourth configuration of an existing tier.
 #: A new configuration of an existing operator belongs in pytest, where
 #: coverage is free; a new registry name costs one stale slot per round
-#: forever.
+#: forever. Staged for round 14 under this policy:
+#: ``retrieval_quality_audit`` (operators/retrieval.py, nDCG@k — built
+#: and DuckDB-parity-pinned in tests/test_operators.py in round 13;
+#: register it once the r9 cohort has re-scored).
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 13 start: CORRECTNESS_r12.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-13 new queries and
