@@ -39,6 +39,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.runtime import ship_package
@@ -371,7 +372,10 @@ def hybrid_rrf(
     )
 
 
-@pandas_udf("double")
+# DataType instance, not a DDL string: the module imports before any
+# SparkSession exists and DDL parsing needs an active context (the
+# classifier._ln rule).
+@pandas_udf(DoubleType())
 def _log2(s: pd.Series) -> pd.Series:
     # Python-libm log2 — probed bit-identical to DuckDB's ``log2`` on
     # 40k inputs (0 mismatches; integer args 2..20001 and uniform
