@@ -1995,3 +1995,38 @@ def test_ivfsq_matches_pure_python_model(spark):
         assert got == sorted(want), (got, sorted(want))
 
     prop()
+
+
+def test_compact_decisions_matches_model(spark, tmp_path):
+    """Randomized multi-batch decision logs vs a pure-Python
+    latest-per-id replica: arbitrary id overlap patterns, gap batches,
+    composite id keys, and single-batch logs all compact to exactly
+    the model's answer."""
+    import random
+
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions
+
+    rng = random.Random(1307)
+    for trial in range(4):
+        n_batches = rng.randint(1, 6)
+        ids = list(range(rng.randint(5, 60)))
+        model: dict[tuple, tuple] = {}
+        path = str(tmp_path / f"fuzz_log_{trial}")
+        schema = "src string, id bigint, batch_id bigint, kept boolean, note string"
+        for b in range(1, n_batches + 1):
+            scored = rng.sample(ids, rng.randint(1, len(ids)))
+            rows = []
+            for i in scored:
+                src = rng.choice(["gate_a", "gate_b"])
+                kept = rng.random() < 0.5
+                note = f"b{b}i{i}"
+                rows.append((src, i, b, kept, note))
+                model[(src, i)] = (b, kept, note)
+            spark.createDataFrame(rows, schema).coalesce(
+                rng.randint(1, 3)
+            ).write.mode("append").parquet(path)
+        out = compact_decisions(
+            spark, path, order_col="batch_id", id_cols=("src", "id")
+        )
+        got = {(r.src, r.id): (r.batch_id, r.kept, r.note) for r in out.collect()}
+        assert got == model, f"trial {trial}"

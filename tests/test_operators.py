@@ -3811,3 +3811,52 @@ def test_retrieval_quality_audit_hybrid_stack_and_engine_parity(spark, sf_dir, d
     runs.unpersist()
     truth.unpersist()
     idx.cache_handle.unpersist()
+
+
+def test_multimodal_pair_dedup_with_minhash_caption_tier(spark, docs):
+    """The corpus-scale composition: caption edges from banded
+    MinHash-LSH (not exact all-pairs Jaccard) feed the same pair-dedup
+    closure — planted media duplicates and caption near-dups collapse
+    into one component either way."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from auraverse_etl_pipeline_spark.operators.multimodal import (
+        multimodal_pair_dedup,
+    )
+
+    base = docs.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("pair_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("text").alias("caption"),
+    ).cache()
+    dup_img = base.filter(F.col("pair_id") < 10).select(
+        (F.col("pair_id") + 1000).alias("pair_id"),
+        "payload",
+        F.concat(F.lit("totally new caption "), F.col("pair_id").cast("string")).alias("caption"),
+    )
+    dup_cap = base.filter(F.col("pair_id") < 5).select(
+        (F.col("pair_id") + 2000).alias("pair_id"),
+        F.encode(F.concat(F.lit("v2:"), "caption"), "UTF-8").alias("payload"),
+        "caption",
+    )
+    corpus = base.unionByName(dup_img).unionByName(dup_cap).cache()
+    cap_pairs = minhash_near_duplicates(
+        corpus, jaccard_threshold=0.5, n=3, text_col="caption", id_col="pair_id"
+    )
+    labels = {
+        r.pair_id: r.component
+        for r in multimodal_pair_dedup(
+            corpus.select("pair_id", "payload"), cap_pairs.select("id1", "id2")
+        ).collect()
+    }
+    # component EQUALITY, not specific values: base docs may have
+    # natural caption near-dups among themselves, pulling a component
+    # label below k — the pin is that each plant lands with its base
+    for k in range(10):
+        assert labels[k + 1000] == labels[k]  # media edge joins the plant
+    for k in range(5):
+        assert labels[k + 2000] == labels[k]  # LSH caption edge joins the plant
+    cap_pairs.release_caches()
+    base.unpersist()
+    corpus.unpersist()

@@ -1049,3 +1049,35 @@ def test_semdedup_gate_rebalance_gate_composition(spark, tmp_path):
     }
     final_ids = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
     assert final_ids == {10, 11, 12, 13, 14, 21, 32}  # nothing retracted
+
+
+def test_rebalance_gate_index_noop_below_cap(spark, tmp_path):
+    """A rebalance whose cap nothing exceeds must return [] and leave
+    every file byte-untouched (no rewrite, no centroid churn) — the
+    cheap idle path the operational loop hits most days."""
+    import glob
+    import os
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import rebalance_gate_index
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "noop_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    idx.assignments.withColumn("centroid_cos", F.lit(1.0)).write.partitionBy(
+        "cell"
+    ).parquet(str(root / "members"))
+    mtimes = {
+        f: os.stat(f).st_mtime
+        for f in glob.glob(str(root / "**" / "*.parquet"), recursive=True)
+    }
+    assert rebalance_gate_index(spark, str(root), max_cell_size=10) == []
+    after = {
+        f: os.stat(f).st_mtime
+        for f in glob.glob(str(root / "**" / "*.parquet"), recursive=True)
+    }
+    assert after == mtimes
