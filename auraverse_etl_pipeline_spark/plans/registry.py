@@ -91,6 +91,14 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "compact_decisions",  # NEW: verdict-log retention (latest-per-id rewrite)
     "sim_ivf_occupancy_audit",  # NEW: the ivf_rebalance trigger measurement
     "multimodal_pair_dedup",  # NEW: media-sha ∪ caption-near-dup CC composition
+    # The cell-partitioned writes gained a repartition("cell") cluster
+    # (layout-only: one writer per cell per task — see IvfIndex.save).
+    # The two closed loops whose per-batch write path changed re-score
+    # here; the other save()-path consumers were re-verified locally
+    # (foreign-cwd value compare, round 13) and keep their slots —
+    # values are read back through a layout-agnostic parquet scan.
+    "stream_semdedup_gate",  # handler delta write clustered
+    "stream_ivf_assign",  # handler delta write clustered
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -556,7 +556,10 @@ def run_stream_ivf_assign(
         delta = ivf_assign(uniq, cent, id_col="id", vec_col="v").select(
             "id", "v", "cell"
         )
-        delta = delta.localCheckpoint()
+        # cluster by cell before the partitioned append (one writer per
+        # cell per task, ~one file per cell per batch — the IvfIndex.save
+        # rule; an unclustered write is tasks × cells open buffers)
+        delta = delta.repartition("cell").localCheckpoint()
         audit_batch_plan("ivf_assign:delta", delta)
         delta.write.mode("append").partitionBy("cell").parquet(
             f"{index_path}/assignments"
@@ -893,6 +896,9 @@ def run_stream_semdedup_gate(
         delta = (
             verdicts.filter(F.col("reason") == "kept")
             .select("id", "v", "cell", "centroid_cos")
+            # cluster by cell before the partitioned append (the
+            # IvfIndex.save rule: one writer per cell per task)
+            .repartition("cell")
             .localCheckpoint()
         )
         audit_batch_plan("semdedup_gate:delta", delta)
@@ -1053,7 +1059,14 @@ def rebalance_gate_index(
         )
     )
     new_cent = new.centroids.localCheckpoint(eager=True)
-    delta = delta.localCheckpoint(eager=True)
+    # cluster the delta by its partition column BEFORE the partitioned
+    # write: without this every task holds an open writer per cell it
+    # touches (tasks × cells parquet buffers — measured as a heap OOM
+    # at 160k members × 64 cells on a 1g driver), and the output is
+    # cells × tasks small files; repartition("cell") makes it one
+    # writer per cell per task and ~one file per cell (the same rule
+    # compact_parquet spells with target_partitions + partition_by)
+    delta = delta.repartition("cell").localCheckpoint(eager=True)
     handle = getattr(new.assignments, "release_caches", None)
     if callable(handle):
         handle()
