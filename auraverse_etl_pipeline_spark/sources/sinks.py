@@ -47,7 +47,16 @@ def write_parquet(
     compression: str = "zstd",
 ) -> None:
     """Parquet sink; ``partition_by`` buckets the layout for partition
-    pruning on the listed columns (e.g. fragments by format_type)."""
+    pruning on the listed columns (e.g. fragments by format_type).
+
+    Cluster first when the partition column is high-cardinality:
+    ``df.repartition(*partition_by)`` upstream, or this write holds one
+    open parquet writer per (task, value) — heap-bound at hundreds of
+    values — and emits values × tasks small files. Not forced here:
+    low-cardinality layouts and already-clustered inputs would pay a
+    pointless shuffle (``compact_parquet`` exposes it as
+    ``target_partitions``; ``compact_decisions`` and the IVF index
+    writes apply it unconditionally)."""
     w = df.write.mode(mode).option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -135,6 +144,11 @@ def compact_decisions(
         .agg(F.max_by(F.struct(*rest), F.col(order_col)).alias("_r"))
         .select(*ids, "_r.*")
     )
+    if partition_by:
+        # cluster by the partition columns first (the IvfIndex.save
+        # rule): an unclustered partitioned write is tasks × values
+        # open writers and values × tasks small files
+        latest = latest.repartition(*partition_by)
     out = dst_path or decisions_path
     if dst_path is None:
         latest = latest.localCheckpoint(eager=True)

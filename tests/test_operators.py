@@ -3860,3 +3860,23 @@ def test_multimodal_pair_dedup_with_minhash_caption_tier(spark, docs):
     cap_pairs.release_caches()
     base.unpersist()
     corpus.unpersist()
+
+
+def test_ivf_save_layout_one_file_per_cell(spark, sf_dir, tmp_path):
+    """IvfIndex.save clusters by cell before the partitioned write:
+    each cell directory holds ~one data file (not one per task), so a
+    probed search opens O(nprobe) files and the writer never holds
+    tasks × nlist open buffers (the 160k×64 heap-OOM shape in
+    SCALE.md r13)."""
+    import glob
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(8)
+    idx = ivf_index(emb.filter(F.col("vec_id") >= 10), nlist=16, quantizer="sample")
+    path = str(tmp_path / "ivf_layout")
+    idx.save(path)
+    for cell_dir in glob.glob(f"{path}/assignments/cell=*"):
+        files = glob.glob(f"{cell_dir}/*.parquet")
+        assert len(files) == 1, cell_dir  # clustered: one writer per cell
