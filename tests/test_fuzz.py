@@ -2030,3 +2030,60 @@ def test_compact_decisions_matches_model(spark, tmp_path):
         )
         got = {(r.src, r.id): (r.batch_id, r.kept, r.note) for r in out.collect()}
         assert got == model, f"trial {trial}"
+
+
+def test_retrieval_quality_audit_matches_model(spark):
+    """Randomized rankings/truth vs a pure-Python nDCG replica: the
+    operator's rank-sorted ordered fold must equal a left-to-right
+    Python sum with math.log2 BIT-FOR-BIT (same association, same
+    libm), across truncated lists, out-of-truth docs, tied grades and
+    multi-system frames."""
+    import math
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        retrieval_quality_audit,
+    )
+
+    rng = random.Random(1313)
+    for trial in range(3):
+        k = rng.choice([3, 5, 10])
+        n_q = rng.randint(1, 4)
+        systems = ["s1", "s2", "s3"][: rng.randint(1, 3)]
+        truth_rows, run_rows = [], []
+        truth: dict[int, dict[int, int]] = {}
+        for q in range(n_q):
+            docs = rng.sample(range(100), rng.randint(2, 15))
+            truth[q] = {d: rng.randint(0, 5) for d in docs}
+            truth_rows += [(q, d, r) for d, r in truth[q].items()]
+            for s in systems:
+                ranked = rng.sample(range(120), rng.randint(1, k + 4))
+                run_rows += [(s, q, d, i + 1) for i, d in enumerate(ranked)]
+        runs = spark.createDataFrame(
+            run_rows, "system string, query_id bigint, doc_id bigint, rank bigint"
+        )
+        tr = spark.createDataFrame(
+            truth_rows, "query_id bigint, doc_id bigint, rel bigint"
+        )
+        got = {
+            (r.system, r.query_id): (r.dcg, r.idcg, r.ndcg)
+            for r in retrieval_quality_audit(runs, tr, k=k).collect()
+        }
+
+        def dcg(pairs):  # [(rank, rel)] rank-ascending, left-to-right sum
+            acc = 0.0
+            for rank, rel in sorted(pairs):
+                acc = acc + float(rel) / math.log2(rank + 1)
+            return acc
+
+        for q in range(n_q):
+            ideal = sorted(truth[q].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            idcg = dcg([(i + 1, rel) for i, (_, rel) in enumerate(ideal)])
+            for s in systems:
+                mine = [
+                    (rank, truth[q].get(d, 0))
+                    for (sy, qq, d, rank) in run_rows
+                    if sy == s and qq == q and rank <= k
+                ]
+                want = dcg(mine)
+                assert got[(s, q)] == (want, idcg, want / idcg), (trial, s, q)
