@@ -1034,8 +1034,13 @@ def rebalance_gate_index(
         ivf_rebalance,
     )
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     cent = spark.read.parquet(f"{index_path}/centroids")
-    members = spark.read.parquet(f"{index_path}/members")
+    try:
+        members = spark.read.parquet(f"{index_path}/members")
+    except AnalysisException:
+        return []  # fresh gate: centroids only, nothing to rebalance yet
     sizes = members.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     hot = [r.cell for r in sizes.filter(F.col("n") > max_cell_size).collect()]
     if not hot:  # model-sized collect: one row per over-cap cell

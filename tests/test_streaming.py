@@ -1081,3 +1081,21 @@ def test_rebalance_gate_index_noop_below_cap(spark, tmp_path):
         for f in glob.glob(str(root / "**" / "*.parquet"), recursive=True)
     }
     assert after == mtimes
+
+
+def test_rebalance_gate_index_fresh_gate_noop(spark, tmp_path):
+    """A maintenance cron firing before the gate's first batch (the
+    fresh-gate posture: centroids persisted, no members directory yet)
+    must no-op instead of throwing."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import rebalance_gate_index
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = tmp_path / "fresh_rebal"
+    ivf_index(corpus, nlist=2, quantizer="sample").centroids.write.parquet(
+        str(root / "centroids")
+    )
+    assert rebalance_gate_index(spark, str(root), max_cell_size=3) == []
