@@ -109,6 +109,7 @@ def compact_decisions(
     partition_by: list[str] | None = None,
     max_records_per_file: int = 1_000_000,
     compression: str = "zstd",
+    keep: str = "latest",
 ) -> DataFrame:
     """Retention compaction for append-only decision/verdict logs —
     the missing maintenance pass behind the streaming gates (every
@@ -134,14 +135,22 @@ def compact_decisions(
     scale compacts to a fresh ``dst_path`` and swaps, keeping the old
     log until readers drain; in-place is the single-writer spelling.
 
+    ``keep`` picks the retention rule per log family: ``"latest"``
+    (``max_by`` — the gates' re-score semantics) or ``"earliest"``
+    (``min_by`` — first-writer-wins logs like the URL frontier, where
+    the FIRST sighting is the record and later appends are noise).
+
     Returns the compacted log read back from its final path, so the
     caller sees exactly what is on disk."""
+    if keep not in ("latest", "earliest"):
+        raise ValueError(f"keep must be 'latest' or 'earliest', got {keep!r}")
+    pick = F.max_by if keep == "latest" else F.min_by
     log = spark.read.parquet(decisions_path)
     ids = list(id_cols)
     rest = [c for c in log.columns if c not in ids]
     latest = (
         log.groupBy(*ids)
-        .agg(F.max_by(F.struct(*rest), F.col(order_col)).alias("_r"))
+        .agg(pick(F.struct(*rest), F.col(order_col)).alias("_r"))
         .select(*ids, "_r.*")
     )
     if partition_by:

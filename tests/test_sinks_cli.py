@@ -261,3 +261,28 @@ def test_compact_decisions_to_fresh_path(spark, tmp_path):
     )
     assert {(r.id, r.verdict) for r in out.collect()} == {(1, "c"), (2, "b")}
     assert spark.read.parquet(src).count() == 3  # source untouched
+
+
+def test_compact_decisions_keep_earliest(spark, tmp_path):
+    """keep='earliest' is the first-writer-wins retention the URL
+    frontier log wants: the FIRST sighting survives, later re-sightings
+    compact away."""
+    import pytest as _pytest
+
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions
+
+    path = str(tmp_path / "frontier")
+    schema = "canon_url string, batch_id bigint, src string"
+    spark.createDataFrame(
+        [("a", 1, "seed"), ("b", 1, "seed")], schema
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [("a", 2, "recrawl"), ("c", 2, "link")], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    out = compact_decisions(
+        spark, path, order_col="batch_id", id_cols=("canon_url",), keep="earliest"
+    )
+    got = {(r.canon_url): (r.batch_id, r.src) for r in out.collect()}
+    assert got == {"a": (1, "seed"), "b": (1, "seed"), "c": (2, "link")}
+    with _pytest.raises(ValueError):
+        compact_decisions(spark, path, order_col="batch_id", keep="newest")
