@@ -401,7 +401,11 @@ def retrieval_quality_audit(
     system's ranked list, rank 1 best; ``truth`` = (query_id, doc_id,
     rel) — graded relevance (e.g. exact-cosine top-g with grades
     g..1; any non-negative integer grades work). Output: one row per
-    (system, query_id): (system, query_id, dcg, idcg, ndcg).
+    (system, query_id): (system, query_id, dcg, idcg, ndcg). A query
+    with no truth rows, or whose truth grades are all zero, has no
+    ideal gain to normalize by: its rows emit idcg=0.0 and ndcg=0.0
+    (never NaN, never silently dropped) — the audit surfaces the
+    uncovered query instead of hiding it.
 
     Engine-exact by construction: ranks ≤ k join a k-row log2
     discount table (Python-libm pandas_udf — bit-matches DuckDB's
@@ -457,10 +461,16 @@ def retrieval_quality_audit(
     idcg = _dcg(ideal, ["query_id"], F.col("rel")).withColumnRenamed(
         "dcg", "idcg"
     )
-    return dcg.join(idcg, "query_id").select(
+    # LEFT join: a (system, query) whose query has no truth rows must
+    # still appear (idcg null → 0.0), and an all-zero-grade truth set
+    # yields idcg=0.0 — both normalize to ndcg=0.0, never NaN.
+    idcg0 = F.coalesce(F.col("idcg"), F.lit(0.0))
+    return dcg.join(idcg, "query_id", "left").select(
         "system",
         "query_id",
         "dcg",
-        "idcg",
-        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        idcg0.alias("idcg"),
+        F.when(idcg0 > 0.0, F.col("dcg") / F.col("idcg"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
     )

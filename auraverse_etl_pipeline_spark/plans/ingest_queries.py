@@ -247,7 +247,7 @@ def ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-mismatches",
 )
 def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.sources.tables import (
         read_jsonl_corpus,
@@ -255,7 +255,7 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_corpus_") + "/docs"
+    path = scratch_dir(prefix="jsonl_corpus_") + "/docs"
     write_jsonl_corpus(docs, path)
     back = read_jsonl_corpus(
         spark,

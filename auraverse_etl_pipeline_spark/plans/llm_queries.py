@@ -59,8 +59,26 @@ from auraverse_etl_pipeline_spark.plans.registry import query
 from auraverse_etl_pipeline_spark.sources.tables import load_table
 
 #: DuckDB spelling of whitespace tokens / shingles, shared across oracles.
-_TOKS = "string_split_regex(trim(text), '\\s+')"
-_SH3 = f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+#: The column-parameterized builders exist so a non-``text`` column
+#: (e.g. the pair captions) interpolates structurally instead of via a
+#: post-hoc string replace that would corrupt the SQL if the template
+#: ever gained any other token containing "text".
+
+
+def _toks(col: str) -> str:
+    return f"string_split_regex(trim({col}), '\\s+')"
+
+
+def _sh3(col: str) -> str:
+    t = _toks(col)
+    return (
+        f"list_distinct(list_transform(range(1, len({t}) - 1), "
+        f"i -> array_to_string(({t})[i:i+2], ' ')))"
+    )
+
+
+_TOKS = _toks("text")
+_SH3 = _sh3("text")
 
 
 # ---------------------------------------------------------------------------
@@ -629,7 +647,7 @@ _IVF_CTES = f"""
     "its recall pinned in pytest",
 )
 def sim_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.similarity import (
         IvfIndex,
@@ -641,7 +659,7 @@ def sim_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index(
         emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
     )
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = scratch_dir(prefix="ivf_index_")
     idx.save(path)
     loaded = IvfIndex.load(spark, path)  # search hits ONLY the persisted tables
     out = ivf_search(
@@ -2145,7 +2163,7 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g.id1 AS id1, h.pair_id AS id2
         FROM sha h JOIN grp g USING (s) WHERE h.pair_id > g.id1
     ),
-    shg AS (SELECT pair_id, {_SH3.replace("text", "caption")} AS shingles FROM corpus),
+    shg AS (SELECT pair_id, {_sh3("caption")} AS shingles FROM corpus),
     cap_edges AS (
         SELECT a.pair_id AS id1, b.pair_id AS id2
         FROM shg a JOIN shg b ON a.pair_id < b.pair_id
@@ -2225,7 +2243,7 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
     ),
-    sh AS (SELECT doc_id, {_SH3.replace('text', 'text')} AS shingles FROM corpus),
+    sh AS (SELECT doc_id, {_SH3} AS shingles FROM corpus),
     pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -4849,11 +4867,12 @@ def mix_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_QUERY_IDS = (3, 47, 101)
 _RRF_K = 60
 
-
-@query(
-    "sim_hybrid_search",
-    oracle=f"""
-    WITH corpus AS (
+#: Shared oracle CTE prefix for the hybrid retrieval stack
+#: (corpus -> BM25 lex top-20 -> exact dense top-20 -> RRF fusion):
+#: ``sim_hybrid_search`` selects the fused top-10 from it and
+#: ``sim_retrieval_quality_audit`` scores all three rankings with
+#: nDCG@10 — one spelling, so the two oracles cannot drift.
+_HYBRID_STACK_CTES = f"""corpus AS (
         SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     ),
@@ -4926,7 +4945,14 @@ _RRF_K = 60
                  AS rrf_score
         FROM lex l FULL OUTER JOIN dense d
           ON l.query_id = d.query_id AND l.doc_id = d.doc_id
-    )
+    )"""
+
+
+
+@query(
+    "sim_hybrid_search",
+    oracle=f"""
+    WITH {_HYBRID_STACK_CTES}
     SELECT query_id, doc_id, rrf_score, rank FROM (
         SELECT query_id, doc_id, rrf_score,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4972,6 +4998,151 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     out = hybrid_rrf(lex, dense, k=10, rrf_k=_RRF_K)
     return release_after(out, idx.cache_handle)
+
+
+@query(
+    "sim_retrieval_quality_audit",
+    oracle=f"""
+    WITH {_HYBRID_STACK_CTES},
+    hybrid AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rrf_score DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+            FROM fused
+        ) WHERE rank <= 10
+    ),
+    runs AS (
+        SELECT 'bm25' AS system, query_id, doc_id, rank FROM lex
+        UNION ALL
+        SELECT 'dense' AS system, query_id, doc_id, rank FROM dense
+        UNION ALL
+        SELECT 'hybrid' AS system, query_id, doc_id, rank FROM hybrid
+    ),
+    truth AS MATERIALIZED (
+        SELECT query_id, doc_id, CAST(11 - rank AS DOUBLE) AS rel
+        FROM dense WHERE rank <= 10
+    ),
+    got AS (
+        SELECT r.system, r.query_id, r.rank,
+               COALESCE(t.rel, CAST(0.0 AS DOUBLE)) AS rel
+        FROM runs r LEFT JOIN truth t USING (query_id, doc_id)
+        WHERE r.rank <= 10
+    ),
+    g AS (
+        SELECT system, query_id, rank,
+               rel / log2(CAST(rank + 1 AS DOUBLE)) AS gain
+        FROM got
+    ),
+    dcg AS (
+        SELECT system, query_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(gain ORDER BY rank)),
+                           (a, b) -> a + b) AS dcg
+        FROM g GROUP BY system, query_id
+    ),
+    ide AS (
+        SELECT query_id, rel,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rel DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM truth
+    ),
+    ig AS (
+        SELECT query_id, rank,
+               rel / log2(CAST(rank + 1 AS DOUBLE)) AS gain
+        FROM ide WHERE rank <= 10
+    ),
+    idcg AS (
+        SELECT query_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(gain ORDER BY rank)),
+                           (a, b) -> a + b) AS idcg
+        FROM ig GROUP BY query_id
+    )
+    SELECT d.system, d.query_id, d.dcg,
+           COALESCE(i.idcg, CAST(0.0 AS DOUBLE)) AS idcg,
+           CASE WHEN COALESCE(i.idcg, CAST(0.0 AS DOUBLE)) > 0.0
+                THEN d.dcg / i.idcg ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+    FROM dcg d LEFT JOIN idcg i USING (query_id)
+    """,
+    description="nDCG@10 evaluation of the full hybrid retrieval stack "
+    "- the measurement that justifies RRF's k=60 and arbitrates "
+    "BM25-only vs dense-only vs hybrid (the lexical twin of "
+    "sim_ann_recall_audit): all three systems' rankings from the "
+    "sim_hybrid_search stack scored against exact-cosine graded truth "
+    "(dense top-10, grades 10..1 - so dense pins at exactly 1.0). "
+    "Engine-exact: Python-libm log2 discounts (bit-matches DuckDB, "
+    "probed on 40k inputs), ordered left-to-right DCG folds so no "
+    "float crosses an unordered aggregate, left-joined idcg with the "
+    "0.0-not-NaN convention for uncovered queries. Bounded by "
+    "systems x queries x k after the retrievers' own top-k plans",
+)
+def sim_retrieval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+        hybrid_rrf,
+        retrieval_quality_audit,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import cosine_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qfilter = F.col("doc_id").isin(*_HYBRID_QUERY_IDS)
+    idx = bm25_index(corpus, cache=True)
+    # lex feeds the fused ranking AND its own run row; dense feeds the
+    # fusion, its run row, AND the truth grades — cache both so the
+    # corpus-sized retrieval plans run once (the CLAUDE.md/SCALE.md
+    # multi-consumer rule), released with the index handle below.
+    lex = (
+        bm25_search(
+            corpus.filter(qfilter).select(
+                F.col("doc_id").alias("query_id"), "text"
+            ),
+            idx,
+            k=20,
+        )
+        .select("query_id", "doc_id", "rank")
+        .cache()
+    )
+    dense = (
+        cosine_top_k(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            corpus.filter(qfilter).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            k=20,
+            exact_fold=True,
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        .cache()
+    )
+    hybrid = hybrid_rrf(lex, dense, k=10, rrf_k=_RRF_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    runs = (
+        lex.select(F.lit("bm25").alias("system"), "query_id", "doc_id", "rank")
+        .unionByName(
+            dense.select(
+                F.lit("dense").alias("system"), "query_id", "doc_id", "rank"
+            )
+        )
+        .unionByName(
+            hybrid.select(
+                F.lit("hybrid").alias("system"), "query_id", "doc_id", "rank"
+            )
+        )
+    )
+    truth = dense.filter(F.col("rank") <= 10).select(
+        "query_id", "doc_id", (11 - F.col("rank")).cast("bigint").alias("rel")
+    )
+    out = retrieval_quality_audit(runs, truth, k=10)
+    return release_after(out, idx.cache_handle, lex, dense)
 
 
 @query(

@@ -80,25 +80,14 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: nowhere else) — never a fourth configuration of an existing tier.
 #: A new configuration of an existing operator belongs in pytest, where
 #: coverage is free; a new registry name costs one stale slot per round
-#: forever. Staged for round 14 under this policy:
-#: ``retrieval_quality_audit`` (operators/retrieval.py, nDCG@k — built
-#: and DuckDB-parity-pinned in tests/test_operators.py in round 13;
-#: register it once the r9 cohort has re-scored).
+#: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 13 start: CORRECTNESS_r12.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red). Round-13 new queries and
+    # round 14 start: CORRECTNESS_r13.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red). Round-14 new queries and
     # rewrites-after-green land here as the round progresses.
-    "compact_decisions",  # NEW: verdict-log retention (latest-per-id rewrite)
-    "sim_ivf_occupancy_audit",  # NEW: the ivf_rebalance trigger measurement
-    "multimodal_pair_dedup",  # NEW: media-sha ∪ caption-near-dup CC composition
-    # The cell-partitioned writes gained a repartition("cell") cluster
-    # (layout-only: one writer per cell per task — see IvfIndex.save).
-    # The two closed loops whose per-batch write path changed re-score
-    # here; the other save()-path consumers were re-verified locally
-    # (foreign-cwd value compare, round 13) and keep their slots —
-    # values are read back through a layout-agnostic parquet scan.
-    "stream_semdedup_gate",  # handler delta write clustered
-    "stream_ivf_assign",  # handler delta write clustered
+    "sim_retrieval_quality_audit",  # NEW: nDCG@k (staged in r13, registered r14)
+    "index_retire_ids",  # NEW: take-down propagation across persisted indexes
+    "sim_quantizer_drift_audit",  # NEW: per-cell centroid_cos trend (retrain signal)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -106,59 +95,13 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 8
-    "q44_global_ids": 8,
-    "q45_messy_date_ladder": 8,
-    "q46_approx_percentile_scale_path": 8,
-    "q47_cascade_delete_audit": 8,
-    "q48_gap_filled_daily_revenue": 8,
-    "q49_shuffled_hash_strategy": 8,
     # round 9
-    "dedup_bloom_audit": 9,
-    "dedup_bloom_bits": 9,
-    "dedup_bloom_decontaminate": 9,
-    "dedup_containment_audit": 9,
-    "dedup_embedding_lsh": 9,
-    "dedup_embedding_signlsh": 9,
-    "dedup_hot_bucket_audit": 9,
-    "dedup_merge_index": 9,
-    "dedup_minhash_md5_pairs": 9,
-    "dedup_prefix_join_audit": 9,
     "fixture_schema_field_types": 9,
-    "mix_cluster_balanced": 9,
-    "mix_curriculum_order": 9,
-    "mix_token_budget": 9,
-    "multimodal_frame_manifest": 9,
-    "multimodal_media_features": 9,
-    "multimodal_png_features": 9,
-    "multimodal_wav_features": 9,
     "q09_nation_year_profit": 9,
     "q28_sketch_distinct_users": 9,
     "q54_user_value_anomalies": 9,
-    "sim_ivf_assign": 9,
-    "sim_ivf_index_search": 9,
-    "sim_ivf_lloyd": 9,
-    "sim_ivfpq_search": 9,
-    "sim_pq_codes": 9,
-    "sim_pq_lloyd": 9,
-    "sim_pq_search": 9,
-    "sim_range_search": 9,
     "sql_udaf_source_stats": 9,
-    "stream_dedup_events": 9,
-    "stream_hourly_event_windows": 9,
     "stream_purchase_attribution": 9,
-    "stream_sliding_windows": 9,
-    "stream_user_running_totals": 9,
-    "stream_user_sessions": 9,
-    "text_char_entropy": 9,
-    "text_chunk_documents": 9,
-    "text_cms_token_counts": 9,
-    "text_gopher_filter": 9,
-    "text_lm_trigram": 9,
-    "text_nb_classifier": 9,
-    "text_span_dedup": 9,
-    "text_span_dedup_apply": 9,
-    "text_unicode_normalize": 9,
     # round 10
     "corpus_data_card": 10,
     "corpus_snapshot_diff": 10,
@@ -248,7 +191,6 @@ _LAST_GREEN = {
     "sim_sq_search": 11,
     "sql_lateral_fragment_summary": 11,
     "stream_domain_gate": 11,
-    "stream_ivf_assign": 11,
     "text_bpe_encode": 11,
     "text_bytebpe_encode": 11,
     "text_bytebpe_train": 11,
@@ -294,7 +236,6 @@ _LAST_GREEN = {
     "sim_ivfsq_search": 12,
     "sim_topk_cosine": 12,
     "stream_lm_quality_gate": 12,
-    "stream_semdedup_gate": 12,
     "text_bpe_token_budget": 12,
     "text_fingerprints": 12,
     "text_lang_guess": 12,
@@ -307,7 +248,59 @@ _LAST_GREEN = {
     "text_repetition_filter": 12,
     "text_token_stats": 12,
     "text_vocab_topk": 12,
+    # round 13
+    "compact_decisions": 13,
+    "dedup_bloom_audit": 13,
+    "dedup_bloom_bits": 13,
+    "dedup_bloom_decontaminate": 13,
+    "dedup_containment_audit": 13,
+    "dedup_embedding_lsh": 13,
+    "dedup_embedding_signlsh": 13,
+    "dedup_hot_bucket_audit": 13,
+    "dedup_merge_index": 13,
+    "dedup_minhash_md5_pairs": 13,
+    "dedup_prefix_join_audit": 13,
+    "mix_cluster_balanced": 13,
+    "mix_curriculum_order": 13,
+    "mix_token_budget": 13,
+    "multimodal_frame_manifest": 13,
+    "multimodal_media_features": 13,
+    "multimodal_pair_dedup": 13,
+    "multimodal_png_features": 13,
+    "multimodal_wav_features": 13,
+    "q44_global_ids": 13,
+    "q45_messy_date_ladder": 13,
+    "q46_approx_percentile_scale_path": 13,
+    "q47_cascade_delete_audit": 13,
+    "q48_gap_filled_daily_revenue": 13,
+    "q49_shuffled_hash_strategy": 13,
+    "sim_ivf_assign": 13,
+    "sim_ivf_index_search": 13,
+    "sim_ivf_lloyd": 13,
+    "sim_ivf_occupancy_audit": 13,
+    "sim_ivfpq_search": 13,
+    "sim_pq_codes": 13,
+    "sim_pq_lloyd": 13,
+    "sim_pq_search": 13,
+    "sim_range_search": 13,
+    "stream_dedup_events": 13,
+    "stream_hourly_event_windows": 13,
+    "stream_ivf_assign": 13,
+    "stream_semdedup_gate": 13,
+    "stream_sliding_windows": 13,
+    "stream_user_running_totals": 13,
+    "stream_user_sessions": 13,
+    "text_char_entropy": 13,
+    "text_chunk_documents": 13,
+    "text_cms_token_counts": 13,
+    "text_gopher_filter": 13,
+    "text_lm_trigram": 13,
+    "text_nb_classifier": 13,
+    "text_span_dedup": 13,
+    "text_span_dedup_apply": 13,
+    "text_unicode_normalize": 13,
 }
+
 
 
 #: Within a freshness tier: oracle-gated queries precede rows-only ones

@@ -298,7 +298,7 @@ def _compaction_oracle() -> str:
     "corpus-wide canonical pair set under the md5 base hash",
 )
 def stream_compaction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.streaming.ops import (
         run_stream_dedup_compaction,
@@ -311,7 +311,7 @@ def stream_compaction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    root = tempfile.mkdtemp(prefix="compaction_")
+    root = scratch_dir(prefix="compaction_")
     run_stream_dedup_compaction(
         docs.unionByName(copies),
         index_path=f"{root}/index",
@@ -394,7 +394,7 @@ def _stream_bm25_oracle() -> str:
     "batching and the injected re-ingest duplicates",
 )
 def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.retrieval import bm25_search
     from auraverse_etl_pipeline_spark.plans.llm_queries import _BM25_QUERIES
@@ -412,7 +412,7 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
-    root = tempfile.mkdtemp(prefix="bm25_stream_")
+    root = scratch_dir(prefix="bm25_stream_")
     run_stream_bm25_indexing(
         docs.unionByName(copies), index_path=f"{root}/index"
     )
@@ -463,7 +463,7 @@ def _stream_ivf_oracle() -> str:
     "streamed vector exactly once with its exact-fold argmax cell",
 )
 def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
     from auraverse_etl_pipeline_spark.plans.llm_queries import _IVF_NLIST
@@ -474,7 +474,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_index(
         emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
     )
-    root = tempfile.mkdtemp(prefix="ivf_stream_")
+    root = scratch_dir(prefix="ivf_stream_")
     idx.save(f"{root}/index")
     # stage the stream: two new-vector chunks (one file = one micro-
     # batch) plus re-ingested corpus ids that index-wins must drop
@@ -549,7 +549,7 @@ def _lm_quality_gate_oracle() -> str:
     "reports the running (fail_reason, fluent) tally",
 )
 def stream_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.lm import BigramLm, ngram_lm_train
     from auraverse_etl_pipeline_spark.sources.tables import load_table
@@ -564,7 +564,7 @@ def stream_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contexts=lm.contexts.cache(),
         stats=lm.stats.cache(),
     )
-    root = tempfile.mkdtemp(prefix="lm_gate_")
+    root = scratch_dir(prefix="lm_gate_")
     try:
         run_stream_lm_quality_gate(
             stream_documents(spark, sf_dir),
@@ -626,7 +626,7 @@ def _logreg_gate_oracle() -> str:
     "and engine-portable",
 )
 def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.classifier import logreg_train
     from auraverse_etl_pipeline_spark.plans.llm_queries import (
@@ -661,7 +661,7 @@ def stream_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_LOGREG_ITERS,
         decay=True,
     ).cache()
-    root = tempfile.mkdtemp(prefix="logreg_gate_")
+    root = scratch_dir(prefix="logreg_gate_")
     try:
         run_stream_logreg_gate(
             with_markers(stream_documents(spark, sf_dir)),
@@ -714,7 +714,7 @@ def _domain_gate_oracle() -> str:
     "blocklist - stream/batch gate parity at the oracle level",
 )
 def stream_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.plans.llm_queries import (
         _BLOCK_BITS,
@@ -729,7 +729,7 @@ def stream_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def with_uri(df: DataFrame) -> DataFrame:
         return df.select("doc_id", "text", _domain_uri().alias("target_uri"))
 
-    root = tempfile.mkdtemp(prefix="domain_gate_")
+    root = scratch_dir(prefix="domain_gate_")
     run_stream_domain_gate(
         with_uri(stream_documents(spark, sf_dir)),
         _BLOCKED_DOMAINS,
@@ -784,13 +784,13 @@ def _url_frontier_oracle() -> str:
     "spelling over the same messy fixture",
 )
 def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.plans.llm_queries import _messy_url_sql
     from auraverse_etl_pipeline_spark.streaming.ops import run_stream_url_frontier
     from auraverse_etl_pipeline_spark.streaming.sources import stream_documents
 
-    root = tempfile.mkdtemp(prefix="url_frontier_")
+    root = scratch_dir(prefix="url_frontier_")
     urls = stream_documents(spark, sf_dir).select(
         "doc_id", F.expr(_messy_url_sql()).alias("raw_url")
     )
@@ -923,7 +923,7 @@ def _stream_semdedup_oracle() -> str:
     "and both batches decision-for-decision",
 )
 def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.similarity import (
         ivf_index,
@@ -951,7 +951,7 @@ def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", "v", "cell", "centroid_cos")
     )
-    root = tempfile.mkdtemp(prefix="semdedup_stream_")
+    root = scratch_dir(prefix="semdedup_stream_")
     idx.centroids.write.parquet(f"{root}/index/centroids")
     members.write.partitionBy("cell").parquet(f"{root}/index/members")
     plus = lambda c: F.transform(c, lambda x: x + F.lit(0.05))
@@ -1069,7 +1069,7 @@ def _compact_decisions_oracle() -> str:
     "latest-per-id over the union",
 )
 def compact_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
 
     from auraverse_etl_pipeline_spark.operators.quality import gopher_report
     from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions as compact
@@ -1090,7 +1090,7 @@ def compact_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fail_reason"),
         (F.col("n_chars") >= 200).alias("kept"),
     )
-    path = tempfile.mkdtemp(prefix="decisions_log_")
+    path = scratch_dir(prefix="decisions_log_")
     b1.write.mode("append").parquet(path)  # two appends = two scoring
     b2.write.mode("append").parquet(path)  # runs accreting one log
     compacted = compact(

@@ -11,7 +11,9 @@ built once per session.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import zipfile
 
@@ -19,6 +21,21 @@ from pyspark.sql import SparkSession
 
 _PACKAGE_NAME = "auraverse_etl_pipeline_spark"
 _SHIPPED_SESSIONS: set[int] = set()
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that cleans up at interpreter exit.
+
+    Registry queries stage fixture logs/indexes under a scratch root
+    and return a DataFrame that reads the staged parquet LAZILY — the
+    caller (driver, bench, pytest) collects after the query function
+    returns, so the directory must outlive the call. Removing it at
+    ``atexit`` keeps every scoring/bench invocation from leaking a
+    ``*_<random>`` directory in the system temp dir while never racing
+    the consumer (one process == one scoring run)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def _build_package_zip() -> str:

@@ -3717,6 +3717,37 @@ def test_retrieval_quality_audit_hand_geometry(spark):
     assert out["ideal"].idcg == out["reversed"].idcg
 
 
+def test_retrieval_quality_audit_uncovered_query_is_zero_not_nan(spark):
+    """A (system, query) whose query has NO truth rows, or whose truth
+    grades are all zero, must still appear with ndcg=0.0 — never NaN
+    (0.0/0.0), never silently dropped by an inner join (the round-13
+    ADVICE finding). The audit's job is to SURFACE uncovered queries."""
+    import math
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        retrieval_quality_audit,
+    )
+
+    # query 1: normal truth; query 2: no truth rows at all;
+    # query 3: truth rows exist but every grade is zero.
+    truth = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (3, 30, 0), (3, 31, 0)],
+        "query_id bigint, doc_id bigint, rel bigint",
+    )
+    runs = spark.createDataFrame(
+        [("s", 1, 10, 1), ("s", 1, 11, 2),
+         ("s", 2, 20, 1), ("s", 2, 21, 2),
+         ("s", 3, 30, 1), ("s", 3, 31, 2)],
+        "system string, query_id bigint, doc_id bigint, rank bigint",
+    )
+    rows = {r.query_id: r for r in retrieval_quality_audit(runs, truth, k=2).collect()}
+    assert set(rows) == {1, 2, 3}  # nothing dropped
+    assert rows[1].ndcg == 1.0
+    for q in (2, 3):
+        assert rows[q].idcg == 0.0 and rows[q].dcg == 0.0
+        assert rows[q].ndcg == 0.0 and not math.isnan(rows[q].ndcg)
+
+
 def test_retrieval_quality_audit_hybrid_stack_and_engine_parity(spark, sf_dir, duck):
     """The real measurement the operator exists for: nDCG@10 of
     BM25-only vs dense-only vs RRF hybrid against exact-cosine graded
