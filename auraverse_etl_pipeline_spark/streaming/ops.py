@@ -1027,6 +1027,23 @@ def rebalance_gate_index(
     tests/test_streaming.py). Centroids (nlist rows, model-sized) are
     rewritten whole.
 
+    Crash-recovery posture: the two writes (members partitions,
+    centroids) cannot be one atomic commit on a filesystem, so the
+    commit is STAGED — the full new centroid table lands at
+    ``{index_path}/centroids_pending`` first (a write-ahead marker),
+    then the members delta, then centroids, then the marker is
+    removed. Every crash window is recoverable on the NEXT call: a
+    leftover marker whose staged-only cells have members (or whose
+    live centroid table is missing — the destructive-overwrite
+    window) means the members write committed, so the marker is
+    promoted; a marker with no such members means the crash preceded
+    the members write and the pre-rebalance state is still live, so
+    the marker is discarded. Either way no member is ever dropped,
+    and no stale empty centroid survives a recovery — between the
+    crash and the healing call, moved members are temporarily
+    unsearchable (old centroids, new cells), which the next
+    maintenance tick repairs.
+
     Returns the list of cell ids that were split (empty = no-op)."""
     from auraverse_etl_pipeline_spark.operators.similarity import (
         IvfIndex,
@@ -1036,7 +1053,45 @@ def rebalance_gate_index(
 
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    cent = spark.read.parquet(f"{index_path}/centroids")
+    cent_path = f"{index_path}/centroids"
+    pending_path = f"{index_path}/centroids_pending"
+
+    def _read(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    def _delete(path: str) -> None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+
+    # --- recovery: finish or discard a prior run's staged commit ---
+    pending = _read(pending_path)
+    if pending is not None:
+        live = _read(cent_path)
+        live_members = _read(f"{index_path}/members")
+        if live is None:
+            promote = True  # centroids destroyed mid-overwrite
+        else:
+            staged_only = pending.join(
+                live.select("cell"), "cell", "left_anti"
+            ).select("cell")
+            promote = (
+                live_members is not None
+                and live_members.join(staged_only, "cell", "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            )  # members already carry staged cells -> members write committed
+        if promote:
+            pending.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                cent_path
+            )
+        _delete(pending_path)
+
+    cent = spark.read.parquet(cent_path)
     try:
         members = spark.read.parquet(f"{index_path}/members")
     except AnalysisException:
@@ -1075,11 +1130,15 @@ def rebalance_gate_index(
     handle = getattr(new.assignments, "release_caches", None)
     if callable(handle):
         handle()
-    new_cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    # staged commit (see crash-recovery posture above): marker first,
+    # members second, live centroids third, marker removal last
+    new_cent.write.mode("overwrite").parquet(pending_path)
     (
         delta.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
         .parquet(f"{index_path}/members")
     )
+    new_cent.write.mode("overwrite").parquet(cent_path)
+    _delete(pending_path)
     return hot

@@ -1099,3 +1099,155 @@ def test_rebalance_gate_index_fresh_gate_noop(spark, tmp_path):
         str(root / "centroids")
     )
     assert rebalance_gate_index(spark, str(root), max_cell_size=3) == []
+
+
+def test_rebalance_gate_index_crash_recovery(spark, tmp_path):
+    """The staged-commit protocol heals every crash window on the next
+    maintenance call. Window A: crash after the pending-centroids
+    marker but before the members write — the marker is discarded and
+    the re-run redoes the whole rebalance (deterministic, so it lands
+    on the same final state). Window B: crash after the members write
+    but before the live-centroids overwrite — the marker promotes
+    (members already carry staged-only cells) and nothing re-splits.
+    Window C: crash mid-centroids-overwrite with the live table
+    destroyed — the marker is the only copy and promotes. In every
+    window: no member lost, no stale empty centroid left behind, no
+    leftover marker."""
+    import math
+    import shutil
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import rebalance_gate_index
+
+    def xz(deg):
+        return [math.cos(math.radians(deg)), 0.0, math.sin(math.radians(deg)), 0.0]
+
+    corpus = spark.createDataFrame(
+        [(10, xz(0)), (11, [0.0, 1.0, 0.0, 0.0]), (12, xz(30)),
+         (13, xz(60)), (14, xz(90))],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    members = idx.assignments.join(
+        corpus.select(F.col("vec_id").alias("id")), "id"
+    ).join(F.broadcast(idx.centroids), "cell").select(
+        "id", "v", "cell",
+        F.least(
+            F.lit(1.0),
+            F.aggregate(
+                F.zip_with("v", "centroid", lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        ).alias("centroid_cos"),
+    )
+    base = tmp_path / "base"
+    idx.centroids.write.parquet(str(base / "centroids"))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(base / "members")
+    )
+
+    # clean run on a copy -> the intended committed state (cell 0 is
+    # 4 members over a cap of 3 and splits deterministically)
+    clean = tmp_path / "clean"
+    shutil.copytree(base, clean)
+    assert rebalance_gate_index(spark, str(clean), max_cell_size=3) == [0]
+    want_cent = sorted(
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(str(clean / "centroids")).collect()
+    )
+    want_mem = sorted(
+        (r.id, r.cell)
+        for r in spark.read.parquet(str(clean / "members")).collect()
+    )
+    assert not (clean / "centroids_pending").exists()
+
+    def crash_state(tag, centroids_from, members_from):
+        root = tmp_path / tag
+        root.mkdir()
+        if centroids_from is not None:
+            shutil.copytree(centroids_from / "centroids", root / "centroids")
+        shutil.copytree(members_from / "members", root / "members")
+        spark.read.parquet(str(clean / "centroids")).write.parquet(
+            str(root / "centroids_pending")
+        )
+        return root
+
+    def check(root, want_split):
+        assert rebalance_gate_index(spark, str(root), max_cell_size=3) == want_split
+        got_cent = sorted(
+            (r.cell, tuple(r.centroid))
+            for r in spark.read.parquet(str(root / "centroids")).collect()
+        )
+        got_mem = sorted(
+            (r.id, r.cell)
+            for r in spark.read.parquet(str(root / "members")).collect()
+        )
+        assert got_cent == want_cent and got_mem == want_mem
+        assert not (root / "centroids_pending").exists()
+
+    check(crash_state("crash_a", base, base), [0])     # marker discarded, redo
+    check(crash_state("crash_b", base, clean), [])     # marker promoted
+    check(crash_state("crash_c", None, clean), [])     # live table destroyed
+
+
+def test_rebalance_gate_index_converges_to_fixed_point(spark, tmp_path):
+    """The full maintenance loop driven by its own trigger: rebalance
+    repeatedly, using ivf_occupancy's over-cap list as the loop
+    condition, until no cell exceeds the cap. Pins: (a) membership is
+    conserved on every pass, (b) the largest over-cap cell SHRINKS
+    strictly every pass (one split halves separable data — the
+    documented geometric path; the over-cap COUNT may transiently grow
+    as one big cell becomes two medium ones), (c) the loop reaches the
+    empty-trigger fixed point in O(log n) passes, after which another
+    call is a byte-level no-op."""
+    import math
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_occupancy,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import rebalance_gate_index
+
+    def xz(deg):
+        return [math.cos(math.radians(deg)), 0.0, math.sin(math.radians(deg)), 0.0]
+
+    # 16 separable vectors, 6 degrees apart, in ONE hot cell. Ids are
+    # BIT-REVERSED over the angle order so every sub-cell's two
+    # lowest-id members sit at opposite angular ends and each split
+    # lands ~even — the separable-data geometric-halving shape (ids
+    # ascending with angle would peel one member per pass instead).
+    def bitrev4(i):
+        return int(f"{i:04b}"[::-1], 2)
+
+    rows = [(100 + bitrev4(i), xz(6 * i)) for i in range(16)]
+    rows.append((200, [0.0, -1.0, 0.0, 0.0]))  # cold 1-member cell
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    members = idx.assignments.withColumn("centroid_cos", F.lit(1.0))
+    root = tmp_path / "converge_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+
+    def occupancy():
+        mem = spark.read.parquet(str(root / "members")).select("id", "v", "cell")
+        return ivf_occupancy(mem, cap=3).collect()
+
+    all_ids = {100 + i for i in range(16)} | {200}
+    prev_max = None
+    passes = 0
+    while any(r.over_cap for r in occupancy()):
+        split = rebalance_gate_index(spark, str(root), max_cell_size=3)
+        assert split, "trigger fired but rebalance split nothing"
+        passes += 1
+        assert passes <= 8, "convergence loop runaway"
+        mem = spark.read.parquet(str(root / "members"))
+        assert {r.id for r in mem.collect()} == all_ids  # conserved
+        cur_max = max(r.n_members for r in occupancy())
+        if prev_max is not None:
+            assert cur_max < prev_max  # strictly shrinking hot tail
+        prev_max = cur_max
+    assert 2 <= passes <= 4  # 16 -> ~8 -> ~4 -> <=3: the geometric path
+    # fixed point: one more call is a no-op
+    assert rebalance_gate_index(spark, str(root), max_cell_size=3) == []
