@@ -1,0 +1,256 @@
+"""Id-retirement (take-down) propagation across the persisted indexes.
+
+Every persisted surface in the engine — the IVF members/assignments
+tables, the BM25 postings/dfs/stats triple, the gates' decision logs,
+the crawl frontier — supports append (``ivf_assign`` / ``bm25_merge`` /
+the ``run_stream_*_gate`` loops), compaction (``compact_decisions``)
+and rebalance (``rebalance_gate_index``), but nothing RETIRES an id:
+at 100 TB, deletion requests (take-downs, GDPR erasure, licensing
+pull-backs) are routine, and without this tier each one would be a
+full index rewrite. This module is the deletion twin of the merge
+operators — each function is the algebraic INVERSE of its append path,
+and each rewrites only what the retired ids actually touch:
+
+- :func:`ivf_retire` — anti-join the tombstones against a
+  cell-partitioned members table and rewrite ONLY the touched cells'
+  partition directories (the ``rebalance_gate_index`` dynamic-
+  partition-overwrite discipline); cold cells stay byte-untouched.
+- :func:`bm25_retire` — the exact inverse of
+  :func:`~auraverse_etl_pipeline_spark.operators.retrieval.bm25_merge`:
+  postings anti-join, vocabulary-sized df subtraction (terms reaching
+  df=0 drop, so the result is indistinguishable from a rebuild without
+  the retired docs), 1-row stats subtraction.
+- :func:`bm25_retire_path` — the persisted spelling: load → retire →
+  write, in place behind the reliable-checkpoint cut or to a fresh
+  ``dst_path`` (the production swap).
+- :func:`log_retire` — drop the retired ids' rows from an append-only
+  decision/frontier log, with the ``compact_decisions`` in-place
+  overwrite discipline (eager checkpoint before the destructive write,
+  ``reliable=True`` for the fault-tolerant flavor).
+
+Idempotence and crash posture: every function anti-joins a DURABLE
+tombstone list the caller owns, so a re-run after any crash converges
+to the same state (a partially-applied retire leaves some surfaces
+clean and some not; the next run touches only what still contains a
+retired id). Retiring an id that no surface contains is a no-op.
+Centroids are never dropped when a cell empties — quantizer geometry
+stays valid; an emptied cell's partition directory is deleted so a
+probe scans nothing.
+
+The reference (`/root/reference/etl_parser.py`) is a single-process
+parser with no persisted index surface — this tier exists for the
+100 TB pipeline layer, not for reference parity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from auraverse_etl_pipeline_spark.operators.retrieval import Bm25Index
+
+
+def _tomb_ids(tombstones: DataFrame, id_col: str) -> DataFrame:
+    """Normalized one-column distinct tombstone frame, broadcast: a
+    take-down list is human-scale (thousands), never corpus-scale."""
+    return F.broadcast(tombstones.select(F.col(id_col).alias(id_col)).distinct())
+
+
+def _checkpoint(df: DataFrame, spark: SparkSession, reliable: bool | None) -> DataFrame:
+    """The read-then-overwrite lineage cut (compact_decisions rule):
+    survivors derive from scanning the very files the write replaces,
+    so they must materialize first. ``reliable=None`` auto-upgrades to
+    the fault-tolerant SparkContext checkpoint dir when one is
+    configured — during the destructive overwrite, localCheckpoint
+    blocks are executor-local and one lost executor loses the data."""
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def ivf_retire(
+    spark: SparkSession,
+    index_path: str,
+    tombstones: DataFrame,
+    members_table: str = "members",
+    id_col: str = "id",
+    reliable: bool | None = None,
+) -> list[int]:
+    """Remove retired ids from a cell-partitioned IVF members table,
+    rewriting ONLY the partitions that contain one.
+
+    Works on both persisted member layouts — ``IvfIndex.save``'s
+    ``assignments`` (id, v, cell) and the SemDeDup gate's ``members``
+    (id, v, centroid_cos, cell) — because it is schema-agnostic: every
+    non-partition column of a surviving row is preserved verbatim;
+    only rows whose ``id_col`` appears in ``tombstones`` vanish.
+
+    Scale shape (the ``rebalance_gate_index`` discipline): one
+    broadcast semi-join finds the touched cells (collected — bounded
+    by nlist, one row per touched cell), the survivors of exactly
+    those cells anti-join the broadcast tombstones, and a dynamic
+    partition overwrite replaces just those directories (clustered by
+    ``repartition("cell")`` first — the open-writers rule). A touched
+    cell whose members ALL retire gets its partition directory
+    deleted outright, because a dynamic overwrite only rewrites
+    partitions present in the written data — an empty survivor set
+    would silently leave the doomed files live. Cold cells' files are
+    never opened for write (byte-untouched, pinned in tests).
+
+    Centroids are untouched: an emptied cell keeps its centroid (valid
+    quantizer geometry; probes that pick it scan zero rows), exactly
+    the posture a FAISS remove_ids leaves. Crash posture: the
+    per-partition overwrite is not atomic across cells, but re-running
+    with the same durable tombstone list converges — any cell still
+    holding a retired id is touched again, and the deletes are
+    idempotent.
+
+    Returns the list of touched cell ids (empty = no surface hit)."""
+    path = f"{index_path}/{members_table}"
+    members = spark.read.parquet(path)
+    tomb = _tomb_ids(tombstones, id_col)
+    touched = [
+        r.cell
+        for r in members.join(tomb, id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()  # bounded by nlist: one row per touched cell
+    ]
+    if not touched:
+        return []
+    survivors = members.filter(F.col("cell").isin(touched)).join(
+        tomb, id_col, "left_anti"
+    )
+    live_cells = {
+        r.cell for r in survivors.select("cell").distinct().collect()
+    }  # ⊆ touched, same bound
+    emptied = [c for c in touched if c not in live_cells]
+    if live_cells:
+        delta = _checkpoint(survivors.repartition("cell"), spark, reliable)
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    for cell in emptied:
+        _delete_path(spark, f"{path}/cell={cell}")
+    return touched
+
+
+def bm25_retire(index: Bm25Index, tombstones: DataFrame, id_col: str = "id") -> Bm25Index:
+    """The algebraic inverse of :func:`~auraverse_etl_pipeline_spark.
+    operators.retrieval.bm25_merge`: fold a tombstone list OUT of a
+    BM25 index without touching the corpus text.
+
+    Lucene's segment identity runs backwards too — for a removed doc
+    set, ``df`` and the corpus stats SUBTRACT: the retired docs'
+    postings leave (one anti-join on the id), each departing posting
+    decrements its term's df (vocabulary-sized aggregate; terms
+    reaching df=0 drop entirely, so the result is indistinguishable
+    from rebuilding over the surviving corpus), and the 1-row stats
+    lose the retired docs' count and length. Cost is O(index), never
+    O(corpus text) — and the postings anti-join is the same scan a
+    compaction pass already pays, so production retires ride along
+    with compaction (:func:`bm25_retire_path`).
+
+    Pure plan algebra: no I/O here. Searching the returned index never
+    scores a retired doc, and every surviving doc's score shifts
+    exactly as a rebuild would shift it (df and avgdl move)."""
+    tomb = _tomb_ids(tombstones, id_col).withColumnRenamed(id_col, "id")
+    removed = index.postings.join(tomb, "id", "left_semi")
+    kept = index.postings.join(tomb, "id", "left_anti")
+    removed_dfs = removed.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_gone")
+    )
+    dfs = (
+        index.dfs.join(removed_dfs, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("df_gone"), F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    removed_stats = (
+        removed.groupBy("id")
+        .agg(F.max("dl").alias("dl"))  # dl is denormalized per posting row
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gone"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("len_gone"),
+        )
+    )
+    stats = index.stats.crossJoin(F.broadcast(removed_stats)).select(
+        (F.col("n_docs") - F.col("n_gone")).cast("bigint").alias("n_docs"),
+        (F.col("total_len") - F.col("len_gone")).cast("bigint").alias("total_len"),
+    )
+    return Bm25Index(postings=kept, dfs=dfs, stats=stats)
+
+
+def bm25_retire_path(
+    spark: SparkSession,
+    index_path: str,
+    tombstones: DataFrame,
+    id_col: str = "id",
+    dst_path: str | None = None,
+    reliable: bool | None = None,
+) -> Bm25Index:
+    """Persisted-index retire: load, :func:`bm25_retire`, write, return
+    the index read back from its final path (the caller sees exactly
+    what is on disk).
+
+    ``dst_path`` is the production spelling — write the retired index
+    fresh and swap, keeping the old one until readers drain. In-place
+    (``dst_path=None``) eagerly checkpoints all three tables first
+    (they derive from the very files the write replaces — the
+    read-then-overwrite cut), reliable-flavored when a checkpoint dir
+    is configured. BM25 postings cluster by term, not id, so a retire
+    is a full-table rewrite either way — which is why production rides
+    it along with the compaction pass it costs the same as."""
+    idx = Bm25Index.load(spark, index_path)
+    retired = bm25_retire(idx, tombstones, id_col=id_col)
+    out = dst_path or index_path
+    if dst_path is None:
+        retired = Bm25Index(
+            postings=_checkpoint(retired.postings, spark, reliable),
+            dfs=_checkpoint(retired.dfs, spark, reliable),
+            stats=_checkpoint(retired.stats, spark, reliable),
+        )
+    retired.save(out)
+    return Bm25Index.load(spark, out)
+
+
+def log_retire(
+    spark: SparkSession,
+    log_path: str,
+    tombstones: DataFrame,
+    id_col: str = "id",
+    dst_path: str | None = None,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Erase every row of a retired id from an append-only decision /
+    verdict / frontier log — the take-down twin of
+    :func:`~auraverse_etl_pipeline_spark.sources.sinks.
+    compact_decisions` (same overwrite discipline, different survivor
+    rule: compaction keeps one row per id, retirement keeps zero).
+
+    A decisions row links an id to a verdict and a frontier row links
+    a canonical URL to its first fetch — under erasure requests the
+    linkage itself must go, not just the indexed content. One
+    broadcast anti-join, eager (reliable-flavored) checkpoint before
+    the in-place overwrite, or a fresh ``dst_path`` for the swap
+    spelling. Returns the surviving log read back from disk."""
+    log = spark.read.parquet(log_path)
+    kept = log.join(_tomb_ids(tombstones, id_col), id_col, "left_anti")
+    out = dst_path or log_path
+    if dst_path is None:
+        kept = _checkpoint(kept, spark, reliable)
+    kept.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

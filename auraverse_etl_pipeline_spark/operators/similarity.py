@@ -996,6 +996,89 @@ def ivf_occupancy(assignments: DataFrame, cap: int) -> DataFrame:
     return release_after(result, occ)
 
 
+#: Fixed-point scale (2^40) for the drift audit's exact per-batch
+#: cosine sums: |floor(cos·2^40)| ≤ 2^40 per row, so any per-(cell,
+#: batch) group under 2^12 rows sums inside 2^52 — exactly
+#: representable in the double the final division casts through.
+#: Shared with the SQL oracle spelling.
+_DRIFT_FIXED_POINT = 1099511627776.0
+
+
+def quantizer_drift_audit(
+    decisions: DataFrame,
+    batch_col: str = "batch_id",
+    cell_col: str = "cell",
+    cos_col: str = "centroid_cos",
+    drift_threshold: float = 0.05,
+) -> DataFrame:
+    """Per-cell quantizer-fit trend over the gate's decision log — the
+    TEMPORAL twin of :func:`ivf_occupancy` and the retrain trigger the
+    maintenance loop still lacked: :func:`ivf_occupancy` measures
+    skew (how unevenly the frozen quantizer spreads arrivals) and
+    fires :func:`ivf_rebalance`, but a stream whose distribution
+    DRIFTS away from the day-1 corpus decays ``centroid_cos`` — each
+    arrival lands farther from its best centroid — which silently
+    erodes probe recall long before any cell runs hot. Every gate
+    scoring already records (cell, centroid_cos) per arrival, so the
+    signal is one aggregate over the log, no corpus or index scan.
+
+    Output, one row per cell seen in the log: (cell, n_batches,
+    first_batch, last_batch, n_first, n_last, avg_cos_first,
+    avg_cos_last, drift = avg_cos_last − avg_cos_first, retrain =
+    drift < −``drift_threshold``). A retrain-flagged cell means the
+    arrivals the quantizer routes there no longer resemble the
+    centroid — re-fit the quantizer (or split the cell) before recall
+    decays further.
+
+    Engine-exactness discipline: the per-batch means are fixed-point —
+    each cosine contributes ``floor(cos·2^40)`` to a BIGINT sum
+    (order-independent, no float crosses an unordered aggregate — the
+    ``_LLOYD_FIXED_POINT`` rule at audit precision), and the mean is
+    recovered with two IEEE divisions spelled identically in the SQL
+    oracle, so drift replays digit-for-digit. Shape: one fixed-width
+    hash aggregate over the log (partial map-side combine) down to
+    (cells × batches) rows, then a second aggregate down to nlist
+    rows with ``min_by``/``max_by`` picking the endpoint batches —
+    never a window sort over the full log."""
+    fx = F.lit(_DRIFT_FIXED_POINT)
+    per_batch = (
+        decisions.select(
+            F.col(cell_col).alias("cell"),
+            F.col(batch_col).cast("bigint").alias("batch_id"),
+            F.floor(F.col(cos_col) * fx).cast("bigint").alias("cos_fix"),
+        )
+        .groupBy("cell", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cos_fix").cast("bigint").alias("s"),
+        )
+    )
+    ns = F.struct("n", "s")
+    per_cell = per_batch.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.min("batch_id").alias("first_batch"),
+        F.max("batch_id").alias("last_batch"),
+        F.min_by(ns, F.col("batch_id")).alias("_f"),
+        F.max_by(ns, F.col("batch_id")).alias("_l"),
+    )
+    # identical two-division spelling on both engines: BIGINT→DOUBLE
+    # casts of exact integers, then two IEEE divides — bit-stable
+    avg_f = F.col("_f.s").cast("double") / F.col("_f.n").cast("double") / fx
+    avg_l = F.col("_l.s").cast("double") / F.col("_l.n").cast("double") / fx
+    return per_cell.select(
+        "cell",
+        "n_batches",
+        "first_batch",
+        "last_batch",
+        F.col("_f.n").alias("n_first"),
+        F.col("_l.n").alias("n_last"),
+        avg_f.alias("avg_cos_first"),
+        avg_l.alias("avg_cos_last"),
+        (avg_l - avg_f).alias("drift"),
+        (avg_l - avg_f < F.lit(-float(drift_threshold))).alias("retrain"),
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

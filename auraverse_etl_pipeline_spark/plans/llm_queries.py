@@ -762,6 +762,273 @@ def sim_ivf_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_occupancy(idx.assignments, cap=_IVF_OCC_CAP)
 
 
+#: One take-down list over the shared id domain (vec_id / doc_id),
+#: applied to EVERY persisted surface — the whole point of the tier.
+_RETIRE_MOD, _RETIRE_REM = 7, 3
+
+#: BM25 tokenizer spelling shared with the bm25 oracles above.
+_BM25_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "index_retire_ids",
+    oracle=_IVF_CTES
+    + f"""
+    , assigned AS (
+        SELECT id, cell FROM (
+            SELECT c.id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.id
+                       ORDER BY list_cosine_similarity(c.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    tomb AS (
+        SELECT vec_id AS id FROM embeddings
+        WHERE vec_id % {_RETIRE_MOD} = {_RETIRE_REM}
+        UNION
+        SELECT doc_id FROM documents
+        WHERE doc_id % {_RETIRE_MOD} = {_RETIRE_REM}
+    ),
+    surv AS (
+        SELECT id, cell FROM assigned
+        WHERE id NOT IN (SELECT id FROM tomb)
+    ),
+    ivf_rows AS (
+        SELECT 'ivf_members' AS surface, CAST(cell AS VARCHAR) AS key,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+        FROM surv GROUP BY cell
+    ),
+    kept_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM tomb)
+    ),
+    toks AS (
+        SELECT doc_id, unnest({_BM25_TOKS}) AS term FROM kept_docs
+    ),
+    tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    term_rows AS (
+        SELECT 'bm25_term' AS surface, term AS key,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+        FROM tf GROUP BY term
+    ),
+    dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    stat_row AS (
+        SELECT 'bm25_stats' AS surface, '_stats' AS key,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS id_sum
+        FROM dl
+    ),
+    log_row AS (
+        SELECT 'decisions' AS surface, '_log' AS key,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM kept_docs
+    )
+    SELECT * FROM ivf_rows
+    UNION ALL SELECT * FROM term_rows
+    UNION ALL SELECT * FROM stat_row
+    UNION ALL SELECT * FROM log_row
+    """,
+    description="id-retirement (take-down) propagation across every "
+    "persisted surface - the deletion tier the append/compact/"
+    "rebalance maintenance loops lacked: one durable tombstone list "
+    "anti-joins the IVF inverted file (ivf_retire - dynamic partition "
+    "overwrite of ONLY the touched cells, cold cells byte-untouched), "
+    "folds OUT of the BM25 triple (bm25_retire - the exact algebraic "
+    "inverse of bm25_merge: postings anti-join, df subtraction with "
+    "df=0 terms dropping, 1-row stats subtraction, indistinguishable "
+    "from a rebuild without the retired docs), and erases the ids' "
+    "decision-log rows (log_retire). The audit reads every surface "
+    "back FROM DISK - per-cell survivor counts/id-checksums, per-term "
+    "df with a postings checksum, the stats row, the surviving log - "
+    "and DuckDB replays it all from a ground-truth rebuild over the "
+    "surviving corpus",
+)
+def index_retire_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+
+    from auraverse_etl_pipeline_spark.operators.retire import (
+        bm25_retire_path,
+        ivf_retire,
+        log_retire,
+    )
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir(prefix="retire_")
+    # day-1 persisted surfaces: the IVF inverted file, the BM25 triple,
+    # and a one-scoring decisions log
+    ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    ).save(f"{root}/ivf")
+    bm25_index(docs).save(f"{root}/bm25")
+    docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit(1).cast("bigint").alias("batch_id"),
+        (F.col("n_chars") >= 200).alias("kept"),
+    ).write.parquet(f"{root}/decisions")
+    tomb = (
+        emb.select(F.col("vec_id").alias("id"))
+        .unionByName(docs.select(F.col("doc_id").alias("id")))
+        .filter(F.col("id") % _RETIRE_MOD == _RETIRE_REM)
+        .distinct()
+    )
+    ivf_retire(spark, f"{root}/ivf", tomb, members_table="assignments")
+    bm = bm25_retire_path(spark, f"{root}/bm25", tomb, dst_path=f"{root}/bm25_v2")
+    log = log_retire(spark, f"{root}/decisions", tomb)
+    # audit, read back from DISK (the retire functions' return values
+    # are deliberately ignored — what is on disk is what is scored)
+    members = spark.read.parquet(f"{root}/ivf/assignments")
+    ivf_rows = (
+        members.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .select(
+            F.lit("ivf_members").alias("surface"),
+            F.col("cell").cast("string").alias("key"),
+            "n",
+            "id_sum",
+        )
+    )
+    # full-outer df⋈postings: an operator bug that keeps a df row whose
+    # postings are gone (or vice versa) surfaces as a -1 mismatch
+    psum = bm.postings.groupBy("term").agg(F.sum("id").cast("bigint").alias("id_sum"))
+    term_rows = bm.dfs.join(psum, "term", "full_outer").select(
+        F.lit("bm25_term").alias("surface"),
+        F.col("term").alias("key"),
+        F.coalesce(F.col("df"), F.lit(-1)).cast("bigint").alias("n"),
+        F.coalesce(F.col("id_sum"), F.lit(-1)).cast("bigint").alias("id_sum"),
+    )
+    stat_row = bm.stats.select(
+        F.lit("bm25_stats").alias("surface"),
+        F.lit("_stats").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.col("total_len").alias("id_sum"),
+    )
+    log_row = log.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    ).select(
+        F.lit("decisions").alias("surface"), F.lit("_log").alias("key"), "n", "id_sum"
+    )
+    return (
+        ivf_rows.unionByName(term_rows).unionByName(stat_row).unionByName(log_row)
+    )
+
+
+#: Drift-audit geometry: batches of ≤100 arrivals by id, retrain at
+#: 0.05 cosine decay — see quantizer_drift_audit for the fixed-point
+#: exactness bound (well inside 2^12 rows per (cell, batch) group).
+_DRIFT_BATCH = 100
+_DRIFT_TAU = 0.05
+
+
+def _drift_oracle() -> str:
+    from auraverse_etl_pipeline_spark.operators.similarity import _DRIFT_FIXED_POINT
+
+    fx = repr(_DRIFT_FIXED_POINT)
+    avg_f = f"CAST(s_first AS DOUBLE) / CAST(n_first AS DOUBLE) / {fx}"
+    avg_l = f"CAST(s_last AS DOUBLE) / CAST(n_last AS DOUBLE) / {fx}"
+    return (
+        _IVF_CTES
+        + f"""
+    , arr AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(vec_id // {_DRIFT_BATCH} AS BIGINT) AS batch_id
+        FROM embeddings
+    ),
+    a AS (
+        SELECT id, batch_id, cell, cs FROM (
+            SELECT arr.id, arr.batch_id, cent.cell,
+                   LEAST(CAST(1.0 AS DOUBLE),
+                         list_cosine_similarity(arr.v, cent.centroid)) AS cs,
+                   ROW_NUMBER() OVER (PARTITION BY arr.id
+                       ORDER BY LEAST(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(arr.v, cent.centroid))
+                                DESC, cent.cell) AS rn
+            FROM arr CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    pb AS (
+        SELECT cell, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(cs * {fx}) AS BIGINT)) AS BIGINT) AS s
+        FROM a GROUP BY cell, batch_id
+    ),
+    pc AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               MIN(batch_id) AS first_batch, MAX(batch_id) AS last_batch,
+               arg_min(n, batch_id) AS n_first, arg_max(n, batch_id) AS n_last,
+               arg_min(s, batch_id) AS s_first, arg_max(s, batch_id) AS s_last
+        FROM pb GROUP BY cell
+    ),
+    calc AS (
+        SELECT cell, n_batches, first_batch, last_batch, n_first, n_last,
+               {avg_f} AS avg_cos_first, {avg_l} AS avg_cos_last
+        FROM pc
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, n_batches, first_batch, last_batch,
+           n_first, n_last, avg_cos_first, avg_cos_last,
+           avg_cos_last - avg_cos_first AS drift,
+           avg_cos_last - avg_cos_first < {-_DRIFT_TAU!r} AS retrain
+    FROM calc
+    """
+    )
+
+
+@query(
+    "sim_quantizer_drift_audit",
+    oracle=_drift_oracle(),
+    description="per-cell quantizer-fit TREND over the gate decision "
+    "log - the temporal twin of sim_ivf_occupancy_audit and the "
+    "retrain trigger the maintenance loop lacked: occupancy measures "
+    "skew and fires rebalance, but a drifting stream decays each "
+    "arrival's centroid_cos and silently erodes probe recall with no "
+    "cell ever running hot. Every gate scoring already records "
+    "(cell, centroid_cos, batch), so the signal is one fixed-width "
+    "aggregate over the log down to (cells x batches) rows, then "
+    "min_by/max_by endpoint batches per cell - never a window sort. "
+    "Per-batch means are fixed-point (floor(cos*2^40) BIGINT sums - "
+    "no float crosses an unordered aggregate) recovered with two IEEE "
+    "divisions spelled identically in DuckDB, so drift and the "
+    "retrain flag replay digit-for-digit",
+)
+def sim_quantizer_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        quantizer_drift_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    # the decisions-log surface the audit reads: every arrival's
+    # (cell, centroid_cos) at scoring time, batched by arrival order —
+    # staged to parquet exactly as the gates append it
+    arrivals = ivf_assign(emb, idx.centroids, clamp=True).select(
+        "id",
+        "cell",
+        "centroid_cos",
+        F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint").alias("batch_id"),
+    )
+    path = scratch_dir(prefix="drift_log_")
+    arrivals.write.mode("overwrite").parquet(path)
+    log = spark.read.parquet(path)
+    out = quantizer_drift_audit(log, drift_threshold=_DRIFT_TAU)
+    return out.withColumn("cell", F.col("cell").cast("bigint"))
+
+
 #: Deterministic Lloyd quantizer geometry for the oracle-gated tier.
 _LLOYD_NLIST = 8
 _LLOYD_ITERS = 2

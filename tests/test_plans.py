@@ -695,3 +695,24 @@ def test_multimodal_pair_dedup_edges_are_equality_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_index_retire_audit_plan_is_disk_backed(spark, sf_dir):
+    """index_retire_ids returns an audit over the POST-RETIRE disk
+    state: parquet scans + hash aggregates + one vocabulary-sized
+    full-outer join, unioned — never a nested loop, never a residue of
+    the (eager, side-effect) index builds in the returned plan."""
+    plan = _plan(QS["index_retire_ids"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") >= 4  # members, postings, dfs+stats, log
+
+
+def test_quantizer_drift_audit_plan_shape(spark, sf_dir):
+    """The drift audit is two fixed-width hash aggregates over the
+    decisions-log scan — no window sort over the log, no joins, no
+    Python in the plan."""
+    plan = _plan(QS["sim_quantizer_drift_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

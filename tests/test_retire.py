@@ -1,0 +1,287 @@
+"""Id-retirement (take-down) propagation — operators/retire.py.
+
+The tier's contract, pinned here: a retired id becomes unsearchable in
+the IVF and BM25 indexes and vanishes from the logs; every surface's
+post-retire state is INDISTINGUISHABLE from a rebuild without the
+retired ids; and the rewrite touches only what the ids touch (cold IVF
+partitions byte-untouched, emptied partitions actually deleted)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from auraverse_etl_pipeline_spark.operators.retire import (
+    bm25_retire,
+    bm25_retire_path,
+    ivf_retire,
+    log_retire,
+)
+
+
+def _tomb(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+def _corpus(spark):
+    # sample quantizer (nlist=2): centroids = vectors of ids 10, 11
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+        (12, [0.99, 0.1, 0.0]),
+        (13, [0.97, 0.2, 0.0]),
+        (14, [0.1, 0.99, 0.0]),
+        (15, [0.0, 0.97, 0.2]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_retire_unsearchable_and_cold_untouched(spark, tmp_path):
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    root = str(tmp_path / "ivf")
+    idx.save(root)
+    cell_of_12 = {
+        r.id: r.cell for r in spark.read.parquet(f"{root}/assignments").collect()
+    }[12]
+    cold_cell = 1 - cell_of_12
+    cold_files = sorted(glob.glob(f"{root}/assignments/cell={cold_cell}/*.parquet"))
+    assert cold_files
+    cold_before = [(f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in cold_files]
+
+    touched = ivf_retire(spark, root, _tomb(spark, [12]), members_table="assignments")
+    assert touched == [cell_of_12]
+
+    # disk state: 12 gone, everything else intact
+    ids = {r.id for r in spark.read.parquet(f"{root}/assignments").collect()}
+    assert ids == {10, 11, 13, 14, 15}
+    # cold partition byte-untouched
+    cold_after = [(f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in cold_files]
+    assert cold_after == cold_before
+    # a query AT the retired vector can no longer find it
+    loaded = IvfIndex.load(spark, root)
+    q = spark.createDataFrame(
+        [(0, [0.99, 0.1, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    hits = ivf_search(q, loaded, k=3, nprobe=1, exact_fold=True, clamp=True).collect()
+    got = [r.neighbor_id for r in hits]
+    assert 12 not in got and got[0] in (10, 13)
+    # idempotent: nothing left to touch
+    assert ivf_retire(spark, root, _tomb(spark, [12]), members_table="assignments") == []
+    # centroids were never the retire's business
+    assert spark.read.parquet(f"{root}/centroids").count() == 2
+
+
+def test_ivf_retire_emptied_cell_partition_deleted(spark, tmp_path):
+    """A touched cell whose members ALL retire must lose its partition
+    directory outright — a dynamic overwrite with no rows for the cell
+    would silently leave the doomed files live."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    root = str(tmp_path / "ivf_empty")
+    idx.save(root)
+    asg = {r.id: r.cell for r in spark.read.parquet(f"{root}/assignments").collect()}
+    cell1_ids = sorted(i for i, c in asg.items() if c == 1)
+    touched = ivf_retire(
+        spark, root, _tomb(spark, cell1_ids), members_table="assignments"
+    )
+    assert touched == [1]
+    assert not os.path.exists(f"{root}/assignments/cell=1")
+    survivors = {r.id for r in spark.read.parquet(f"{root}/assignments").collect()}
+    assert survivors == set(asg) - set(cell1_ids)
+    # the emptied cell keeps its centroid (valid quantizer geometry);
+    # probing it scans zero rows and search still answers
+    loaded = IvfIndex.load(spark, root)
+    q = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    hits = ivf_search(q, loaded, k=2, nprobe=2, exact_fold=True, clamp=True).collect()
+    assert hits and all(r.neighbor_id in survivors for r in hits)
+    assert spark.read.parquet(f"{root}/centroids").count() == 2
+
+
+def test_ivf_retire_gate_members_layout(spark, tmp_path):
+    """Schema-agnostic: the SemDeDup gate's members table (id, v,
+    centroid_cos, cell) retires identically — surviving rows keep every
+    column verbatim."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    members = idx.assignments.withColumn(
+        "centroid_cos", (F.col("id") * 0.01 + 0.9)
+    )
+    root = str(tmp_path / "gate")
+    members.repartition("cell").write.partitionBy("cell").parquet(f"{root}/members")
+    before = {
+        r.id: (r.centroid_cos, r.cell)
+        for r in spark.read.parquet(f"{root}/members").collect()
+    }
+    ivf_retire(spark, root, _tomb(spark, [13, 14]))
+    after = {
+        r.id: (r.centroid_cos, r.cell)
+        for r in spark.read.parquet(f"{root}/members").collect()
+    }
+    assert after == {i: v for i, v in before.items() if i not in (13, 14)}
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark hash join spark"),
+        (2, "unique zebra token"),
+        (3, "spark window sort"),
+        (4, "zebra spark merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _index_state(idx):
+    return (
+        sorted(tuple(r) for r in idx.postings.select("term", "id", "tf", "dl").collect()),
+        sorted(tuple(r) for r in idx.dfs.collect()),
+        sorted(tuple(r) for r in idx.stats.collect()),
+    )
+
+
+def test_bm25_retire_equals_rebuild(spark):
+    """The algebraic inverse really is one: retiring doc 2 from the
+    index equals rebuilding over the surviving corpus — postings, dfs
+    (terms unique to the retired doc DROP, shared terms decrement) and
+    stats, table for table. Search over the retired index never returns
+    the doc and scores everything else exactly as the rebuild does."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+
+    full = bm25_index(_docs(spark))
+    retired = bm25_retire(full, _tomb(spark, [2]))
+    rebuilt = bm25_index(_docs(spark).filter(F.col("doc_id") != 2))
+    assert _index_state(retired) == _index_state(rebuilt)
+    # df semantics spot-checks on top of the table equality
+    dfs = {r.term: r.df for r in retired.dfs.collect()}
+    assert "unique" not in dfs and "token" not in dfs  # df reached 0
+    assert dfs["zebra"] == 1  # decremented, not dropped
+    qs = spark.createDataFrame(
+        [(0, "zebra spark")], "query_id bigint, text string"
+    )
+    hits = bm25_search(qs, retired, k=4).collect()
+    assert 2 not in {r.doc_id for r in hits}
+    want = {
+        (r.query_id, r.doc_id): r.score for r in bm25_search(qs, rebuilt, k=4).collect()
+    }
+    got = {(r.query_id, r.doc_id): r.score for r in hits}
+    assert got == want  # bit-equal: same index ⇒ same scores
+
+
+def test_bm25_retire_noop_and_absent_ids(spark):
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+
+    full = bm25_index(_docs(spark))
+    # retiring ids the index never held changes nothing
+    same = bm25_retire(full, _tomb(spark, [99, 100]))
+    assert _index_state(same) == _index_state(full)
+
+
+def test_bm25_retire_path_inplace_and_swap(spark, tmp_path):
+    from auraverse_etl_pipeline_spark.operators.retrieval import Bm25Index, bm25_index
+
+    src = str(tmp_path / "bm25")
+    bm25_index(_docs(spark)).save(src)
+    # swap spelling: source untouched, dst holds the retired index
+    dst = str(tmp_path / "bm25_v2")
+    swapped = bm25_retire_path(spark, src, _tomb(spark, [2]), dst_path=dst)
+    assert {r.id for r in swapped.postings.select("id").distinct().collect()} == {1, 3, 4}
+    assert Bm25Index.load(spark, src).stats.collect()[0].n_docs == 4
+    # in-place spelling: the same path, behind the checkpoint cut
+    inplace = bm25_retire_path(spark, src, _tomb(spark, [2]))
+    assert _index_state(inplace) == _index_state(Bm25Index.load(spark, dst))
+    assert Bm25Index.load(spark, src).stats.collect()[0].n_docs == 3
+
+
+def test_log_retire_inplace_swap_and_reliable(spark, tmp_path):
+    path = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 1, i % 2 == 0) for i in range(1, 7)], "id bigint, batch_id bigint, kept boolean"
+    ).write.parquet(path)
+    # swap spelling first (source intact for the in-place pass)
+    dst = str(tmp_path / "decisions_v2")
+    out = log_retire(spark, path, _tomb(spark, [2, 5]), dst_path=dst)
+    assert {r.id for r in out.collect()} == {1, 3, 4, 6}
+    assert spark.read.parquet(path).count() == 6
+    # in-place, reliable flavor: survivors go through the fault-
+    # tolerant checkpoint dir before the destructive overwrite
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        out2 = log_retire(spark, path, _tomb(spark, [2, 5]))
+        assert {r.id for r in out2.collect()} == {1, 3, 4, 6}
+        assert glob.glob(f"{ckpt}/*/rdd-*"), "no reliable checkpoint written"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    # idempotent: retiring again is a clean no-op rewrite
+    out3 = log_retire(spark, path, _tomb(spark, [2, 5]))
+    assert {r.id for r in out3.collect()} == {1, 3, 4, 6}
+
+
+def test_quantizer_drift_audit_planted_drift(spark):
+    """A planted drifting cell trips the retrain flag; a stable cell
+    does not — and the fixed-point means equal exact arithmetic."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _DRIFT_FIXED_POINT,
+        quantizer_drift_audit,
+    )
+
+    rows = []
+    # cell 0: healthy (avg ~0.95 in every batch)
+    for b in range(3):
+        rows += [(i + 100 * b, 0, b, 0.95 + 0.001 * i) for i in range(4)]
+    # cell 1: drifting (0.95 → 0.70)
+    for b, base in enumerate((0.95, 0.85, 0.70)):
+        rows += [(i + 100 * b + 50, 1, b, base + 0.001 * i) for i in range(4)]
+    log = spark.createDataFrame(
+        rows, "id bigint, cell int, batch_id bigint, centroid_cos double"
+    )
+    out = {r.cell: r for r in quantizer_drift_audit(log, drift_threshold=0.05).collect()}
+    assert set(out) == {0, 1}
+    for c in (0, 1):
+        assert out[c].n_batches == 3
+        assert (out[c].first_batch, out[c].last_batch) == (0, 2)
+        assert (out[c].n_first, out[c].n_last) == (4, 4)
+    assert not out[0].retrain and abs(out[0].drift) < 0.01
+    assert out[1].retrain and out[1].drift < -0.2
+
+    import math
+
+    fx = _DRIFT_FIXED_POINT
+    want_first = (
+        sum(math.floor((0.95 + 0.001 * i) * fx) for i in range(4)) / 4.0 / fx
+    )
+    assert out[1].avg_cos_first == want_first
+
+
+def test_quantizer_drift_audit_single_batch_no_flag(spark):
+    """One batch = no trend: first == last, drift exactly 0.0."""
+    from auraverse_etl_pipeline_spark.operators.similarity import quantizer_drift_audit
+
+    log = spark.createDataFrame(
+        [(1, 0, 7, 0.9), (2, 0, 7, 0.8)],
+        "id bigint, cell int, batch_id bigint, centroid_cos double",
+    )
+    r = quantizer_drift_audit(log).collect()[0]
+    assert r.n_batches == 1 and r.first_batch == r.last_batch == 7
+    assert r.drift == 0.0 and not r.retrain
+    assert r.avg_cos_first == r.avg_cos_last
