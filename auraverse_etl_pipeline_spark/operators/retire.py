@@ -246,7 +246,15 @@ def log_retire(
     linkage itself must go, not just the indexed content. One
     broadcast anti-join, eager (reliable-flavored) checkpoint before
     the in-place overwrite, or a fresh ``dst_path`` for the swap
-    spelling. Returns the surviving log read back from disk."""
+    spelling. Returns the surviving log read back from disk.
+
+    The same spelling retires any flat id-keyed persisted table — the
+    MinHash signature index (``minhash_index``'s (doc_id, sig) rows,
+    ``id_col="doc_id"``), a frontier (``id_col="canon_url"``), a BM25
+    segment directory pre-merge — anything whose rows key on the
+    retired identity and which is not partition-pruned by it (the
+    cell-partitioned IVF tables go through :func:`ivf_retire`, which
+    rewrites only touched partitions)."""
     log = spark.read.parquet(log_path)
     kept = log.join(_tomb_ids(tombstones, id_col), id_col, "left_anti")
     out = dst_path or log_path

@@ -625,6 +625,9 @@ def run_stream_lm_quality_gate(
             (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(ceiling))).alias(
                 "fluent"
             ),
+            # retention order column: compact_decisions(order_col=
+            # "batch_id") keeps the latest re-score per doc
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
         )
         audit_batch_plan("lm_quality_gate:decisions", dec)
         dec.write.mode("append").parquet(decisions_path)
@@ -667,7 +670,12 @@ def run_stream_logreg_gate(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         dec = logreg_score(batch_df, model, num_buckets=num_buckets).select(
-            F.col("id").alias("doc_id"), "score", "prob", "predicted"
+            F.col("id").alias("doc_id"),
+            "score",
+            "prob",
+            "predicted",
+            # retention order column (compact_decisions contract)
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
         )
         audit_batch_plan("logreg_gate:decisions", dec)
         dec.write.mode("append").parquet(decisions_path)
@@ -745,6 +753,8 @@ def run_stream_domain_gate(
             "gopher",
             "bloom_hit",
             (F.col("bloom_hit") & F.coalesce("on_list", F.lit(False))).alias("blocked"),
+            # retention order column (compact_decisions contract)
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
         )
         audit_batch_plan("domain_gate:decisions", dec)
         dec.write.mode("append").parquet(decisions_path)
@@ -892,6 +902,11 @@ def run_stream_semdedup_gate(
         decisions = verdicts.select(
             "id", "cell", "centroid_cos", (F.col("reason") == "kept").alias("kept"),
             "reason",
+            # the order column every log-maintenance pass keys on:
+            # compact_decisions(order_col="batch_id") retention and
+            # quantizer_drift_audit(batch_col="batch_id") — the
+            # retrain trigger — both read it straight off this log
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
         ).localCheckpoint()
         delta = (
             verdicts.filter(F.col("reason") == "kept")

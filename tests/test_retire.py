@@ -285,3 +285,33 @@ def test_quantizer_drift_audit_single_batch_no_flag(spark):
     assert r.n_batches == 1 and r.first_batch == r.last_batch == 7
     assert r.drift == 0.0 and not r.retrain
     assert r.avg_cos_first == r.avg_cos_last
+
+
+def test_log_retire_covers_minhash_signature_index(spark, tmp_path):
+    """The MinHash signature index is a flat id-keyed table — the same
+    log_retire spelling erases a retired doc's signature, after which
+    minhash_match_index can never match against it."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_match_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark plans"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "minhash_idx")
+    minhash_index(docs).write.parquet(path)
+    tomb = _tomb(spark, [1]).withColumnRenamed("id", "doc_id")
+    kept = log_retire(spark, path, tomb, id_col="doc_id")
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # a verbatim re-ingest of the retired text no longer matches
+    arrival = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    matches = minhash_match_index(arrival, spark.read.parquet(path))
+    assert matches.count() == 0

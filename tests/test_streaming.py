@@ -1251,3 +1251,52 @@ def test_rebalance_gate_index_converges_to_fixed_point(spark, tmp_path):
     assert 2 <= passes <= 4  # 16 -> ~8 -> ~4 -> <=3: the geometric path
     # fixed point: one more call is a no-op
     assert rebalance_gate_index(spark, str(root), max_cell_size=3) == []
+
+
+def test_gate_decision_logs_carry_batch_id(spark, tmp_path):
+    """Every gate's decisions log now records the micro-batch id — the
+    order column the log-maintenance passes key on: compact_decisions
+    (order_col="batch_id") retention and quantizer_drift_audit
+    (the retrain trigger) both run straight off the real gate log,
+    closing the loop the fixture-staged registry queries model."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        quantizer_drift_audit,
+    )
+    from auraverse_etl_pipeline_spark.sources.sinks import compact_decisions
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = tmp_path / "bid_gate"
+    ivf_index(corpus, nlist=2, quantizer="sample").centroids.write.parquet(
+        str(root / "centroids")
+    )
+    schema = "vec_id bigint, embedding array<double>"
+    b1 = [(20, [0.99, 0.1, 0.0]), (21, [0.1, 0.99, 0.0])]
+    b2 = [(22, [0.98, 0.15, 0.0]), (20, [9.0, 9.0, 9.0])]  # 20 re-ingested
+    chunks = tmp_path / "bid_chunks"
+    stage_ordered_batches(
+        [spark.createDataFrame(rows, schema) for rows in (b1, b2)], str(chunks)
+    )
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_semdedup_gate(svec, index_path=str(root), threshold=0.999)
+
+    dec = spark.read.parquet(str(root / "decisions"))
+    got = {r.id: r.batch_id for r in dec.collect()}
+    assert got == {20: 0, 21: 0, 22: 1}  # re-ingest writes no row
+    # the log composes with the drift audit as-is
+    drift = {r.cell: r for r in quantizer_drift_audit(dec).collect()}
+    assert drift and all(not r.retrain for r in drift.values())
+    # and with retention compaction as-is
+    compacted = compact_decisions(
+        spark, str(root / "decisions"), order_col="batch_id"
+    )
+    assert {r.id for r in compacted.collect()} == {20, 21, 22}
