@@ -784,6 +784,7 @@ def run_stream_semdedup_gate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     timeout_s: int = 600,
+    tombstones_path: str | None = None,
 ) -> None:
     """Continuous semantic dedup — the SemDeDup twin of
     :func:`run_stream_dedup_compaction` (MinHash) and the eighth
@@ -801,7 +802,12 @@ def run_stream_semdedup_gate(
        id),
     2. index-wins on IDs (left-anti against the members' id
        projection — a re-ingested id adds nothing and writes no
-       decision row),
+       decision row), and — when ``tombstones_path`` points at the
+       durable take-down table :func:`~auraverse_etl_pipeline_spark.
+       operators.retire.ivf_retire` was driven by — tombstone-wins:
+       a RETIRED id that re-arrives is dropped silently too (no
+       decision row: a verdict would re-create the erased linkage),
+       so retirement survives re-ingest,
     3. ``ivf_assign`` against the persisted centroids (clamped
        exact-fold cosine — engine-reproducible cells),
     4. INDEX-WINS on content: an arrival whose clamped cosine to ANY
@@ -851,6 +857,18 @@ def run_stream_semdedup_gate(
             F.min(vec_col).alias("v")
         )
         uniq = uniq.join(members.select("id").distinct(), "id", "left_anti")
+        if tombstones_path is not None:
+            # take-down stickiness: ivf_retire erases a retired id
+            # from the members, so without this a re-ingest would
+            # sail back in. The durable tombstone table the retire
+            # was driven by also gates arrivals — silently, like
+            # re-ingested ids: an erased identity writes NO decision
+            # row (a verdict row would re-create the id linkage the
+            # erasure removed). Content-level stickiness (same bytes,
+            # new id) composes via the Bloom digest-blocklist tier
+            # instead — a digest is retainable where content is not.
+            tomb = spark.read.parquet(tombstones_path).select("id")
+            uniq = uniq.join(F.broadcast(tomb.distinct()), "id", "left_anti")
         a = ivf_assign(uniq, cent, id_col="id", vec_col="v", clamp=True).cache()
         pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v", "mv"))
         idx_dup = (

@@ -315,3 +315,44 @@ def test_log_retire_covers_minhash_signature_index(spark, tmp_path):
     )
     matches = minhash_match_index(arrival, spark.read.parquet(path))
     assert matches.count() == 0
+
+
+def test_gate_tombstones_block_reingest_of_retired_id(spark, tmp_path):
+    """Retirement survives re-ingest: ivf_retire erases id 12 from the
+    gate index, and with tombstones_path set the gate drops a
+    re-arrival of 12 silently (no decision row, no membership) while a
+    genuinely new arrival in the same batch passes normally."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    root = tmp_path / "tomb_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members = idx.assignments.withColumn("centroid_cos", F.lit(1.0))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    tomb_path = str(tmp_path / "tombstones")
+    _tomb(spark, [12]).write.parquet(tomb_path)
+    ivf_retire(spark, str(root), spark.read.parquet(tomb_path))
+    assert 12 not in {
+        r.id for r in spark.read.parquet(str(root / "members")).collect()
+    }
+
+    schema = "vec_id bigint, embedding array<double>"
+    batch = [
+        (12, [0.99, 0.1, 0.0]),       # the retired id re-arrives
+        (30, [0.5, -0.5, 0.7]),       # novel direction, passes
+    ]
+    chunks = tmp_path / "tomb_chunks"
+    stage_ordered_batches([spark.createDataFrame(batch, schema)], str(chunks))
+    svec = spark.readStream.schema(schema).parquet(str(chunks))
+    run_stream_semdedup_gate(
+        svec, index_path=str(root), threshold=0.999, tombstones_path=tomb_path
+    )
+    dec = {r.id: r.reason for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert 12 not in dec          # erased linkage never re-created
+    assert dec.get(30) == "kept"
+    mem = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
+    assert 12 not in mem and 30 in mem
