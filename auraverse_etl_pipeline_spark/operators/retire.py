@@ -144,7 +144,12 @@ def ivf_retire(
     return touched
 
 
-def bm25_retire(index: Bm25Index, tombstones: DataFrame, id_col: str = "id") -> Bm25Index:
+def bm25_retire(
+    index: Bm25Index,
+    tombstones: DataFrame,
+    id_col: str = "id",
+    cache: bool = False,
+) -> Bm25Index:
     """The algebraic inverse of :func:`~auraverse_etl_pipeline_spark.
     operators.retrieval.bm25_merge`: fold a tombstone list OUT of a
     BM25 index without touching the corpus text.
@@ -162,9 +167,18 @@ def bm25_retire(index: Bm25Index, tombstones: DataFrame, id_col: str = "id") -> 
 
     Pure plan algebra: no I/O here. Searching the returned index never
     scores a retired doc, and every surviving doc's score shifts
-    exactly as a rebuild would shift it (df and avgdl move)."""
+    exactly as a rebuild would shift it (df and avgdl move).
+
+    ``cache=True`` persists the removed-postings delta (the retired
+    docs' rows — take-down-sized, a sliver of the index) so the df and
+    stats subtractions read it instead of each re-scanning the full
+    postings table; the handle lands on ``cache_handle`` (the
+    ``bm25_index`` convention) — unpersist it once the result is
+    materialized. :func:`bm25_retire_path` does exactly that."""
     tomb = _tomb_ids(tombstones, id_col).withColumnRenamed(id_col, "id")
     removed = index.postings.join(tomb, "id", "left_semi")
+    if cache:
+        removed = removed.persist()
     kept = index.postings.join(tomb, "id", "left_anti")
     removed_dfs = removed.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_gone")
@@ -191,7 +205,10 @@ def bm25_retire(index: Bm25Index, tombstones: DataFrame, id_col: str = "id") -> 
         (F.col("n_docs") - F.col("n_gone")).cast("bigint").alias("n_docs"),
         (F.col("total_len") - F.col("len_gone")).cast("bigint").alias("total_len"),
     )
-    return Bm25Index(postings=kept, dfs=dfs, stats=stats)
+    return Bm25Index(
+        postings=kept, dfs=dfs, stats=stats,
+        cache_handle=removed if cache else None,
+    )
 
 
 def bm25_retire_path(
@@ -215,15 +232,18 @@ def bm25_retire_path(
     is a full-table rewrite either way — which is why production rides
     it along with the compaction pass it costs the same as."""
     idx = Bm25Index.load(spark, index_path)
-    retired = bm25_retire(idx, tombstones, id_col=id_col)
+    retired = bm25_retire(idx, tombstones, id_col=id_col, cache=True)
     out = dst_path or index_path
     if dst_path is None:
         retired = Bm25Index(
             postings=_checkpoint(retired.postings, spark, reliable),
             dfs=_checkpoint(retired.dfs, spark, reliable),
             stats=_checkpoint(retired.stats, spark, reliable),
+            cache_handle=retired.cache_handle,
         )
     retired.save(out)
+    if retired.cache_handle is not None:
+        retired.cache_handle.unpersist()
     return Bm25Index.load(spark, out)
 
 

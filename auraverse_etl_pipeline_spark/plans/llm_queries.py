@@ -865,7 +865,12 @@ def index_retire_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index(
         emb.filter(F.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
     ).save(f"{root}/ivf")
-    bm25_index(docs).save(f"{root}/bm25")
+    # cache the shared (id, term, tf) table for the save: the three
+    # index tables all derive from it, and an uncached save would
+    # re-tokenize the corpus once per table write
+    bidx = bm25_index(docs, cache=True)
+    bidx.save(f"{root}/bm25")
+    bidx.cache_handle.unpersist()
     docs.select(
         F.col("doc_id").alias("id"),
         F.lit(1).cast("bigint").alias("batch_id"),
