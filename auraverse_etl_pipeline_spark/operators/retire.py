@@ -127,12 +127,15 @@ def ivf_retire(
     survivors = members.filter(F.col("cell").isin(touched)).join(
         tomb, id_col, "left_anti"
     )
+    # checkpoint BEFORE the live-cells probe: the probe then reads the
+    # materialized delta (one source scan total, not one per consumer),
+    # and the lineage cut the overwrite needs is already in place
+    delta = _checkpoint(survivors.repartition("cell"), spark, reliable)
     live_cells = {
-        r.cell for r in survivors.select("cell").distinct().collect()
+        r.cell for r in delta.select("cell").distinct().collect()
     }  # ⊆ touched, same bound
     emptied = [c for c in touched if c not in live_cells]
     if live_cells:
-        delta = _checkpoint(survivors.repartition("cell"), spark, reliable)
         (
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -716,3 +716,15 @@ def test_quantizer_drift_audit_plan_shape(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_retrieval_quality_audit_bnlj_only_stat_folds(spark, sf_dir):
+    """The nDCG audit's BroadcastNestedLoopJoins are all bounded
+    folds: the k-row discount table and 1-row idcg/stat frames
+    broadcast against system×query-sized rankings — never a data×data
+    pair. Pin the audited count so a refactor that grows it fails
+    here."""
+    plan = _plan(QS["sim_retrieval_quality_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
+    spark.catalog.clearCache()

@@ -356,3 +356,40 @@ def test_gate_tombstones_block_reingest_of_retired_id(spark, tmp_path):
     assert dec.get(30) == "kept"
     mem = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
     assert 12 not in mem and 30 in mem
+
+
+def test_retire_then_rebalance_compose(spark, tmp_path):
+    """The maintenance passes compose on one persisted index: retire
+    part of a hot cell, then the occupancy-driven rebalance splits
+    what remains — retired ids stay gone, every survivor stays
+    searchable, membership is conserved through both passes."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import rebalance_gate_index
+
+    rows = [(10, [1.0, 0.0]), (11, [0.0, 1.0])] + [
+        (20 + i, [0.9 + 0.01 * i, 0.1]) for i in range(6)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "compose"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members = idx.assignments.withColumn("centroid_cos", F.lit(1.0))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    # cell 0 holds {10, 20..25}: retire two of its members
+    ivf_retire(spark, str(root), _tomb(spark, [20, 23]))
+    survivors = {r.id for r in spark.read.parquet(str(root / "members")).collect()}
+    assert survivors == {10, 11, 21, 22, 24, 25}
+    # still over a cap of 3 -> rebalance to the fixed point (each pass
+    # halves geometrically - the documented call-again-to-converge
+    # contract, pinned as a loop in test_streaming.py)
+    split = rebalance_gate_index(spark, str(root), max_cell_size=3)
+    assert split == [0]
+    for _ in range(5):
+        if not rebalance_gate_index(spark, str(root), max_cell_size=3):
+            break
+    after = spark.read.parquet(str(root / "members"))
+    assert {r.id for r in after.collect()} == survivors  # conserved
+    sizes = {r.cell: r.n for r in after.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in sizes.values())
