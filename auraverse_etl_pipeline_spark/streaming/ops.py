@@ -1029,6 +1029,99 @@ def run_stream_url_frontier(
         q.stop()
 
 
+def retrain_gate_index(
+    spark,
+    index_path: str,
+    nlist: int | None = None,
+    max_iter: int = 2,
+    dim: int | None = None,
+    reliable: bool | None = None,
+    members_table: str = "members",
+) -> int:
+    """Re-FIT the gate index's coarse quantizer over its current
+    members — the action :func:`~auraverse_etl_pipeline_spark.
+    operators.similarity.quantizer_drift_audit`'s retrain flag fires,
+    completing the maintenance triad: *occupancy* skew →
+    :func:`rebalance_gate_index` (splits hot cells, cold geometry
+    untouched), *drift* decay → THIS (new geometry everywhere),
+    take-downs → :func:`~auraverse_etl_pipeline_spark.operators.
+    retire.ivf_retire`. A drifting stream decays every arrival's
+    ``centroid_cos`` against the frozen day-1 quantizer; splitting
+    cells cannot fix geometry that no longer matches the data, only a
+    re-fit can — which is why this is the EXPENSIVE pass (full members
+    rewrite, unavoidable: every cell label changes meaning) and the
+    drift audit exists to fire it rarely and on evidence.
+
+    Mechanics: the deterministic in-engine Lloyd quantizer
+    (``ivf_index(quantizer="lloyd")`` — sample init + ``max_iter``
+    clamped-cosine/DECIMAL-mean rounds, no RNG) re-fits over the
+    member vectors, every member is re-assigned (clamped argmax), and
+    both tables are rewritten. Decisions are untouched — verdicts
+    record history, and their logged ``centroid_cos`` values are what
+    the NEXT drift audit trends against the new geometry's scores.
+
+    Crash posture (documented, not staged): the members delta is
+    materialized behind the checkpoint cut (``reliable=True`` for the
+    fault-tolerant flavor — the in-place full overwrite destroys the
+    only other copy) and written BEFORE the centroids. A crash
+    between the two writes leaves new cell labels under old centroids
+    — probes still answer (same cell-id space), recall degraded until
+    the next retrain call, which is idempotent and deterministic, so
+    re-running converges to the same final state. No member is ever
+    lost in any window.
+
+    Returns the number of members whose cell changed (0 = geometry
+    was already converged at this nlist/max_iter)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        cosine_similarity_expr,
+        ivf_index,
+    )
+
+    members = spark.read.parquet(f"{index_path}/{members_table}")
+    if nlist is None:
+        nlist = spark.read.parquet(f"{index_path}/centroids").count()
+    new = ivf_index(
+        members.select("id", "v"),
+        nlist=int(nlist),
+        quantizer="lloyd",
+        max_iter=max_iter,
+        id_col="id",
+        vec_col="v",
+        dim=dim,
+    )
+    relabeled = new.assignments.join(
+        F.broadcast(new.centroids), "cell"
+    ).select(
+        "id",
+        "v",
+        "cell",
+        F.least(
+            F.lit(1.0), cosine_similarity_expr("v", "centroid", dim=dim)
+        ).alias("centroid_cos"),
+    )
+    moved = (
+        relabeled.select("id", F.col("cell").alias("new_cell"))
+        .join(members.select("id", "cell"), "id")
+        .filter(F.col("new_cell") != F.col("cell"))
+        .count()
+    )
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    delta = relabeled.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
+    new_cent = new.centroids.localCheckpoint(eager=True)
+    handle = getattr(new.assignments, "release_caches", None)
+    if callable(handle):
+        handle()
+    # full overwrite (geometry changed everywhere) — members first,
+    # centroids last (see crash posture above)
+    delta.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/{members_table}"
+    )
+    new_cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return moved
+
+
 def rebalance_gate_index(
     spark,
     index_path: str,

@@ -1300,3 +1300,70 @@ def test_gate_decision_logs_carry_batch_id(spark, tmp_path):
         spark, str(root / "decisions"), order_col="batch_id"
     )
     assert {r.id for r in compacted.collect()} == {20, 21, 22}
+
+
+def test_retrain_gate_index_refits_drifted_geometry(spark, tmp_path):
+    """The drift-audit -> retrain loop closes: members that drifted
+    away from the day-1 quantizer (near-zero centroid_cos) get new
+    Lloyd geometry that fits them, membership is conserved, the
+    decisions log is untouched, and a second retrain is a converged
+    no-op (deterministic quantizer: same members => same geometry)."""
+    import os
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        quantizer_drift_audit,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_gate_index
+
+    anchors = [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])]
+    drifted = [(20 + i, [0.01 * i, 0.1, 0.99]) for i in range(4)]
+    corpus = spark.createDataFrame(
+        anchors, "vec_id bigint, embedding array<double>"
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    members = ivf_assign(
+        spark.createDataFrame(anchors + drifted, "vec_id bigint, embedding array<double>"),
+        idx.centroids,
+        clamp=True,
+    )
+    root = tmp_path / "retrain_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    # the gate's decision log shows the drift the audit would flag
+    log = members.select(
+        "id", "cell", "centroid_cos",
+        F.when(F.col("id") < 20, 0).otherwise(1).cast("bigint").alias("batch_id"),
+    )
+    log.write.parquet(str(root / "decisions"))
+    flagged = [
+        r.cell
+        for r in quantizer_drift_audit(spark.read.parquet(str(root / "decisions"))).collect()
+        if r.retrain
+    ]
+    assert flagged  # the drifted arrivals' cell trips the trigger
+    dec_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in __import__("glob").glob(str(root / "decisions" / "*.parquet"))
+    }
+
+    def disk_fit():
+        rows = spark.read.parquet(str(root / "members")).collect()
+        return {r.id: r.centroid_cos for r in rows}
+
+    before = disk_fit()
+    assert sum(before[i] for i, _ in drifted) / len(drifted) < 0.2  # poor fit
+    retrain_gate_index(spark, str(root))
+    after = disk_fit()
+    assert set(after) == set(before)  # membership conserved
+    assert sum(after[i] for i, _ in drifted) / len(drifted) > 0.8  # re-fit
+    # history untouched: same decision files, byte for byte
+    assert {
+        f: os.stat(f).st_mtime_ns
+        for f in __import__("glob").glob(str(root / "decisions" / "*.parquet"))
+    } == dec_files
+    # converged: a second re-fit over identical members moves nothing
+    assert retrain_gate_index(spark, str(root)) == 0
