@@ -393,3 +393,31 @@ def test_retire_then_rebalance_compose(spark, tmp_path):
     assert {r.id for r in after.collect()} == survivors  # conserved
     sizes = {r.cell: r.n for r in after.groupBy("cell").agg(F.count("*").alias("n")).collect()}
     assert all(n <= 3 for n in sizes.values())
+
+
+def test_ivf_retire_reliable_checkpoint_flavor(spark, tmp_path):
+    """With a SparkContext checkpoint dir configured, the survivor
+    delta materializes through the fault-tolerant dir before the
+    destructive partition overwrite (the compact_decisions contract),
+    and the retire result is unchanged."""
+    import glob as _glob
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    root = str(tmp_path / "ivf_rel")
+    idx.save(root)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        touched = ivf_retire(
+            spark, root, _tomb(spark, [12]), members_table="assignments"
+        )
+        assert touched != []
+        assert _glob.glob(f"{ckpt}/*/rdd-*"), "no reliable checkpoint written"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    ids = {r.id for r in spark.read.parquet(f"{root}/assignments").collect()}
+    assert ids == {10, 11, 13, 14, 15}

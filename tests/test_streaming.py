@@ -1367,3 +1367,73 @@ def test_retrain_gate_index_refits_drifted_geometry(spark, tmp_path):
     } == dec_files
     # converged: a second re-fit over identical members moves nothing
     assert retrain_gate_index(spark, str(root)) == 0
+
+
+def test_retrain_gate_index_crash_window_heals(spark, tmp_path):
+    """The retrain's documented crash posture, pinned: a failure
+    between the members write and the centroids write leaves new cell
+    labels under OLD centroids — the index still answers (same cell-id
+    space), and re-running the idempotent deterministic retrain
+    converges to exactly the uncrashed final state."""
+    import shutil
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_gate_index
+
+    anchors = [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])]
+    drifted = [(20 + i, [0.01 * i, 0.1, 0.99]) for i in range(4)]
+    schema = "vec_id bigint, embedding array<double>"
+    idx = ivf_index(spark.createDataFrame(anchors, schema), nlist=2, quantizer="sample")
+    members = ivf_assign(
+        spark.createDataFrame(anchors + drifted, schema), idx.centroids, clamp=True
+    )
+
+    def stage(root):
+        idx.centroids.write.parquet(str(root / "centroids"))
+        members.repartition("cell").write.partitionBy("cell").parquet(
+            str(root / "members")
+        )
+
+    ref, crash = tmp_path / "ref_gate", tmp_path / "crash_gate"
+    stage(ref)
+    stage(crash)
+    retrain_gate_index(spark, str(ref))  # the uncrashed reference state
+    want = {
+        r.id: (r.cell, r.centroid_cos)
+        for r in spark.read.parquet(str(ref / "members")).collect()
+    }
+    # crash replay: snapshot old centroids, retrain fully, then restore
+    # the old centroids over the new ones = died before the final write
+    old_cent = str(tmp_path / "old_centroids")
+    shutil.copytree(str(crash / "centroids"), old_cent)
+    retrain_gate_index(spark, str(crash))
+    shutil.rmtree(str(crash / "centroids"))
+    shutil.copytree(old_cent, str(crash / "centroids"))
+    # degraded but alive: searches still answer out of the same id space
+    loaded = IvfIndex(
+        centroids=spark.read.parquet(str(crash / "centroids")),
+        assignments=spark.read.parquet(str(crash / "members")).select("id", "v", "cell"),
+    )
+    q = spark.createDataFrame([(0, [0.0, 0.1, 0.99])], schema)
+    assert ivf_search(q, loaded, k=2, nprobe=2, exact_fold=True, clamp=True).count() > 0
+    # the healing re-run converges to the uncrashed state exactly
+    retrain_gate_index(spark, str(crash))
+    got = {
+        r.id: (r.cell, r.centroid_cos)
+        for r in spark.read.parquet(str(crash / "members")).collect()
+    }
+    assert got == want
+    ref_cent = {
+        r.cell: r.centroid
+        for r in spark.read.parquet(str(ref / "centroids")).collect()
+    }
+    crash_cent = {
+        r.cell: r.centroid
+        for r in spark.read.parquet(str(crash / "centroids")).collect()
+    }
+    assert crash_cent == ref_cent
