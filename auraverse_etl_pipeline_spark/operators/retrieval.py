@@ -145,6 +145,7 @@ def bm25_search(
     b: float = BM25_B,
     query_id_col: str = "query_id",
     text_col: str = "text",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query: ``(query_id, doc_id, score, rank)``.
 
@@ -161,7 +162,19 @@ def bm25_search(
     weighted term table broadcasts against ``postings`` (the only
     corpus-sized scan — NO shuffle), per-(query, doc) sums are
     DECIMAL(38,12) partials, and the top-k window partitions by query
-    with a deterministic (score desc, doc asc) tie-break."""
+    with a deterministic (score desc, doc asc) tie-break.
+
+    ``exclude`` is LAZY retirement — Lucene's liveDocs pattern: a
+    1-column ``(id)`` tombstone frame whose docs are dropped from
+    scoring by a broadcast anti-join on the postings probe, so a
+    take-down takes effect at the NEXT query (O(1) append to the
+    tombstone log) while the physical rewrite
+    (:func:`~auraverse_etl_pipeline_spark.operators.retire.
+    bm25_retire`) rides the next compaction pass. Exactly Lucene's
+    semantics, including the caveat: df/avgdl still count the
+    excluded docs until the physical pass runs, so surviving docs'
+    scores differ from the post-rewrite index by the stale statistics
+    (the two paths converge after compaction — pinned in tests)."""
     from auraverse_etl_pipeline_spark.functions.text import tokens
     from auraverse_etl_pipeline_spark.operators.classifier import _ln
 
@@ -186,7 +199,12 @@ def bm25_search(
             ).alias("avgdl"),
         )
     )
-    contrib = index.postings.join(F.broadcast(qidf), "term").select(
+    postings = index.postings
+    if exclude is not None:
+        postings = postings.join(
+            F.broadcast(exclude.select("id").distinct()), "id", "left_anti"
+        )
+    contrib = postings.join(F.broadcast(qidf), "term").select(
         "query_id",
         F.col("id").alias("doc_id"),
         (

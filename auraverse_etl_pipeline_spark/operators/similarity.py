@@ -784,12 +784,23 @@ def ivf_search(
     exact_fold: bool = False,
     clamp: bool = False,
     dim: int | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Probe an :class:`IvfIndex`: score the ``nprobe`` nearest
     centroids per query, brute-force only the vectors assigned to
     probed cells. Same output shape as :func:`cosine_top_k` —
     (query_id, neighbor_id, rank, cosine); recall < 1 by construction,
     tunable via nprobe/nlist.
+
+    ``exclude`` is LAZY retirement (the Lucene-liveDocs pattern on the
+    vector tier): a 1-column ``(id)`` tombstone frame anti-joined off
+    the indexed side before scoring, so a take-down is unsearchable at
+    the NEXT query — O(1) tombstone append now, the physical
+    partition rewrite (:func:`~auraverse_etl_pipeline_spark.operators.
+    retire.ivf_retire`) at the next maintenance pass. Unlike BM25's
+    stale-df caveat, exclusion here returns EXACTLY the
+    physically-retired index's answers (per-pair cosines are
+    independent of corpus statistics) — pinned in tests.
 
     ``clamp=True`` caps in-cell cosines at 1.0 — for corpora where a
     query vector can EQUAL an indexed vector (duplicate documents
@@ -806,7 +817,12 @@ def ivf_search(
     stays JVM-side with no Python worker round-trip."""
     if not exact_fold:
         ship_package(queries.sparkSession)  # batch_cosine, see cosine_top_k
-    indexed = index.assignments.select(
+    assignments = index.assignments
+    if exclude is not None:
+        assignments = assignments.join(
+            F.broadcast(exclude.select("id").distinct()), "id", "left_anti"
+        )
+    indexed = assignments.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
     cent_df = F.broadcast(index.centroids.select("cell", "centroid"))

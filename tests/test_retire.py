@@ -421,3 +421,64 @@ def test_ivf_retire_reliable_checkpoint_flavor(spark, tmp_path):
         sc._jsc.sc().setCheckpointDir(None)
     ids = {r.id for r in spark.read.parquet(f"{root}/assignments").collect()}
     assert ids == {10, 11, 13, 14, 15}
+
+
+def test_lazy_retirement_ivf_search_exclude(spark, tmp_path):
+    """Lucene-liveDocs on the vector tier: search with a tombstone
+    exclude returns EXACTLY the physically-retired index's answers
+    (per-pair cosines don't depend on corpus stats) — so a take-down
+    is unsearchable at the next query, and the partition rewrite can
+    wait for the next maintenance pass."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+
+    idx = ivf_index(_corpus(spark), nlist=2, quantizer="sample")
+    root = str(tmp_path / "lazy_ivf")
+    idx.save(root)
+    q = spark.createDataFrame(
+        [(0, [0.99, 0.1, 0.0]), (1, [0.0, 0.97, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    tomb = _tomb(spark, [12, 15])
+    lazy = ivf_search(
+        q, IvfIndex.load(spark, root), k=3, nprobe=2, exact_fold=True,
+        clamp=True, exclude=tomb,
+    ).collect()
+    assert {12, 15}.isdisjoint({r.neighbor_id for r in lazy})
+    ivf_retire(spark, root, tomb, members_table="assignments")
+    eager = ivf_search(
+        q, IvfIndex.load(spark, root), k=3, nprobe=2, exact_fold=True, clamp=True
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank, r.cosine) for r in rows)  # noqa: E731
+    assert key(lazy) == key(eager)  # bit-identical answers
+
+
+def test_lazy_retirement_bm25_search_exclude(spark):
+    """Lucene-liveDocs on the lexical tier: an excluded doc never
+    scores, survivors keep the PRE-retire statistics (Lucene's
+    documented stale-df semantics), and the lazy and physical paths
+    converge once the compaction-time rewrite runs."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+    )
+
+    full = bm25_index(_docs(spark))
+    qs = spark.createDataFrame([(0, "zebra spark")], "query_id bigint, text string")
+    tomb = _tomb(spark, [2])
+    lazy = bm25_search(qs, full, k=4, exclude=tomb).collect()
+    assert 2 not in {r.doc_id for r in lazy}
+    # stale stats: scores equal the FULL index's scores for survivors
+    full_hits = {r.doc_id: r.score for r in bm25_search(qs, full, k=4).collect()}
+    assert all(full_hits[r.doc_id] == r.score for r in lazy)
+    # after the physical pass the two paths converge on the same docs,
+    # now under the corrected statistics
+    retired = bm25_retire(full, tomb)
+    eager = bm25_search(qs, retired, k=4).collect()
+    assert {r.doc_id for r in eager} == {r.doc_id for r in lazy}
+    lazy2 = bm25_search(qs, retired, k=4, exclude=tomb).collect()
+    key = lambda rows: sorted((r.query_id, r.doc_id, r.rank, r.score) for r in rows)  # noqa: E731
+    assert key(lazy2) == key(eager)  # exclude over a clean index is a no-op
