@@ -482,3 +482,19 @@ def test_lazy_retirement_bm25_search_exclude(spark):
     lazy2 = bm25_search(qs, retired, k=4, exclude=tomb).collect()
     key = lambda rows: sorted((r.query_id, r.doc_id, r.rank, r.score) for r in rows)  # noqa: E731
     assert key(lazy2) == key(eager)  # exclude over a clean index is a no-op
+
+
+def test_log_retire_covers_url_frontier(spark, tmp_path):
+    """Erasure on the crawl frontier: the canonical URL is the
+    identity (id_col="canon_url"), its row vanishes, and the frontier
+    keeps answering for every other URL."""
+    path = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        [("https://a.example/x", 1), ("https://b.example/y", 2), ("https://c.example/z", 3)],
+        "canon_url string, first_doc_id bigint",
+    ).write.parquet(path)
+    tomb = spark.createDataFrame([("https://b.example/y",)], "canon_url string")
+    kept = log_retire(spark, path, tomb, id_col="canon_url")
+    assert {r.canon_url for r in kept.collect()} == {
+        "https://a.example/x", "https://c.example/z"
+    }
