@@ -1029,6 +1029,111 @@ def run_stream_url_frontier(
         q.stop()
 
 
+def gate_maintenance_tick(
+    spark,
+    index_path: str,
+    max_cell_size: int,
+    drift_threshold: float = 0.05,
+    tombstones_path: str | None = None,
+    nlist: int | None = None,
+    max_iter: int = 2,
+    max_rounds: int = 8,
+    dim: int | None = None,
+) -> dict:
+    """ONE cron-able maintenance tick for a gate index — the whole
+    triad in dependency order, each stage firing only on its own
+    evidence:
+
+    1. **retire** — if ``tombstones_path`` holds a (durable,
+       caller-owned) take-down table, :func:`~auraverse_etl_pipeline_
+       spark.operators.retire.ivf_retire` erases those ids first (no
+       point re-fitting or splitting members about to vanish).
+    2. **retrain** — :func:`~auraverse_etl_pipeline_spark.operators.
+       similarity.quantizer_drift_audit` over
+       ``{index_path}/decisions`` (the gates stamp ``batch_id``); any
+       retrain-flagged cell fires :func:`retrain_gate_index` — the
+       expensive full re-fit, gated on drift evidence so it runs
+       rarely. Skipped silently when no decisions log exists yet.
+    3. **rebalance** — :func:`rebalance_gate_index` loops to its
+       fixed point (each pass halves hot cells geometrically;
+       ``max_rounds`` bounds the loop), run LAST because a re-fit
+       re-labels everything and does not enforce the cap.
+
+    Drift evidence is WATERMARKED: decisions were scored against the
+    geometry of their day, so batches consumed by one retrain cannot
+    indict the next geometry — without this, the append-only log's
+    old drifted batches would re-fire the (expensive) retrain on
+    every tick forever, and because retrain and rebalance do not
+    commute (a re-fit re-labels what the rebalance just split) the
+    tick would oscillate. The tick keeps a 1-row
+    ``{index_path}/retrain_watermark`` (max batch_id consumed) and
+    audits only batches above it; a fresh post-retrain cell needs two
+    NEW batches to trend before it can flag again.
+
+    Between ticks the gates keep appending; every stage is idempotent
+    and crash-tolerant on its own (see each operator's posture), so a
+    died tick heals by simply running the next tick. Returns a
+    summary dict: ``retired_cells`` (touched by the take-down),
+    ``retrained`` / ``moved`` (re-fit fired, members relabeled),
+    ``rebalance_rounds`` / ``split_cells`` (cap enforcement)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.retire import ivf_retire
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        quantizer_drift_audit,
+    )
+
+    retired_cells: list[int] = []
+    if tombstones_path is not None:
+        try:
+            tomb = spark.read.parquet(tombstones_path)
+        except AnalysisException:
+            tomb = None
+        if tomb is not None:
+            retired_cells = ivf_retire(spark, index_path, tomb)
+    retrained, moved = False, 0
+    wm_path = f"{index_path}/retrain_watermark"
+    try:
+        decisions = spark.read.parquet(f"{index_path}/decisions")
+    except AnalysisException:
+        decisions = None
+    if decisions is not None and "batch_id" in decisions.columns:
+        try:
+            wm = spark.read.parquet(wm_path).collect()[0].batch_id
+            decisions = decisions.filter(F.col("batch_id") > F.lit(wm))
+        except AnalysisException:
+            pass
+        flagged = (
+            quantizer_drift_audit(decisions, drift_threshold=drift_threshold)
+            .filter("retrain")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if flagged:
+            consumed = decisions.agg(F.max("batch_id").alias("batch_id"))
+            consumed = consumed.localCheckpoint(eager=True)
+            moved = retrain_gate_index(
+                spark, index_path, nlist=nlist, max_iter=max_iter, dim=dim
+            )
+            retrained = True
+            consumed.write.mode("overwrite").parquet(wm_path)
+    rounds, split_cells = 0, []
+    for _ in range(max_rounds):
+        split = rebalance_gate_index(spark, index_path, max_cell_size, dim=dim)
+        if not split:
+            break
+        rounds += 1
+        split_cells.extend(split)
+    return {
+        "retired_cells": retired_cells,
+        "retrained": retrained,
+        "moved": moved,
+        "rebalance_rounds": rounds,
+        "split_cells": split_cells,
+    }
+
+
 def retrain_gate_index(
     spark,
     index_path: str,

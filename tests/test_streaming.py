@@ -1437,3 +1437,64 @@ def test_retrain_gate_index_crash_window_heals(spark, tmp_path):
         for r in spark.read.parquet(str(crash / "centroids")).collect()
     }
     assert crash_cent == ref_cent
+
+
+def test_gate_maintenance_tick_runs_the_triad(spark, tmp_path):
+    """One tick composes all three maintenance passes, each firing
+    only on its own evidence: the tombstoned id vanishes, the drifted
+    geometry is re-fit, and the cap is enforced to the fixed point —
+    while a second tick with nothing left to do is a clean no-op."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import gate_maintenance_tick
+
+    schema = "vec_id bigint, embedding array<double>"
+    anchors = [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])]
+    # a hot crowd near anchor A (trips the cap) + drifted arrivals far
+    # from both anchors (trips the retrain flag) + one doomed id
+    crowd = [(20 + i, [0.9 + 0.005 * i, 0.1, 0.0]) for i in range(6)]
+    drifted = [(40 + i, [0.01 * i, 0.1, 0.99]) for i in range(4)]
+    idx = ivf_index(spark.createDataFrame(anchors, schema), nlist=2, quantizer="sample")
+    members = ivf_assign(
+        spark.createDataFrame(anchors + crowd + drifted, schema),
+        idx.centroids,
+        clamp=True,
+    )
+    root = tmp_path / "tick_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    members.select(
+        "id", "cell", "centroid_cos",
+        F.when(F.col("id") < 40, 0).otherwise(1).cast("bigint").alias("batch_id"),
+    ).write.parquet(str(root / "decisions"))
+    tomb_path = str(tmp_path / "tick_tombs")
+    spark.createDataFrame([(25,)], "id bigint").write.parquet(tomb_path)
+
+    out = gate_maintenance_tick(
+        spark, str(root), max_cell_size=4, tombstones_path=tomb_path
+    )
+    assert out["retired_cells"]          # the take-down fired first
+    assert out["retrained"] and out["moved"] >= 0
+    mem = spark.read.parquet(str(root / "members"))
+    ids = {r.id for r in mem.collect()}
+    assert 25 not in ids                 # retired id gone
+    assert ids == {10, 11, 40, 41, 42, 43} | {20, 21, 22, 23, 24}
+    sizes = [r.n for r in mem.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    assert all(n <= 4 for n in sizes)    # cap enforced to the fixed point
+    fit = {r.id: r.centroid_cos for r in mem.collect()}
+    assert sum(fit[i] for i, _ in drifted) / len(drifted) > 0.8  # re-fit geometry
+    # second tick: a clean no-op. The decisions log still HOLDS the
+    # old drift evidence, but the retrain watermark marks it consumed
+    # (evidence scored under the old geometry cannot indict the new
+    # one) — without the watermark the expensive retrain would
+    # re-fire every tick and oscillate with the rebalance
+    out2 = gate_maintenance_tick(
+        spark, str(root), max_cell_size=4, tombstones_path=tomb_path
+    )
+    assert out2["retired_cells"] == [] and not out2["retrained"]
+    assert out2["rebalance_rounds"] == 0
+    assert {r.id for r in spark.read.parquet(str(root / "members")).collect()} == ids
