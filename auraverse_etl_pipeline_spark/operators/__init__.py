@@ -32,6 +32,12 @@ from auraverse_etl_pipeline_spark.operators.dedup import (
     simhash_candidate_pairs,
 )
 from auraverse_etl_pipeline_spark.operators.ids import assign_global_ids
+from auraverse_etl_pipeline_spark.operators.retire import (
+    bm25_retire,
+    bm25_retire_path,
+    ivf_retire,
+    log_retire,
+)
 from auraverse_etl_pipeline_spark.operators.sampling import (
     cluster_balanced_sample,
     curriculum_order,
@@ -59,6 +65,8 @@ __all__ = [
     "bloom_decontaminate",
     "bloom_flag_report",
     "bloom_might_contain",
+    "bm25_retire",
+    "bm25_retire_path",
     "bloom_parameters",
     "cluster_balanced_sample",
     "cms_build",
@@ -74,10 +82,12 @@ __all__ = [
     "drop_near_duplicates_by_cluster",
     "exact_duplicate_groups",
     "hot_buckets",
+    "ivf_retire",
     "ivf_top_k",
     "ivfpq_search",
     "minhash_index",
     "minhash_match_index",
+    "log_retire",
     "release_after",
     "minhash_near_duplicates",
     "nb_score",

@@ -63,10 +63,11 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: the least-recently-scored queries enumerate first each round.
 #:
 #: - ``_NEEDS_FRESH_SCORE``: brand-new or rewritten after their last
-#:   green driver row — these go first. ROUND-13 START: run
-#:   ``tools/refresh_ledger.py`` to fold CORRECTNESS_r12.json into
-#:   ``_LAST_GREEN``, then empty this tuple (unless a name below came
-#:   back red, or round 13 rewrites something after its green).
+#:   green driver row — these go first. EVERY ROUND START: run
+#:   ``tools/refresh_ledger.py`` to fold the latest
+#:   CORRECTNESS_r{N}.json into ``_LAST_GREEN``, then reset this tuple
+#:   to just the names that came back red or get rewritten/added this
+#:   round.
 #: - everything else is ordered by ``_LAST_GREEN`` (the latest round
 #:   whose CORRECTNESS_r0N.json carries a green row for the name):
 #:   oldest evidence enumerates first. Round-12 window arithmetic: the
