@@ -174,7 +174,11 @@ def bm25_search(
     semantics, including the caveat: df/avgdl still count the
     excluded docs until the physical pass runs, so surviving docs'
     scores differ from the post-rewrite index by the stale statistics
-    (the two paths converge after compaction — pinned in tests)."""
+    (the two paths converge after compaction — pinned in tests).
+    The frame is broadcast — correct for take-down-sized lists (the
+    liveDocs contract); once a tombstone backlog approaches
+    broadcast limits it is overdue for its physical compaction
+    pass, not a bigger broadcast."""
     from auraverse_etl_pipeline_spark.functions.text import tokens
     from auraverse_etl_pipeline_spark.operators.classifier import _ln
 

@@ -800,7 +800,10 @@ def ivf_search(
     retire.ivf_retire`) at the next maintenance pass. Unlike BM25's
     stale-df caveat, exclusion here returns EXACTLY the
     physically-retired index's answers (per-pair cosines are
-    independent of corpus statistics) — pinned in tests.
+    independent of corpus statistics) — pinned in tests. The frame
+    is broadcast — correct for take-down-sized lists; a backlog
+    near broadcast limits is overdue for its physical
+    :func:`ivf_retire` pass, not a bigger broadcast.
 
     ``clamp=True`` caps in-cell cosines at 1.0 — for corpora where a
     query vector can EQUAL an indexed vector (duplicate documents
