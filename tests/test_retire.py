@@ -498,3 +498,57 @@ def test_log_retire_covers_url_frontier(spark, tmp_path):
     assert {r.canon_url for r in kept.collect()} == {
         "https://a.example/x", "https://c.example/z"
     }
+
+
+def test_quantizer_drift_audit_matches_python_model(spark):
+    """Exact-float model replica over randomized logs: the audit's
+    fixed-point means and drift must equal a pure-Python evaluation
+    bit for bit (seeded random cells/batches/cosines — the engine's
+    unordered aggregation must never leak into the floats)."""
+    import math
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _DRIFT_FIXED_POINT,
+        quantizer_drift_audit,
+    )
+
+    fx = _DRIFT_FIXED_POINT
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                rng.randrange(5),
+                rng.randrange(4),
+                rng.uniform(-1.0, 1.0),
+            )
+            for i in range(400)
+        ]
+        log = spark.createDataFrame(
+            rows, "id bigint, cell int, batch_id bigint, centroid_cos double"
+        )
+        got = {
+            r.cell: r
+            for r in quantizer_drift_audit(log, drift_threshold=0.05).collect()
+        }
+        # pure-Python replica (ordering-free: integer sums, then the
+        # same two IEEE divisions)
+        per = {}
+        for _i, cell, batch, cos in rows:
+            n, s = per.setdefault(cell, {}).setdefault(batch, [0, 0])
+            per[cell][batch] = [n + 1, s + math.floor(cos * fx)]
+        for cell, batches in per.items():
+            first_b, last_b = min(batches), max(batches)
+            nf, sf_ = batches[first_b]
+            nl, sl = batches[last_b]
+            avg_f = float(sf_) / float(nf) / fx
+            avg_l = float(sl) / float(nl) / fx
+            r = got[cell]
+            assert r.n_batches == len(batches)
+            assert (r.first_batch, r.last_batch) == (first_b, last_b)
+            assert (r.n_first, r.n_last) == (nf, nl)
+            assert r.avg_cos_first == avg_f and r.avg_cos_last == avg_l
+            assert r.drift == avg_l - avg_f
+            assert r.retrain == (avg_l - avg_f < -0.05)
+        assert set(got) == set(per)
