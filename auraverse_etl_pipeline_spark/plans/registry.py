@@ -86,6 +86,12 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 14 start: CORRECTNESS_r13.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-14 new queries and
     # rewrites-after-green land here as the round progresses.
+    # STAGED FOR ROUND 15 (the nDCG precedent): a retrain-parity query
+    # — retrain_gate_index replays digit-for-digit in DuckDB via the
+    # _lloyd_chain oracle, pinned in
+    # tests/test_retire.py::test_retrain_gate_index_parity_vs_duckdb;
+    # register it (e.g. as sim_retrain_audit) once the r14 cohort
+    # re-scores, within the growth cap.
     "sim_retrieval_quality_audit",  # NEW: nDCG@k (staged in r13, registered r14)
     "index_retire_ids",  # NEW: take-down propagation across persisted indexes
     "sim_quantizer_drift_audit",  # NEW: per-cell centroid_cos trend (retrain signal)

@@ -552,3 +552,75 @@ def test_quantizer_drift_audit_matches_python_model(spark):
             assert r.drift == avg_l - avg_f
             assert r.retrain == (avg_l - avg_f < -0.05)
         assert set(got) == set(per)
+
+
+def test_retrain_gate_index_parity_vs_duckdb(spark, sf_dir, duck):
+    """Staged for round-15 registration (the nDCG precedent): the
+    retrain pass replays DIGIT-FOR-DIGIT in DuckDB — sample-init +
+    2 clamped-cosine/fixed-point-mean Lloyd rounds over the members,
+    then the clamped final assignment — so the expensive maintenance
+    pass is engine-reproducible like every other tier. Fixture = the
+    sim_quantizer_drift_audit staging (all embeddings assigned against
+    the corpus sample quantizer)."""
+    import pyspark.sql.functions as SF
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+    )
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _IVF_CTES,
+        _IVF_NLIST,
+        _lloyd_chain,
+    )
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_gate_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(
+        emb.filter(SF.col("vec_id") >= 10), nlist=_IVF_NLIST, quantizer="sample"
+    )
+    members = ivf_assign(emb, idx.centroids, clamp=True)
+    root = scratch_dir(prefix="retrain_parity_")
+    idx.centroids.write.parquet(f"{root}/centroids")
+    members.repartition("cell").write.partitionBy("cell").parquet(f"{root}/members")
+    retrain_gate_index(spark, root, max_iter=2)
+    got = {
+        r.id: (r.cell, r.centroid_cos)
+        for r in spark.read.parquet(f"{root}/members").collect()
+    }
+
+    chain, prev = _lloyd_chain("m", _IVF_NLIST, 2)
+    sql = (
+        _IVF_CTES
+        + f""",
+    arr AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS MATERIALIZED (
+        SELECT id, v FROM (
+            SELECT arr.id, arr.v,
+                   ROW_NUMBER() OVER (PARTITION BY arr.id
+                       ORDER BY LEAST(CAST(1.0 AS DOUBLE),
+                                      list_cosine_similarity(arr.v, cent.centroid))
+                                DESC, cent.cell) AS rn
+            FROM arr CROSS JOIN cent
+        ) WHERE rn = 1
+    )"""
+        + chain
+        + f"""
+    SELECT id, cell, cos FROM (
+        SELECT m.id, ct.cell,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     list_cosine_similarity(m.v, ct.centroid)) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY m.id
+                   ORDER BY LEAST(CAST(1.0 AS DOUBLE),
+                                  list_cosine_similarity(m.v, ct.centroid))
+                            DESC, ct.cell) AS rn
+        FROM m CROSS JOIN {prev} ct
+    ) WHERE rn = 1
+    """
+    )
+    want = {r[0]: (r[1], r[2]) for r in duck.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    assert all(got[i][0] == want[i][0] for i in got)      # cells match
+    assert all(got[i][1] == want[i][1] for i in got)      # cosines bit-equal
