@@ -1029,6 +1029,118 @@ def run_stream_url_frontier(
         q.stop()
 
 
+def gate_index_fsck(spark, index_path: str) -> DataFrame:
+    """Integrity audit (fsck) for a persisted gate index — one pass
+    over the index tables returning ``(check, violations)`` rows, for
+    the cron that runs BETWEEN maintenance ticks: every crash window
+    in the rebalance/retrain/retire machinery is designed to heal on
+    the next call, and this is the measurement that tells an operator
+    whether anything is currently sitting inside one.
+
+    Checks (0 = healthy):
+
+    - ``member_cell_without_centroid`` — distinct member cells with no
+      centroid row: a member the probe set can NEVER reach (the
+      retrain mid-crash window, or a corrupted centroid table).
+    - ``duplicate_member_id`` — ids holding more than one member row:
+      the append paths are anti-joined so this only arises from a
+      partial partition overwrite.
+    - ``duplicate_centroid_cell`` — a cell with two centroids: every
+      probe scores it twice.
+    - ``null_member_vector`` — unsearchable rows.
+    - ``kept_decision_without_member`` — ids whose latest decision
+      says ``kept`` but which no longer appear in the members: either
+      an id retired WITHOUT erasing its decision rows (run
+      ``log_retire`` on the decisions log with the same tombstones)
+      or a lost partition. 0 when no decisions log exists.
+    - ``pending_marker_present`` — a leftover ``centroids_pending``
+      staged-commit marker: the next :func:`rebalance_gate_index`
+      call will promote or discard it; flagged so the operator knows
+      a crash happened.
+
+    Centroids with zero members are NOT a violation (legal after
+    retirement empties a cell; wasted probes only). Shape: flat
+    aggregates over the index tables, a vocabulary-sized anti-join
+    for the decisions check, one 1-row frame per check unioned —
+    bounded by the index, no corpus access."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _read(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    members = _read(f"{index_path}/members")
+    cent = _read(f"{index_path}/centroids")
+    decisions = _read(f"{index_path}/decisions")
+    pending = _read(f"{index_path}/centroids_pending")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check"), F.col("n").cast("bigint").alias("violations")
+        )
+
+    zero = spark.range(1).select(F.lit(0).alias("n"))
+    if members is not None and cent is not None:
+        orphan = row(
+            "member_cell_without_centroid",
+            members.select("cell")
+            .distinct()
+            .join(cent.select("cell"), "cell", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+    else:
+        orphan = row("member_cell_without_centroid", zero)
+    if members is not None:
+        dup = row(
+            "duplicate_member_id",
+            members.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+        nullv = row(
+            "null_member_vector",
+            members.filter(F.col("v").isNull()).agg(F.count(F.lit(1)).alias("n")),
+        )
+    else:
+        dup = row("duplicate_member_id", zero)
+        nullv = row("null_member_vector", zero)
+    if cent is not None:
+        dup_c = row(
+            "duplicate_centroid_cell",
+            cent.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+    else:
+        dup_c = row("duplicate_centroid_cell", zero)
+    if decisions is not None and members is not None:
+        kept = row(
+            "kept_decision_without_member",
+            decisions.filter("kept")
+            .select("id")
+            .distinct()
+            .join(members.select("id"), "id", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+    else:
+        kept = row("kept_decision_without_member", zero)
+    marker = row(
+        "pending_marker_present",
+        spark.range(1).select(F.lit(1 if pending is not None else 0).alias("n")),
+    )
+    return (
+        orphan.unionByName(dup)
+        .unionByName(dup_c)
+        .unionByName(nullv)
+        .unionByName(kept)
+        .unionByName(marker)
+    )
+
+
 def gate_maintenance_tick(
     spark,
     index_path: str,

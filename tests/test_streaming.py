@@ -1498,3 +1498,65 @@ def test_gate_maintenance_tick_runs_the_triad(spark, tmp_path):
     assert out2["retired_cells"] == [] and not out2["retrained"]
     assert out2["rebalance_rounds"] == 0
     assert {r.id for r in spark.read.parquet(str(root / "members")).collect()} == ids
+
+
+def test_gate_index_fsck_healthy_and_planted_corruption(spark, tmp_path):
+    """fsck reads all-zero on a healthy index (an emptied cell is
+    legal), and each planted corruption fires exactly its own check."""
+    from auraverse_etl_pipeline_spark.operators.retire import ivf_retire
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import gate_index_fsck
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1]), (13, [0.1, 0.9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "fsck_gate"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members = idx.assignments.withColumn("centroid_cos", F.lit(1.0))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    members.select(
+        "id", "cell", "centroid_cos", F.lit(True).alias("kept"),
+        F.lit(0).cast("bigint").alias("batch_id"),
+    ).write.parquet(str(root / "decisions"))
+
+    healthy = {r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()}
+    assert healthy == {
+        "member_cell_without_centroid": 0,
+        "duplicate_member_id": 0,
+        "duplicate_centroid_cell": 0,
+        "null_member_vector": 0,
+        "kept_decision_without_member": 0,
+        "pending_marker_present": 0,
+    }
+    # a retire that FORGOT its log_retire: kept decisions now dangle
+    ivf_retire(spark, str(root), spark.createDataFrame([(12,)], "id bigint"))
+    after_retire = {
+        r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()
+    }
+    assert after_retire["kept_decision_without_member"] == 1
+    # an emptied-by-retire cell is LEGAL (no orphan fires)
+    assert after_retire["member_cell_without_centroid"] == 0
+    # planted: duplicate member row + a leftover staged-commit marker
+    spark.read.parquet(str(root / "members")).limit(1).select(
+        "id", "v", "centroid_cos", "cell"
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    idx.centroids.write.parquet(str(root / "centroids_pending"))
+    planted = {
+        r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()
+    }
+    assert planted["duplicate_member_id"] == 1
+    assert planted["pending_marker_present"] == 1
+    # planted: drop a centroid the members still reference
+    cents = spark.read.parquet(str(root / "centroids"))
+    keep_one = cents.orderBy("cell").limit(1).localCheckpoint()
+    keep_one.write.mode("overwrite").parquet(str(root / "centroids"))
+    orphaned = {
+        r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()
+    }
+    assert orphaned["member_cell_without_centroid"] == 1
