@@ -624,3 +624,79 @@ def test_retrain_gate_index_parity_vs_duckdb(spark, sf_dir, duck):
     assert set(got) == set(want)
     assert all(got[i][0] == want[i][0] for i in got)      # cells match
     assert all(got[i][1] == want[i][1] for i in got)      # cosines bit-equal
+
+
+def test_retire_randomized_end_to_end_invariants(spark, tmp_path):
+    """Seeded random corpora/tombstones: the retire invariants hold on
+    inputs nobody handcrafted — disk survivors are exactly the set
+    difference, no search ever returns a tombstoned id, untouched
+    cells' files stay byte-identical, and the BM25 inverse equals the
+    rebuild, per seed."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_search,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "omega", "spark", "plan", "scan"]
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        n = rng.randrange(20, 41)
+        rows = [
+            (100 + i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        nlist = rng.randrange(2, 5)
+        idx = ivf_index(corpus, nlist=nlist, quantizer="sample")
+        root = str(tmp_path / f"rand_{seed}")
+        idx.save(root)
+        ids = [r[0] for r in rows]
+        doomed = sorted(rng.sample(ids, rng.randrange(1, n // 2))) + [999999]
+        asg_before = {
+            r.id: r.cell for r in spark.read.parquet(f"{root}/assignments").collect()
+        }
+        cold_cells = {
+            c for c in range(nlist)
+            if not any(asg_before.get(i) == c for i in doomed)
+        }
+        cold_files = {
+            c: sorted(
+                (f, os.stat(f).st_mtime_ns)
+                for f in glob.glob(f"{root}/assignments/cell={c}/*.parquet")
+            )
+            for c in cold_cells
+        }
+        ivf_retire(spark, root, _tomb(spark, doomed), members_table="assignments")
+        survivors = {
+            r.id for r in spark.read.parquet(f"{root}/assignments").collect()
+        }
+        assert survivors == set(ids) - set(doomed), f"seed {seed}"
+        for c in cold_cells:
+            now = sorted(
+                (f, os.stat(f).st_mtime_ns)
+                for f in glob.glob(f"{root}/assignments/cell={c}/*.parquet")
+            )
+            assert now == cold_files[c], f"seed {seed} cell {c}"
+        qs = corpus.limit(5)
+        hits = ivf_search(
+            qs, IvfIndex.load(spark, root), k=4, nprobe=nlist,
+            exact_fold=True, clamp=True,
+        ).collect()
+        assert set(d for d in doomed).isdisjoint(
+            {r.neighbor_id for r in hits}
+        ), f"seed {seed}"
+
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(words) for _ in range(rng.randrange(3, 9))))
+                for i in ids
+            ],
+            "doc_id bigint, text string",
+        )
+        full = bm25_index(docs)
+        retired = bm25_retire(full, _tomb(spark, doomed))
+        rebuilt = bm25_index(docs.filter(~F.col("doc_id").isin(doomed)))
+        assert _index_state(retired) == _index_state(rebuilt), f"seed {seed}"
