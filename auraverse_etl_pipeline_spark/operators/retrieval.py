@@ -344,6 +344,104 @@ def bm25_merge(index: Bm25Index, batch: Bm25Index) -> Bm25Index:
     )
 
 
+def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
+    """Integrity audit (fsck) for a persisted BM25 triple — the
+    lexical-family twin of :func:`~auraverse_etl_pipeline_spark.
+    streaming.ops.gate_index_fsck`, for the cron that runs BETWEEN
+    maintenance passes: every crash window in the merge/retire
+    machinery heals on the next idempotent call, and this is the
+    measurement that tells an operator whether the triple is
+    currently sitting inside one. Returns ``(check, violations)``
+    rows (0 = healthy):
+
+    - ``df_posting_mismatch`` — terms whose ``dfs.df`` disagrees with
+      the postings' per-term row count (the df construction
+      identity): either side dangling means a retire/merge rewrote
+      one table and crashed before the other.
+    - ``orphan_df_term`` — df rows whose term has NO postings at all:
+      the ``bm25_retire`` df=0-terms-drop invariant violated (counted
+      inside the mismatch too; split out because it is the retire
+      crash signature, exactly as ``kept_decision_without_member``
+      fingerprints a forgotten ``log_retire``).
+    - ``duplicate_posting`` — a (term, id) pair with two rows: a
+      partially replayed append.
+    - ``dl_inconsistent`` — a doc id carrying two DIFFERENT
+      denormalized ``dl`` values across its postings rows (the
+      search-time length join is implicit; a split-brain dl skews
+      every score for that doc).
+    - ``stats_mismatch`` — the 1-row stats table disagrees with the
+      postings-derived ``(n_docs, total_len)`` (the stale-df/avgdl
+      window lazy ``exclude=`` retirement documents becomes a
+      violation the moment the physical retire claims to have run).
+
+    Shape: vocabulary-sized hash aggregates over the postings scan,
+    one vocabulary-sized full-outer join against dfs, a 1-row stats
+    compare, one 1-row frame per check unioned — bounded by the
+    index, no corpus access."""
+    idx = Bm25Index.load(spark, index_path)
+
+    def row(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("bigint").alias("violations"),
+        )
+
+    per_term = idx.postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings")
+    )
+    joined = idx.dfs.join(per_term, "term", "full_outer")
+    mismatch = row(
+        "df_posting_mismatch",
+        joined.filter(
+            F.coalesce(F.col("df"), F.lit(-1))
+            != F.coalesce(F.col("n_postings"), F.lit(-1))
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    orphan = row(
+        "orphan_df_term",
+        idx.dfs.join(per_term.select("term"), "term", "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup = row(
+        "duplicate_posting",
+        idx.postings.groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    dl_bad = row(
+        "dl_inconsistent",
+        idx.postings.groupBy("id")
+        .agg(F.countDistinct("dl").alias("c"))
+        .filter("c > 1")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    derived = idx.postings.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_d"),
+        F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("total_len_d"),
+    )
+    stats_bad = row(
+        "stats_mismatch",
+        idx.stats.crossJoin(derived)
+        .select(
+            (
+                (F.col("n_docs") != F.col("n_docs_d"))
+                | (F.col("total_len") != F.col("total_len_d"))
+            )
+            .cast("int")
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), F.lit(0)).alias("n")),
+    )
+    return (
+        mismatch.unionByName(orphan)
+        .unionByName(dup)
+        .unionByName(dl_bad)
+        .unionByName(stats_bad)
+    )
+
+
 def hybrid_rrf(
     lexical: DataFrame,
     dense: DataFrame,

@@ -83,18 +83,13 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: coverage is free; a new registry name costs one stale slot per round
 #: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 14 start: CORRECTNESS_r13.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red). Round-14 new queries and
-    # rewrites-after-green land here as the round progresses.
-    # STAGED FOR ROUND 15 (the nDCG precedent): a retrain-parity query
-    # — retrain_gate_index replays digit-for-digit in DuckDB via the
-    # _lloyd_chain oracle, pinned in
-    # tests/test_retire.py::test_retrain_gate_index_parity_vs_duckdb;
-    # register it (e.g. as sim_retrain_audit) once the r14 cohort
-    # re-scores, within the growth cap.
-    "sim_retrieval_quality_audit",  # NEW: nDCG@k (staged in r13, registered r14)
-    "index_retire_ids",  # NEW: take-down propagation across persisted indexes
-    "sim_quantizer_drift_audit",  # NEW: per-cell centroid_cos trend (retrain signal)
+    # round 15 start: CORRECTNESS_r14.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red). Round-15 entries:
+    "sim_retrain_audit",  # NEW: retrain_gate_index digit-for-digit DuckDB
+    # _lloyd_chain replay (staged in r14, registered r15)
+    "index_retire_ids",  # rewritten-since-green: staging hoisted into the
+    "sim_quantizer_drift_audit",  # shared per-session fixture (values must
+    # be bit-identical to the r14-green runs; layout-invariance re-checked)
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -102,60 +97,12 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 9
-    "fixture_schema_field_types": 9,
-    "q09_nation_year_profit": 9,
-    "q28_sketch_distinct_users": 9,
-    "q54_user_value_anomalies": 9,
-    "sql_udaf_source_stats": 9,
-    "stream_purchase_attribution": 9,
     # round 10
-    "corpus_data_card": 10,
-    "corpus_snapshot_diff": 10,
-    "curation_funnel": 10,
-    "dedup_embedding_clean": 10,
-    "dedup_incremental_minhash": 10,
-    "dedup_lsh_quality_audit": 10,
-    "dedup_minhash_pairs": 10,
-    "ingest_url_canonicalize": 10,
-    "mix_length_buckets": 10,
-    "mix_stratified_quota": 10,
-    "mix_temperature_sampling": 10,
-    "mix_weighted_sample": 10,
-    "multimodal_bmp_features": 10,
-    "multimodal_feature_digest": 10,
-    "multimodal_resize_digest": 10,
     "pipeline_corpus_to_index": 10,
     "q50_bipartite_pagerank": 10,
     "q51_conversion_funnel": 10,
     "q55_stock_threshold_suppliers": 10,
-    "sim_contrastive_pairs": 10,
-    "sim_hybrid_search": 10,
-    "sim_ivfpq_rebalance": 10,
-    "sim_random_projection": 10,
-    "sim_topk_ivf": 10,
-    "stream_bm25_index": 10,
-    "stream_compaction_dedup": 10,
-    "stream_enriched_segment_revenue": 10,
-    "stream_incremental_dedup": 10,
-    "stream_ingest_fragment_summary": 10,
-    "stream_logreg_gate": 10,
-    "stream_quality_gate": 10,
     "stream_url_frontier": 10,
-    "text_bm25_index": 10,
-    "text_bm25_merge": 10,
-    "text_bm25_search": 10,
-    "text_bpe_train": 10,
-    "text_fim_transform": 10,
-    "text_line_dedup": 10,
-    "text_logreg_quality": 10,
-    "text_pmi_phrases": 10,
-    "text_span_corruption": 10,
-    "text_tfidf_keywords": 10,
-    "text_unigram_encode": 10,
-    "text_unigram_train": 10,
-    "text_wordpiece_encode": 10,
-    "text_wordpiece_train": 10,
     # round 11
     "converted_documents": 11,
     "corpus_domain_blocklist": 11,
@@ -306,6 +253,57 @@ _LAST_GREEN = {
     "text_span_dedup": 13,
     "text_span_dedup_apply": 13,
     "text_unicode_normalize": 13,
+    # round 14
+    "corpus_data_card": 14,
+    "corpus_snapshot_diff": 14,
+    "curation_funnel": 14,
+    "dedup_embedding_clean": 14,
+    "dedup_incremental_minhash": 14,
+    "dedup_lsh_quality_audit": 14,
+    "dedup_minhash_pairs": 14,
+    "fixture_schema_field_types": 14,
+    "index_retire_ids": 14,
+    "ingest_url_canonicalize": 14,
+    "mix_length_buckets": 14,
+    "mix_stratified_quota": 14,
+    "mix_temperature_sampling": 14,
+    "mix_weighted_sample": 14,
+    "multimodal_bmp_features": 14,
+    "multimodal_feature_digest": 14,
+    "multimodal_resize_digest": 14,
+    "q09_nation_year_profit": 14,
+    "q28_sketch_distinct_users": 14,
+    "q54_user_value_anomalies": 14,
+    "sim_contrastive_pairs": 14,
+    "sim_hybrid_search": 14,
+    "sim_ivfpq_rebalance": 14,
+    "sim_quantizer_drift_audit": 14,
+    "sim_random_projection": 14,
+    "sim_retrieval_quality_audit": 14,
+    "sim_topk_ivf": 14,
+    "sql_udaf_source_stats": 14,
+    "stream_bm25_index": 14,
+    "stream_compaction_dedup": 14,
+    "stream_enriched_segment_revenue": 14,
+    "stream_incremental_dedup": 14,
+    "stream_ingest_fragment_summary": 14,
+    "stream_logreg_gate": 14,
+    "stream_purchase_attribution": 14,
+    "stream_quality_gate": 14,
+    "text_bm25_index": 14,
+    "text_bm25_merge": 14,
+    "text_bm25_search": 14,
+    "text_bpe_train": 14,
+    "text_fim_transform": 14,
+    "text_line_dedup": 14,
+    "text_logreg_quality": 14,
+    "text_pmi_phrases": 14,
+    "text_span_corruption": 14,
+    "text_tfidf_keywords": 14,
+    "text_unigram_encode": 14,
+    "text_unigram_train": 14,
+    "text_wordpiece_encode": 14,
+    "text_wordpiece_train": 14,
 }
 
 

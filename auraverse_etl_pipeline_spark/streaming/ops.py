@@ -867,8 +867,16 @@ def run_stream_semdedup_gate(
             # erasure removed). Content-level stickiness (same bytes,
             # new id) composes via the Bloom digest-blocklist tier
             # instead — a digest is retainable where content is not.
-            tomb = spark.read.parquet(tombstones_path).select("id")
-            uniq = uniq.join(F.broadcast(tomb.distinct()), "id", "left_anti")
+            try:
+                tomb = spark.read.parquet(tombstones_path).select("id")
+            except AnalysisException:
+                # no take-down has been recorded yet (empty backlog):
+                # an absent durable table is an empty tombstone set,
+                # not a stream-killing error — the gate_maintenance_
+                # tick guard, applied to the gate itself
+                tomb = None
+            if tomb is not None:
+                uniq = uniq.join(F.broadcast(tomb.distinct()), "id", "left_anti")
         a = ivf_assign(uniq, cent, id_col="id", vec_col="v", clamp=True).cache()
         pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v", "mv"))
         idx_dup = (
@@ -1118,12 +1126,23 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
     else:
         dup_c = row("duplicate_centroid_cell", zero)
     if decisions is not None and members is not None:
+        if "batch_id" in decisions.columns:
+            # "latest decision says kept": the lm/logreg gates RE-SCORE
+            # ids across batches, so an id kept early and rejected later
+            # is healthy — judge each id by its newest verdict (max_by
+            # over the batch_id the gates stamp). Semdedup decisions are
+            # one-row-per-id, where this reduces to the plain filter.
+            latest_kept = (
+                decisions.groupBy("id")
+                .agg(F.max_by("kept", "batch_id").alias("kept"))
+                .filter("kept")
+                .select("id")
+            )
+        else:
+            latest_kept = decisions.filter("kept").select("id").distinct()
         kept = row(
             "kept_decision_without_member",
-            decisions.filter("kept")
-            .select("id")
-            .distinct()
-            .join(members.select("id"), "id", "left_anti")
+            latest_kept.join(members.select("id"), "id", "left_anti")
             .agg(F.count(F.lit(1)).alias("n")),
         )
     else:
@@ -1211,10 +1230,16 @@ def gate_maintenance_tick(
         decisions = None
     if decisions is not None and "batch_id" in decisions.columns:
         try:
-            wm = spark.read.parquet(wm_path).collect()[0].batch_id
-            decisions = decisions.filter(F.col("batch_id") > F.lit(wm))
+            wm_rows = spark.read.parquet(wm_path).collect()
         except AnalysisException:
-            pass
+            wm_rows = []
+        # a readable-but-degenerate watermark (zero rows, or a null
+        # batch_id from an all-null max) must degrade to the
+        # no-watermark path, not abort the tick
+        if wm_rows and wm_rows[0].batch_id is not None:
+            decisions = decisions.filter(
+                F.col("batch_id") > F.lit(wm_rows[0].batch_id)
+            )
         flagged = (
             quantizer_drift_audit(decisions, drift_threshold=drift_threshold)
             .filter("retrain")

@@ -718,6 +718,17 @@ def test_quantizer_drift_audit_plan_shape(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_retrain_audit_plan_is_disk_backed(spark, sf_dir):
+    """sim_retrain_audit returns the POST-RETRAIN members read back
+    from the rewritten disk table — a parquet scan with casts, never a
+    residue of the (eager, side-effect) Lloyd re-fit in the returned
+    plan."""
+    plan = _plan(QS["sim_retrain_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
 def test_retrieval_quality_audit_bnlj_only_stat_folds(spark, sf_dir):
     """The nDCG audit's BroadcastNestedLoopJoins are all bounded
     folds: the k-row discount table and 1-row idcg/stat frames

@@ -700,3 +700,181 @@ def test_retire_randomized_end_to_end_invariants(spark, tmp_path):
         retired = bm25_retire(full, _tomb(spark, doomed))
         rebuilt = bm25_index(docs.filter(~F.col("doc_id").isin(doomed)))
         assert _index_state(retired) == _index_state(rebuilt), f"seed {seed}"
+
+
+def test_maintenance_fixture_copy_on_use(spark, sf_dir):
+    """The shared day-1 staging (plans.llm_queries._staged_ivf_fixture)
+    survives its mutating consumers: index_retire_ids (dynamic
+    partition overwrite + in-place log erase) and sim_retrain_audit
+    (full members/centroids rewrite) byte-copy the surfaces they
+    destroy into their own scratch roots, so a SECOND scoring of
+    either query still starts from day-1 state and returns identical
+    values — the guarantee that lets three registry queries share one
+    staged fixture."""
+    from auraverse_etl_pipeline_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("index_retire_ids", "sim_retrain_audit"):
+        fn = qs[name].fn
+        first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert first and first == second, name
+
+
+def test_bm25_fsck_healthy_and_planted_corruption(spark, tmp_path):
+    """bm25_fsck reads all-zero on a healthy triple (including one
+    that just went through a retire), and each planted corruption
+    fires exactly its own check — the lexical twin of
+    test_gate_index_fsck_healthy_and_planted_corruption."""
+    from auraverse_etl_pipeline_spark.operators.retire import bm25_retire_path
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_fsck,
+        bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta gamma delta delta"),
+            (3, "epsilon alpha"),
+            (4, "zeta zeta zeta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    root = tmp_path / "bm25_fsck"
+    bm25_index(docs).save(str(root))
+    healthy = {r.check: r.violations for r in bm25_fsck(spark, str(root)).collect()}
+    assert healthy == {
+        "df_posting_mismatch": 0,
+        "orphan_df_term": 0,
+        "duplicate_posting": 0,
+        "dl_inconsistent": 0,
+        "stats_mismatch": 0,
+    }
+    # a real retire leaves a consistent triple (df=0 terms dropped,
+    # stats subtracted) — fsck stays clean
+    bm25_retire_path(
+        spark,
+        str(root),
+        spark.createDataFrame([(4,)], "id bigint"),
+        dst_path=str(root) + "_v2",
+    )
+    after = {
+        r.check: r.violations
+        for r in bm25_fsck(spark, str(root) + "_v2").collect()
+    }
+    assert set(after.values()) == {0}
+
+    # planted: a df row whose postings vanished (the bm25_retire
+    # crash signature: postings rewritten, dfs not) -> orphan + mismatch
+    dfs = spark.read.parquet(str(root / "dfs"))
+    dfs.unionByName(
+        spark.createDataFrame([("ghostterm", 2)], "term string, df bigint")
+    ).localCheckpoint().write.mode("overwrite").parquet(str(root / "dfs"))
+    planted = {r.check: r.violations for r in bm25_fsck(spark, str(root)).collect()}
+    assert planted["orphan_df_term"] == 1
+    assert planted["df_posting_mismatch"] == 1
+    assert planted["duplicate_posting"] == 0
+
+    # planted: replay one posting row with a DIFFERENT dl -> duplicate
+    # + dl split-brain + df mismatch for its term, stats drift
+    one = (
+        spark.read.parquet(str(root / "postings"))
+        .filter("id = 2")
+        .limit(1)
+        .withColumn("dl", F.col("dl") + F.lit(7))
+        .localCheckpoint()
+    )
+    one.write.mode("append").parquet(str(root / "postings"))
+    planted = {r.check: r.violations for r in bm25_fsck(spark, str(root)).collect()}
+    assert planted["duplicate_posting"] == 1
+    assert planted["dl_inconsistent"] == 1
+    assert planted["stats_mismatch"] == 1
+
+
+def test_pq_sq_code_table_retire(spark, tmp_path):
+    """ivf_retire is schema-agnostic over ANY cell-partitioned members
+    layout — pinned here for the compressed-domain families: a
+    cell-partitioned PQ code table (id, sub, code — m rows per id) and
+    an SQ8 code table (id, codes array<tinyint>). A retired id
+    vanishes from the persisted code tables AND from the reconstructed
+    search results (ivfpq_search / sq_search over the post-retire disk
+    state), cold cells stay byte-untouched, survivors keep every
+    per-sub row."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+        sq_encode,
+        sq_search,
+        sq_stats,
+    )
+
+    rng = random.Random(1507)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(24)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = ivf_index(corpus, nlist=4, quantizer="sample")
+    root = str(tmp_path / "ivfpq")
+    idx.save(root)
+    asg = {r.id: r.cell for r in spark.read.parquet(f"{root}/assignments").collect()}
+
+    books = pq_codebooks(corpus, m=2, ksub=4)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    pq_encode(corpus, books, m=2).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+    stats = sq_stats(corpus)
+    sq_encode(corpus, stats).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/sq_codes")
+
+    doomed = [3, 17]
+    doomed_cells = {asg[i] for i in doomed}
+    cold = [c for c in set(asg.values()) if c not in doomed_cells]
+    assert cold, "geometry must leave at least one cold cell"
+
+    def snap(table):
+        return {
+            c: sorted(
+                (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+                for f in glob.glob(f"{root}/{table}/cell={c}/*.parquet")
+            )
+            for c in cold
+        }
+
+    before = {t: snap(t) for t in ("pq_codes", "sq_codes")}
+    tomb = _tomb(spark, doomed)
+    ivf_retire(spark, root, tomb, members_table="assignments")
+    ivf_retire(spark, root, tomb, members_table="pq_codes")
+    ivf_retire(spark, root, tomb, members_table="sq_codes")
+
+    survivors = set(range(24)) - set(doomed)
+    pq_left = spark.read.parquet(f"{root}/pq_codes")
+    assert {
+        r.id for r in pq_left.select("id").distinct().collect()
+    } == survivors
+    assert pq_left.groupBy("id").count().filter("count != 2").count() == 0
+    assert {
+        r.id for r in spark.read.parquet(f"{root}/sq_codes").collect()
+    } == survivors
+    for t in ("pq_codes", "sq_codes"):
+        assert snap(t) == before[t], t
+
+    # reconstructed searches over the post-retire disk state: query
+    # with the retired vectors themselves — their nearest neighbor
+    # would have been their own code row
+    qdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in rows if i in doomed],
+        "vec_id bigint, embedding array<double>",
+    )
+    loaded = IvfIndex.load(spark, root)
+    pq_disk = spark.read.parquet(f"{root}/pq_codes").select("id", "sub", "code")
+    hits = ivfpq_search(qdf, loaded, pq_disk, books, k=24, nprobe=4)
+    assert {r.neighbor_id for r in hits.collect()}.isdisjoint(doomed)
+    sq_disk = spark.read.parquet(f"{root}/sq_codes").select("id", "codes")
+    sq_hits = sq_search(qdf, sq_disk, stats, k=24, dim=8)
+    assert {r.neighbor_id for r in sq_hits.collect()}.isdisjoint(doomed)

@@ -1560,3 +1560,114 @@ def test_gate_index_fsck_healthy_and_planted_corruption(spark, tmp_path):
         r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()
     }
     assert orphaned["member_cell_without_centroid"] == 1
+
+
+def test_stream_semdedup_gate_missing_tombstone_table(spark, tmp_path):
+    """tombstones_path pointing at a not-yet-created durable table
+    (empty take-down backlog) is an EMPTY tombstone set, not a
+    stream-killing AnalysisException — the gate_maintenance_tick
+    guard, applied to the gate's own per-batch read."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "tombless"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    schema = "vec_id bigint, embedding array<double>"
+    chunks = tmp_path / "tombless_chunks"
+    stage_ordered_batches(
+        [spark.createDataFrame([(20, [0.0, 0.3, 0.9, 0.0])], schema)],
+        str(chunks),
+    )
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_semdedup_gate(
+        svec,
+        index_path=str(root),
+        threshold=0.9,
+        tombstones_path=str(tmp_path / "never_written_tombstones"),
+    )
+    dec = {r.id: r.reason for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert dec == {20: "kept"}
+
+
+def test_gate_index_fsck_rescored_decisions_judge_latest(spark, tmp_path):
+    """An id kept in an early batch and REJECTED in a later one (the
+    lm/logreg gates re-score and retain history by batch_id) is not a
+    dangling kept decision — fsck judges each id by its newest
+    verdict; the reverse order (rejected early, kept latest, member
+    missing) still fires."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import gate_index_fsck
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "rescored"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    idx.assignments.withColumn("centroid_cos", F.lit(1.0)).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(str(root / "members"))
+    # ids 10-12 are members; 13 was kept at batch 0 then re-scored
+    # out at batch 1 (and correctly removed from members)
+    spark.createDataFrame(
+        [
+            (10, True, 0), (11, True, 0), (12, True, 0),
+            (13, True, 0), (13, False, 1),
+        ],
+        "id bigint, kept boolean, batch_id bigint",
+    ).write.parquet(str(root / "decisions"))
+    out = {r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()}
+    assert out["kept_decision_without_member"] == 0
+    # reversed history: latest verdict kept, member missing -> fires
+    spark.createDataFrame(
+        [(14, False, 0), (14, True, 1)],
+        "id bigint, kept boolean, batch_id bigint",
+    ).write.mode("append").parquet(str(root / "decisions"))
+    out = {r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()}
+    assert out["kept_decision_without_member"] == 1
+
+
+def test_gate_maintenance_tick_degenerate_watermark(spark, tmp_path):
+    """A readable but DEGENERATE retrain_watermark (zero rows, or a
+    null batch_id left by an all-null max) degrades to the
+    unwatermarked audit instead of aborting the whole tick."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import gate_maintenance_tick
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "degen_wm"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    idx.assignments.withColumn("centroid_cos", F.lit(1.0)).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(str(root / "members"))
+    spark.createDataFrame(
+        [(10, 1.0, 0, 0), (11, 1.0, 1, 0), (12, 0.99, 0, 1)],
+        "id bigint, centroid_cos double, cell int, batch_id bigint",
+    ).write.parquet(str(root / "decisions"))
+    # zero-row watermark
+    spark.createDataFrame([], "batch_id bigint").write.parquet(
+        str(root / "retrain_watermark")
+    )
+    out = gate_maintenance_tick(spark, str(root), max_cell_size=100)
+    assert out["retrained"] is False and out["split_cells"] == []
+    # null-batch_id watermark row
+    spark.createDataFrame([(None,)], "batch_id bigint").write.mode(
+        "overwrite"
+    ).parquet(str(root / "retrain_watermark"))
+    out = gate_maintenance_tick(spark, str(root), max_cell_size=100)
+    assert out["retrained"] is False and out["split_cells"] == []
