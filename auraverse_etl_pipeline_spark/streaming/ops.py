@@ -1364,6 +1364,140 @@ def retrain_gate_index(
     return moved
 
 
+def retrain_pq_index(
+    spark,
+    index_path: str,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 8,
+    dim: int | None = None,
+    members_table: str = "assignments",
+    codes_table: str = "pq_codes",
+    reliable: bool | None = None,
+) -> int:
+    """Re-FIT a persisted PQ index's codebooks over its current member
+    vectors and re-encode every code — the compressed-domain twin of
+    :func:`retrain_gate_index`, completing the day-2 story for the
+    IVF-PQ family: the coarse quantizer has rebalance (skew), retrain
+    (drift) and retire (take-downs); the PRODUCT quantizer was still
+    frozen at day 1, and a drifted corpus decays ADC ranking quality
+    exactly the way drift decays ``centroid_cos`` — codebook cells fit
+    yesterday's distribution, so today's vectors all land near cell
+    boundaries.
+
+    Layout contract (the cell-partitioned compressed layout pinned in
+    ``tests/test_retire.py``): ``{index_path}/{members_table}`` holds
+    (id, v, cell) — PQ codes are lossy, so the re-fit reads the raw
+    vectors the members table already retains for exact re-ranking;
+    ``{index_path}/{codes_table}`` holds (id, sub, code) partitioned
+    by ``cell`` (probed search prunes partitions); ``{index_path}/
+    codebooks`` holds (sub, code, centroid). Codebooks re-fit with the
+    deterministic in-engine Lloyd mode (sample init per subspace,
+    ``max_iter`` exact-fold L2 argmin + fixed-point mean rounds, no
+    RNG), so the pass is idempotent and engine-reproducible.
+
+    Crash posture (the members-then-centroids discipline): codes are
+    eagerly materialized behind the checkpoint cut and written BEFORE
+    the codebooks. A crash between the writes leaves new codes under
+    old codebooks — searches still answer (same code-id space), ADC
+    quality degraded until the re-run, which is deterministic and
+    converges to the same final state. No code row is ever lost.
+
+    Returns the number of (id, sub) rows whose code changed
+    (0 = codebooks were already converged at this m/ksub/max_iter)."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    members = spark.read.parquet(f"{index_path}/{members_table}")
+    books = pq_codebooks(
+        members,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        quantizer="lloyd",
+        max_iter=max_iter,
+        id_col="id",
+        vec_col="v",
+    ).localCheckpoint(eager=True)
+    recoded = pq_encode(
+        members, books, m=m, dim=dim, id_col="id", vec_col="v"
+    ).join(members.select("id", "cell"), "id")
+    # moved BEFORE the overwrite: the old codes derive from the very
+    # files the write replaces (the read-then-overwrite cut — here the
+    # count materializes to a driver int, so no lineage survives)
+    old = spark.read.parquet(f"{index_path}/{codes_table}")
+    moved = (
+        recoded.select("id", "sub", F.col("code").alias("new_code"))
+        .join(old.select("id", "sub", "code"), ["id", "sub"])
+        .filter(F.col("new_code") != F.col("code"))
+        .count()
+    )
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    delta = recoded.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
+    # full overwrite (every code's meaning changed) — codes first,
+    # codebooks last (see crash posture above)
+    delta.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/{codes_table}"
+    )
+    books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    return moved
+
+
+def retrain_sq_index(
+    spark,
+    index_path: str,
+    dim: int | None = None,
+    members_table: str = "assignments",
+    codes_table: str = "sq_codes",
+    reliable: bool | None = None,
+) -> int:
+    """Re-FIT a persisted SQ8 index's per-dimension min/max stats over
+    its current members and re-encode every code array — the scalar-
+    quantization sibling of :func:`retrain_pq_index`. SQ8 drift is the
+    nastier failure mode: components OUTSIDE yesterday's [vmin, vmax]
+    clamp to the byte edges, so a shifted corpus collapses whole
+    dimensions to code 0/255 and the compressed-domain shortlist goes
+    blind in exactly the dimensions that moved.
+
+    Same layout/crash contract as the PQ pass: members (id, v, cell)
+    feed one ``sq_stats`` aggregate, codes (id, codes array<tinyint>)
+    partitioned by cell are rewritten FIRST behind the checkpoint cut,
+    the 1-row ``{index_path}/sq_stats`` table last; the pass is
+    deterministic (min/max select existing values — no arithmetic),
+    idempotent, and a crash window heals on re-run. Returns the number
+    of ids whose code array changed."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        sq_encode,
+        sq_stats,
+    )
+
+    members = spark.read.parquet(f"{index_path}/{members_table}")
+    stats = sq_stats(members, id_col="id", vec_col="v").localCheckpoint(eager=True)
+    recoded = sq_encode(
+        members, stats, dim=dim, id_col="id", vec_col="v"
+    ).join(members.select("id", "cell"), "id")
+    old = spark.read.parquet(f"{index_path}/{codes_table}")
+    moved = (
+        recoded.select("id", F.col("codes").alias("new_codes"))
+        .join(old.select("id", "codes"), "id")
+        .filter(F.col("new_codes") != F.col("codes"))
+        .count()
+    )
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    delta = recoded.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
+    delta.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/{codes_table}"
+    )
+    stats.write.mode("overwrite").parquet(f"{index_path}/sq_stats")
+    return moved
+
+
 def rebalance_gate_index(
     spark,
     index_path: str,

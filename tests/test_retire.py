@@ -878,3 +878,112 @@ def test_pq_sq_code_table_retire(spark, tmp_path):
     sq_disk = spark.read.parquet(f"{root}/sq_codes").select("id", "codes")
     sq_hits = sq_search(qdf, sq_disk, stats, k=24, dim=8)
     assert {r.neighbor_id for r in sq_hits.collect()}.isdisjoint(doomed)
+
+
+def test_retrain_pq_sq_index_drift_refit(spark, tmp_path):
+    """The compressed-family retrain passes (retrain_pq_index /
+    retrain_sq_index): codebooks/stats frozen at day 1 go blind on a
+    drifted corpus — PQ quantization error blows up, SQ8 components
+    outside yesterday's [vmin, vmax] clamp whole dimensions to one
+    code. The re-fit reads the members' raw vectors, rewrites
+    codes-first/model-last, equals a from-scratch build, improves the
+    compressed representation measurably, and is idempotent (second
+    run moves nothing); the crash window (new codes under old model)
+    heals on re-run."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        sq_encode,
+        sq_stats,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        retrain_pq_index,
+        retrain_sq_index,
+    )
+
+    rng = random.Random(1508)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    drifted = [
+        (100 + i, [rng.uniform(-1.0, -0.3) for _ in range(8)]) for i in range(24)
+    ]
+    a = spark.createDataFrame(day1, "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame(drifted, "vec_id bigint, embedding array<double>")
+
+    root = str(tmp_path / "pqsq")
+    idx = ivf_index(b, nlist=4, quantizer="sample")
+    idx.save(root)  # members = assignments (id, v, cell) over TODAY's corpus
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books_a = pq_codebooks(a, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+    books_a.write.parquet(f"{root}/codebooks")
+    pq_encode(b, books_a, m=2).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/pq_codes")
+    stats_a = sq_stats(a)
+    stats_a.write.parquet(f"{root}/sq_stats")
+    sq_encode(b, stats_a).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/sq_codes")
+
+    # day-1 SQ stats clamp EVERY drifted component to the low edge:
+    # the whole corpus encodes to one degenerate code array
+    degen = {
+        tuple(r.codes) for r in spark.read.parquet(f"{root}/sq_codes").collect()
+    }
+    assert degen == {tuple([-128] * 8)}
+
+    def _pq_err(books_rows):
+        cents = {(r.sub, r.code): r.centroid for r in books_rows}
+        codes = {
+            (r.id, r.sub): r.code
+            for r in spark.read.parquet(f"{root}/pq_codes").collect()
+        }
+        err = 0.0
+        for i, v in drifted:
+            for sub in (0, 1):
+                c = cents[(sub, codes[(i, sub)])]
+                s = v[sub * 4 : sub * 4 + 4]
+                err += sum((x - y) ** 2 for x, y in zip(s, c))
+        return err
+
+    err_before = _pq_err(books_a.collect())
+    moved = retrain_pq_index(spark, root, m=2, ksub=4, max_iter=2)
+    assert moved > 0
+    new_books = spark.read.parquet(f"{root}/codebooks")
+    # the re-fit equals a from-scratch deterministic build over the members
+    want_books = pq_codebooks(
+        spark.read.parquet(f"{root}/assignments"),
+        m=2, ksub=4, quantizer="lloyd", max_iter=2, id_col="id", vec_col="v",
+    )
+    as_set = lambda df: {
+        (r.sub, r.code, tuple(r.centroid)) for r in df.collect()
+    }
+    assert as_set(new_books) == as_set(want_books)
+    err_after = _pq_err(new_books.collect())
+    assert err_after < err_before / 4, (err_after, err_before)
+    # idempotent: the deterministic re-run moves nothing
+    assert retrain_pq_index(spark, root, m=2, ksub=4, max_iter=2) == 0
+    # crash window: new codes under the OLD codebooks — re-run heals
+    # to the same final state
+    books_a.write.mode("overwrite").parquet(f"{root}/codebooks")
+    retrain_pq_index(spark, root, m=2, ksub=4, max_iter=2)
+    assert as_set(spark.read.parquet(f"{root}/codebooks")) == as_set(want_books)
+
+    moved_sq = retrain_sq_index(spark, root)
+    assert moved_sq == 24  # every degenerate code array re-encodes
+    got_stats = spark.read.parquet(f"{root}/sq_stats").collect()[0]
+    want_stats = sq_stats(b).collect()[0]
+    assert got_stats.vmin == want_stats.vmin and got_stats.vmax == want_stats.vmax
+    re_codes = {
+        r.id: tuple(r.codes)
+        for r in spark.read.parquet(f"{root}/sq_codes").collect()
+    }
+    want_codes = {
+        r.id: tuple(r.codes)
+        for r in sq_encode(b, sq_stats(b)).collect()
+    }
+    assert re_codes == want_codes
+    assert len(set(re_codes.values())) > 1  # no longer one clamped array
+    assert retrain_sq_index(spark, root) == 0
