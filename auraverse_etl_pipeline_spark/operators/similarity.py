@@ -1098,6 +1098,109 @@ def quantizer_drift_audit(
     )
 
 
+def pq_quantization_error(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ quantization error against FROZEN codebooks:
+    ``(id, qerr)`` where ``qerr = Σ_sub min_code L2²(subv, centroid)``
+    — the reconstruction error the encoder locks in, and the signal
+    :func:`pq_drift_audit` trends: a corpus drifting away from the
+    day-1 training distribution lands every subvector farther from its
+    best cell, so the error RISES batch over batch exactly the way
+    ``centroid_cos`` decays on the coarse quantizer.
+
+    Scale shape: identical to :func:`pq_encode` (one scan into m
+    fixed-width subvector rows, broadcast codebooks, ``min`` hash
+    aggregate — one row per (vector, subspace) reaches the shuffle),
+    then a per-id sum of the m per-subspace minima with
+    DECIMAL(38,12) partials (order-independent — the ``pq_search``
+    discipline), cast back to double. Log it at encode time next to
+    the codes and the drift audit needs no corpus re-scan."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    dsub = dim // m
+    subs = (
+        _as_double(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v")
+        .select("id", "sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv"))
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        "id", "sub", l2_sq_expr("subv", "centroid", dim=dsub).alias("d")
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(F.min("d").alias("d"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("qerr")
+        )
+    )
+
+
+def pq_drift_audit(
+    log: DataFrame,
+    batch_col: str = "batch_id",
+    err_col: str = "qerr",
+    drift_threshold: float = 0.5,
+) -> DataFrame:
+    """Codebook-fit trend over a (batch_id, qerr) encode log — the PQ
+    twin of :func:`quantizer_drift_audit`, and the trigger that fires
+    :func:`~auraverse_etl_pipeline_spark.streaming.ops.
+    retrain_pq_index`: the coarse quantizer's drift decays a COSINE
+    per cell, the product quantizer's drift RAISES the reconstruction
+    error globally (codebooks are corpus-wide, so the audit is one
+    row, not one per cell). Output: (n_batches, first_batch,
+    last_batch, n_first, n_last, avg_err_first, avg_err_last,
+    drift = avg_err_last − avg_err_first, retrain = drift >
+    ``drift_threshold``).
+
+    Same engine-exactness discipline as the cosine audit: per-batch
+    means are fixed-point (``floor(qerr·2^40)`` BIGINT sums — with
+    unit-normalized float32 vectors qerr ≤ 4·dim ≈ 2^8, so the scaled
+    terms stay under 2^48 and a ≤2^12-row batch group's sum under
+    2^60, inside BIGINT), endpoints via ``min_by``/``max_by`` — one
+    fixed-width aggregate chain, never a window sort over the log."""
+    fx = F.lit(_DRIFT_FIXED_POINT)
+    per_batch = (
+        log.select(
+            F.col(batch_col).cast("bigint").alias("batch_id"),
+            F.floor(F.col(err_col) * fx).cast("bigint").alias("err_fix"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("err_fix").cast("bigint").alias("s"),
+        )
+    )
+    ns = F.struct("n", "s")
+    folded = per_batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.min("batch_id").alias("first_batch"),
+        F.max("batch_id").alias("last_batch"),
+        F.min_by(ns, F.col("batch_id")).alias("_f"),
+        F.max_by(ns, F.col("batch_id")).alias("_l"),
+    )
+    avg_f = F.col("_f.s").cast("double") / F.col("_f.n").cast("double") / fx
+    avg_l = F.col("_l.s").cast("double") / F.col("_l.n").cast("double") / fx
+    return folded.select(
+        "n_batches",
+        "first_batch",
+        "last_batch",
+        F.col("_f.n").alias("n_first"),
+        F.col("_l.n").alias("n_last"),
+        avg_f.alias("avg_err_first"),
+        avg_l.alias("avg_err_last"),
+        (avg_l - avg_f).alias("drift"),
+        (avg_l - avg_f > F.lit(float(drift_threshold))).alias("retrain"),
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

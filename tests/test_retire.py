@@ -987,3 +987,65 @@ def test_retrain_pq_sq_index_drift_refit(spark, tmp_path):
     assert re_codes == want_codes
     assert len(set(re_codes.values())) > 1  # no longer one clamped array
     assert retrain_sq_index(spark, root) == 0
+
+
+def test_pq_drift_audit_fires_and_retrain_clears(spark, tmp_path):
+    """The PQ trigger->action loop, mirroring quantizer_drift_audit ->
+    retrain_gate_index: batches from the codebooks' own training
+    distribution keep quantization error flat (no flag); drifted
+    batches raise it past the threshold and flag retrain; after
+    retrain_pq_index the re-measured error drops back and a fresh
+    post-retrain log reads no flag."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_drift_audit,
+        pq_encode,
+        pq_quantization_error,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_pq_index
+
+    rng = random.Random(1509)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    drifted = [
+        (100 + i, [rng.uniform(-1.0, -0.3) for _ in range(8)]) for i in range(24)
+    ]
+    a = spark.createDataFrame(day1, "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame(drifted, "vec_id bigint, embedding array<double>")
+    books_a = pq_codebooks(a, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+
+    # encode log: two batches of in-distribution arrivals, then two
+    # drifted ones (batch = id DIV 12 for a, 2 + DIV 12 for b)
+    err_a = pq_quantization_error(a, books_a, m=2).withColumn(
+        "batch_id", F.expr("id DIV 12")
+    )
+    err_b = pq_quantization_error(b, books_a, m=2).withColumn(
+        "batch_id", F.expr("2 + (id - 100) DIV 12")
+    )
+    flat = pq_drift_audit(err_a, drift_threshold=0.5).collect()[0]
+    assert not flat.retrain and flat.n_batches == 2
+    fired = pq_drift_audit(err_a.unionByName(err_b), drift_threshold=0.5).collect()[0]
+    assert fired.retrain and fired.n_batches == 4
+    assert fired.avg_err_last > fired.avg_err_first + 0.5
+
+    # the action: persist the drifted-corpus index under the stale
+    # codebooks, retrain, re-measure
+    root = str(tmp_path / "pq_loop")
+    ivf_index(b, nlist=4, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books_a.write.parquet(f"{root}/codebooks")
+    pq_encode(b, books_a, m=2).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/pq_codes")
+    assert retrain_pq_index(spark, root, m=2, ksub=4, max_iter=2) > 0
+
+    new_books = spark.read.parquet(f"{root}/codebooks")
+    err_new = pq_quantization_error(b, new_books, m=2).withColumn(
+        "batch_id", F.expr("(id - 100) DIV 12")
+    )
+    cleared = pq_drift_audit(err_new, drift_threshold=0.5).collect()[0]
+    assert not cleared.retrain
+    mean = lambda df: sum(r.qerr for r in df.select("qerr").collect()) / 24
+    assert mean(err_new) < mean(err_b) / 4
