@@ -85,6 +85,14 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 15 start: CORRECTNESS_r14.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red). Round-15 entries:
+    # STAGED FOR ROUND 16+ (the retrain-audit precedent): the
+    # compressed-family drift loop — pq_quantization_error /
+    # pq_drift_audit / retrain_pq_index / retrain_sq_index
+    # (operators/similarity.py, streaming/ops.py) — is built and
+    # pinned end to end in tests/test_retire.py but NOT registered;
+    # if a registry slot opens under the growth cap, a pq-drift or
+    # pq-retrain audit query is the natural candidate (the encode/
+    # error folds are engine-exact, so a DuckDB oracle is mechanical).
     "sim_retrain_audit",  # NEW: retrain_gate_index digit-for-digit DuckDB
     # _lloyd_chain replay (staged in r14, registered r15)
     "index_retire_ids",  # rewritten-since-green: staging hoisted into the
