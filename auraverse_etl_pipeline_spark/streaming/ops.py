@@ -1396,6 +1396,11 @@ def retrain_pq_index(
     ``max_iter`` exact-fold L2 argmin + fixed-point mean rounds, no
     RNG), so the pass is idempotent and engine-reproducible.
 
+    Retire interplay (pinned in tests/test_retire.py): the members
+    table is the SOURCE OF TRUTH — a take-down must retire it (codes
+    as followers), because this pass re-derives every code from the
+    members and would resurrect ids erased only from the code table.
+
     Crash posture (the members-then-centroids discipline): codes are
     eagerly materialized behind the checkpoint cut and written BEFORE
     the codebooks. A crash between the writes leaves new codes under

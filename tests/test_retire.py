@@ -1049,3 +1049,128 @@ def test_pq_drift_audit_fires_and_retrain_clears(spark, tmp_path):
     assert not cleared.retrain
     mean = lambda df: sum(r.qerr for r in df.select("qerr").collect()) / 24
     assert mean(err_new) < mean(err_b) / 4
+
+
+def test_retire_then_pq_retrain_composition(spark, tmp_path):
+    """Take-down composed with the codebook re-fit: retrain_pq_index
+    derives codes from the MEMBERS table, so after ivf_retire hits
+    both surfaces the re-encoded codes stay free of retired ids (no
+    resurrection) and the re-fit trains on survivors only (bit-equal
+    to a from-scratch build over the post-retire members). The
+    converse is the documented contract, pinned here deliberately: a
+    retire that skipped the members table IS resurrected by the next
+    retrain — members are the source of truth, which is why ivf_retire
+    targets them, with the code tables as followers."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_pq_index
+
+    rng = random.Random(1510)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(24)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    doomed = [5, 13]
+
+    def stage(name):
+        root = str(tmp_path / name)
+        ivf_index(corpus, nlist=4, quantizer="sample").save(root)
+        cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+        books = pq_codebooks(corpus, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+        books.write.parquet(f"{root}/codebooks")
+        pq_encode(corpus, books, m=2).join(cells, "id").repartition(
+            "cell"
+        ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+        return root
+
+    # correct composition: retire both surfaces, then retrain
+    root = stage("both")
+    ivf_retire(spark, root, _tomb(spark, doomed), members_table="assignments")
+    ivf_retire(spark, root, _tomb(spark, doomed), members_table="pq_codes")
+    retrain_pq_index(spark, root, m=2, ksub=4, max_iter=2)
+    code_ids = {r.id for r in spark.read.parquet(f"{root}/pq_codes").collect()}
+    assert code_ids == set(range(24)) - set(doomed)
+    want = pq_codebooks(
+        spark.read.parquet(f"{root}/assignments"),
+        m=2, ksub=4, quantizer="lloyd", max_iter=2, id_col="id", vec_col="v",
+    )
+    as_set = lambda df: {(r.sub, r.code, tuple(r.centroid)) for r in df.collect()}
+    assert as_set(spark.read.parquet(f"{root}/codebooks")) == as_set(want)
+
+    # documented converse: codes-only retire resurrects on retrain
+    root2 = stage("codes_only")
+    ivf_retire(spark, root2, _tomb(spark, doomed), members_table="pq_codes")
+    assert {
+        r.id for r in spark.read.parquet(f"{root2}/pq_codes").collect()
+    } == set(range(24)) - set(doomed)
+    retrain_pq_index(spark, root2, m=2, ksub=4, max_iter=2)
+    assert {
+        r.id for r in spark.read.parquet(f"{root2}/pq_codes").collect()
+    } == set(range(24))
+
+
+def test_bm25_fsck_randomized_corruption_sweep(spark, tmp_path):
+    """Seeded random corpora + random take-downs: a triple that went
+    through bm25_retire_path always fscks clean, and one random
+    corruption per seed fires its signature check."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_fsck,
+        bm25_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for seed in range(4):
+        rng = random.Random(2000 + seed)
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(words) for _ in range(rng.randrange(2, 8))))
+                for i in range(12)
+            ],
+            "doc_id bigint, text string",
+        )
+        root = str(tmp_path / f"fz{seed}")
+        bm25_index(docs).save(root)
+        doomed = rng.sample(range(12), rng.randrange(1, 4))
+        bm25_retire_path(
+            spark, root, _tomb(spark, doomed), dst_path=root + "_v2"
+        )
+        clean = {
+            r.check: r.violations for r in bm25_fsck(spark, root + "_v2").collect()
+        }
+        assert set(clean.values()) == {0}, (seed, clean)
+        # one random corruption on the retired triple
+        kind = rng.choice(["orphan_df", "dup_posting", "stats"])
+        if kind == "orphan_df":
+            spark.createDataFrame(
+                [(f"ghost{seed}", 1)], "term string, df bigint"
+            ).write.mode("append").parquet(root + "_v2/dfs")
+            out = {
+                r.check: r.violations
+                for r in bm25_fsck(spark, root + "_v2").collect()
+            }
+            assert out["orphan_df_term"] == 1 and out["df_posting_mismatch"] == 1
+        elif kind == "dup_posting":
+            spark.read.parquet(root + "_v2/postings").limit(
+                1
+            ).localCheckpoint().write.mode("append").parquet(root + "_v2/postings")
+            out = {
+                r.check: r.violations
+                for r in bm25_fsck(spark, root + "_v2").collect()
+            }
+            assert out["duplicate_posting"] == 1
+        else:
+            st = spark.read.parquet(root + "_v2/stats")
+            st.selectExpr(
+                "CAST(n_docs + 1 AS BIGINT) AS n_docs",
+                "CAST(total_len AS BIGINT) AS total_len",
+            ).localCheckpoint().write.mode("overwrite").parquet(root + "_v2/stats")
+            out = {
+                r.check: r.violations
+                for r in bm25_fsck(spark, root + "_v2").collect()
+            }
+            assert out["stats_mismatch"] == 1
