@@ -369,15 +369,19 @@ def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
       denormalized ``dl`` values across its postings rows (the
       search-time length join is implicit; a split-brain dl skews
       every score for that doc).
-    - ``stats_mismatch`` — the 1-row stats table disagrees with the
-      postings-derived ``(n_docs, total_len)`` (the stale-df/avgdl
-      window lazy ``exclude=`` retirement documents becomes a
-      violation the moment the physical retire claims to have run).
+    - ``stats_mismatch`` — the stats table disagrees with the
+      postings-derived ``(n_docs, total_len)``, OR is not exactly one
+      row: a duplicated stats row (the partial-append-replay class)
+      compares clean row-by-row while silently doubling every
+      downstream stats crossJoin, and a zero-row table starves them —
+      both count as violations here.
 
     Shape: vocabulary-sized hash aggregates over the postings scan,
-    one vocabulary-sized full-outer join against dfs, a 1-row stats
-    compare, one 1-row frame per check unioned — bounded by the
-    index, no corpus access."""
+    one vocabulary-sized full-outer join against dfs (CACHED — the
+    mismatch and orphan checks both consume it; the returned frame
+    carries the paired ``release_caches()`` handle), a stats compare,
+    one 1-row frame per check unioned — bounded by the index, no
+    corpus access."""
     idx = Bm25Index.load(spark, index_path)
 
     def row(name: str, df_count: DataFrame) -> DataFrame:
@@ -389,7 +393,7 @@ def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
     per_term = idx.postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_postings")
     )
-    joined = idx.dfs.join(per_term, "term", "full_outer")
+    joined = idx.dfs.join(per_term, "term", "full_outer").cache()
     mismatch = row(
         "df_posting_mismatch",
         joined.filter(
@@ -399,9 +403,9 @@ def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
     )
     orphan = row(
         "orphan_df_term",
-        idx.dfs.join(per_term.select("term"), "term", "left_anti").agg(
-            F.count(F.lit(1)).alias("n")
-        ),
+        joined.filter(
+            F.col("df").isNotNull() & F.col("n_postings").isNull()
+        ).agg(F.count(F.lit(1)).alias("n")),
     )
     dup = row(
         "duplicate_posting",
@@ -421,6 +425,9 @@ def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs_d"),
         F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("total_len_d"),
     )
+    # derived is exactly 1 row, so the crossJoin has one row per stats
+    # row: value disagreements sum per row, and |rows − 1| catches a
+    # duplicated (N identical clean rows) or empty stats table
     stats_bad = row(
         "stats_mismatch",
         idx.stats.crossJoin(derived)
@@ -429,17 +436,23 @@ def bm25_fsck(spark: SparkSession, index_path: str) -> DataFrame:
                 (F.col("n_docs") != F.col("n_docs_d"))
                 | (F.col("total_len") != F.col("total_len_d"))
             )
-            .cast("int")
+            .cast("bigint")
             .alias("bad")
         )
-        .agg(F.coalesce(F.sum("bad"), F.lit(0)).alias("n")),
+        .agg(
+            (
+                F.coalesce(F.sum("bad"), F.lit(0))
+                + F.abs(F.count(F.lit(1)) - F.lit(1))
+            ).alias("n")
+        ),
     )
-    return (
+    out = (
         mismatch.unionByName(orphan)
         .unionByName(dup)
         .unionByName(dl_bad)
         .unionByName(stats_bad)
     )
+    return release_after(out, joined)
 
 
 def hybrid_rrf(

@@ -1114,25 +1114,16 @@ def pq_quantization_error(
     best cell, so the error RISES batch over batch exactly the way
     ``centroid_cos`` decays on the coarse quantizer.
 
-    Scale shape: identical to :func:`pq_encode` (one scan into m
-    fixed-width subvector rows, broadcast codebooks, ``min`` hash
-    aggregate — one row per (vector, subspace) reaches the shuffle),
-    then a per-id sum of the m per-subspace minima with
-    DECIMAL(38,12) partials (order-independent — the ``pq_search``
-    discipline), cast back to double. Log it at encode time next to
-    the codes and the drift audit needs no corpus re-scan."""
-    if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
-    dsub = dim // m
-    subs = (
-        _as_double(df, vec_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .select("id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v")
-        .select("id", "sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv"))
-    )
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
-        "id", "sub", l2_sq_expr("subv", "centroid", dim=dsub).alias("d")
-    )
+    Scale shape: identical to :func:`pq_encode` — literally the same
+    :func:`_pq_scored_subs` table (one scan into m fixed-width
+    subvector rows, broadcast codebooks, ``min`` hash aggregate — one
+    row per (vector, subspace) reaches the shuffle), so the logged
+    error can never drift from what the encoder commits; then a per-id
+    sum of the m per-subspace minima with DECIMAL(38,12) partials
+    (order-independent — the ``pq_search`` discipline), cast back to
+    double. Log it at encode time next to the codes and the drift
+    audit needs no corpus re-scan."""
+    scored = _pq_scored_subs(df, codebooks, m, dim, id_col, vec_col)
     return (
         scored.groupBy("id", "sub")
         .agg(F.min("d").alias("d"))
@@ -1161,21 +1152,25 @@ def pq_drift_audit(
     ``drift_threshold``).
 
     Same engine-exactness discipline as the cosine audit: per-batch
-    means are fixed-point (``floor(qerr·2^40)`` BIGINT sums — with
-    unit-normalized float32 vectors qerr ≤ 4·dim ≈ 2^8, so the scaled
-    terms stay under 2^48 and a ≤2^12-row batch group's sum under
-    2^60, inside BIGINT), endpoints via ``min_by``/``max_by`` — one
+    means are fixed-point (``floor(qerr·2^40)``), but summed as
+    DECIMAL(38,0) rather than BIGINT — the cosine is intrinsically
+    bounded in [-1, 1] while qerr is only small for unit-normalized
+    vectors, and nothing enforces normalization on the log; a raw
+    embedding with norm ~100 at dim 64 scales to ~2^60 per row, which
+    would silently wrap a BIGINT sum and flip the retrain flag
+    arbitrarily. DECIMAL(38,0) holds ~2^126, exactly, for any
+    realistic log. Endpoints via ``min_by``/``max_by`` — one
     fixed-width aggregate chain, never a window sort over the log."""
     fx = F.lit(_DRIFT_FIXED_POINT)
     per_batch = (
         log.select(
             F.col(batch_col).cast("bigint").alias("batch_id"),
-            F.floor(F.col(err_col) * fx).cast("bigint").alias("err_fix"),
+            F.floor(F.col(err_col) * fx).cast("decimal(38,0)").alias("err_fix"),
         )
         .groupBy("batch_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("err_fix").cast("bigint").alias("s"),
+            F.sum("err_fix").cast("decimal(38,0)").alias("s"),
         )
     )
     ns = F.struct("n", "s")
@@ -1456,6 +1451,25 @@ def pq_encode(
     (vector, subspace) reaches the shuffle). No refit, ever: new
     batches encode against yesterday's codebooks, the PQ twin of
     :func:`ivf_assign`."""
+    scored = _pq_scored_subs(df, codebooks, m, dim, id_col, vec_col)
+    best = F.max_by("code", F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc")))
+    return scored.groupBy("id", "sub").agg(best.alias("code"))
+
+
+def _pq_scored_subs(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared (id, sub, code, d) scoring table behind
+    :func:`pq_encode` and :func:`pq_quantization_error`: the vector cut
+    into ``m`` subvectors, broadcast-joined against the codebooks,
+    every (subvector, centroid) pair scored with the exact-fold L2².
+    ONE definition so the logged quantization error can never drift
+    from what the encoder actually commits to disk."""
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     dsub = dim // m
@@ -1465,11 +1479,9 @@ def pq_encode(
         .select("id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "v")
         .select("id", "sub", F.slice("v", F.col("sub") * dsub + 1, dsub).alias("subv"))
     )
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
+    return subs.join(F.broadcast(codebooks), "sub").select(
         "id", "sub", "code", l2_sq_expr("subv", "centroid", dim=dsub).alias("d")
     )
-    best = F.max_by("code", F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc")))
-    return scored.groupBy("id", "sub").agg(best.alias("code"))
 
 
 def pq_search(

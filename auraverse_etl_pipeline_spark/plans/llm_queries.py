@@ -856,21 +856,29 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             bidx.save(f"{root}/bm25")
             bidx.cache_handle.unpersist()
         elif group == "decisions":
+            # overwrite mode on every group write (and rmtree before
+            # the copytree): a staging killed mid-write leaves the
+            # path behind, and since the group is only marked staged
+            # on success the RETRY must be able to replace the debris
+            # instead of dying on path-already-exists
             load_table(spark, sf_dir, "documents").select(
                 F.col("doc_id").alias("id"),
                 F.lit(1).cast("bigint").alias("batch_id"),
                 (F.col("n_chars") >= 200).alias("kept"),
-            ).write.parquet(f"{root}/decisions")
+            ).write.mode("overwrite").parquet(f"{root}/decisions")
         elif group == "drift_log":
             _arrivals().select(
                 "id", "cell", "centroid_cos", "batch_id"
-            ).write.parquet(f"{root}/drift_log")
+            ).write.mode("overwrite").parquet(f"{root}/drift_log")
         elif group == "retrain":
             _arrivals().select("id", "v", "centroid_cos", "cell").repartition(
                 "cell"
-            ).write.partitionBy("cell").parquet(f"{root}/retrain/members")
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                f"{root}/retrain/members"
+            )
             # the retrain surface's centroids are the day-1 quantizer's
             # — byte-copy the already-written file
+            shutil.rmtree(f"{root}/retrain/centroids", ignore_errors=True)
             shutil.copytree(f"{root}/ivf/centroids", f"{root}/retrain/centroids")
         else:  # pragma: no cover - registry-internal contract
             raise ValueError(f"unknown fixture group: {group}")

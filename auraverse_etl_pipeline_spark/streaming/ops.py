@@ -868,15 +868,20 @@ def run_stream_semdedup_gate(
             # new id) composes via the Bloom digest-blocklist tier
             # instead — a digest is retainable where content is not.
             try:
-                tomb = spark.read.parquet(tombstones_path).select("id")
+                tomb = spark.read.parquet(tombstones_path)
             except AnalysisException:
                 # no take-down has been recorded yet (empty backlog):
                 # an absent durable table is an empty tombstone set,
                 # not a stream-killing error — the gate_maintenance_
-                # tick guard, applied to the gate itself
+                # tick guard, applied to the gate itself. ONLY the
+                # bare read sits in the try: a present-but-misshapen
+                # table (wrong id column) must fail the stream loudly,
+                # never silently disable take-down stickiness.
                 tomb = None
             if tomb is not None:
-                uniq = uniq.join(F.broadcast(tomb.distinct()), "id", "left_anti")
+                uniq = uniq.join(
+                    F.broadcast(tomb.select("id").distinct()), "id", "left_anti"
+                )
         a = ivf_assign(uniq, cent, id_col="id", vec_col="v", clamp=True).cache()
         pair_cos = F.least(F.lit(1.0), cosine_similarity_expr("v", "mv"))
         idx_dup = (
@@ -1132,9 +1137,17 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
             # is healthy — judge each id by its newest verdict (max_by
             # over the batch_id the gates stamp). Semdedup decisions are
             # one-row-per-id, where this reduces to the plain filter.
+            # Tie-break deterministically: conflicting verdicts WITHIN
+            # one batch (themselves a corruption — a replayed append)
+            # resolve to kept=true, the conservative side that SURFACES
+            # the id, instead of max_by's arbitrary per-run pick.
             latest_kept = (
                 decisions.groupBy("id")
-                .agg(F.max_by("kept", "batch_id").alias("kept"))
+                .agg(
+                    F.max_by(
+                        "kept", F.struct(F.col("batch_id"), F.col("kept"))
+                    ).alias("kept")
+                )
                 .filter("kept")
                 .select("id")
             )
@@ -1429,20 +1442,22 @@ def retrain_pq_index(
     recoded = pq_encode(
         members, books, m=m, dim=dim, id_col="id", vec_col="v"
     ).join(members.select("id", "cell"), "id")
-    # moved BEFORE the overwrite: the old codes derive from the very
-    # files the write replaces (the read-then-overwrite cut — here the
-    # count materializes to a driver int, so no lineage survives)
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    # checkpoint FIRST, then count moved off the checkpointed delta:
+    # the re-encode (the pass's dominant cost at scale) runs once, and
+    # the old-codes comparison still materializes to a driver int
+    # BEFORE the overwrite destroys its source files (the
+    # read-then-overwrite cut)
+    delta = recoded.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     old = spark.read.parquet(f"{index_path}/{codes_table}")
     moved = (
-        recoded.select("id", "sub", F.col("code").alias("new_code"))
+        delta.select("id", "sub", F.col("code").alias("new_code"))
         .join(old.select("id", "sub", "code"), ["id", "sub"])
         .filter(F.col("new_code") != F.col("code"))
         .count()
     )
-    if reliable is None:
-        reliable = spark.sparkContext.getCheckpointDir() is not None
-    delta = recoded.repartition("cell")
-    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     # full overwrite (every code's meaning changed) — codes first,
     # codebooks last (see crash posture above)
     delta.write.mode("overwrite").partitionBy("cell").parquet(
@@ -1485,17 +1500,20 @@ def retrain_sq_index(
     recoded = sq_encode(
         members, stats, dim=dim, id_col="id", vec_col="v"
     ).join(members.select("id", "cell"), "id")
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    # checkpoint first, count moved off the checkpointed delta — one
+    # re-encode, and the comparison still materializes before the
+    # overwrite (see retrain_pq_index)
+    delta = recoded.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     old = spark.read.parquet(f"{index_path}/{codes_table}")
     moved = (
-        recoded.select("id", F.col("codes").alias("new_codes"))
+        delta.select("id", F.col("codes").alias("new_codes"))
         .join(old.select("id", "codes"), "id")
         .filter(F.col("new_codes") != F.col("codes"))
         .count()
     )
-    if reliable is None:
-        reliable = spark.sparkContext.getCheckpointDir() is not None
-    delta = recoded.repartition("cell")
-    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     delta.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/{codes_table}"
     )

@@ -1174,3 +1174,68 @@ def test_bm25_fsck_randomized_corruption_sweep(spark, tmp_path):
                 for r in bm25_fsck(spark, root + "_v2").collect()
             }
             assert out["stats_mismatch"] == 1
+
+
+def test_bm25_fsck_duplicated_stats_row_fires(spark, tmp_path):
+    """N identical CORRECT stats rows compare clean row-by-row but
+    double every downstream stats crossJoin — fsck counts the row
+    surplus as a stats_mismatch violation (and an emptied stats table
+    likewise)."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        bm25_fsck,
+        bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma gamma")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "dupstats")
+    bm25_index(docs).save(root)
+    good = spark.read.parquet(f"{root}/stats")
+    good.localCheckpoint().write.mode("append").parquet(f"{root}/stats")
+    out = {r.check: r.violations for r in bm25_fsck(spark, root).collect()}
+    assert out["stats_mismatch"] == 1
+    assert out["df_posting_mismatch"] == 0
+    # zero-row stats: starved crossJoins downstream — also a violation
+    good.limit(0).localCheckpoint().write.mode("overwrite").parquet(
+        f"{root}/stats"
+    )
+    out = {r.check: r.violations for r in bm25_fsck(spark, root).collect()}
+    assert out["stats_mismatch"] == 1
+
+
+def test_pq_drift_audit_no_overflow_on_unnormalized_vectors(spark):
+    """qerr is only small for unit-normalized vectors; a raw-embedding
+    log (norm ~100 at dim 64 -> qerr ~1e6) must trend exactly instead
+    of wrapping a 64-bit fixed-point sum into garbage."""
+    from auraverse_etl_pipeline_spark.operators.similarity import pq_drift_audit
+
+    big = 1.0e6
+    rows = [(i % 2, big + float(i % 2)) for i in range(4096)]
+    log = spark.createDataFrame(rows, "batch_id bigint, qerr double")
+    out = pq_drift_audit(log, drift_threshold=0.5).collect()[0]
+    assert out.n_first == 2048 and out.n_last == 2048
+    assert abs(out.avg_err_first - big) < 1e-6
+    assert abs(out.avg_err_last - (big + 1.0)) < 1e-6
+    assert abs(out.drift - 1.0) < 1e-6 and out.retrain
+
+
+def test_staged_fixture_group_retry_overwrites_debris(spark, sf_dir):
+    """A staging killed mid-write leaves the path behind while the
+    group stays unmarked — the retry must replace the debris, not die
+    on path-already-exists."""
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _IVF_FIXTURE_STAGED,
+        _staged_ivf_fixture,
+    )
+
+    root = _staged_ivf_fixture(spark, sf_dir, "drift_log", "decisions", "retrain")
+    before = spark.read.parquet(f"{root}/drift_log").count()
+    # simulate the crash: files exist, but the group was never marked
+    for g in ("drift_log", "decisions", "retrain"):
+        _IVF_FIXTURE_STAGED.discard((sf_dir, g))
+    root2 = _staged_ivf_fixture(spark, sf_dir, "drift_log", "decisions", "retrain")
+    assert root2 == root
+    assert spark.read.parquet(f"{root}/drift_log").count() == before
+    assert spark.read.parquet(f"{root}/retrain/centroids").count() > 0

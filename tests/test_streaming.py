@@ -1671,3 +1671,73 @@ def test_gate_maintenance_tick_degenerate_watermark(spark, tmp_path):
     ).parquet(str(root / "retrain_watermark"))
     out = gate_maintenance_tick(spark, str(root), max_cell_size=100)
     assert out["retrained"] is False and out["split_cells"] == []
+
+
+def test_stream_semdedup_gate_misshapen_tombstone_table_fails_loudly(
+    spark, tmp_path
+):
+    """Only an ABSENT tombstone table is an empty set; a present table
+    without an id column must fail the stream instead of silently
+    disabling take-down stickiness."""
+    import pytest
+
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import run_stream_semdedup_gate
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "badtomb"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    tomb_path = tmp_path / "tomb_wrong_schema"
+    spark.createDataFrame([(10,)], "doc_id bigint").write.parquet(str(tomb_path))
+    schema = "vec_id bigint, embedding array<double>"
+    chunks = tmp_path / "badtomb_chunks"
+    stage_ordered_batches(
+        [spark.createDataFrame([(20, [0.3, 0.9])], schema)], str(chunks)
+    )
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    with pytest.raises(Exception, match="(?i)id|UNRESOLVED|StreamingQuery"):
+        run_stream_semdedup_gate(
+            svec,
+            index_path=str(root),
+            threshold=0.9,
+            tombstones_path=str(tomb_path),
+        )
+
+
+def test_gate_index_fsck_same_batch_conflict_deterministic(spark, tmp_path):
+    """Conflicting verdicts WITHIN one batch (a replayed append) must
+    resolve deterministically — to kept=true, surfacing the id —
+    instead of max_by's arbitrary per-run pick."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import gate_index_fsck
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "conflict"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    idx.assignments.withColumn("centroid_cos", F.lit(1.0)).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(str(root / "members"))
+    # id 99 is not a member and carries BOTH verdicts in batch 0
+    spark.createDataFrame(
+        [(10, True, 0), (11, True, 0), (99, True, 0), (99, False, 0)],
+        "id bigint, kept boolean, batch_id bigint",
+    ).write.parquet(str(root / "decisions"))
+    for _ in range(3):
+        out = {
+            r.check: r.violations
+            for r in gate_index_fsck(spark, str(root)).collect()
+        }
+        assert out["kept_decision_without_member"] == 1
