@@ -1196,6 +1196,80 @@ def pq_drift_audit(
     )
 
 
+def sq_clamp_audit(
+    log: DataFrame,
+    batch_col: str = "batch_id",
+    codes_col: str = "codes",
+    clamp_threshold: float = 0.25,
+) -> DataFrame:
+    """Saturation trend over an SQ8 encode log — the scalar-quantizer
+    member of the drift-trigger family (coarse: ``centroid_cos``
+    decay; PQ: ``qerr`` rise; SQ: CLAMPING): a component outside the
+    frozen day-1 ``[vmin, vmax]`` clamps to a byte edge (code −128 or
+    127), so a drifting corpus saturates exactly the dimensions that
+    moved and the compressed-domain shortlist goes blind there. The
+    signal needs NO raw vectors and no stats table — the edge codes
+    are countable from the code arrays the index already stores, so
+    the audit is one scan of the log.
+
+    Output, one row: (n_batches, first_batch, last_batch, n_first,
+    n_last, clamp_frac_first, clamp_frac_last, drift =
+    last − first, retrain = clamp_frac_last > ``clamp_threshold``).
+    The flag is on the LEVEL, not the slope: a day-1 corpus already
+    pins one vector's components at each true min/max (those define
+    the range), so a small baseline fraction is healthy — it is the
+    saturated fraction that makes the shortlist blind, however it got
+    there. Fires :func:`~auraverse_etl_pipeline_spark.streaming.ops.
+    retrain_sq_index`.
+
+    Engine-exactness: per-batch fractions are exact integer ratios —
+    clamped-component and total-component BIGINT counts, one IEEE
+    division — so a SQL oracle replays them digit-for-digit. Shape:
+    one fixed-width aggregate over the log (the per-array edge count
+    is a codegen'd ``filter`` fold, no explode), then the endpoint
+    ``min_by``/``max_by`` fold — never a window sort."""
+    edge = F.size(
+        F.filter(
+            F.col(codes_col), lambda c: (c == F.lit(-128)) | (c == F.lit(127))
+        )
+    ).cast("bigint")
+    total = F.size(F.col(codes_col)).cast("bigint")
+    per_batch = (
+        log.select(
+            F.col(batch_col).cast("bigint").alias("batch_id"),
+            edge.alias("e"),
+            total.alias("t"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("e").cast("bigint").alias("es"),
+            F.sum("t").cast("bigint").alias("ts"),
+        )
+    )
+    nst = F.struct("n", "es", "ts")
+    folded = per_batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.min("batch_id").alias("first_batch"),
+        F.max("batch_id").alias("last_batch"),
+        F.min_by(nst, F.col("batch_id")).alias("_f"),
+        F.max_by(nst, F.col("batch_id")).alias("_l"),
+    )
+    frac_f = F.col("_f.es").cast("double") / F.col("_f.ts").cast("double")
+    frac_l = F.col("_l.es").cast("double") / F.col("_l.ts").cast("double")
+    return folded.select(
+        "n_batches",
+        "first_batch",
+        "last_batch",
+        F.col("_f.n").alias("n_first"),
+        F.col("_l.n").alias("n_last"),
+        frac_f.alias("clamp_frac_first"),
+        frac_l.alias("clamp_frac_last"),
+        (frac_l - frac_f).alias("drift"),
+        (frac_l > F.lit(float(clamp_threshold))).alias("retrain"),
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,

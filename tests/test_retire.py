@@ -1239,3 +1239,55 @@ def test_staged_fixture_group_retry_overwrites_debris(spark, sf_dir):
     assert root2 == root
     assert spark.read.parquet(f"{root}/drift_log").count() == before
     assert spark.read.parquet(f"{root}/retrain/centroids").count() > 0
+
+
+def test_sq_clamp_audit_fires_and_retrain_clears(spark, tmp_path):
+    """The SQ trigger->action loop: in-distribution batches keep the
+    saturated-component fraction at the healthy baseline (the range
+    endpoints themselves clamp by construction); a shifted corpus
+    saturates everything and flags; after retrain_sq_index the fresh
+    codes' fraction is back under the threshold."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        sq_clamp_audit,
+        sq_encode,
+        sq_stats,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_sq_index
+
+    rng = random.Random(1511)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    drifted = [
+        (100 + i, [rng.uniform(-1.0, -0.3) for _ in range(8)]) for i in range(24)
+    ]
+    a = spark.createDataFrame(day1, "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame(drifted, "vec_id bigint, embedding array<double>")
+    stats_a = sq_stats(a)
+
+    log_a = sq_encode(a, stats_a).withColumn("batch_id", F.expr("id DIV 12"))
+    healthy = sq_clamp_audit(log_a, clamp_threshold=0.25).collect()[0]
+    assert not healthy.retrain and healthy.n_batches == 2
+    log_b = sq_encode(b, stats_a).withColumn(
+        "batch_id", F.expr("2 + (id - 100) DIV 12")
+    )
+    fired = sq_clamp_audit(log_a.unionByName(log_b)).collect()[0]
+    assert fired.retrain and fired.clamp_frac_last == 1.0  # fully saturated
+
+    # the action clears it: persist, retrain, re-audit the fresh codes
+    root = str(tmp_path / "sq_loop")
+    ivf_index(b, nlist=4, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    stats_a.write.parquet(f"{root}/sq_stats")
+    sq_encode(b, stats_a).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/sq_codes")
+    assert retrain_sq_index(spark, root) > 0
+    fresh = (
+        spark.read.parquet(f"{root}/sq_codes")
+        .select("id", "codes")
+        .withColumn("batch_id", F.expr("(id - 100) DIV 12"))
+    )
+    cleared = sq_clamp_audit(fresh, clamp_threshold=0.25).collect()[0]
+    assert not cleared.retrain
