@@ -1521,6 +1521,135 @@ def retrain_sq_index(
     return moved
 
 
+def compressed_index_tick(
+    spark,
+    index_path: str,
+    tombstones_path: str | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 8,
+    dim: int | None = None,
+    qerr_threshold: float = 0.5,
+    clamp_threshold: float = 0.25,
+) -> dict:
+    """ONE cron-able maintenance tick for a persisted compressed index
+    (the IVF-PQ/SQ layout: ``assignments`` + optional ``pq_codes``/
+    ``codebooks`` + optional ``sq_codes``/``sq_stats``) — the
+    compressed-family twin of :func:`gate_maintenance_tick`, each
+    stage firing only on its own evidence:
+
+    1. **retire** — a durable take-down table anti-joins EVERY present
+       cell-partitioned surface, members first (the source of truth —
+       a codes-only erase would be resurrected by the next re-fit,
+       pinned in tests/test_retire.py), then each code table.
+    2. **PQ retrain** — :func:`~auraverse_etl_pipeline_spark.
+       operators.similarity.pq_drift_audit` over ``{index_path}/
+       encode_log`` (the (batch_id, qerr) rows :func:`~auraverse_etl_
+       pipeline_spark.operators.similarity.pq_quantization_error`
+       logs at encode time); a rise past ``qerr_threshold`` fires
+       :func:`retrain_pq_index`. WATERMARKED exactly like the gate
+       tick's retrain (``{index_path}/pq_retrain_watermark``, max
+       batch_id consumed): the log is append-only, so without it the
+       batches that justified one re-fit would re-fire the expensive
+       pass every tick forever. Skipped silently when no log exists.
+    3. **SQ retrain** — :func:`~auraverse_etl_pipeline_spark.
+       operators.similarity.sq_clamp_audit` over the CURRENT
+       ``sq_codes``; saturation past ``clamp_threshold`` fires
+       :func:`retrain_sq_index`. No watermark needed — the signal is
+       current STATE, not accumulated evidence: a successful re-fit
+       de-saturates the very codes the next tick measures, so the
+       loop is self-quenching (and a corpus whose true spread keeps
+       the fraction high genuinely needs the operator's attention,
+       not silence).
+
+    Every stage is idempotent and crash-tolerant on its own, so a
+    died tick heals by running the next one. Returns ``{"retired":
+    [touched surfaces], "pq_retrained": bool, "pq_moved": int,
+    "sq_retrained": bool, "sq_moved": int}``."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.retire import ivf_retire
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_drift_audit,
+        sq_clamp_audit,
+    )
+
+    def _read(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    retired: list[str] = []
+    if tombstones_path is not None:
+        tomb = _read(tombstones_path)
+        if tomb is not None:
+            # members FIRST (source of truth), code tables as followers
+            for table in ("assignments", "pq_codes", "sq_codes"):
+                if _read(f"{index_path}/{table}") is not None:
+                    if ivf_retire(spark, index_path, tomb, members_table=table):
+                        retired.append(table)
+            # the encode log is per-id too: erase the retired ids'
+            # qerr rows (the log_retire posture — an erased identity
+            # must not keep indicting the codebooks either)
+            if _read(f"{index_path}/encode_log") is not None:
+                from auraverse_etl_pipeline_spark.operators.retire import (
+                    log_retire,
+                )
+
+                log_retire(spark, f"{index_path}/encode_log", tomb)
+
+    pq_retrained, pq_moved = False, 0
+    log = _read(f"{index_path}/encode_log")
+    if log is not None and _read(f"{index_path}/pq_codes") is not None:
+        wm_path = f"{index_path}/pq_retrain_watermark"
+        wm = _read(wm_path)
+        wm_rows = wm.collect() if wm is not None else []
+        if wm_rows and wm_rows[0].batch_id is not None:
+            log = log.filter(F.col("batch_id") > F.lit(wm_rows[0].batch_id))
+        flagged = (
+            pq_drift_audit(log, drift_threshold=qerr_threshold)
+            .filter("retrain")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if flagged:
+            consumed = log.agg(F.max("batch_id").alias("batch_id"))
+            consumed = consumed.localCheckpoint(eager=True)
+            pq_moved = retrain_pq_index(
+                spark, index_path, m=m, ksub=ksub, max_iter=max_iter, dim=dim
+            )
+            pq_retrained = True
+            consumed.write.mode("overwrite").parquet(wm_path)
+
+    sq_retrained, sq_moved = False, 0
+    sq_codes = _read(f"{index_path}/sq_codes")
+    if sq_codes is not None and _read(f"{index_path}/sq_stats") is not None:
+        # level signal over current state: stamp one synthetic batch
+        saturated = (
+            sq_clamp_audit(
+                sq_codes.withColumn("batch_id", F.lit(0)),
+                clamp_threshold=clamp_threshold,
+            )
+            .filter("retrain")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if saturated:
+            sq_moved = retrain_sq_index(spark, index_path, dim=dim)
+            sq_retrained = True
+
+    return {
+        "retired": retired,
+        "pq_retrained": pq_retrained,
+        "pq_moved": pq_moved,
+        "sq_retrained": sq_retrained,
+        "sq_moved": sq_moved,
+    }
+
+
 def rebalance_gate_index(
     spark,
     index_path: str,

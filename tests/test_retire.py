@@ -1291,3 +1291,88 @@ def test_sq_clamp_audit_fires_and_retrain_clears(spark, tmp_path):
     )
     cleared = sq_clamp_audit(fresh, clamp_threshold=0.25).collect()[0]
     assert not cleared.retrain
+
+
+def test_compressed_index_tick_runs_the_triad(spark, tmp_path):
+    """One cron-able tick for the compressed family, each stage on its
+    own evidence: the tombstoned ids vanish from members, BOTH code
+    tables and the encode log; the drifted qerr log fires the PQ
+    re-fit exactly once (tick 2 is watermarked to a no-op on the same
+    log); the saturated SQ codes fire the SQ re-fit, which
+    self-quenches (tick 2 measures the fresh codes)."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        pq_quantization_error,
+        sq_encode,
+        sq_stats,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_tick
+
+    rng = random.Random(1512)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    drifted = [
+        (100 + i, [rng.uniform(-1.0, -0.3) for _ in range(8)]) for i in range(24)
+    ]
+    a = spark.createDataFrame(day1, "vec_id bigint, embedding array<double>")
+    both = spark.createDataFrame(day1 + drifted, "vec_id bigint, embedding array<double>")
+
+    root = str(tmp_path / "ctick")
+    ivf_index(both, nlist=4, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books_a = pq_codebooks(a, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+    books_a.write.parquet(f"{root}/codebooks")
+    pq_encode(both, books_a, m=2).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+    stats_a = sq_stats(a)
+    stats_a.write.parquet(f"{root}/sq_stats")
+    sq_encode(both, stats_a).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/sq_codes")
+    pq_quantization_error(both, books_a, m=2).withColumn(
+        "batch_id",
+        F.expr("CASE WHEN id < 100 THEN id DIV 12 ELSE 2 + (id - 100) DIV 12 END"),
+    ).write.parquet(f"{root}/encode_log")
+    doomed = [5, 113]
+    tomb_path = str(tmp_path / "ctick_tomb")
+    _tomb(spark, doomed).write.parquet(tomb_path)
+
+    out = compressed_index_tick(
+        spark, root, tombstones_path=tomb_path, m=2, ksub=4, max_iter=2
+    )
+    assert out["retired"] == ["assignments", "pq_codes", "sq_codes"]
+    assert out["pq_retrained"] and out["pq_moved"] > 0
+    assert out["sq_retrained"] and out["sq_moved"] > 0
+    survivors = {i for i, _ in day1 + drifted} - set(doomed)
+    for table in ("assignments", "pq_codes", "sq_codes", "encode_log"):
+        ids = {r.id for r in spark.read.parquet(f"{root}/{table}").collect()}
+        assert ids == survivors, table
+    # the PQ re-fit trained on the POST-RETIRE members
+    want = pq_codebooks(
+        spark.read.parquet(f"{root}/assignments"),
+        m=2, ksub=4, quantizer="lloyd", max_iter=2, id_col="id", vec_col="v",
+    )
+    as_set = lambda df: {(r.sub, r.code, tuple(r.centroid)) for r in df.collect()}
+    assert as_set(spark.read.parquet(f"{root}/codebooks")) == as_set(want)
+    # the SQ re-fit de-saturated the drifted half: the degenerate
+    # all-clamped array is gone and the codes carry real variety
+    fresh = {tuple(r.codes) for r in spark.read.parquet(f"{root}/sq_codes").collect()}
+    assert tuple([-128] * 8) not in fresh
+    assert len(fresh) > 1
+
+    # tick 2: nothing left to do — retire idempotent, PQ watermarked,
+    # SQ self-quenched
+    out2 = compressed_index_tick(
+        spark, root, tombstones_path=tomb_path, m=2, ksub=4, max_iter=2
+    )
+    assert out2 == {
+        "retired": [],
+        "pq_retrained": False,
+        "pq_moved": 0,
+        "sq_retrained": False,
+        "sq_moved": 0,
+    }
