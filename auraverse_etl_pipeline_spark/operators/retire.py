@@ -277,9 +277,18 @@ def log_retire(
     segment directory pre-merge — anything whose rows key on the
     retired identity and which is not partition-pruned by it (the
     cell-partitioned IVF tables go through :func:`ivf_retire`, which
-    rewrites only touched partitions)."""
+    rewrites only touched partitions).
+
+    Short-circuits when the log holds NO retired id (one broadcast
+    semi-join probe, the ``ivf_retire`` touched-cells discipline): a
+    cron tick with a standing tombstone table must not pay a full
+    read-checkpoint-overwrite of an untouched log every run — nor
+    open the read-then-overwrite crash window for no work."""
     log = spark.read.parquet(log_path)
-    kept = log.join(_tomb_ids(tombstones, id_col), id_col, "left_anti")
+    tomb = _tomb_ids(tombstones, id_col)
+    if dst_path is None and log.join(tomb, id_col, "left_semi").limit(1).count() == 0:
+        return log
+    kept = log.join(tomb, id_col, "left_anti")
     out = dst_path or log_path
     if dst_path is None:
         kept = _checkpoint(kept, spark, reliable)

@@ -1201,6 +1201,7 @@ def sq_clamp_audit(
     batch_col: str = "batch_id",
     codes_col: str = "codes",
     clamp_threshold: float = 0.25,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Saturation trend over an SQ8 encode log — the scalar-quantizer
     member of the drift-trigger family (coarse: ``centroid_cos``
@@ -1222,18 +1223,47 @@ def sq_clamp_audit(
     there. Fires :func:`~auraverse_etl_pipeline_spark.streaming.ops.
     retrain_sq_index`.
 
+    Constant-dimension caveat: ``_sq_code_expr`` codes a dimension
+    whose ``vmin == vmax`` (zero-padded/constant embeddings) as 0 −
+    128 = −128 by construction — permanently, since a re-fit derives
+    the same degenerate range — so counting those as saturated would
+    flag retrain forever and defeat the self-quench. Pass the index's
+    1-row ``stats`` frame to EXCLUDE constant dimensions from both the
+    numerator and the denominator (the tick does); without ``stats``
+    the audit is stats-free but only sound for corpora with no
+    constant dimensions.
+
     Engine-exactness: per-batch fractions are exact integer ratios —
     clamped-component and total-component BIGINT counts, one IEEE
     division — so a SQL oracle replays them digit-for-digit. Shape:
     one fixed-width aggregate over the log (the per-array edge count
-    is a codegen'd ``filter`` fold, no explode), then the endpoint
-    ``min_by``/``max_by`` fold — never a window sort."""
-    edge = F.size(
-        F.filter(
-            F.col(codes_col), lambda c: (c == F.lit(-128)) | (c == F.lit(127))
-        )
-    ).cast("bigint")
-    total = F.size(F.col(codes_col)).cast("bigint")
+    is a codegen'd ``filter`` fold, no explode; with ``stats``, a
+    broadcast 1-row crossJoin feeds the index-aware fold), then the
+    endpoint ``min_by``/``max_by`` fold — never a window sort."""
+    if stats is not None:
+        log = log.crossJoin(F.broadcast(stats.select("vmin", "vmax")))
+
+        def _live(i):
+            return F.element_at(F.col("vmin"), i + F.lit(1)) != F.element_at(
+                F.col("vmax"), i + F.lit(1)
+            )
+
+        edge = F.size(
+            F.filter(
+                F.col(codes_col),
+                lambda c, i: ((c == F.lit(-128)) | (c == F.lit(127))) & _live(i),
+            )
+        ).cast("bigint")
+        total = F.size(
+            F.filter(F.col(codes_col), lambda c, i: _live(i))
+        ).cast("bigint")
+    else:
+        edge = F.size(
+            F.filter(
+                F.col(codes_col), lambda c: (c == F.lit(-128)) | (c == F.lit(127))
+            )
+        ).cast("bigint")
+        total = F.size(F.col(codes_col)).cast("bigint")
     per_batch = (
         log.select(
             F.col(batch_col).cast("bigint").alias("batch_id"),

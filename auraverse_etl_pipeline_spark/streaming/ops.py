@@ -1173,6 +1173,24 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
     )
 
 
+def _watermark_filter(spark, log: DataFrame, wm_path: str) -> DataFrame:
+    """Apply a consumed-evidence watermark (1-row parquet holding the
+    max ``batch_id`` a previous retrain consumed) to an append-only
+    log — shared by both maintenance ticks so the discipline cannot
+    drift between them. An absent watermark AND a readable-but-
+    degenerate one (zero rows, or a null batch_id from an all-null
+    max) degrade to the unfiltered log instead of aborting the tick."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        wm_rows = spark.read.parquet(wm_path).collect()
+    except AnalysisException:
+        wm_rows = []
+    if wm_rows and wm_rows[0].batch_id is not None:
+        return log.filter(F.col("batch_id") > F.lit(wm_rows[0].batch_id))
+    return log
+
+
 def gate_maintenance_tick(
     spark,
     index_path: str,
@@ -1242,17 +1260,7 @@ def gate_maintenance_tick(
     except AnalysisException:
         decisions = None
     if decisions is not None and "batch_id" in decisions.columns:
-        try:
-            wm_rows = spark.read.parquet(wm_path).collect()
-        except AnalysisException:
-            wm_rows = []
-        # a readable-but-degenerate watermark (zero rows, or a null
-        # batch_id from an all-null max) must degrade to the
-        # no-watermark path, not abort the tick
-        if wm_rows and wm_rows[0].batch_id is not None:
-            decisions = decisions.filter(
-                F.col("batch_id") > F.lit(wm_rows[0].batch_id)
-            )
+        decisions = _watermark_filter(spark, decisions, wm_path)
         flagged = (
             quantizer_drift_audit(decisions, drift_threshold=drift_threshold)
             .filter("retrain")
@@ -1591,22 +1599,42 @@ def compressed_index_tick(
                         retired.append(table)
             # the encode log is per-id too: erase the retired ids'
             # qerr rows (the log_retire posture — an erased identity
-            # must not keep indicting the codebooks either)
-            if _read(f"{index_path}/encode_log") is not None:
+            # must not keep indicting the codebooks either). Probe
+            # first so the summary reports the surface only when rows
+            # actually went (log_retire itself also short-circuits an
+            # untouched log — no full rewrite per tick under a
+            # standing tombstone table)
+            enc = _read(f"{index_path}/encode_log")
+            if enc is not None:
                 from auraverse_etl_pipeline_spark.operators.retire import (
                     log_retire,
                 )
 
-                log_retire(spark, f"{index_path}/encode_log", tomb)
+                hit = (
+                    enc.join(
+                        F.broadcast(tomb.select("id").distinct()),
+                        "id",
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if hit:
+                    log_retire(spark, f"{index_path}/encode_log", tomb)
+                    retired.append("encode_log")
 
     pq_retrained, pq_moved = False, 0
     log = _read(f"{index_path}/encode_log")
-    if log is not None and _read(f"{index_path}/pq_codes") is not None:
+    if (
+        log is not None
+        and "batch_id" in log.columns  # pq_quantization_error emits
+        # (id, qerr) only — an unstamped log degrades to no audit,
+        # never an aborted tick (the gate tick's decisions guard)
+        and _read(f"{index_path}/pq_codes") is not None
+    ):
         wm_path = f"{index_path}/pq_retrain_watermark"
-        wm = _read(wm_path)
-        wm_rows = wm.collect() if wm is not None else []
-        if wm_rows and wm_rows[0].batch_id is not None:
-            log = log.filter(F.col("batch_id") > F.lit(wm_rows[0].batch_id))
+        log = _watermark_filter(spark, log, wm_path)
         flagged = (
             pq_drift_audit(log, drift_threshold=qerr_threshold)
             .filter("retrain")
@@ -1625,12 +1653,16 @@ def compressed_index_tick(
 
     sq_retrained, sq_moved = False, 0
     sq_codes = _read(f"{index_path}/sq_codes")
-    if sq_codes is not None and _read(f"{index_path}/sq_stats") is not None:
-        # level signal over current state: stamp one synthetic batch
+    sq_st = _read(f"{index_path}/sq_stats")
+    if sq_codes is not None and sq_st is not None:
+        # level signal over current state: stamp one synthetic batch.
+        # stats passed so constant dimensions (coded -128 forever by
+        # construction) cannot flag a retrain the re-fit can't clear
         saturated = (
             sq_clamp_audit(
                 sq_codes.withColumn("batch_id", F.lit(0)),
                 clamp_threshold=clamp_threshold,
+                stats=sq_st,
             )
             .filter("retrain")
             .limit(1)

@@ -1344,7 +1344,7 @@ def test_compressed_index_tick_runs_the_triad(spark, tmp_path):
     out = compressed_index_tick(
         spark, root, tombstones_path=tomb_path, m=2, ksub=4, max_iter=2
     )
-    assert out["retired"] == ["assignments", "pq_codes", "sq_codes"]
+    assert out["retired"] == ["assignments", "pq_codes", "sq_codes", "encode_log"]
     assert out["pq_retrained"] and out["pq_moved"] > 0
     assert out["sq_retrained"] and out["sq_moved"] > 0
     survivors = {i for i, _ in day1 + drifted} - set(doomed)
@@ -1376,3 +1376,102 @@ def test_compressed_index_tick_runs_the_triad(spark, tmp_path):
         "sq_retrained": False,
         "sq_moved": 0,
     }
+
+
+def test_sq_clamp_audit_constant_dims_excluded_with_stats(spark, tmp_path):
+    """A constant (zero-padded) dimension codes -128 by construction,
+    and a re-fit derives the same degenerate range — with the stats
+    frame passed, the audit excludes those dims from both sides of the
+    fraction so they can never flag a retrain the re-fit cannot clear;
+    the tick stays self-quenching on padded corpora."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        sq_clamp_audit,
+        sq_encode,
+        sq_stats,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_tick
+
+    rng = random.Random(1513)
+    # 2 live dims + 6 zero-padded: 75% of components code -128 forever
+    rows = [
+        (i, [rng.uniform(0.3, 1.0), rng.uniform(0.3, 1.0)] + [0.0] * 6)
+        for i in range(24)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats = sq_stats(corpus)
+    log = sq_encode(corpus, stats).withColumn("batch_id", F.lit(0))
+    naive = sq_clamp_audit(log, clamp_threshold=0.25).collect()[0]
+    assert naive.retrain  # the stats-free audit IS fooled by padding
+    aware = sq_clamp_audit(log, clamp_threshold=0.25, stats=stats).collect()[0]
+    assert not aware.retrain
+    assert aware.clamp_frac_last < 0.25
+
+    # the tick (which passes stats) does not fire SQ retrain every run
+    root = str(tmp_path / "padded")
+    ivf_index(corpus, nlist=2, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    stats.write.parquet(f"{root}/sq_stats")
+    sq_encode(corpus, stats).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/sq_codes")
+    out = compressed_index_tick(spark, root)
+    assert out["sq_retrained"] is False
+
+
+def test_log_retire_short_circuits_untouched_log(spark, tmp_path):
+    """A standing tombstone table whose ids are all long gone from the
+    log must not trigger a full read-checkpoint-overwrite per tick —
+    the untouched log's files stay byte-identical."""
+    import glob
+    import os
+
+    path = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(i, True) for i in range(10)], "id bigint, kept boolean"
+    ).write.parquet(path)
+    before = sorted(
+        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in glob.glob(f"{path}/*.parquet")
+    )
+    out = log_retire(spark, path, _tomb(spark, [999, 1000]))
+    assert out.count() == 10
+    after = sorted(
+        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in glob.glob(f"{path}/*.parquet")
+    )
+    assert after == before
+    # and a hit still rewrites
+    assert log_retire(spark, path, _tomb(spark, [3])).count() == 9
+
+
+def test_compressed_index_tick_unstamped_encode_log_degrades(spark, tmp_path):
+    """An encode_log written straight from pq_quantization_error (no
+    batch_id column) degrades the PQ stage to no-audit instead of
+    aborting the tick — the gate tick's decisions-column guard."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        pq_quantization_error,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_tick
+
+    rng = random.Random(1514)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(16)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    root = str(tmp_path / "unstamped")
+    ivf_index(corpus, nlist=2, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books = pq_codebooks(corpus, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+    books.write.parquet(f"{root}/codebooks")
+    pq_encode(corpus, books, m=2).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+    pq_quantization_error(corpus, books, m=2).write.parquet(f"{root}/encode_log")
+    out = compressed_index_tick(spark, root, m=2, ksub=4, max_iter=2)
+    assert out["pq_retrained"] is False and out["retired"] == []
