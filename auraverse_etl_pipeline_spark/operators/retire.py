@@ -269,7 +269,13 @@ def log_retire(
     linkage itself must go, not just the indexed content. One
     broadcast anti-join, eager (reliable-flavored) checkpoint before
     the in-place overwrite, or a fresh ``dst_path`` for the swap
-    spelling. Returns the surviving log read back from disk.
+    spelling. Returns the surviving log read back from disk when a
+    rewrite happened, and ``None`` on the short-circuit path (advice
+    r15: the caller must be able to tell "nothing rewrote" without
+    repeating the probe — ``compressed_index_tick`` previously ran the
+    identical limit(1) semi-join twice per tick under a standing
+    tombstone table; on ``None`` the log on disk is byte-untouched and
+    IS the survivor set).
 
     The same spelling retires any flat id-keyed persisted table — the
     MinHash signature index (``minhash_index``'s (doc_id, sig) rows,
@@ -287,7 +293,7 @@ def log_retire(
     log = spark.read.parquet(log_path)
     tomb = _tomb_ids(tombstones, id_col)
     if dst_path is None and log.join(tomb, id_col, "left_semi").limit(1).count() == 0:
-        return log
+        return None
     kept = log.join(tomb, id_col, "left_anti")
     out = dst_path or log_path
     if dst_path is None:

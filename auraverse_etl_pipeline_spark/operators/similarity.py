@@ -1119,17 +1119,31 @@ def pq_quantization_error(
     subvector rows, broadcast codebooks, ``min`` hash aggregate — one
     row per (vector, subspace) reaches the shuffle), so the logged
     error can never drift from what the encoder commits; then a per-id
-    sum of the m per-subspace minima with DECIMAL(38,12) partials
-    (order-independent — the ``pq_search`` discipline), cast back to
-    double. Log it at encode time next to the codes and the drift
-    audit needs no corpus re-scan."""
+    ORDERED fold over the m per-subspace minima in ``sub`` order
+    (``collect_list`` of exactly m fixed-width structs per id — still
+    one hash aggregate with partial merge). The fold, not DECIMAL
+    partials, because :func:`pq_drift_audit` floors ``qerr·2^40``
+    downstream: a double→DECIMAL(38,12) cast of a COMPUTED double can
+    round a .5 tie differently across engines (Spark HALF_UP, DuckDB
+    HALF_EVEN — the round-5 gotcha), and at 2^40 scale a 1e-12 tie
+    divergence always crosses the floor boundary. The sequential fold
+    is bit-identical to DuckDB ``list_sum(list(d ORDER BY sub))``
+    (probed 0/3000 on parquet-backed lists, r16; note DuckDB's float
+    LITERAL parser is off-by-1-ulp on some shortest-repr doubles, so
+    the probe must bind data, never inline repr() literals). Log it at
+    encode time next to the codes and the drift audit needs no corpus
+    re-scan."""
     scored = _pq_scored_subs(df, codebooks, m, dim, id_col, vec_col)
     return (
         scored.groupBy("id", "sub")
         .agg(F.min("d").alias("d"))
         .groupBy("id")
-        .agg(
-            F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("qerr")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "d"))).alias("_sd"))
+        .select(
+            "id",
+            F.aggregate(
+                F.col("_sd"), F.lit(0.0), lambda acc, x: acc + x["d"]
+            ).alias("qerr"),
         )
     )
 
@@ -1159,8 +1173,14 @@ def pq_drift_audit(
     embedding with norm ~100 at dim 64 scales to ~2^60 per row, which
     would silently wrap a BIGINT sum and flip the retrain flag
     arbitrarily. DECIMAL(38,0) holds ~2^126, exactly, for any
-    realistic log. Endpoints via ``min_by``/``max_by`` — one
-    fixed-width aggregate chain, never a window sort over the log."""
+    realistic log — with one PER-ROW bound (advice r15): the scaled
+    term ``floor(qerr·2^40)`` itself passes through Spark's BIGINT
+    ``floor`` before the DECIMAL cast, so a single row needs ``qerr <
+    ~2^23`` (~8.4e6 — vector norm ≲3000 at dim 64; real embedding
+    norms are O(1–100), so the bound only binds on garbage input,
+    where ANSI mode throws rather than wraps). Endpoints via
+    ``min_by``/``max_by`` — one fixed-width aggregate chain, never a
+    window sort over the log."""
     fx = F.lit(_DRIFT_FIXED_POINT)
     per_batch = (
         log.select(

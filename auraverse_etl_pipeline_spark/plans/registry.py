@@ -83,21 +83,14 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: coverage is free; a new registry name costs one stale slot per round
 #: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 15 start: CORRECTNESS_r14.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red). Round-15 entries:
-    # STAGED FOR ROUND 16+ (the retrain-audit precedent): the
-    # compressed-family drift loop — pq_quantization_error /
-    # pq_drift_audit / retrain_pq_index / retrain_sq_index
-    # (operators/similarity.py, streaming/ops.py) — is built and
-    # pinned end to end in tests/test_retire.py but NOT registered;
-    # if a registry slot opens under the growth cap, a pq-drift or
-    # pq-retrain audit query is the natural candidate (the encode/
-    # error folds are engine-exact, so a DuckDB oracle is mechanical).
-    "sim_retrain_audit",  # NEW: retrain_gate_index digit-for-digit DuckDB
-    # _lloyd_chain replay (staged in r14, registered r15)
-    "index_retire_ids",  # rewritten-since-green: staging hoisted into the
-    "sim_quantizer_drift_audit",  # shared per-session fixture (values must
-    # be bit-identical to the r14-green runs; layout-invariance re-checked)
+    # round 16 start: CORRECTNESS_r15.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red; all 203 names green at
+    # latest evidence). Round-16 entry: the staged compressed-family
+    # ledger note executed — the PQ drift trigger registered as a
+    # query (the retrains stay pytest-pinned, matching the coarse
+    # tier's r14->r15 precedent).
+    "sim_pq_drift_audit",  # NEW: pq_quantization_error + pq_drift_audit
+    # over a staged encode log, fixed-point DECIMAL(38,0) DuckDB oracle
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -105,61 +98,13 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 10
-    "pipeline_corpus_to_index": 10,
-    "q50_bipartite_pagerank": 10,
-    "q51_conversion_funnel": 10,
-    "q55_stock_threshold_suppliers": 10,
-    "stream_url_frontier": 10,
     # round 11
-    "converted_documents": 11,
-    "corpus_domain_blocklist": 11,
-    "corpus_domain_card": 11,
-    "dedup_containment_join": 11,
-    "dedup_prefix_jaccard_join": 11,
-    "dedup_semdedup": 11,
-    "embedding_data_card": 11,
-    "fixture_fragment_summary": 11,
-    "fixture_record_summary": 11,
-    "fragment_spans": 11,
-    "fragment_summary": 11,
-    "ingest_jsonl_roundtrip": 11,
-    "mix_dsir_select": 11,
-    "multimodal_jpeg_features": 11,
     "pipeline_crawl_to_corpus": 11,
-    "q01_pricing_summary": 11,
-    "q02_top_revenue_orders": 11,
-    "q03_region_nation_revenue": 11,
-    "q04_revenue_forecast": 11,
-    "q05_returned_customers": 11,
-    "q06_priority_with_big_items": 11,
-    "q07_acctbal_by_region": 11,
-    "q08_parts_by_brand": 11,
-    "q10_top3_orders_per_customer": 11,
-    "q11_running_revenue": 11,
     "q12_orders_monthly_kpis": 11,
-    "q13_order_count_histogram": 11,
-    "q14_rollup_priority_status": 11,
-    "q15_cube_flag_status": 11,
     "q16_repeat_buyers_setop": 11,
-    "q17_customers_without_orders": 11,
-    "q18_large_quantity_orders": 11,
     "q19_event_lag_lead": 11,
     "q20_hourly_event_windows": 11,
     "q21_churned_buyers_setop": 11,
-    "sim_ann_recall_audit": 11,
-    "sim_hashed_embeddings": 11,
-    "sim_sq_codes": 11,
-    "sim_sq_search": 11,
-    "sql_lateral_fragment_summary": 11,
-    "stream_domain_gate": 11,
-    "text_bpe_encode": 11,
-    "text_bytebpe_encode": 11,
-    "text_bytebpe_train": 11,
-    "text_lm_buckets": 11,
-    "text_lm_perplexity": 11,
-    "text_pack_manifest": 11,
-    "text_pack_sequences": 11,
     # round 12
     "dedup_cluster_representatives": 12,
     "dedup_connected_components": 12,
@@ -270,7 +215,6 @@ _LAST_GREEN = {
     "dedup_lsh_quality_audit": 14,
     "dedup_minhash_pairs": 14,
     "fixture_schema_field_types": 14,
-    "index_retire_ids": 14,
     "ingest_url_canonicalize": 14,
     "mix_length_buckets": 14,
     "mix_stratified_quota": 14,
@@ -285,7 +229,6 @@ _LAST_GREEN = {
     "sim_contrastive_pairs": 14,
     "sim_hybrid_search": 14,
     "sim_ivfpq_rebalance": 14,
-    "sim_quantizer_drift_audit": 14,
     "sim_random_projection": 14,
     "sim_retrieval_quality_audit": 14,
     "sim_topk_ivf": 14,
@@ -312,7 +255,59 @@ _LAST_GREEN = {
     "text_unigram_train": 14,
     "text_wordpiece_encode": 14,
     "text_wordpiece_train": 14,
+    # round 15
+    "converted_documents": 15,
+    "corpus_domain_blocklist": 15,
+    "corpus_domain_card": 15,
+    "dedup_containment_join": 15,
+    "dedup_prefix_jaccard_join": 15,
+    "dedup_semdedup": 15,
+    "embedding_data_card": 15,
+    "fixture_fragment_summary": 15,
+    "fixture_record_summary": 15,
+    "fragment_spans": 15,
+    "fragment_summary": 15,
+    "index_retire_ids": 15,
+    "ingest_jsonl_roundtrip": 15,
+    "mix_dsir_select": 15,
+    "multimodal_jpeg_features": 15,
+    "pipeline_corpus_to_index": 15,
+    "q01_pricing_summary": 15,
+    "q02_top_revenue_orders": 15,
+    "q03_region_nation_revenue": 15,
+    "q04_revenue_forecast": 15,
+    "q05_returned_customers": 15,
+    "q06_priority_with_big_items": 15,
+    "q07_acctbal_by_region": 15,
+    "q08_parts_by_brand": 15,
+    "q10_top3_orders_per_customer": 15,
+    "q11_running_revenue": 15,
+    "q13_order_count_histogram": 15,
+    "q14_rollup_priority_status": 15,
+    "q15_cube_flag_status": 15,
+    "q17_customers_without_orders": 15,
+    "q18_large_quantity_orders": 15,
+    "q50_bipartite_pagerank": 15,
+    "q51_conversion_funnel": 15,
+    "q55_stock_threshold_suppliers": 15,
+    "sim_ann_recall_audit": 15,
+    "sim_hashed_embeddings": 15,
+    "sim_quantizer_drift_audit": 15,
+    "sim_retrain_audit": 15,
+    "sim_sq_codes": 15,
+    "sim_sq_search": 15,
+    "sql_lateral_fragment_summary": 15,
+    "stream_domain_gate": 15,
+    "stream_url_frontier": 15,
+    "text_bpe_encode": 15,
+    "text_bytebpe_encode": 15,
+    "text_bytebpe_train": 15,
+    "text_lm_buckets": 15,
+    "text_lm_perplexity": 15,
+    "text_pack_manifest": 15,
+    "text_pack_sequences": 15,
 }
+
 
 
 

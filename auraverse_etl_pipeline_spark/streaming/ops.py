@@ -1491,13 +1491,21 @@ def retrain_sq_index(
     dimensions to code 0/255 and the compressed-domain shortlist goes
     blind in exactly the dimensions that moved.
 
-    Same layout/crash contract as the PQ pass: members (id, v, cell)
-    feed one ``sq_stats`` aggregate, codes (id, codes array<tinyint>)
-    partitioned by cell are rewritten FIRST behind the checkpoint cut,
-    the 1-row ``{index_path}/sq_stats`` table last; the pass is
-    deterministic (min/max select existing values — no arithmetic),
-    idempotent, and a crash window heals on re-run. Returns the number
-    of ids whose code array changed."""
+    Same layout/crash ORDER as the PQ pass — codes (id, codes
+    array<tinyint>) partitioned by cell rewritten FIRST behind the
+    checkpoint cut, the 1-row ``{index_path}/sq_stats`` table last —
+    but the window is semantically WORSE than PQ's (advice r15): PQ's
+    new codes under old codebooks are stale-but-valid geometry (every
+    code still names a real centroid), while new SQ codes decoded
+    against the old vmin/vmax reconstruct systematically WRONG values
+    — the old affine range no longer describes the new codes, so a
+    reader inside the window sees skewed decodes, not merely stale
+    ones. The window is one 1-row write wide, the pass is
+    deterministic (min/max select existing values — no arithmetic)
+    and idempotent, so a crash heals on re-run; operators who need
+    PQ-grade in-window degradation should point readers at a staged
+    copy and swap directories instead of re-fitting in place. Returns
+    the number of ids whose code array changed."""
     from auraverse_etl_pipeline_spark.operators.similarity import (
         sq_encode,
         sq_stats,
@@ -1599,29 +1607,21 @@ def compressed_index_tick(
                         retired.append(table)
             # the encode log is per-id too: erase the retired ids'
             # qerr rows (the log_retire posture — an erased identity
-            # must not keep indicting the codebooks either). Probe
-            # first so the summary reports the surface only when rows
-            # actually went (log_retire itself also short-circuits an
-            # untouched log — no full rewrite per tick under a
-            # standing tombstone table)
-            enc = _read(f"{index_path}/encode_log")
-            if enc is not None:
+            # must not keep indicting the codebooks either).
+            # log_retire probes internally and returns None on the
+            # untouched-log short-circuit, so one semi-join serves
+            # both the rewrite decision and the summary row (advice
+            # r15: the old outer probe duplicated the identical
+            # limit(1) scan every tick under a standing tombstone)
+            if _read(f"{index_path}/encode_log") is not None:
                 from auraverse_etl_pipeline_spark.operators.retire import (
                     log_retire,
                 )
 
-                hit = (
-                    enc.join(
-                        F.broadcast(tomb.select("id").distinct()),
-                        "id",
-                        "left_semi",
-                    )
-                    .limit(1)
-                    .count()
-                    > 0
-                )
-                if hit:
+                if (
                     log_retire(spark, f"{index_path}/encode_log", tomb)
+                    is not None
+                ):
                     retired.append("encode_log")
 
     pq_retrained, pq_moved = False, 0

@@ -232,9 +232,11 @@ def test_log_retire_inplace_swap_and_reliable(spark, tmp_path):
         assert glob.glob(f"{ckpt}/*/rdd-*"), "no reliable checkpoint written"
     finally:
         sc._jsc.sc().setCheckpointDir(None)
-    # idempotent: retiring again is a clean no-op rewrite
-    out3 = log_retire(spark, path, _tomb(spark, [2, 5]))
-    assert {r.id for r in out3.collect()} == {1, 3, 4, 6}
+    # idempotent: retiring again short-circuits (ids already gone →
+    # None = "nothing rewrote", the r16 signal contract) and the disk
+    # survivor set is unchanged
+    assert log_retire(spark, path, _tomb(spark, [2, 5])) is None
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1, 3, 4, 6}
 
 
 def test_quantizer_drift_audit_planted_drift(spark):
@@ -1437,7 +1439,8 @@ def test_log_retire_short_circuits_untouched_log(spark, tmp_path):
         for f in glob.glob(f"{path}/*.parquet")
     )
     out = log_retire(spark, path, _tomb(spark, [999, 1000]))
-    assert out.count() == 10
+    assert out is None  # the "nothing rewrote" signal (advice r15)
+    assert spark.read.parquet(path).count() == 10
     after = sorted(
         (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
         for f in glob.glob(f"{path}/*.parquet")
