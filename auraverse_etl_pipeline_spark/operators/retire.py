@@ -300,3 +300,74 @@ def log_retire(
         kept = _checkpoint(kept, spark, reliable)
     kept.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def retire_ids_everywhere(
+    spark: SparkSession,
+    tombstones: DataFrame,
+    index_paths: "tuple[str, ...] | list[str]" = (),
+    bm25_paths: "tuple[str, ...] | list[str]" = (),
+    log_paths: "tuple[tuple[str, str], ...] | list[tuple[str, str]]" = (),
+    reliable: bool | None = None,
+) -> dict[str, list[str]]:
+    """One take-down request, ONE command: sweep a single durable
+    tombstone table across EVERY persisted loop surface the engine
+    writes — the composition the per-surface functions advertise but
+    previously left to the caller. A real erasure request hits all of
+    them at once: the IVF members plus its PQ/SQ code tables and the
+    encode log (``index_paths`` roots, the ``compressed_index_tick``
+    retire stage), each BM25 triple (``bm25_paths``, in-place behind
+    the checkpoint cut), and every flat id-keyed log — decision logs,
+    the MinHash signature index, the URL frontier — as ``(path,
+    id_col)`` pairs in ``log_paths``.
+
+    The tombstone table carries ONE COLUMN PER IDENTITY DOMAIN the
+    surfaces key on (e.g. ``id`` for vector/doc surfaces,
+    ``canon_url`` for the frontier): each log's ``id_col`` names which
+    column indicts its rows, so one request maps to one row per
+    erased identity, not one table per surface.
+
+    Per-surface semantics are exactly the underlying functions' —
+    touched-partitions-only for cell-partitioned members/code tables,
+    algebraic fold-out for BM25, probe-then-overwrite (or the
+    short-circuit) for logs — so the sweep inherits their idempotence
+    and crash posture: a crash mid-sweep leaves some surfaces clean,
+    and the re-run touches only what still holds a retired id.
+    Surfaces absent on disk are skipped (missing table = empty set —
+    the try wraps ONLY the bare read, the r15 guard rule).
+
+    Returns ``{root_or_path: [surfaces that actually rewrote]}`` —
+    an empty list means the request was already clean there."""
+    summary: dict[str, list[str]] = {}
+    for root in index_paths:
+        touched: list[str] = []
+        for table in ("assignments", "members", "pq_codes", "sq_codes"):
+            try:
+                spark.read.parquet(f"{root}/{table}")
+            except Exception:
+                continue
+            if ivf_retire(
+                spark, root, tombstones, members_table=table, reliable=reliable
+            ):
+                touched.append(table)
+        try:
+            spark.read.parquet(f"{root}/encode_log")
+            has_log = True
+        except Exception:
+            has_log = False
+        if has_log and (
+            log_retire(spark, f"{root}/encode_log", tombstones, reliable=reliable)
+            is not None
+        ):
+            touched.append("encode_log")
+        summary[root] = touched
+    for root in bm25_paths:
+        bm25_retire_path(spark, root, tombstones, reliable=reliable)
+        summary[root] = ["postings", "dfs", "stats"]
+    for path, id_col in log_paths:
+        rewrote = (
+            log_retire(spark, path, tombstones, id_col=id_col, reliable=reliable)
+            is not None
+        )
+        summary[path] = ["log"] if rewrote else []
+    return summary

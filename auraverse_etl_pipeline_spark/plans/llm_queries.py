@@ -810,7 +810,11 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
       — exactly the rows the gates append at scoring time;
     - ``"retrain"`` — ``retrain/{centroids,members}``: the gate-index
       layout over ALL embeddings (members keep ``v``), the surface
-      ``retrain_gate_index`` re-fits.
+      ``retrain_gate_index`` re-fits;
+    - ``"pq"`` — ``pq/encode_log``: every vector's (id, qerr,
+      batch_id) against day-1 sample PQ codebooks (trained on the
+      ``vec_id >= 10`` corpus) — exactly the rows ``pq_encode`` logs
+      at encode time and ``pq_drift_audit`` trends.
     """
     import shutil
 
@@ -880,6 +884,21 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             # — byte-copy the already-written file
             shutil.rmtree(f"{root}/retrain/centroids", ignore_errors=True)
             shutil.copytree(f"{root}/ivf/centroids", f"{root}/retrain/centroids")
+        elif group == "pq":
+            from auraverse_etl_pipeline_spark.operators.similarity import (
+                pq_codebooks,
+                pq_quantization_error,
+            )
+
+            cb = pq_codebooks(
+                emb.filter(F.col("vec_id") >= 10),
+                m=_PQ_M,
+                ksub=_PQ_KSUB,
+                dim=64,
+            )
+            pq_quantization_error(emb, cb, m=_PQ_M, dim=64).withColumn(
+                "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
+            ).write.mode("overwrite").parquet(f"{root}/pq/encode_log")
         else:  # pragma: no cover - registry-internal contract
             raise ValueError(f"unknown fixture group: {group}")
         _IVF_FIXTURE_STAGED.add((sf_dir, group))
@@ -1409,6 +1428,109 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, cb, corpus, k=5, shortlist=_PQ_SHORTLIST
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+#: PQ drift-trigger geometry: day-1 codebooks fit the training batch
+#: best, so later arrival batches carry visibly higher reconstruction
+#: error (measured ~0.083 -> ~0.234 at sf0.01) — 0.1 puts the flag on
+#: the real signal, not on noise.
+_PQ_DRIFT_TAU = 0.1
+
+
+def _pq_drift_oracle() -> str:
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        _DRIFT_FIXED_POINT,
+    )
+
+    fx = repr(_DRIFT_FIXED_POINT)
+    avg_f = f"CAST(s_first AS DOUBLE) / CAST(n_first AS DOUBLE) / {fx}"
+    avg_l = f"CAST(s_last AS DOUBLE) / CAST(n_last AS DOUBLE) / {fx}"
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    sr AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS sub),
+    cb AS (
+        SELECT sr.sub, b.code,
+               b.v[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS centroid
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS code, v
+              FROM (SELECT id, v FROM c ORDER BY id LIMIT {_PQ_KSUB})) b
+        CROSS JOIN sr
+    ),
+    alls AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    subs AS (
+        SELECT id, sr.sub,
+               v[sr.sub*{_PQ_DSUB}+1 : sr.sub*{_PQ_DSUB}+{_PQ_DSUB}] AS subv
+        FROM alls CROSS JOIN sr
+    ),
+    mind AS (
+        SELECT id, sub, MIN({_l2sq_sql("subv", "centroid")}) AS d
+        FROM subs JOIN cb USING (sub) GROUP BY id, sub
+    ),
+    qe AS (
+        SELECT id, list_sum(list(d ORDER BY sub)) AS qerr
+        FROM mind GROUP BY id
+    ),
+    pb AS (
+        SELECT CAST(id // {_DRIFT_BATCH} AS BIGINT) AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(floor(qerr * {fx}) AS BIGINT) AS DECIMAL(38,0))) AS s
+        FROM qe GROUP BY 1
+    ),
+    pc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+               MIN(batch_id) AS first_batch, MAX(batch_id) AS last_batch,
+               arg_min(n, batch_id) AS n_first, arg_max(n, batch_id) AS n_last,
+               arg_min(s, batch_id) AS s_first, arg_max(s, batch_id) AS s_last
+        FROM pb
+    ),
+    calc AS (
+        SELECT n_batches, first_batch, last_batch, n_first, n_last,
+               {avg_f} AS avg_err_first, {avg_l} AS avg_err_last
+        FROM pc
+    )
+    SELECT n_batches, first_batch, last_batch, n_first, n_last,
+           avg_err_first, avg_err_last,
+           avg_err_last - avg_err_first AS drift,
+           avg_err_last - avg_err_first > {_PQ_DRIFT_TAU!r} AS retrain
+    FROM calc
+    """
+
+
+@query(
+    "sim_pq_drift_audit",
+    oracle=_pq_drift_oracle(),
+    description="codebook-fit trend over the PQ encode log - the "
+    "compressed-family member of the drift-trigger family "
+    "(coarse: centroid_cos decay per cell; PQ: reconstruction-error "
+    "rise, corpus-wide) and the signal that fires retrain_pq_index "
+    "inside compressed_index_tick. The staged log is every vector's "
+    "qerr against FROZEN day-1 sample codebooks, batched by arrival "
+    "order - the day-1 training batch fits best, so later batches "
+    "carry genuinely higher error and the retrain flag fires on real "
+    "distributional structure. Engine-exactness chain: per-(id,sub) "
+    "L2^2 is the ordered fold (bit-identical across engines), qerr "
+    "is a sub-order sequential fold (DuckDB list_sum replays it - "
+    "probed 0/3000; DECIMAL partials are banned here because "
+    "floor(qerr*2^40) downstream turns a half-tie rounding "
+    "divergence into a full fixed-point unit), per-batch means are "
+    "floor-fixed-point DECIMAL(38,0) sums (qerr is unbounded - a "
+    "BIGINT sum could wrap on unnormalized vectors), endpoints via "
+    "min_by/max_by - never a window sort over the log. Registered "
+    "r16 from the r15 staging note; the trigger->retrain->cleared "
+    "loop is pinned in tests/test_retire.py",
+)
+def sim_pq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auraverse_etl_pipeline_spark.operators.similarity import pq_drift_audit
+
+    # the encode-log surface pq_encode writes next to the codes —
+    # staged once per session (this query only READS it, so no copy)
+    fixture = _staged_ivf_fixture(spark, sf_dir, "pq")
+    log = spark.read.parquet(f"{fixture}/pq/encode_log")
+    return pq_drift_audit(log, drift_threshold=_PQ_DRIFT_TAU)
 
 
 #: Lloyd-trained PQ geometry for the oracle-gated tier (smaller ksub

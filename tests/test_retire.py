@@ -1478,3 +1478,198 @@ def test_compressed_index_tick_unstamped_encode_log_degrades(spark, tmp_path):
     pq_quantization_error(corpus, books, m=2).write.parquet(f"{root}/encode_log")
     out = compressed_index_tick(spark, root, m=2, ksub=4, max_iter=2)
     assert out["pq_retrained"] is False and out["retired"] == []
+
+
+def test_ivfpq_adc_recall_decays_and_retrain_restores(spark, tmp_path):
+    """The SEARCH-side twin of pq_drift_audit: what a user actually
+    observes under codebook drift is ADC shortlist recall decay
+    against the exact top-k, and retrain_pq_index restoring it. Stale
+    day-1 codebooks over a drifted corpus land every subvector far
+    from its best centroid, ADC distances flatten, and the shortlist
+    goes near-random; the deterministic re-fit brings recall back.
+    Same harness shape as sim_ann_recall_audit, pointed at
+    ivfpq_search over the persisted compressed surface (nprobe=nlist
+    so the coarse stage is exhaustive and the PQ effect is isolated)."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import retrain_pq_index
+
+    rng = random.Random(1601)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    drifted = [
+        (100 + i, [rng.uniform(-1.0, -0.1) for _ in range(8)]) for i in range(48)
+    ]
+    queries = [
+        (500 + i, [rng.uniform(-1.0, -0.1) for _ in range(8)]) for i in range(6)
+    ]
+    a = spark.createDataFrame(day1, "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame(drifted, "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame(queries, "vec_id bigint, embedding array<double>")
+
+    books_a = pq_codebooks(a, m=4, ksub=16, quantizer="lloyd", max_iter=4)
+    root = str(tmp_path / "ivfpq_recall")
+    ivf_index(b, nlist=2, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books_a.write.parquet(f"{root}/codebooks")
+    pq_encode(b, books_a, m=4).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+
+    # exact L2^2 top-5 ground truth (python-side, 6 x 48)
+    def l2(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += (x - y) * (x - y)
+        return acc
+
+    exact = {
+        qid: {i for _, i in sorted((l2(qv, v), i) for i, v in drifted)[:5]}
+        for qid, qv in queries
+    }
+
+    def adc_recall():
+        loaded = IvfIndex.load(spark, root)
+        codes = spark.read.parquet(f"{root}/pq_codes").select("id", "sub", "code")
+        books = spark.read.parquet(f"{root}/codebooks")
+        hits = ivfpq_search(
+            q, loaded, codes, books, corpus=None, k=5, nprobe=2
+        ).collect()
+        got: dict = {}
+        for r in hits:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[k] & exact[k]) for k in exact) / (5 * len(exact))
+
+    stale = adc_recall()
+    assert retrain_pq_index(spark, root, m=4, ksub=16, max_iter=4) > 0
+    restored = adc_recall()
+    # measured at this seed: 0.233 stale -> 0.900 retrained
+    assert stale < 0.4, f"stale recall unexpectedly healthy: {stale}"
+    assert restored >= 0.8, f"retrain did not restore recall: {restored}"
+    assert restored > stale
+
+
+def test_retire_ids_everywhere_one_request_all_surfaces(spark, tmp_path):
+    """One erasure request, ONE command, every persisted loop surface
+    clean after: retire_ids_everywhere sweeps a single tombstone table
+    across the IVF members, both compressed code tables, the encode
+    log, the BM25 triple, the decisions log, the MinHash signature
+    index and the URL frontier — and a second sweep with the same
+    standing tombstones short-circuits everywhere it can."""
+    from auraverse_etl_pipeline_spark.operators.dedup import minhash_index
+    from auraverse_etl_pipeline_spark.operators.retire import (
+        retire_ids_everywhere,
+    )
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_index,
+    )
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        pq_quantization_error,
+        sq_encode,
+        sq_stats,
+    )
+
+    # shared id domain (the index_retire_ids posture): vectors 10..25,
+    # docs 11/12/14 carry the same ids as their vectors
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(10, 26)],
+        "vec_id bigint, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),
+            (12, "erase this document entirely from every index"),
+            (14, "an unrelated document about spark physical plans"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    root = str(tmp_path / "ivf")
+    ivf_index(emb, nlist=2, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books = pq_codebooks(emb, m=2, ksub=2)
+    pq_encode(emb, books, m=2).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/pq_codes")
+    sq_encode(emb, sq_stats(emb)).join(cells, "id").repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(f"{root}/sq_codes")
+    pq_quantization_error(emb, books, m=2).withColumn(
+        "batch_id", F.expr("id DIV 8")
+    ).write.parquet(f"{root}/encode_log")
+
+    bm25_root = str(tmp_path / "bm25")
+    bm25_index(docs).save(bm25_root)
+    dec_path = str(tmp_path / "decisions")
+    spark.createDataFrame(
+        [(i, 1, i % 2 == 0) for i in range(10, 26)],
+        "id bigint, batch_id bigint, kept boolean",
+    ).write.parquet(dec_path)
+    mh_path = str(tmp_path / "minhash_idx")
+    minhash_index(docs).write.parquet(mh_path)
+    fr_path = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        [("https://a.example/x", 11), ("https://b.example/y", 12)],
+        "canon_url string, first_doc_id bigint",
+    ).write.parquet(fr_path)
+
+    # the request: ids 12 and 13, their doc identity, their URL — one
+    # column per identity domain, one durable table
+    tomb = spark.createDataFrame(
+        [(12, 12, "https://b.example/y"), (13, 13, None)],
+        "id bigint, doc_id bigint, canon_url string",
+    )
+    summary = retire_ids_everywhere(
+        spark,
+        tomb,
+        index_paths=[root],
+        bm25_paths=[bm25_root],
+        log_paths=[(dec_path, "id"), (mh_path, "doc_id"), (fr_path, "canon_url")],
+    )
+    assert set(summary[root]) == {"assignments", "pq_codes", "sq_codes", "encode_log"}
+    assert summary[dec_path] == ["log"]
+    assert summary[mh_path] == ["log"]
+    assert summary[fr_path] == ["log"]
+
+    gone = {12, 13}
+    for table in ("assignments", "pq_codes", "sq_codes", "encode_log"):
+        left = {r.id for r in spark.read.parquet(f"{root}/{table}").select("id").collect()}
+        assert left == set(range(10, 26)) - gone, table
+    # BM25: indistinguishable from a rebuild over the survivors
+    after = Bm25Index.load(spark, bm25_root)
+    want = bm25_index(docs.filter("doc_id != 12"))
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select(*sorted(df.columns)).collect())
+    )
+    assert key(after.postings) == key(want.postings)
+    assert key(after.dfs) == key(want.dfs)
+    assert key(after.stats) == key(want.stats)
+    assert {r.id for r in spark.read.parquet(dec_path).collect()} == (
+        set(range(10, 26)) - gone
+    )
+    assert {r.doc_id for r in spark.read.parquet(mh_path).collect()} == {11, 14}
+    assert {r.canon_url for r in spark.read.parquet(fr_path).collect()} == {
+        "https://a.example/x"
+    }
+
+    # second sweep under the standing tombstones: every id-probed
+    # surface short-circuits (bm25 is a full rewrite by design and
+    # reports unconditionally)
+    summary2 = retire_ids_everywhere(
+        spark,
+        tomb,
+        index_paths=[root],
+        log_paths=[(dec_path, "id"), (mh_path, "doc_id"), (fr_path, "canon_url")],
+    )
+    assert summary2[root] == []
+    assert summary2[dec_path] == summary2[mh_path] == summary2[fr_path] == []
