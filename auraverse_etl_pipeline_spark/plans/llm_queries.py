@@ -799,9 +799,13 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     eager all-at-once variant shifted the drift/retrain staging into
     whichever query ran first — measured in the r15 sweep). Groups:
 
-    - ``"ivf"`` (implicit base) — ``IvfIndex.save`` of the
-      sample-quantizer corpus index (centroids + cell-partitioned
-      assignments);
+    - ``"ivf"`` — ``IvfIndex.save`` of the sample-quantizer corpus
+      index (centroids + cell-partitioned assignments). LAZY like
+      every other group since r16 (staged implicitly only for the
+      groups that read it, ``drift_log``/``retrain`` — the PQ-family
+      groups never touch it, and the implicit-base variant charged
+      its staging to whichever PQ query ran first, the exact
+      cost-attribution trap the r15 eager fixture had);
     - ``"bm25"`` — ``Bm25Index.save`` of the documents triple;
     - ``"decisions"`` — a one-scoring decisions log (id, batch_id,
       kept);
@@ -814,7 +818,15 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     - ``"pq"`` — ``pq/encode_log``: every vector's (id, qerr,
       batch_id) against day-1 sample PQ codebooks (trained on the
       ``vec_id >= 10`` corpus) — exactly the rows ``pq_encode`` logs
-      at encode time and ``pq_drift_audit`` trends.
+      at encode time and ``pq_drift_audit`` trends;
+    - ``"compressed"`` — the full day-1 IVF-PQ/SQ layout
+      ``compressed_index_tick`` maintains, deliberately DRIFTED:
+      ``assignments`` over ALL embeddings (members keep ``v`` — the
+      retrain source of truth), stale sample ``codebooks``/
+      ``pq_codes``/``encode_log`` (day-1 ``vec_id >= 10`` training,
+      so the log's qerr trend genuinely rises), stale ``sq_stats``/
+      ``sq_codes`` (day-1 ranges — saturation stays far under the
+      clamp threshold, so the SQ pass self-quenches).
     """
     import shutil
 
@@ -831,7 +843,10 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if (sf_dir, "ivf") not in _IVF_FIXTURE_STAGED:
+
+    def _ensure_ivf() -> None:
+        if (sf_dir, "ivf") in _IVF_FIXTURE_STAGED:
+            return
         ivf_index(
             emb.filter(F.col("vec_id") >= 10),
             nlist=_IVF_NLIST,
@@ -842,6 +857,7 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
         _IVF_FIXTURE_STAGED.add((sf_dir, "ivf"))
 
     def _arrivals() -> DataFrame:
+        _ensure_ivf()
         cent = spark.read.parquet(f"{root}/ivf/centroids")
         return ivf_assign(emb, cent, clamp=True).withColumn(
             "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
@@ -850,7 +866,9 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     for group in groups:
         if (sf_dir, group) in _IVF_FIXTURE_STAGED:
             continue
-        if group == "bm25":
+        if group == "ivf":
+            _ensure_ivf()
+        elif group == "bm25":
             from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
 
             # cache the shared (id, term, tf) table for the save: the
@@ -899,6 +917,42 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             pq_quantization_error(emb, cb, m=_PQ_M, dim=64).withColumn(
                 "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
             ).write.mode("overwrite").parquet(f"{root}/pq/encode_log")
+        elif group == "compressed":
+            from auraverse_etl_pipeline_spark.operators.similarity import (
+                pq_codebooks,
+                pq_encode,
+                pq_quantization_error,
+                sq_encode,
+                sq_stats,
+            )
+
+            croot = f"{root}/compressed"
+            ivf_index(emb, nlist=_IVF_NLIST, quantizer="sample").save(croot)
+            cells = spark.read.parquet(f"{croot}/assignments").select(
+                "id", "cell"
+            )
+            cb = pq_codebooks(
+                emb.filter(F.col("vec_id") >= 10),
+                m=_PQ_M,
+                ksub=_PQ_KSUB,
+                dim=64,
+            )
+            cb.write.mode("overwrite").parquet(f"{croot}/codebooks")
+            pq_encode(emb, cb, m=_PQ_M, dim=64).join(cells, "id").repartition(
+                "cell"
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                f"{croot}/pq_codes"
+            )
+            st = sq_stats(emb.filter(F.col("vec_id") >= 10))
+            st.write.mode("overwrite").parquet(f"{croot}/sq_stats")
+            sq_encode(emb, st, dim=64).join(cells, "id").repartition(
+                "cell"
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                f"{croot}/sq_codes"
+            )
+            pq_quantization_error(emb, cb, m=_PQ_M, dim=64).withColumn(
+                "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
+            ).write.mode("overwrite").parquet(f"{croot}/encode_log")
         else:  # pragma: no cover - registry-internal contract
             raise ValueError(f"unknown fixture group: {group}")
         _IVF_FIXTURE_STAGED.add((sf_dir, group))
@@ -1000,7 +1054,7 @@ def index_retire_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite, in-place erase), so those are byte-copied into this
     # query's own scratch root; bm25 stays shared (dst_path retire
     # never opens the source for write)
-    fixture = _staged_ivf_fixture(spark, sf_dir, "bm25", "decisions")
+    fixture = _staged_ivf_fixture(spark, sf_dir, "ivf", "bm25", "decisions")
     root = scratch_dir(prefix="retire_")
     shutil.copytree(f"{fixture}/ivf", f"{root}/ivf")
     shutil.copytree(f"{fixture}/decisions", f"{root}/decisions")
@@ -1540,29 +1594,30 @@ _PQL_KSUB = 16
 _PQL_ITERS = 2
 
 
-def _pq_lloyd_oracle() -> str:
-    """DuckDB replica of pq_codebooks(quantizer='lloyd'): per-subspace
-    sample init, then unrolled rounds of ordered-fold L2 argmin
-    assignment (ties to the lowest code) + per-(sub, code) fixed-point
-    means (emptied codes keep their centroid), then the final encode's
-    code populations. ALL subspaces run through the same CTEs — the
-    grouped shape the Spark operator uses, not per-subspace chains."""
+def _pq_lloyd_cte_chain(corpus: str, ksub: int, iters: int) -> tuple[str, str]:
+    """CTE fragment (leading comma) replaying
+    ``pq_codebooks(quantizer='lloyd')`` over an already-defined CTE
+    ``{corpus}(id, v)``: per-subspace sample init, then unrolled
+    rounds of ordered-fold L2 argmin assignment (ties to the lowest
+    code) + per-(sub, code) fixed-point means (emptied codes keep
+    their centroid). Defines ``sr``/``subs``/``k0..k{iters}``/...;
+    returns ``(fragment, final_codebook_cte)``. ALL subspaces run
+    through the same CTEs — the grouped shape the Spark operator
+    uses, not per-subspace chains. Shared by ``sim_pq_lloyd`` (the
+    day-1 train) and ``sim_compressed_tick`` (the retrain-over-
+    survivors replay)."""
     from auraverse_etl_pipeline_spark.operators.similarity import (
         _LLOYD_FIXED_POINT as fx,
     )
 
     d = _PQ_DSUB
     parts = [
-        f"""
-    WITH c AS MATERIALIZED (
-        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 10
-    ),
+        f""",
     sr AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS sub),
     subs AS MATERIALIZED (
         SELECT id, sr.sub,
                v[sr.sub*{d}+1 : sr.sub*{d}+{d}] AS subv
-        FROM c CROSS JOIN sr
+        FROM {corpus} CROSS JOIN sr
     ),
     k0 AS MATERIALIZED (
         SELECT sub, code, centroid FROM (
@@ -1571,11 +1626,11 @@ def _pq_lloyd_oracle() -> str:
                         AS INTEGER) AS code,
                    subv AS centroid
             FROM subs
-        ) WHERE code < {_PQL_KSUB}
+        ) WHERE code < {ksub}
     )"""
     ]
     prev = "k0"
-    for it in range(1, _PQL_ITERS + 1):
+    for it in range(1, iters + 1):
         parts.append(
             f""",
     p{it} AS MATERIALIZED (
@@ -1603,8 +1658,23 @@ def _pq_lloyd_oracle() -> str:
     )"""
         )
         prev = f"k{it}"
-    parts.append(
-        f""",
+    return "".join(parts), prev
+
+
+def _pq_lloyd_oracle() -> str:
+    """DuckDB replica of pq_codebooks(quantizer='lloyd') over the
+    corpus split, then the final encode's code populations — the
+    training chain itself lives in :func:`_pq_lloyd_cte_chain`."""
+    d = _PQ_DSUB
+    chain, prev = _pq_lloyd_cte_chain("c", _PQL_KSUB, _PQL_ITERS)
+    return (
+        """
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    )"""
+        + chain
+        + f""",
     pf AS (
         SELECT id, sub, code FROM (
             SELECT subs.id, subs.sub, kb.code,
@@ -1625,7 +1695,6 @@ def _pq_lloyd_oracle() -> str:
     LEFT JOIN pop ON pop.sub = kb.sub AND pop.code = kb.code
     """
     )
-    return "".join(parts)
 
 
 @query(
@@ -1668,6 +1737,145 @@ def sim_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
         )
+    )
+
+
+def _compressed_tick_oracle() -> str:
+    """From-scratch deterministic rebuild of everything
+    ``compressed_index_tick`` leaves on disk for the staged drifted
+    surface: survivors of the retire (the tick's first stage), the
+    Lloyd-PQ re-fit + re-encode over exactly those survivors (the PQ
+    drift audit FIRES on the staged log — verified ~0.15 > 0.1 at
+    both test SFs, with or without the retired rows), and the STALE
+    SQ codes (the clamp audit reads ~0.004 saturation, far under
+    0.25, so the SQ pass self-quenches and the surviving codes are
+    the day-1 encode minus the retired ids). The retrained/quenched
+    flags are part of the scored schema, so a trigger flipping at
+    some SF would mismatch loudly, not silently."""
+    chain, prev = _pq_lloyd_cte_chain("surv", _PQL_KSUB, _PQL_ITERS)
+    return (
+        f"""
+    WITH surv AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % {_RETIRE_MOD} != {_RETIRE_REM}
+    )"""
+        + chain
+        + f""",
+    pf AS (
+        SELECT id, sub, code FROM (
+            SELECT subs.id, subs.sub, kb.code,
+                   ROW_NUMBER() OVER (PARTITION BY subs.id, subs.sub
+                       ORDER BY {_l2sq_sql("subv", "centroid")} ASC, kb.code)
+                     AS rn
+            FROM subs JOIN {prev} kb USING (sub)
+        ) WHERE rn = 1
+    ),
+    pqs AS (
+        SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS pq_sig
+        FROM pf GROUP BY id
+    ),
+    c0 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS dj),
+    per AS MATERIALIZED (
+        SELECT dj, MIN(v[dj]) AS vmin, MAX(v[dj]) AS vmax
+        FROM c0 CROSS JOIN dims GROUP BY dj
+    ),
+    sqs AS (
+        SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dj) AS sq_sig
+        FROM (
+            SELECT surv.id, p.dj,
+                   CASE WHEN p.vmax = p.vmin THEN 0
+                        ELSE least(255, greatest(0,
+                             CAST(floor((surv.v[p.dj] - p.vmin) * 255.0
+                                        / (p.vmax - p.vmin)) AS BIGINT)))
+                   END - 128 AS code
+            FROM surv CROSS JOIN per p
+        ) GROUP BY id
+    )
+    SELECT pqs.id, pqs.pq_sig, sqs.sq_sig,
+           TRUE AS pq_retrained, FALSE AS sq_retrained
+    FROM pqs JOIN sqs USING (id)
+    """
+    )
+
+
+@query(
+    "sim_compressed_tick",
+    oracle=_compressed_tick_oracle(),
+    description="the compressed-family maintenance TICK end to end, "
+    "oracle-gated against disk - the composition the r15 tier built "
+    "(registered r16 from the staged ledger note): one cron-able "
+    "call retires a durable tombstone list from every surface of a "
+    "staged DRIFTED day-1 IVF-PQ/SQ layout (members + both code "
+    "tables + the encode log, touched-partitions-only), reads the "
+    "retired log's genuinely-risen qerr trend, fires the "
+    "qerr-watermarked Lloyd-PQ re-fit over the SURVIVING members "
+    "(codes-first/model-last), and self-quenches the SQ pass on a "
+    "healthy ~0.4% saturation level. The scored artifact is the "
+    "post-tick disk state - every survivor's full PQ code word and "
+    "SQ byte array as order-pinned signatures plus both trigger "
+    "flags - and DuckDB replays the retire arithmetic, the sample-"
+    "init/fixed-point-mean Lloyd rounds, the re-encode, and the "
+    "stale SQ encode digit-for-digit. The crash/idempotence pins "
+    "live in tests/test_retire.py",
+)
+def sim_compressed_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_tick
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the tick mutates every surface (retire's dynamic overwrite, the
+    # re-fit's full rewrite) — byte-copy the staged day-1 layout into
+    # this query's own scratch root (the sim_retrain_audit discipline)
+    fixture = _staged_ivf_fixture(spark, sf_dir, "compressed")
+    root = scratch_dir(prefix="ctick_")
+    shutil.copytree(f"{fixture}/compressed", root, dirs_exist_ok=True)
+    # caller-owned DURABLE tombstone list (never derived from the
+    # surface being retired — the r14 FAILED_READ_FILE lesson)
+    tomb_path = f"{root}/_tombstones"
+    emb.select(F.col("vec_id").alias("id")).filter(
+        F.col("id") % _RETIRE_MOD == _RETIRE_REM
+    ).write.parquet(tomb_path)
+    summary = compressed_index_tick(
+        spark,
+        root,
+        tombstones_path=tomb_path,
+        m=_PQ_M,
+        ksub=_PQL_KSUB,
+        max_iter=_PQL_ITERS,
+        dim=64,
+        qerr_threshold=_PQ_DRIFT_TAU,
+    )
+    # score what is ON DISK after the tick, not the summary dict
+    pq_sig = (
+        spark.read.parquet(f"{root}/pq_codes")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select(
+            "id",
+            F.concat_ws(
+                ",", F.transform("_sc", lambda x: x["code"].cast("string"))
+            ).alias("pq_sig"),
+        )
+    )
+    sq_sig = spark.read.parquet(f"{root}/sq_codes").select(
+        "id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("sq_sig"),
+    )
+    return pq_sig.join(sq_sig, "id").select(
+        F.col("id").cast("bigint").alias("id"),
+        "pq_sig",
+        "sq_sig",
+        F.lit(bool(summary["pq_retrained"])).alias("pq_retrained"),
+        F.lit(bool(summary["sq_retrained"])).alias("sq_retrained"),
     )
 
 

@@ -91,6 +91,8 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # tier's r14->r15 precedent).
     "sim_pq_drift_audit",  # NEW: pq_quantization_error + pq_drift_audit
     # over a staged encode log, fixed-point DECIMAL(38,0) DuckDB oracle
+    "sim_compressed_tick",  # NEW: the full compressed-family tick against
+    # disk (retire -> fired PQ re-fit -> quenched SQ), rebuild oracle
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
