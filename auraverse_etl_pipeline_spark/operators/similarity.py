@@ -1580,6 +1580,52 @@ def pq_encode(
     return scored.groupBy("id", "sub").agg(best.alias("code"))
 
 
+def pq_encode_with_error(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """The encode-time logging posture :func:`pq_encode` and
+    :func:`pq_quantization_error` both advertise, in ONE scored-subs
+    pass: returns ``(codes, log, cache_handle)`` where ``codes`` is
+    byte-for-byte :func:`pq_encode`'s ``(id, sub, code)`` (same argmin
+    / ties-to-lowest-code rule, spelled identically) and ``log`` is
+    byte-for-byte :func:`pq_quantization_error`'s ``(id, qerr)`` (same
+    ordered sub-order fold over the same per-(id, sub) minima).
+    Calling the two operators separately scores every (subvector,
+    centroid) pair TWICE — at corpus scale that is the dominant cost
+    of standing up a day-1 index (measured: the r16 ``compressed``
+    staging group halved). The shared per-(id, sub) minima table is
+    cached (m fixed-width rows per vector — tiny next to the scoring
+    it saves) because two actions consume it; the caller MUST
+    ``cache_handle.unpersist()`` once both outputs are materialized
+    (the ``bm25_index`` convention)."""
+    scored = _pq_scored_subs(df, codebooks, m, dim, id_col, vec_col)
+    best = scored.groupBy("id", "sub").agg(
+        F.max_by(
+            "code",
+            F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc")),
+        ).alias("code"),
+        F.min("d").alias("d"),
+    )
+    best = best.persist()
+    codes = best.select("id", "sub", "code")
+    log = (
+        best.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "d"))).alias("_sd"))
+        .select(
+            "id",
+            F.aggregate(
+                F.col("_sd"), F.lit(0.0), lambda acc, x: acc + x["d"]
+            ).alias("qerr"),
+        )
+    )
+    return codes, log, best
+
+
 def _pq_scored_subs(
     df: DataFrame,
     codebooks: DataFrame,

@@ -920,8 +920,7 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
         elif group == "compressed":
             from auraverse_etl_pipeline_spark.operators.similarity import (
                 pq_codebooks,
-                pq_encode,
-                pq_quantization_error,
+                pq_encode_with_error,
                 sq_encode,
                 sq_stats,
             )
@@ -938,11 +937,17 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
                 dim=64,
             )
             cb.write.mode("overwrite").parquet(f"{croot}/codebooks")
-            pq_encode(emb, cb, m=_PQ_M, dim=64).join(cells, "id").repartition(
-                "cell"
-            ).write.mode("overwrite").partitionBy("cell").parquet(
-                f"{croot}/pq_codes"
-            )
+            # codes + encode log from ONE scored-subs pass — the
+            # separate-operators spelling scored every (subvector,
+            # centroid) pair twice and dominated this group's staging
+            codes, log, handle = pq_encode_with_error(emb, cb, m=_PQ_M, dim=64)
+            codes.join(cells, "id").repartition("cell").write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(f"{croot}/pq_codes")
+            log.withColumn(
+                "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
+            ).write.mode("overwrite").parquet(f"{croot}/encode_log")
+            handle.unpersist()
             st = sq_stats(emb.filter(F.col("vec_id") >= 10))
             st.write.mode("overwrite").parquet(f"{croot}/sq_stats")
             sq_encode(emb, st, dim=64).join(cells, "id").repartition(
@@ -950,9 +955,6 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             ).write.mode("overwrite").partitionBy("cell").parquet(
                 f"{croot}/sq_codes"
             )
-            pq_quantization_error(emb, cb, m=_PQ_M, dim=64).withColumn(
-                "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
-            ).write.mode("overwrite").parquet(f"{croot}/encode_log")
         else:  # pragma: no cover - registry-internal contract
             raise ValueError(f"unknown fixture group: {group}")
         _IVF_FIXTURE_STAGED.add((sf_dir, group))

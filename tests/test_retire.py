@@ -1673,3 +1673,31 @@ def test_retire_ids_everywhere_one_request_all_surfaces(spark, tmp_path):
     )
     assert summary2[root] == []
     assert summary2[dec_path] == summary2[mh_path] == summary2[fr_path] == []
+
+
+def test_pq_encode_with_error_matches_separate_operators(spark):
+    """The one-pass encode+log spelling is byte-identical to the two
+    operators it fuses — codes to pq_encode (argmin, ties to lowest
+    code) and qerr to pq_quantization_error (ordered sub-order fold) —
+    so staging an index through it can never drift from what the
+    separate paths would commit."""
+    import random
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_with_error,
+        pq_quantization_error,
+    )
+
+    rng = random.Random(1602)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = pq_codebooks(df, m=2, ksub=4)
+    codes, log, handle = pq_encode_with_error(df, books, m=2)
+    try:
+        key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+        assert key(codes) == key(pq_encode(df, books, m=2))
+        assert key(log) == key(pq_quantization_error(df, books, m=2))
+    finally:
+        handle.unpersist()
