@@ -143,6 +143,21 @@ def main() -> None:
             quantizer="lloyd", max_iter=2,
         )
     )
+    # ... and the PQ encode/error class (r16): slice + broadcast
+    # codebook join + max_by-struct argmax + the collect_list/
+    # array_sort/ordered-fold qerr aggregate — a distinct codegen unit
+    # the compressed-family queries otherwise compile in their fronted
+    # rotation slots. Synthetic rows again, no benchmark plan.
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode_with_error,
+    )
+
+    wbooks = pq_codebooks(vtiny, m=2, ksub=2, dim=64)
+    wcodes, wlog, whandle = pq_encode_with_error(vtiny, wbooks, m=2, dim=64)
+    noop(wcodes)
+    noop(wlog)
+    whandle.unpersist()
     spark.catalog.clearCache()
 
     # ... and spin up the Arrow Python workers once (one per core):
