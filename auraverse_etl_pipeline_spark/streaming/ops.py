@@ -1682,6 +1682,343 @@ def compressed_index_tick(
     }
 
 
+def compressed_index_append(
+    spark,
+    index_path: str,
+    batch,
+    m: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+    members_table: str = "assignments",
+) -> dict:
+    """Day-2 INGEST for the persisted IVF-PQ/SQ layout — the append
+    the compressed family was missing: the coarse family appends
+    through :func:`~auraverse_etl_pipeline_spark.operators.similarity.
+    ivf_assign` + the gates, but nothing composed the persisted write
+    path for a compressed index (cells against yesterday's centroids,
+    PQ codes + the qerr encode-log row against yesterday's codebooks,
+    SQ codes against yesterday's stats — NO model refits ever, the
+    ``ivf_assign`` day-2 contract; drift accumulates in the encode
+    log until :func:`compressed_index_tick`'s audits fire).
+
+    Idempotence is PER SURFACE: every table anti-joins the batch
+    against its own existing ids before appending, so a crash at any
+    point heals on the verbatim re-run — each surface appends only
+    what it is still missing, and a replayed append is a no-op (the
+    retire tier's converge-on-rerun posture, run backwards). Write
+    order is code-tables-first / members-LAST, the mirror of the
+    retire tier's members-first: the search path reaches rows through
+    the members table, so inside the crash window a vector is either
+    fully searchable or not yet visible — never a member whose ADC
+    codes silently miss. Orphan code rows from a mid-window crash are
+    unreachable (harmless) until the re-run writes their member row;
+    :func:`compressed_index_fsck` counts them so the window is
+    observable.
+
+    Scale shape: the batch broadcasts into one semi-join probe per
+    surface (id-pruned column scans, the ``log_retire`` probe
+    discipline), assignment/encodes are the operators' own
+    map-side-combined aggregates, and every cell-partitioned append
+    is ``repartition("cell")``-clustered first (the open-writers
+    rule). ``encode_log`` rows are stamped ``batch_id`` (default:
+    max existing + 1) so the drift audit's trend and the retrain
+    watermark keep working across appends.
+
+    Returns ``{"appended", "pq_appended", "sq_appended",
+    "batch_id"}`` (counts of rows actually written per family)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        pq_encode_with_error,
+        sq_encode,
+    )
+
+    def _read(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    books = _read(f"{index_path}/codebooks")
+    sq_st = _read(f"{index_path}/sq_stats")
+
+    b = batch.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ids = F.broadcast(b.select("id").distinct())
+
+    def _missing_from(table_path):
+        existing = _read(table_path)
+        if existing is None:
+            return b
+        present = existing.join(ids, "id", "left_semi").select("id").distinct()
+        return b.join(F.broadcast(present), "id", "left_anti")
+
+    def _append_cells(df, table_path):
+        out = df.join(assigned.select("id", "cell"), "id")
+        out = out.localCheckpoint(eager=True)  # the read-then-append cut
+        n = out.count()
+        if n:
+            out.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(table_path)
+        return n
+
+    assigned = ivf_assign(b, cent, id_col="id", vec_col="v", clamp=True, dim=dim)
+    assigned = assigned.localCheckpoint(eager=True)  # one assignment pass
+
+    pq_appended = 0
+    if books is not None:
+        # codes and the encode log are SEPARATE surfaces with separate
+        # missing sets (a crash between the two appends must heal the
+        # log on re-run even though the codes are already present) —
+        # but one shared scoring pass over their union
+        new_pq = _missing_from(f"{index_path}/pq_codes")
+        new_log = _missing_from(f"{index_path}/encode_log")
+        union = new_pq.unionByName(new_log).dropDuplicates(["id"])
+        union = union.localCheckpoint(eager=True)  # both surfaces + the
+        # emptiness probe consume it; also keeps dim inference off an
+        # empty-frame first() when there is nothing to encode
+        if union.limit(1).count():
+            codes, log, handle = pq_encode_with_error(
+                union, books, m=m, dim=dim, id_col="id", vec_col="v"
+            )
+            pq_appended = _append_cells(
+                codes.join(F.broadcast(new_pq.select("id")), "id", "left_semi"),
+                f"{index_path}/pq_codes",
+            )
+            log_out = log.join(
+                F.broadcast(new_log.select("id")), "id", "left_semi"
+            ).localCheckpoint(eager=True)
+            if log_out.count():
+                if batch_id is None:
+                    enc = _read(f"{index_path}/encode_log")
+                    prev = (
+                        enc.agg(F.max("batch_id")).first()[0]
+                        if enc is not None and "batch_id" in enc.columns
+                        else None
+                    )
+                    batch_id = 0 if prev is None else int(prev) + 1
+                log_out.withColumn(
+                    "batch_id", F.lit(batch_id).cast("bigint")
+                ).write.mode("append").parquet(f"{index_path}/encode_log")
+            handle.unpersist()
+
+    sq_appended = 0
+    if sq_st is not None:
+        new_sq = _missing_from(f"{index_path}/sq_codes").localCheckpoint(
+            eager=True
+        )
+        if new_sq.limit(1).count():
+            sq_appended = _append_cells(
+                sq_encode(new_sq, sq_st, dim=dim, id_col="id", vec_col="v"),
+                f"{index_path}/sq_codes",
+            )
+
+    # members LAST: the crash window never shows a searchable member
+    # whose code rows are missing
+    new_members = _missing_from(f"{index_path}/{members_table}")
+    members_tbl = _read(f"{index_path}/{members_table}")
+    cols = members_tbl.columns if members_tbl is not None else assigned.columns
+    delta = assigned.join(
+        F.broadcast(new_members.select("id")), "id", "left_semi"
+    ).select(*cols)
+    delta = delta.localCheckpoint(eager=True)
+    appended = delta.count()
+    if appended:
+        delta.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{index_path}/{members_table}")
+    return {
+        "appended": appended,
+        "pq_appended": pq_appended,
+        "sq_appended": sq_appended,
+        "batch_id": batch_id,
+    }
+
+
+def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataFrame:
+    """Integrity audit for the persisted IVF-PQ/SQ layout — the
+    compressed-family member of the fsck family
+    (:func:`gate_index_fsck` for the coarse gate index,
+    :func:`~auraverse_etl_pipeline_spark.operators.retrieval.
+    bm25_fsck` for the lexical index): ``(check, violations)`` rows,
+    0 = healthy, for the cron that runs BETWEEN ticks. Every crash
+    window in the append/retrain/retire machinery heals on re-run;
+    this is the measurement that says whether anything is currently
+    inside one.
+
+    Checks:
+
+    - ``member_without_pq_codes`` / ``member_without_sq_codes`` — a
+      searchable member the compressed scan silently misses: the
+      append crash window (codes-first means this is transient), or
+      an ivf_retire that targeted the code table instead of members.
+    - ``orphan_pq_codes`` / ``orphan_sq_codes`` — code rows whose id
+      has no member: unreachable, harmless to queries, but the
+      signature of a retire that skipped the followers (the re-fit
+      would NOT resurrect them — codes re-derive from members — so
+      they age out on the next retrain; counted so the operator
+      knows).
+    - ``pq_code_count_wrong`` — ids with ≠ m code rows (m from the
+      codebooks table unless passed): a partial append/overwrite.
+    - ``duplicate_pq_code_row`` — (id, sub) twice: a replayed append
+      that bypassed the anti-join.
+    - ``duplicate_sq_id`` — two byte arrays for one id.
+    - ``pq_cell_disagrees_with_member`` / ``sq_cell_disagrees_with_member``
+      — a follower row left in a different cell partition than its
+      member (a rebalance that moved members without re-clustering
+      followers): cell-pruned ADC scans miss it.
+    - ``duplicate_codebook_entry`` — (sub, code) twice: every ADC
+      LUT join double-counts that code.
+    - ``encode_log_orphan`` — log rows indicting ids with no member
+      (an erasure that ran ivf_retire but skipped the encode log —
+      run log_retire with the same tombstones).
+
+    Shape: id-keyed aggregates and anti-joins over the index tables
+    only — bounded by the index, never a corpus access, no window
+    functions."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _read(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    members = _read(f"{index_path}/assignments")
+    if members is None:
+        members = _read(f"{index_path}/members")
+    pq = _read(f"{index_path}/pq_codes")
+    sq = _read(f"{index_path}/sq_codes")
+    books = _read(f"{index_path}/codebooks")
+    enc = _read(f"{index_path}/encode_log")
+
+    zero = spark.range(1).select(F.lit(0).alias("n"))
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("bigint").alias("violations"),
+        )
+
+    def count(df):
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    mids = members.select("id").distinct() if members is not None else None
+    rows = []
+    for name, codes_df in (("pq", pq), ("sq", sq)):
+        if codes_df is not None and mids is not None:
+            cids = codes_df.select("id").distinct()
+            rows.append(
+                row(
+                    f"member_without_{name}_codes",
+                    count(mids.join(cids, "id", "left_anti")),
+                )
+            )
+            rows.append(
+                row(
+                    f"orphan_{name}_codes",
+                    count(cids.join(mids, "id", "left_anti")),
+                )
+            )
+            if "cell" in codes_df.columns:
+                rows.append(
+                    row(
+                        f"{name}_cell_disagrees_with_member",
+                        count(
+                            codes_df.select("id", "cell")
+                            .distinct()
+                            .join(
+                                members.select(
+                                    "id", F.col("cell").alias("_mcell")
+                                ).distinct(),
+                                "id",
+                            )
+                            .filter(F.col("cell") != F.col("_mcell"))
+                            .select("id")
+                            .distinct()
+                        ),
+                    )
+                )
+            else:
+                rows.append(row(f"{name}_cell_disagrees_with_member", zero))
+        else:
+            rows.append(row(f"member_without_{name}_codes", zero))
+            rows.append(row(f"orphan_{name}_codes", zero))
+            rows.append(row(f"{name}_cell_disagrees_with_member", zero))
+    if pq is not None:
+        want_m = m
+        if want_m is None and books is not None:
+            want_m = books.agg(F.max("sub")).first()[0] + 1
+        if want_m is not None:
+            rows.append(
+                row(
+                    "pq_code_count_wrong",
+                    count(
+                        pq.groupBy("id")
+                        .agg(F.count(F.lit(1)).alias("c"))
+                        .filter(F.col("c") != int(want_m))
+                    ),
+                )
+            )
+        else:
+            rows.append(row("pq_code_count_wrong", zero))
+        rows.append(
+            row(
+                "duplicate_pq_code_row",
+                count(
+                    pq.groupBy("id", "sub")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .filter("c > 1")
+                ),
+            )
+        )
+    else:
+        rows.append(row("pq_code_count_wrong", zero))
+        rows.append(row("duplicate_pq_code_row", zero))
+    rows.append(
+        row(
+            "duplicate_sq_id",
+            count(
+                sq.groupBy("id").agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+            )
+            if sq is not None
+            else zero,
+        )
+    )
+    rows.append(
+        row(
+            "duplicate_codebook_entry",
+            count(
+                books.groupBy("sub", "code")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter("c > 1")
+            ),
+        )
+        if books is not None
+        else row("duplicate_codebook_entry", zero)
+    )
+    rows.append(
+        row(
+            "encode_log_orphan",
+            count(
+                enc.select("id").distinct().join(mids, "id", "left_anti")
+            ),
+        )
+        if enc is not None and mids is not None
+        else row("encode_log_orphan", zero)
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def rebalance_gate_index(
     spark,
     index_path: str,

@@ -1701,3 +1701,214 @@ def test_pq_encode_with_error_matches_separate_operators(spark):
         assert key(log) == key(pq_quantization_error(df, books, m=2))
     finally:
         handle.unpersist()
+
+
+def _day1_compressed(spark, tmp_path, name="cidx"):
+    """A small healthy day-1 IVF-PQ/SQ layout: 16 vectors dim 4,
+    nlist=2, m=2/ksub=2, encode log at batch_id 0."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_codebooks,
+        pq_encode_with_error,
+        sq_encode,
+        sq_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(10, 26)],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = str(tmp_path / name)
+    ivf_index(emb, nlist=2, quantizer="sample").save(root)
+    cells = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    books = pq_codebooks(emb, m=2, ksub=2)
+    books.write.parquet(f"{root}/codebooks")
+    codes, log, handle = pq_encode_with_error(emb, books, m=2)
+    codes.join(cells, "id").repartition("cell").write.partitionBy("cell").parquet(
+        f"{root}/pq_codes"
+    )
+    log.withColumn("batch_id", F.lit(0).cast("bigint")).write.parquet(
+        f"{root}/encode_log"
+    )
+    handle.unpersist()
+    st = sq_stats(emb)
+    st.write.parquet(f"{root}/sq_stats")
+    sq_encode(emb, st).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{root}/sq_codes")
+    return root, emb
+
+
+def _fsck_map(spark, root):
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_fsck
+
+    return {r.check: r.violations for r in compressed_index_fsck(spark, root).collect()}
+
+
+def test_compressed_index_append_day2(spark, tmp_path):
+    """The compressed family's day-2 ingest: a new batch gets cells /
+    PQ codes + a stamped log row / SQ codes against the FROZEN day-1
+    models, lands on every surface, is immediately searchable from
+    disk, and the post-append layout passes fsck clean."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        ivfpq_search,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_append
+
+    root, emb = _day1_compressed(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(30, 38)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = compressed_index_append(spark, root, batch, m=2)
+    assert out == {"appended": 8, "pq_appended": 16, "sq_appended": 8, "batch_id": 1}
+    log = spark.read.parquet(f"{root}/encode_log")
+    assert log.filter("batch_id = 1").count() == 8
+    assert _fsck_map(spark, root) == {k: 0 for k in _fsck_map(spark, root)}
+    # an appended vector is the exact-refined top hit for itself
+    loaded = IvfIndex.load(spark, root)
+    codes = spark.read.parquet(f"{root}/pq_codes").select("id", "sub", "code")
+    books = spark.read.parquet(f"{root}/codebooks")
+    corpus = emb.unionByName(batch)
+    q = batch.filter("vec_id = 33")
+    hits = ivfpq_search(q, loaded, codes, books, corpus=corpus, k=1, nprobe=2).collect()
+    assert [(r.query_id, r.neighbor_id) for r in hits] == [(33, 33)]
+
+
+def test_compressed_index_append_idempotent_and_crash_heals(spark, tmp_path):
+    """Per-surface idempotence: a verbatim re-run appends nothing; a
+    crash window where only the code table was written (simulated by
+    pre-appending the codes) is observable as orphan codes, and the
+    re-run heals every other surface without duplicating the codes."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_encode_with_error,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_append
+
+    root, emb = _day1_compressed(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(30, 36)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out1 = compressed_index_append(spark, root, batch, m=2)
+    assert out1["appended"] == 6
+    out2 = compressed_index_append(spark, root, batch, m=2)
+    assert out2 == {"appended": 0, "pq_appended": 0, "sq_appended": 0, "batch_id": None}
+    for table, per_id in (("assignments", 1), ("pq_codes", 2), ("sq_codes", 1), ("encode_log", 1)):
+        counts = (
+            spark.read.parquet(f"{root}/{table}")
+            .groupBy("id").count().filter(f"count != {per_id}").count()
+        )
+        assert counts == 0, table
+
+    # crash window: codes landed, everything else did not
+    batch2 = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(50, 54)],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = spark.read.parquet(f"{root}/codebooks")
+    cells_all = spark.read.parquet(f"{root}/assignments").select("id", "cell")
+    codes, _log, handle = pq_encode_with_error(
+        batch2.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        books, m=2, id_col="id", vec_col="v",
+    )
+    # crash-window codes: assign cells the same way the append would
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    cent = spark.read.parquet(f"{root}/centroids")
+    acells = ivf_assign(batch2, cent, clamp=True).select("id", "cell")
+    codes.join(acells, "id").repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{root}/pq_codes")
+    handle.unpersist()
+    fs = _fsck_map(spark, root)
+    assert fs["orphan_pq_codes"] == 4 and fs["member_without_pq_codes"] == 0
+    out3 = compressed_index_append(spark, root, batch2, m=2)
+    assert out3["pq_appended"] == 0  # never duplicated
+    assert out3["appended"] == 4 and out3["sq_appended"] == 4
+    assert out3["batch_id"] == 2  # the log row still lands, next batch
+    fs2 = _fsck_map(spark, root)
+    assert all(v == 0 for v in fs2.values()), fs2
+
+
+def test_compressed_index_fsck_planted_corruptions(spark, tmp_path):
+    """Each fsck check fires on exactly its planted corruption (the
+    bm25_fsck discipline)."""
+    import pyspark.sql.functions as F
+
+    root, emb = _day1_compressed(spark, tmp_path)
+    assert all(v == 0 for v in _fsck_map(spark, root).values())
+
+    # member whose PQ codes vanish + an id double-coded in SQ
+    pq = spark.read.parquet(f"{root}/pq_codes").localCheckpoint(eager=True)
+    pq.filter("id != 11").repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{root}/pq_codes")
+    sq = spark.read.parquet(f"{root}/sq_codes").localCheckpoint(eager=True)
+    sq.unionByName(sq.filter("id = 12")).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{root}/sq_codes")
+    # a code row in the wrong cell partition for id 13, and one
+    # duplicated (id, sub) row for id 14
+    wrong = (
+        pq.filter("id = 13 and sub = 0")
+        .withColumn("cell", F.lit(1) - F.col("cell"))
+    )
+    dup = pq.filter("id = 14 and sub = 1")
+    wrong.unionByName(dup).repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{root}/pq_codes")
+    # an encode-log row for an id no member carries
+    spark.createDataFrame([(999, 0.5, 0)], "id bigint, qerr double, batch_id bigint").write.mode(
+        "append"
+    ).parquet(f"{root}/encode_log")
+
+    fs = _fsck_map(spark, root)
+    assert fs["member_without_pq_codes"] == 1          # id 11
+    assert fs["duplicate_sq_id"] == 1                  # id 12
+    assert fs["pq_cell_disagrees_with_member"] == 1    # id 13
+    # (13, 0) exists in both its true and its wrong cell, (14, 1) is
+    # the planted replay — both are genuine duplicates
+    assert fs["duplicate_pq_code_row"] == 2
+    assert fs["pq_code_count_wrong"] == 2              # ids 13, 14 at 3 rows
+    # (id 11's zero rows can't appear in a groupBy over present rows —
+    # that id is exactly what member_without_pq_codes exists to catch)
+    assert fs["encode_log_orphan"] == 1                # id 999
+    assert fs["orphan_pq_codes"] == 0
+    assert fs["sq_cell_disagrees_with_member"] == 0
+    assert fs["duplicate_codebook_entry"] == 0
+
+
+def test_compressed_append_then_tick_closed_loop(spark, tmp_path):
+    """The compressed family's loop closes end to end: a day-1 tick is
+    quiet (one log batch — no trend), an appended DRIFTED batch stamps
+    the next batch_id and its qerr rise fires the tick's re-fit, and
+    the watermark consumes that evidence so the following tick is
+    quiet again (no oscillation on append-only history)."""
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        compressed_index_append,
+        compressed_index_tick,
+    )
+
+    root, emb = _day1_compressed(spark, tmp_path)
+    kw = dict(m=2, ksub=2, max_iter=2, qerr_threshold=0.2)
+    t1 = compressed_index_tick(spark, root, **kw)
+    assert not t1["pq_retrained"]
+    drifted = spark.createDataFrame(
+        [(i, [9.0 + float(i % 4 == j) for j in range(4)]) for i in range(40, 48)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = compressed_index_append(spark, root, drifted, m=2)
+    assert out["appended"] == 8 and out["batch_id"] == 1
+    t2 = compressed_index_tick(spark, root, **kw)
+    assert t2["pq_retrained"] and t2["pq_moved"] > 0
+    wm = spark.read.parquet(f"{root}/pq_retrain_watermark").collect()
+    assert [r.batch_id for r in wm] == [1]
+    t3 = compressed_index_tick(spark, root, **kw)
+    assert not t3["pq_retrained"]  # evidence consumed, no oscillation
+    assert all(v == 0 for v in _fsck_map(spark, root).values())
