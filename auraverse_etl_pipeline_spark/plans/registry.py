@@ -85,10 +85,18 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # round 16 start: CORRECTNESS_r15.json folded into _LAST_GREEN
     # (50 scored, 50 hash-green, zero red; all 203 names green at
-    # latest evidence). Round-16 entry: the staged compressed-family
-    # ledger note executed — the PQ drift trigger registered as a
+    # latest evidence). Round-16 entries: the staged compressed-family
+    # ledger notes executed — the PQ drift trigger registered as a
     # query (the retrains stay pytest-pinned, matching the coarse
-    # tier's r14->r15 precedent).
+    # tier's r14->r15 precedent) plus the tick composition.
+    # STAGED FOR ROUND 17+: the round-16 window took the 6 r11 names
+    # + 43 of the r12 cohort; round 17 fronts the remaining 6 r12
+    # names (q40/q41/q42/q43/q52/q53) and fills from the r13 cohort.
+    # If a slot opens under the growth cap, the natural candidates are
+    # the compressed family's day-2 ingest (compressed_index_append —
+    # post-append disk state vs a DuckDB rebuild is mechanical, the
+    # sim_compressed_tick oracle pattern) or a composed fsck surface;
+    # both are built + pinned in tests/test_retire.py already.
     "sim_pq_drift_audit",  # NEW: pq_quantization_error + pq_drift_audit
     # over a staged encode log, fixed-point DECIMAL(38,0) DuckDB oracle
     "sim_compressed_tick",  # NEW: the full compressed-family tick against
