@@ -1841,6 +1841,154 @@ def compressed_index_append(
     }
 
 
+def bm25_maintenance_tick(
+    spark,
+    index_path: str,
+    segments_path: str | None = None,
+    tombstones_path: str | None = None,
+    dst_path: str | None = None,
+    reliable: bool | None = None,
+) -> dict:
+    """ONE cron-able maintenance tick for a persisted BM25 index — the
+    LEXICAL family's composition, completing the tick symmetry
+    (coarse: :func:`gate_maintenance_tick`, compressed:
+    :func:`compressed_index_tick`): fold every pending segment under
+    ``segments_path`` into the main index (Lucene's segment merge —
+    each segment is a small ``Bm25Index.save`` layout written by an
+    ingest job), apply a standing tombstone table in the SAME rewrite
+    (retire riding along with compaction, the cost-sharing
+    ``bm25_retire_path`` advertises: a BM25 rewrite is full-table
+    either way), and rewrite once — ``save()``'s term-repartition IS
+    the compaction, collapsing the segments' many small files into
+    term-clustered ones.
+
+    Short-circuit: when no segment holds a genuinely new doc id AND no
+    tombstone id appears in the postings (two broadcast-probe
+    ``limit(1)`` scans, the ``log_retire`` discipline), the tick
+    deletes any fully-absorbed leftover segments and touches nothing
+    else — a cron tick against a quiet index costs probes, not a
+    rewrite.
+
+    Idempotence / crash posture: segment merge is INDEX-WINS
+    (``bm25_merge``'s anti-join — a re-merged segment's docs are
+    already present, so its delta is empty), and the consumed segment
+    directories are deleted only AFTER the main index write; a crash
+    anywhere re-runs to the same state, costing at most one extra
+    rewrite. The in-place triple write shares
+    :func:`~auraverse_etl_pipeline_spark.operators.retire.
+    bm25_retire_path`'s window (a crash between the three table writes
+    leaves a df/postings mismatch until the re-run —
+    :func:`~auraverse_etl_pipeline_spark.operators.retrieval.bm25_fsck`
+    is the between-ticks check that sees it); ``dst_path`` is the
+    production swap spelling that avoids it.
+
+    Returns ``{"merged_segments", "n_docs_before", "n_docs_after",
+    "rewrote"}``."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.retire import (
+        _checkpoint,
+        _tomb_ids,
+        bm25_retire,
+    )
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_merge,
+    )
+
+    def _delete(path: str) -> None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+
+    def _segment_dirs() -> list:
+        if segments_path is None:
+            return []
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(segments_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for status in fs.listStatus(jpath):
+            if status.isDirectory():
+                p = status.getPath()
+                if fs.exists(p.suffix("/postings")):
+                    out.append(p.toString())
+        return sorted(out)
+
+    idx = Bm25Index.load(spark, index_path)
+    n_before = idx.stats.first().n_docs
+
+    segments = _segment_dirs()
+    merged = idx
+    seg_postings = None
+    for seg in segments:
+        seg_idx = Bm25Index.load(spark, seg)
+        merged = bm25_merge(merged, seg_idx)
+        seg_postings = (
+            seg_idx.postings
+            if seg_postings is None
+            else seg_postings.unionByName(seg_idx.postings)
+        )
+
+    tomb = None
+    if tombstones_path is not None:
+        try:
+            tomb = spark.read.parquet(tombstones_path)
+        except AnalysisException:
+            tomb = None
+
+    has_new = seg_postings is not None and (
+        seg_postings.join(idx.postings.select("id"), "id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    has_hit = tomb is not None and (
+        idx.postings.join(_tomb_ids(tomb, "id"), "id", "left_semi")
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_new and not has_hit and dst_path is None:
+        # every segment doc is already absorbed — the leftovers are a
+        # prior run's crash-window debris, safe to clear without a
+        # rewrite
+        for seg in segments:
+            _delete(seg)
+        return {
+            "merged_segments": segments,
+            "n_docs_before": n_before,
+            "n_docs_after": n_before,
+            "rewrote": False,
+        }
+
+    # retire against the MERGED index whenever a rewrite happens: a
+    # tombstone can indict a doc that only exists in a pending segment
+    # (the main-postings probe can't see it; when every segment id is
+    # absorbed, the short-circuit's !has_new ⇒ such an id would hit
+    # main too). Retiring a no-hit list is the identity.
+    if tomb is not None and (has_hit or has_new):
+        merged = bm25_retire(merged, tomb)
+    out = dst_path or index_path
+    if dst_path is None:
+        merged = Bm25Index(
+            postings=_checkpoint(merged.postings, spark, reliable),
+            dfs=_checkpoint(merged.dfs, spark, reliable),
+            stats=_checkpoint(merged.stats, spark, reliable),
+        )
+    merged.save(out)
+    for seg in segments:  # only after the main write (crash order)
+        _delete(seg)
+    n_after = spark.read.parquet(f"{out}/stats").first().n_docs
+    return {
+        "merged_segments": segments,
+        "n_docs_before": n_before,
+        "n_docs_after": n_after,
+        "rewrote": True,
+    }
+
+
 def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataFrame:
     """Integrity audit for the persisted IVF-PQ/SQ layout — the
     compressed-family member of the fsck family

@@ -1912,3 +1912,100 @@ def test_compressed_append_then_tick_closed_loop(spark, tmp_path):
     t3 = compressed_index_tick(spark, root, **kw)
     assert not t3["pq_retrained"]  # evidence consumed, no oscillation
     assert all(v == 0 for v in _fsck_map(spark, root).values())
+
+
+def test_bm25_maintenance_tick_merge_retire_compact(spark, tmp_path):
+    """The lexical family's tick: pending segments fold into the main
+    index and a standing tombstone list retires in the SAME rewrite —
+    the result is indistinguishable from a from-scratch rebuild over
+    (main ∪ segments) minus the tombstones, consumed segments are
+    deleted, and a tombstone that indicts a doc living only in a
+    segment still dies."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_index,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import bm25_maintenance_tick
+
+    main_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "gamma gamma epsilon")],
+        "doc_id bigint, text string",
+    )
+    seg1_docs = spark.createDataFrame(
+        [(4, "alpha zeta"), (5, "eta theta beta")], "doc_id bigint, text string"
+    )
+    seg2_docs = spark.createDataFrame(
+        [(6, "iota kappa")], "doc_id bigint, text string"
+    )
+    root = str(tmp_path / "bm25")
+    segs = str(tmp_path / "segments")
+    bm25_index(main_docs).save(root)
+    bm25_index(seg1_docs).save(f"{segs}/seg_a")
+    bm25_index(seg2_docs).save(f"{segs}/seg_b")
+    tomb_path = str(tmp_path / "tomb")
+    # doc 2 lives in main, doc 5 ONLY in a pending segment
+    spark.createDataFrame([(2,), (5,)], "id bigint").write.parquet(tomb_path)
+
+    out = bm25_maintenance_tick(
+        spark, root, segments_path=segs, tombstones_path=tomb_path
+    )
+    assert out["rewrote"] and out["n_docs_before"] == 3 and out["n_docs_after"] == 4
+    assert [s.rsplit("/", 1)[-1] for s in out["merged_segments"]] == ["seg_a", "seg_b"]
+    import glob as _glob
+
+    assert _glob.glob(f"{segs}/*") == []  # consumed segments deleted
+    after = Bm25Index.load(spark, root)
+    want = bm25_index(
+        main_docs.unionByName(seg1_docs).unionByName(seg2_docs).filter(
+            "doc_id not in (2, 5)"
+        )
+    )
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select(*sorted(df.columns)).collect())
+    )
+    assert key(after.postings) == key(want.postings)
+    assert key(after.dfs) == key(want.dfs)
+    assert key(after.stats) == key(want.stats)
+
+
+def test_bm25_maintenance_tick_idempotent_and_short_circuit(spark, tmp_path):
+    """A leftover already-absorbed segment (the crash-window debris)
+    never duplicates postings: the index-wins merge empties its delta,
+    the quiet tick short-circuits the rewrite (main files
+    byte-untouched) and clears the debris."""
+    import glob as _glob
+    import os
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+    from auraverse_etl_pipeline_spark.streaming.ops import bm25_maintenance_tick
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    seg_docs = spark.createDataFrame([(3, "delta")], "doc_id bigint, text string")
+    root = str(tmp_path / "bm25")
+    segs = str(tmp_path / "segments")
+    bm25_index(docs).save(root)
+    bm25_index(seg_docs).save(f"{segs}/seg_a")
+    out1 = bm25_maintenance_tick(spark, root, segments_path=segs)
+    assert out1["rewrote"] and out1["n_docs_after"] == 3
+
+    # crash-window debris: the same segment reappears after its docs
+    # were merged (delete-after-write crashed between the two)
+    bm25_index(seg_docs).save(f"{segs}/seg_a")
+    before = sorted(
+        (f, os.stat(f).st_mtime_ns)
+        for f in _glob.glob(f"{root}/*/*.parquet")
+    )
+    out2 = bm25_maintenance_tick(spark, root, segments_path=segs)
+    assert not out2["rewrote"] and out2["n_docs_after"] == 3
+    assert _glob.glob(f"{segs}/*") == []  # debris cleared without a rewrite
+    after = sorted(
+        (f, os.stat(f).st_mtime_ns)
+        for f in _glob.glob(f"{root}/*/*.parquet")
+    )
+    assert after == before  # byte-untouched
+    assert (
+        spark.read.parquet(f"{root}/postings").groupBy("id", "term").count()
+        .filter("count > 1").count() == 0
+    )
