@@ -1253,6 +1253,26 @@ def gate_maintenance_tick(
             tomb = None
         if tomb is not None:
             retired_cells = ivf_retire(spark, index_path, tomb)
+            # the erasure posture the other retire paths keep
+            # (index_retire_ids, compressed_index_tick's encode-log
+            # stage): the retired ids' decision/drift rows must go
+            # too — a lingering kept row is the exact
+            # kept_decision_without_member state gate_index_fsck
+            # flags as a forgotten log_retire, and the linkage
+            # itself is what an erasure request demands removed.
+            # log_retire probes internally (r16 None-signal contract)
+            # so an untouched log costs one semi-join, not a rewrite.
+            try:
+                spark.read.parquet(f"{index_path}/decisions")
+                has_log = True
+            except AnalysisException:
+                has_log = False
+            if has_log:
+                from auraverse_etl_pipeline_spark.operators.retire import (
+                    log_retire,
+                )
+
+                log_retire(spark, f"{index_path}/decisions", tomb)
     retrained, moved = False, 0
     wm_path = f"{index_path}/retrain_watermark"
     try:

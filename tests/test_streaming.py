@@ -1741,3 +1741,49 @@ def test_gate_index_fsck_same_batch_conflict_deterministic(spark, tmp_path):
             for r in gate_index_fsck(spark, str(root)).collect()
         }
         assert out["kept_decision_without_member"] == 1
+
+
+def test_gate_maintenance_tick_take_down_erases_decisions(spark, tmp_path):
+    """The tick's take-down stage keeps the erasure posture end to
+    end: the retired id's decision rows vanish along with its member
+    row (r16 — previously only members were retired, leaving every
+    tick-driven take-down a permanent kept_decision_without_member
+    fsck violation), and the post-tick index is fsck-clean."""
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        gate_index_fsck,
+        gate_maintenance_tick,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    anchors = [(10, [1.0, 0.0]), (11, [0.0, 1.0])]
+    extra = [(20, [0.9, 0.1]), (21, [0.1, 0.9])]
+    idx = ivf_index(spark.createDataFrame(anchors, schema), nlist=2, quantizer="sample")
+    members = ivf_assign(
+        spark.createDataFrame(anchors + extra, schema), idx.centroids, clamp=True
+    )
+    root = tmp_path / "tick_erase"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    members.select(
+        "id", "cell", "centroid_cos",
+        F.lit(True).alias("kept"), F.lit(0).cast("bigint").alias("batch_id"),
+    ).write.parquet(str(root / "decisions"))
+    tomb_path = str(tmp_path / "tomb")
+    spark.createDataFrame([(20,)], "id bigint").write.parquet(tomb_path)
+
+    out = gate_maintenance_tick(
+        spark, str(root), max_cell_size=10, tombstones_path=tomb_path
+    )
+    assert out["retired_cells"]
+    assert {r.id for r in spark.read.parquet(str(root / "decisions")).collect()} == {
+        10, 11, 21,
+    }
+    fs = {r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()}
+    assert fs["kept_decision_without_member"] == 0
+    assert all(v == 0 for v in fs.values()), fs
