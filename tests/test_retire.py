@@ -2009,3 +2009,69 @@ def test_bm25_maintenance_tick_idempotent_and_short_circuit(spark, tmp_path):
         spark.read.parquet(f"{root}/postings").groupBy("id", "term").count()
         .filter("count > 1").count() == 0
     )
+
+
+def test_bm25_maintenance_tick_swap_and_retire_only(spark, tmp_path):
+    """The two remaining tick spellings: a retire-only tick (no
+    segments dir at all) rewrites in place, and the dst_path
+    production swap leaves the source index byte-readable while the
+    destination carries the merged+retired result."""
+    from auraverse_etl_pipeline_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_index,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import bm25_maintenance_tick
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "bm25")
+    bm25_index(docs).save(root)
+    tomb_path = str(tmp_path / "tomb")
+    spark.createDataFrame([(2,)], "id bigint").write.parquet(tomb_path)
+
+    out = bm25_maintenance_tick(spark, root, tombstones_path=tomb_path)
+    assert out["rewrote"] and out["merged_segments"] == []
+    assert out["n_docs_before"] == 3 and out["n_docs_after"] == 2
+
+    # swap spelling: a fresh segment merges into a NEW root
+    segs = str(tmp_path / "segments")
+    seg_docs = spark.createDataFrame([(4, "epsilon")], "doc_id bigint, text string")
+    bm25_index(seg_docs).save(f"{segs}/seg_a")
+    dst = str(tmp_path / "bm25_v2")
+    out2 = bm25_maintenance_tick(
+        spark, root, segments_path=segs, tombstones_path=tomb_path, dst_path=dst
+    )
+    assert out2["rewrote"] and out2["n_docs_after"] == 3
+    assert Bm25Index.load(spark, root).stats.first().n_docs == 2  # source intact
+    ids = {r.id for r in Bm25Index.load(spark, dst).postings.select("id").collect()}
+    assert ids == {1, 3, 4}
+
+
+def test_compressed_index_append_members_only_layout(spark, tmp_path):
+    """An index with no PQ/SQ surfaces (the coarse members-only
+    layout) appends members alone — no code table or log appears from
+    nowhere, and the re-run stays a no-op."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_append
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == j) for j in range(4)]) for i in range(10, 18)],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = str(tmp_path / "bare")
+    ivf_index(emb, nlist=2, quantizer="sample").save(root)
+    batch = spark.createDataFrame(
+        [(30, [0.5, 0.5, 0.0, 0.0]), (31, [0.0, 0.0, 0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = compressed_index_append(spark, root, batch)
+    assert out == {"appended": 2, "pq_appended": 0, "sq_appended": 0, "batch_id": None}
+    import os
+
+    assert not os.path.exists(f"{root}/pq_codes")
+    assert not os.path.exists(f"{root}/encode_log")
+    assert spark.read.parquet(f"{root}/assignments").count() == 10
+    out2 = compressed_index_append(spark, root, batch)
+    assert out2["appended"] == 0
