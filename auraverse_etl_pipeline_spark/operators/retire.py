@@ -338,13 +338,18 @@ def retire_ids_everywhere(
 
     Returns ``{root_or_path: [surfaces that actually rewrote]}`` —
     an empty list means the request was already clean there."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     summary: dict[str, list[str]] = {}
     for root in index_paths:
         touched: list[str] = []
         for table in ("assignments", "members", "pq_codes", "sq_codes"):
+            # AnalysisException ONLY (the r15 guard rule): a
+            # present-but-corrupt table or a transient FS failure must
+            # propagate, not silently skip a surface mid-erasure-sweep
             try:
                 spark.read.parquet(f"{root}/{table}")
-            except Exception:
+            except AnalysisException:
                 continue
             if ivf_retire(
                 spark, root, tombstones, members_table=table, reliable=reliable
@@ -353,7 +358,7 @@ def retire_ids_everywhere(
         try:
             spark.read.parquet(f"{root}/encode_log")
             has_log = True
-        except Exception:
+        except AnalysisException:
             has_log = False
         if has_log and (
             log_retire(spark, f"{root}/encode_log", tombstones, reliable=reliable)
@@ -362,6 +367,21 @@ def retire_ids_everywhere(
             touched.append("encode_log")
         summary[root] = touched
     for root in bm25_paths:
+        # probe-first (the log_retire discipline): a standing tombstone
+        # table must not force the full-table BM25 rewrite on every
+        # sweep when no retired id appears in the postings — and the
+        # reported surfaces honor the "empty list = already clean"
+        # contract the other surface kinds keep
+        try:
+            postings = spark.read.parquet(f"{root}/postings")
+        except AnalysisException:
+            summary[root] = []
+            continue
+        if postings.join(_tomb_ids(tombstones, "id"), "id", "left_semi").limit(
+            1
+        ).count() == 0:
+            summary[root] = []
+            continue
         bm25_retire_path(spark, root, tombstones, reliable=reliable)
         summary[root] = ["postings", "dfs", "stats"]
     for path, id_col in log_paths:

@@ -1068,9 +1068,13 @@ def index_retire_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_retire(spark, f"{root}/ivf", tomb, members_table="assignments")
     bm = bm25_retire_path(spark, f"{fixture}/bm25", tomb, dst_path=f"{root}/bm25_v2")
-    log = log_retire(spark, f"{root}/decisions", tomb)
-    # audit, read back from DISK (the retire functions' return values
-    # are deliberately ignored — what is on disk is what is scored)
+    log_retire(spark, f"{root}/decisions", tomb)
+    # audit, read back from DISK — never log_retire's return value,
+    # which is None on the untouched-log short-circuit (advice r16:
+    # the %7 tombstones happen to always hit this fixture today, but
+    # a fixture/SF change must degrade to scoring the unchanged log,
+    # not crash)
+    log = spark.read.parquet(f"{root}/decisions")
     members = spark.read.parquet(f"{root}/ivf/assignments")
     ivf_rows = (
         members.groupBy("cell")

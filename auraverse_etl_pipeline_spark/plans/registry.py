@@ -83,24 +83,22 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: coverage is free; a new registry name costs one stale slot per round
 #: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 16 start: CORRECTNESS_r15.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red; all 203 names green at
-    # latest evidence). Round-16 entries: the staged compressed-family
-    # ledger notes executed — the PQ drift trigger registered as a
-    # query (the retrains stay pytest-pinned, matching the coarse
-    # tier's r14->r15 precedent) plus the tick composition.
-    # STAGED FOR ROUND 17+: the round-16 window took the 6 r11 names
-    # + 43 of the r12 cohort; round 17 fronts the remaining 6 r12
-    # names (q40/q41/q42/q43/q52/q53) and fills from the r13 cohort.
-    # If a slot opens under the growth cap, the natural candidates are
-    # the compressed family's day-2 ingest (compressed_index_append —
-    # post-append disk state vs a DuckDB rebuild is mechanical, the
-    # sim_compressed_tick oracle pattern) or a composed fsck surface;
-    # both are built + pinned in tests/test_retire.py already.
-    "sim_pq_drift_audit",  # NEW: pq_quantization_error + pq_drift_audit
-    # over a staged encode log, fixed-point DECIMAL(38,0) DuckDB oracle
-    "sim_compressed_tick",  # NEW: the full compressed-family tick against
-    # disk (retire -> fired PQ re-fit -> quenched SQ), rebuild oracle
+    # round 17 start: CORRECTNESS_r16.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red; all 205 names green at
+    # latest evidence). Round-17 entries: the compressed family's
+    # last unregistered lifecycle legs, both long built + pinned in
+    # tests/test_retire.py — day-2 ingest (post-append disk state vs
+    # a DuckDB rebuild, the sim_compressed_tick oracle pattern) and
+    # the composed three-family fsck over a staged
+    # healthy-plus-planted-corruption root (closed-form violation
+    # oracle). The rest of the window fronts the seven r12-evidence
+    # names (q39/q40/q41/q42/q43/q52/q53) and fills from the r13
+    # cohort (50 names — seven spill to round 18).
+    "sim_compressed_append",  # NEW: compressed_index_append day-2 ingest
+    # scored against the post-append disk state (codes + members +
+    # encode-log watermark row), DuckDB rebuild oracle
+    "sim_index_fsck",  # NEW: gate/compressed/bm25 fsck composed over one
+    # staged root with planted corruption, closed-form violation oracle
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -108,40 +106,7 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 11
-    "pipeline_crawl_to_corpus": 11,
-    "q12_orders_monthly_kpis": 11,
-    "q16_repeat_buyers_setop": 11,
-    "q19_event_lag_lead": 11,
-    "q20_hourly_event_windows": 11,
-    "q21_churned_buyers_setop": 11,
     # round 12
-    "dedup_cluster_representatives": 12,
-    "dedup_connected_components": 12,
-    "dedup_corpus_clean": 12,
-    "dedup_decontaminate": 12,
-    "dedup_embedding_cosine": 12,
-    "dedup_exact_groups": 12,
-    "dedup_exact_stats": 12,
-    "dedup_ngram_jaccard": 12,
-    "dedup_simhash_pairs": 12,
-    "ingest_warc_roundtrip": 12,
-    "q22_asof_last_order": 12,
-    "q23_events_json_extract": 12,
-    "q24_user_sessions": 12,
-    "q25_salted_flag_totals": 12,
-    "q26_range_join_daytime_events": 12,
-    "q27_rollup_cascade_daily": 12,
-    "q29_sliding_event_windows": 12,
-    "q30_grouping_sets_revenue": 12,
-    "q31_pivot_daily_event_matrix": 12,
-    "q32_variant_json_extract": 12,
-    "q33_hll_sketch_union": 12,
-    "q34_full_outer_user_reconciliation": 12,
-    "q35_profile_orders": 12,
-    "q36_trailing_7day_revenue": 12,
-    "q37_percentile_ladder": 12,
-    "q38_changeset_apply": 12,
     "q39_scd2_history": 12,
     "q40_referential_audit": 12,
     "q41_unpivot_metrics": 12,
@@ -149,22 +114,6 @@ _LAST_GREEN = {
     "q43_exact_correlation": 12,
     "q52_duplicate_lineage": 12,
     "q53_cohort_retention": 12,
-    "sim_ivf_rebalance": 12,
-    "sim_ivfsq_search": 12,
-    "sim_topk_cosine": 12,
-    "stream_lm_quality_gate": 12,
-    "text_bpe_token_budget": 12,
-    "text_fingerprints": 12,
-    "text_lang_guess": 12,
-    "text_length_histogram": 12,
-    "text_paragraph_dedup": 12,
-    "text_pii_redaction": 12,
-    "text_quality_scores": 12,
-    "text_rare_bigram_filter": 12,
-    "text_repeated_ngrams": 12,
-    "text_repetition_filter": 12,
-    "text_token_stats": 12,
-    "text_vocab_topk": 12,
     # round 13
     "compact_decisions": 13,
     "dedup_bloom_audit": 13,
@@ -316,6 +265,57 @@ _LAST_GREEN = {
     "text_lm_perplexity": 15,
     "text_pack_manifest": 15,
     "text_pack_sequences": 15,
+    # round 16
+    "dedup_cluster_representatives": 16,
+    "dedup_connected_components": 16,
+    "dedup_corpus_clean": 16,
+    "dedup_decontaminate": 16,
+    "dedup_embedding_cosine": 16,
+    "dedup_exact_groups": 16,
+    "dedup_exact_stats": 16,
+    "dedup_ngram_jaccard": 16,
+    "dedup_simhash_pairs": 16,
+    "ingest_warc_roundtrip": 16,
+    "pipeline_crawl_to_corpus": 16,
+    "q12_orders_monthly_kpis": 16,
+    "q16_repeat_buyers_setop": 16,
+    "q19_event_lag_lead": 16,
+    "q20_hourly_event_windows": 16,
+    "q21_churned_buyers_setop": 16,
+    "q22_asof_last_order": 16,
+    "q23_events_json_extract": 16,
+    "q24_user_sessions": 16,
+    "q25_salted_flag_totals": 16,
+    "q26_range_join_daytime_events": 16,
+    "q27_rollup_cascade_daily": 16,
+    "q29_sliding_event_windows": 16,
+    "q30_grouping_sets_revenue": 16,
+    "q31_pivot_daily_event_matrix": 16,
+    "q32_variant_json_extract": 16,
+    "q33_hll_sketch_union": 16,
+    "q34_full_outer_user_reconciliation": 16,
+    "q35_profile_orders": 16,
+    "q36_trailing_7day_revenue": 16,
+    "q37_percentile_ladder": 16,
+    "q38_changeset_apply": 16,
+    "sim_compressed_tick": 16,
+    "sim_ivf_rebalance": 16,
+    "sim_ivfsq_search": 16,
+    "sim_pq_drift_audit": 16,
+    "sim_topk_cosine": 16,
+    "stream_lm_quality_gate": 16,
+    "text_bpe_token_budget": 16,
+    "text_fingerprints": 16,
+    "text_lang_guess": 16,
+    "text_length_histogram": 16,
+    "text_paragraph_dedup": 16,
+    "text_pii_redaction": 16,
+    "text_quality_scores": 16,
+    "text_rare_bigram_filter": 16,
+    "text_repeated_ngrams": 16,
+    "text_repetition_filter": 16,
+    "text_token_stats": 16,
+    "text_vocab_topk": 16,
 }
 
 

@@ -1900,7 +1900,13 @@ def bm25_maintenance_tick(
     leaves a df/postings mismatch until the re-run —
     :func:`~auraverse_etl_pipeline_spark.operators.retrieval.bm25_fsck`
     is the between-ticks check that sees it); ``dst_path`` is the
-    production swap spelling that avoids it.
+    production swap spelling that avoids it. In the ``dst_path``
+    spelling the consumed segments are NOT deleted — the segments are
+    only durable in ``dst``, which the caller may still discard instead
+    of promoting, so segment cleanup belongs to the caller's
+    post-promotion step (advice r16). Leaving them is safe either way:
+    the next tick against the promoted index re-merges them as an
+    index-wins no-op and (being in-place) clears them then.
 
     Returns ``{"merged_segments", "n_docs_before", "n_docs_after",
     "rewrote"}``."""
@@ -1998,8 +2004,9 @@ def bm25_maintenance_tick(
             stats=_checkpoint(merged.stats, spark, reliable),
         )
     merged.save(out)
-    for seg in segments:  # only after the main write (crash order)
-        _delete(seg)
+    if dst_path is None:
+        for seg in segments:  # only after the main write (crash order)
+            _delete(seg)
     n_after = spark.read.parquet(f"{out}/stats").first().n_docs
     return {
         "merged_segments": segments,
@@ -2122,7 +2129,12 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
     if pq is not None:
         want_m = m
         if want_m is None and books is not None:
-            want_m = books.agg(F.max("sub")).first()[0] + 1
+            max_sub = books.agg(F.max("sub")).first()[0]
+            # present-but-EMPTY codebooks (the degenerate surface an
+            # fsck exists to diagnose) yields a None max — unknown m,
+            # degrade to skipping the count check rather than crashing
+            # the checker itself (the _watermark_filter discipline)
+            want_m = None if max_sub is None else max_sub + 1
         if want_m is not None:
             rows.append(
                 row(

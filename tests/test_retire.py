@@ -1662,17 +1662,38 @@ def test_retire_ids_everywhere_one_request_all_surfaces(spark, tmp_path):
         "https://a.example/x"
     }
 
-    # second sweep under the standing tombstones: every id-probed
-    # surface short-circuits (bm25 is a full rewrite by design and
-    # reports unconditionally)
+    # second sweep under the standing tombstones: every surface
+    # short-circuits — including BM25 (advice r16: probe-first, so a
+    # standing tombstone table never forces the full-table rewrite on
+    # a clean index, and the reported [] honors the already-clean
+    # contract); the postings files must stay byte-untouched
+    import glob as _glob
+    import os as _os
+
+    before = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(f"{bm25_root}/postings/*.parquet")
+    }
     summary2 = retire_ids_everywhere(
         spark,
         tomb,
         index_paths=[root],
+        bm25_paths=[bm25_root],
         log_paths=[(dec_path, "id"), (mh_path, "doc_id"), (fr_path, "canon_url")],
     )
     assert summary2[root] == []
+    assert summary2[bm25_root] == []
     assert summary2[dec_path] == summary2[mh_path] == summary2[fr_path] == []
+    after_mtimes = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(f"{bm25_root}/postings/*.parquet")
+    }
+    assert after_mtimes == before
+    # an absent bm25 root is skipped as already-clean, never an error
+    summary3 = retire_ids_everywhere(
+        spark, tomb, bm25_paths=[str(tmp_path / "no_such_bm25")]
+    )
+    assert summary3[str(tmp_path / "no_such_bm25")] == []
 
 
 def test_pq_encode_with_error_matches_separate_operators(spark):
@@ -1884,6 +1905,28 @@ def test_compressed_index_fsck_planted_corruptions(spark, tmp_path):
     assert fs["duplicate_codebook_entry"] == 0
 
 
+def test_compressed_index_fsck_empty_codebooks_degrades(spark, tmp_path):
+    """A present-but-EMPTY codebooks table (exactly the degenerate
+    surface an fsck exists to diagnose) must not crash the checker
+    (advice r16: max(sub) over zero rows is None): unknown m degrades
+    the pq_code_count_wrong check to 0, every other check still runs,
+    and an explicit m= restores the count check."""
+    root, emb = _day1_compressed(spark, tmp_path)
+    books = spark.read.parquet(f"{root}/codebooks").localCheckpoint(eager=True)
+    books.limit(0).write.mode("overwrite").parquet(f"{root}/codebooks")
+    fs = _fsck_map(spark, root)
+    assert fs["pq_code_count_wrong"] == 0  # unknown m → check skipped
+    assert all(v == 0 for v in fs.values())
+    # the caller can still supply m and get the real check back
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_fsck
+
+    fs_m = {
+        r.check: r.violations
+        for r in compressed_index_fsck(spark, root, m=3).collect()
+    }
+    assert fs_m["pq_code_count_wrong"] > 0  # every id has 2 rows, not 3
+
+
 def test_compressed_append_then_tick_closed_loop(spark, tmp_path):
     """The compressed family's loop closes end to end: a day-1 tick is
     quiet (one log batch — no trend), an appended DRIFTED batch stamps
@@ -2047,6 +2090,17 @@ def test_bm25_maintenance_tick_swap_and_retire_only(spark, tmp_path):
     assert Bm25Index.load(spark, root).stats.first().n_docs == 2  # source intact
     ids = {r.id for r in Bm25Index.load(spark, dst).postings.select("id").collect()}
     assert ids == {1, 3, 4}
+    # advice r16: the swap spelling must NOT consume the segments — dst
+    # may still be discarded instead of promoted, and the pending docs
+    # are durable nowhere else; cleanup belongs to the caller's
+    # post-promotion step (the next in-place tick absorbs them as an
+    # index-wins no-op and clears them then)
+    import os as _os
+
+    assert _os.path.isdir(f"{segs}/seg_a/postings")
+    out3 = bm25_maintenance_tick(spark, dst, segments_path=segs)
+    assert not out3["rewrote"]  # index-wins: every segment doc absorbed
+    assert not _os.path.exists(f"{segs}/seg_a")  # in-place tick clears them
 
 
 def test_compressed_index_append_members_only_layout(spark, tmp_path):
