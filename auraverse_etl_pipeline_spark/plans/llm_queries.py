@@ -775,6 +775,12 @@ _BM25_TOKS = "string_split_regex(trim(text), '\\s+')"
 _DRIFT_BATCH = 100
 _DRIFT_TAU = 0.05
 
+#: Day-1/day-2 split for the compressed-family append query: the day-1
+#: index covers ``vec_id % 4 != 3`` (375 of 500 vectors at the test
+#: SFs — comfortably above ksub=64 for the sample codebooks), the
+#: held-out quarter is the ingested batch.
+_APPEND_MOD, _APPEND_REM = 4, 3
+
 #: Shared day-1 staging for the maintenance-tier queries
 #: (index_retire_ids / sim_quantizer_drift_audit / sim_retrain_audit):
 #: each previously rebuilt the same sample-quantizer index from
@@ -826,7 +832,13 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
       ``pq_codes``/``encode_log`` (day-1 ``vec_id >= 10`` training,
       so the log's qerr trend genuinely rises), stale ``sq_stats``/
       ``sq_codes`` (day-1 ranges — saturation stays far under the
-      clamp threshold, so the SQ pass self-quenches).
+      clamp threshold, so the SQ pass self-quenches);
+    - ``"cappend"`` — the ``sim_compressed_append`` day-1 layout:
+      the same IVF-PQ/SQ surface set but built over ONLY the
+      ``vec_id % _APPEND_MOD != _APPEND_REM`` split, every model
+      (centroids, codebooks, sq_stats) trained on that split — the
+      held-out quarter is the day-2 batch ``compressed_index_append``
+      ingests against the frozen models.
     """
     import shutil
 
@@ -917,7 +929,7 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             pq_quantization_error(emb, cb, m=_PQ_M, dim=64).withColumn(
                 "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
             ).write.mode("overwrite").parquet(f"{root}/pq/encode_log")
-        elif group == "compressed":
+        elif group in ("compressed", "cappend"):
             from auraverse_etl_pipeline_spark.operators.similarity import (
                 pq_codebooks,
                 pq_encode_with_error,
@@ -925,22 +937,32 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
                 sq_stats,
             )
 
-            croot = f"{root}/compressed"
-            ivf_index(emb, nlist=_IVF_NLIST, quantizer="sample").save(croot)
+            if group == "cappend":
+                # the day-2 ingest fixture: every surface AND every
+                # frozen model covers only the day-1 split — the
+                # held-out quarter is what compressed_index_append
+                # ingests at query time
+                corpus = emb.filter(
+                    F.col("vec_id") % _APPEND_MOD != _APPEND_REM
+                )
+                train = corpus
+                croot = f"{root}/cappend"
+            else:
+                corpus = emb
+                train = emb.filter(F.col("vec_id") >= 10)
+                croot = f"{root}/compressed"
+            ivf_index(corpus, nlist=_IVF_NLIST, quantizer="sample").save(croot)
             cells = spark.read.parquet(f"{croot}/assignments").select(
                 "id", "cell"
             )
-            cb = pq_codebooks(
-                emb.filter(F.col("vec_id") >= 10),
-                m=_PQ_M,
-                ksub=_PQ_KSUB,
-                dim=64,
-            )
+            cb = pq_codebooks(train, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
             cb.write.mode("overwrite").parquet(f"{croot}/codebooks")
             # codes + encode log from ONE scored-subs pass — the
             # separate-operators spelling scored every (subvector,
             # centroid) pair twice and dominated this group's staging
-            codes, log, handle = pq_encode_with_error(emb, cb, m=_PQ_M, dim=64)
+            codes, log, handle = pq_encode_with_error(
+                corpus, cb, m=_PQ_M, dim=64
+            )
             codes.join(cells, "id").repartition("cell").write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(f"{croot}/pq_codes")
@@ -948,9 +970,9 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
                 "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
             ).write.mode("overwrite").parquet(f"{croot}/encode_log")
             handle.unpersist()
-            st = sq_stats(emb.filter(F.col("vec_id") >= 10))
+            st = sq_stats(train)
             st.write.mode("overwrite").parquet(f"{croot}/sq_stats")
-            sq_encode(emb, st, dim=64).join(cells, "id").repartition(
+            sq_encode(corpus, st, dim=64).join(cells, "id").repartition(
                 "cell"
             ).write.mode("overwrite").partitionBy("cell").parquet(
                 f"{croot}/sq_codes"
@@ -1882,6 +1904,333 @@ def sim_compressed_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq_sig",
         F.lit(bool(summary["pq_retrained"])).alias("pq_retrained"),
         F.lit(bool(summary["sq_retrained"])).alias("sq_retrained"),
+    )
+
+
+def _compressed_append_oracle() -> str:
+    """From-scratch rebuild of the post-append disk state: every model
+    (centroids, codebooks, per-dim SQ ranges) trains on the day-1
+    split only, then cells/codes/bytes are derived for ALL ids with
+    the SAME frozen-model formulas — exactly the
+    ``compressed_index_append`` contract (day-2 rows encode against
+    yesterday's models, no refit ever). The encode-log stamp is the
+    day-1 arrival batch for day-1 rows and max(day-1 batch)+1 for the
+    appended quarter (the auto-stamped watermark the drift audit
+    trends on) — a day-2 row carrying a day-1 stamp, a refit code, or
+    a missing surface row all hash-mismatch loudly."""
+    d = _PQ_DSUB
+    return f"""
+    WITH d1 AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % {_APPEND_MOD} != {_APPEND_REM}
+    ),
+    alls AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+               v AS centroid
+        FROM (SELECT id, v FROM d1 ORDER BY id LIMIT {_IVF_NLIST})
+    ),
+    assigned AS (
+        SELECT id, cell FROM (
+            SELECT a.id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY a.id
+                       ORDER BY list_cosine_similarity(a.v, cent.centroid) DESC,
+                                cent.cell) AS rn
+            FROM alls a CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    sr AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS sub),
+    cb AS (
+        SELECT sr.sub, b.code,
+               b.v[sr.sub*{d}+1 : sr.sub*{d}+{d}] AS centroid
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS code, v
+              FROM (SELECT id, v FROM d1 ORDER BY id LIMIT {_PQ_KSUB})) b
+        CROSS JOIN sr
+    ),
+    subs AS (
+        SELECT id, sr.sub,
+               v[sr.sub*{d}+1 : sr.sub*{d}+{d}] AS subv
+        FROM alls CROSS JOIN sr
+    ),
+    pf AS (
+        SELECT id, sub, code FROM (
+            SELECT subs.id, subs.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY subs.id, subs.sub
+                       ORDER BY {_l2sq_sql("subv", "centroid")} ASC, cb.code)
+                     AS rn
+            FROM subs JOIN cb USING (sub)
+        ) WHERE rn = 1
+    ),
+    pqs AS (
+        SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS pq_sig
+        FROM pf GROUP BY id
+    ),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS dj),
+    per AS MATERIALIZED (
+        SELECT dj, MIN(v[dj]) AS vmin, MAX(v[dj]) AS vmax
+        FROM d1 CROSS JOIN dims GROUP BY dj
+    ),
+    sqs AS (
+        SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dj) AS sq_sig
+        FROM (
+            SELECT a.id, p.dj,
+                   CASE WHEN p.vmax = p.vmin THEN 0
+                        ELSE least(255, greatest(0,
+                             CAST(floor((a.v[p.dj] - p.vmin) * 255.0
+                                        / (p.vmax - p.vmin)) AS BIGINT)))
+                   END - 128 AS code
+            FROM alls a CROSS JOIN per p
+        ) GROUP BY id
+    ),
+    wm AS (SELECT MAX(id // {_DRIFT_BATCH}) AS w FROM d1)
+    SELECT assigned.id, CAST(assigned.cell AS BIGINT) AS cell,
+           pqs.pq_sig, sqs.sq_sig,
+           CAST(CASE WHEN assigned.id % {_APPEND_MOD} != {_APPEND_REM}
+                     THEN assigned.id // {_DRIFT_BATCH}
+                     ELSE wm.w + 1 END AS BIGINT) AS log_batch
+    FROM assigned JOIN pqs USING (id) JOIN sqs USING (id) CROSS JOIN wm
+    """
+
+
+@query(
+    "sim_compressed_append",
+    oracle=_compressed_append_oracle(),
+    description="the compressed family's day-2 INGEST end to end, "
+    "oracle-gated against disk (registered r17 from the r16 staged "
+    "ledger note - the last unregistered leg of the append -> audit "
+    "-> retrain -> retire -> fsck lifecycle): a held-out quarter of "
+    "the corpus arrives at a persisted day-1 IVF-PQ/SQ layout and "
+    "compressed_index_append ingests it against the FROZEN day-1 "
+    "models (cells from yesterday's centroids, PQ codes + the qerr "
+    "encode-log row from yesterday's codebooks, SQ bytes from "
+    "yesterday's ranges - no refit ever, drift accumulates in the "
+    "log until the tick's audits fire), codes-first/members-LAST "
+    "crash order, per-surface idempotent anti-joins, the log row "
+    "auto-stamped max(batch_id)+1. The scored artifact is the "
+    "post-append disk state - every id's cell, full PQ code word and "
+    "SQ byte array as order-pinned signatures, plus its encode-log "
+    "batch stamp - and DuckDB rebuilds all of it from the day-1 "
+    "split with the same frozen-model formulas. The idempotence / "
+    "crash-heal / closed-loop-with-the-tick pins live in "
+    "tests/test_retire.py",
+)
+def sim_compressed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # append MUTATES every surface (four partitioned appends + the log
+    # write) — byte-copy the staged day-1 layout into this query's own
+    # scratch root (the sim_compressed_tick discipline), so a re-run
+    # still ingests into virgin day-1 state
+    fixture = _staged_ivf_fixture(spark, sf_dir, "cappend")
+    root = scratch_dir(prefix="cappend_")
+    shutil.copytree(f"{fixture}/cappend", root, dirs_exist_ok=True)
+    batch = emb.filter(F.col("vec_id") % _APPEND_MOD == _APPEND_REM)
+    compressed_index_append(spark, root, batch, m=_PQ_M, dim=64)
+    # score what is ON DISK after the append, never the summary dict
+    members = spark.read.parquet(f"{root}/assignments").select(
+        "id", F.col("cell").cast("bigint").alias("cell")
+    )
+    pq_sig = (
+        spark.read.parquet(f"{root}/pq_codes")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select(
+            "id",
+            F.concat_ws(
+                ",", F.transform("_sc", lambda x: x["code"].cast("string"))
+            ).alias("pq_sig"),
+        )
+    )
+    sq_sig = spark.read.parquet(f"{root}/sq_codes").select(
+        "id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("sq_sig"),
+    )
+    logb = spark.read.parquet(f"{root}/encode_log").select(
+        "id", F.col("batch_id").cast("bigint").alias("log_batch")
+    )
+    return (
+        members.join(pq_sig, "id")
+        .join(sq_sig, "id")
+        .join(logb, "id")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            "cell",
+            "pq_sig",
+            "sq_sig",
+            "log_batch",
+        )
+    )
+
+
+#: The three planted-corruption id predicates for ``sim_index_fsck``,
+#: deliberately coprime with each other and with every other fixture
+#: predicate so the corruptions never alias.
+_FSCK_GATE_MOD, _FSCK_GATE_REM = 41, 11
+_FSCK_COMP_MOD, _FSCK_COMP_REM = 43, 13
+_FSCK_BM25_MOD, _FSCK_BM25_REM = 37, 9
+
+
+def _index_fsck_oracle() -> str:
+    """Closed-form expected violation set: every count derives from
+    the base tables under the SAME planted predicates the query used
+    (never a hardcoded tally), zeros are structural (the corruption
+    classes deliberately NOT planted), and the one marker check is 1
+    by construction. The bm25 counts replay the tokenizer: a term's
+    df goes stale iff a doomed doc carried it, and orphans iff ONLY
+    doomed docs carried it."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_BM25_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+    bt AS (
+        SELECT term, COUNT(*) AS df,
+               SUM(CASE WHEN doc_id % {_FSCK_BM25_MOD} = {_FSCK_BM25_REM}
+                        THEN 1 ELSE 0 END) AS gone
+        FROM tf GROUP BY term
+    ),
+    bm AS (
+        SELECT CAST(COUNT(CASE WHEN gone > 0 THEN 1 END) AS BIGINT) AS mismatch,
+               CAST(COUNT(CASE WHEN gone = df THEN 1 END) AS BIGINT) AS orphan,
+               CAST(CASE WHEN SUM(gone) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS stats_bad
+        FROM bt
+    ),
+    gv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+           WHERE vec_id % {_FSCK_GATE_MOD} = {_FSCK_GATE_REM}),
+    cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+           WHERE vec_id % {_FSCK_COMP_MOD} = {_FSCK_COMP_REM})
+    SELECT 'gate' AS family, 'member_cell_without_centroid' AS "check",
+           CAST(0 AS BIGINT) AS violations
+    UNION ALL SELECT 'gate', 'duplicate_member_id', 0
+    UNION ALL SELECT 'gate', 'duplicate_centroid_cell', 0
+    UNION ALL SELECT 'gate', 'null_member_vector', 0
+    UNION ALL SELECT 'gate', 'kept_decision_without_member', (SELECT n FROM gv)
+    UNION ALL SELECT 'gate', 'pending_marker_present', 1
+    UNION ALL SELECT 'compressed', 'member_without_pq_codes', 0
+    UNION ALL SELECT 'compressed', 'orphan_pq_codes', (SELECT n FROM cv)
+    UNION ALL SELECT 'compressed', 'pq_cell_disagrees_with_member', 0
+    UNION ALL SELECT 'compressed', 'member_without_sq_codes', 0
+    UNION ALL SELECT 'compressed', 'orphan_sq_codes', (SELECT n FROM cv)
+    UNION ALL SELECT 'compressed', 'sq_cell_disagrees_with_member', 0
+    UNION ALL SELECT 'compressed', 'pq_code_count_wrong', 0
+    UNION ALL SELECT 'compressed', 'duplicate_pq_code_row', 0
+    UNION ALL SELECT 'compressed', 'duplicate_sq_id', 0
+    UNION ALL SELECT 'compressed', 'duplicate_codebook_entry', 0
+    UNION ALL SELECT 'compressed', 'encode_log_orphan', (SELECT n FROM cv)
+    UNION ALL SELECT 'bm25', 'df_posting_mismatch', (SELECT mismatch FROM bm)
+    UNION ALL SELECT 'bm25', 'orphan_df_term', (SELECT orphan FROM bm)
+    UNION ALL SELECT 'bm25', 'duplicate_posting', 0
+    UNION ALL SELECT 'bm25', 'dl_inconsistent', 0
+    UNION ALL SELECT 'bm25', 'stats_mismatch', (SELECT stats_bad FROM bm)
+    """
+
+
+@query(
+    "sim_index_fsck",
+    oracle=_index_fsck_oracle(),
+    description="the between-ticks integrity story, driver-attested "
+    "across ALL THREE index families in one composed pass: gate_index_"
+    "fsck + compressed_index_fsck + bm25_fsck over one staged root "
+    "carrying each family's signature RETIRE-CRASH corruption - the "
+    "gate members lose a planted id slice while their kept decisions "
+    "survive (the forgotten-log_retire fingerprint), the compressed "
+    "members lose a disjoint slice while PQ/SQ codes and encode-log "
+    "rows stay behind (the retire-that-skipped-the-followers "
+    "fingerprint - orphans, unreachable and harmless until the next "
+    "re-fit ages them out), and the BM25 postings lose a third slice "
+    "while dfs/stats stay stale (the between-the-three-table-writes "
+    "crash window), plus a leftover rebalance staging marker. 22 "
+    "(family, check, violations) rows; every non-zero count is "
+    "DATA-DERIVED (the oracle recomputes it from the base tables "
+    "under the same planted predicate, replaying the BM25 tokenizer "
+    "for the term-level counts), every zero pins a corruption class "
+    "deliberately not planted. Per-checker planted-corruption "
+    "matrices live in tests/test_retire.py and tests/test_streaming.py",
+)
+def sim_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from auraverse_etl_pipeline_spark.runtime import scratch_dir
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_fsck
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        compressed_index_fsck,
+        gate_index_fsck,
+    )
+
+    fixture = _staged_ivf_fixture(spark, sf_dir, "retrain", "compressed", "bm25")
+    root = scratch_dir(prefix="fsck_")
+
+    # gate family: members REWRITTEN minus the planted slice (writing
+    # the survivor set directly beats copy-then-retire — one write, no
+    # intermediate mutation), decisions/centroids intact, plus a
+    # leftover staged-commit marker
+    gate = f"{root}/gate"
+    (
+        spark.read.parquet(f"{fixture}/retrain/members")
+        .filter(F.col("id") % _FSCK_GATE_MOD != _FSCK_GATE_REM)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(f"{gate}/members")
+    )
+    shutil.copytree(f"{fixture}/retrain/centroids", f"{gate}/centroids")
+    load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.lit(1).cast("bigint").alias("batch_id"),
+        F.lit(True).alias("kept"),
+    ).write.parquet(f"{gate}/decisions")
+    spark.read.parquet(f"{gate}/centroids").limit(1).write.parquet(
+        f"{gate}/centroids_pending"
+    )
+
+    # compressed family: assignments rewritten minus a disjoint slice;
+    # every follower surface byte-copied intact — the orphans are the
+    # fsck's find
+    comp = f"{root}/compressed"
+    for table in ("pq_codes", "sq_codes", "codebooks", "encode_log"):
+        shutil.copytree(f"{fixture}/compressed/{table}", f"{comp}/{table}")
+    (
+        spark.read.parquet(f"{fixture}/compressed/assignments")
+        .filter(F.col("id") % _FSCK_COMP_MOD != _FSCK_COMP_REM)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(f"{comp}/assignments")
+    )
+
+    # bm25 family: postings pruned, dfs/stats byte-copied STALE — the
+    # in-place triple write's crash window, frozen mid-crash
+    bm = f"{root}/bm25"
+    for table in ("dfs", "stats"):
+        shutil.copytree(f"{fixture}/bm25/{table}", f"{bm}/{table}")
+    (
+        spark.read.parquet(f"{fixture}/bm25/postings")
+        .filter(F.col("id") % _FSCK_BM25_MOD != _FSCK_BM25_REM)
+        .write.parquet(f"{bm}/postings")
+    )
+
+    return (
+        gate_index_fsck(spark, gate)
+        .select(F.lit("gate").alias("family"), "check", "violations")
+        .unionByName(
+            compressed_index_fsck(spark, comp).select(
+                F.lit("compressed").alias("family"), "check", "violations"
+            )
+        )
+        .unionByName(
+            bm25_fsck(spark, bm).select(
+                F.lit("bm25").alias("family"), "check", "violations"
+            )
+        )
     )
 
 

@@ -2103,6 +2103,63 @@ def test_bm25_maintenance_tick_swap_and_retire_only(spark, tmp_path):
     assert not _os.path.exists(f"{segs}/seg_a")  # in-place tick clears them
 
 
+def test_compressed_tick_trigger_margins(spark, sf_dir):
+    """The sim_compressed_tick oracle HARDCODES pq_retrained=TRUE /
+    sq_retrained=FALSE, which is only honest while both trigger
+    margins stay comfortable (verdict r16 nit #1: drift ~0.148 vs the
+    0.1 threshold, saturation ~0.4% vs 25%). This is the automatic
+    tripwire the CLAUDE.md "re-probe both margins if testdata
+    generation changes" note asked for: recompute both signals from
+    the staged fixture exactly as the tick does (post-retire log for
+    PQ, current codes + stats for SQ) and fail LOUDLY while the
+    registry oracle would still hash-green, as soon as either margin
+    thins — PQ must fire with ≥25% headroom above the threshold
+    (measured ~48% today), SQ must quench at ≤half the threshold
+    (measured ~60× under today)."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        pq_drift_audit,
+        sq_clamp_audit,
+    )
+    from auraverse_etl_pipeline_spark.plans.llm_queries import (
+        _PQ_DRIFT_TAU,
+        _RETIRE_MOD,
+        _RETIRE_REM,
+        _staged_ivf_fixture,
+    )
+
+    fixture = _staged_ivf_fixture(spark, sf_dir, "compressed")
+    # PQ: the tick audits the encode log AFTER the retire stage erased
+    # the tombstoned ids' rows — replay that filter, never mutate the
+    # shared fixture
+    log = spark.read.parquet(f"{fixture}/compressed/encode_log").filter(
+        F.col("id") % _RETIRE_MOD != _RETIRE_REM
+    )
+    pq = pq_drift_audit(log, drift_threshold=_PQ_DRIFT_TAU).first()
+    assert pq.retrain, "PQ drift trigger no longer fires — oracle flag is wrong"
+    assert pq.drift >= _PQ_DRIFT_TAU * 1.25, (
+        f"PQ firing margin collapsed: drift {pq.drift:.4f} is within 25% of "
+        f"the {_PQ_DRIFT_TAU} threshold — re-probe sim_compressed_tick's "
+        "hardcoded flags before trusting them"
+    )
+    # SQ: level signal over the post-retire codes, constant dims
+    # excluded via stats (the tick's exact spelling)
+    codes = spark.read.parquet(f"{fixture}/compressed/sq_codes").filter(
+        F.col("id") % _RETIRE_MOD != _RETIRE_REM
+    )
+    st = spark.read.parquet(f"{fixture}/compressed/sq_stats")
+    sq = sq_clamp_audit(
+        codes.withColumn("batch_id", F.lit(0)), clamp_threshold=0.25, stats=st
+    ).first()
+    assert not sq.retrain, "SQ clamp trigger fires — oracle flag is wrong"
+    assert sq.clamp_frac_last <= 0.25 / 2, (
+        f"SQ quench margin collapsed: saturation {sq.clamp_frac_last:.4f} is "
+        "within 2x of the 0.25 threshold — re-probe sim_compressed_tick's "
+        "hardcoded flags before trusting them"
+    )
+
+
 def test_compressed_index_append_members_only_layout(spark, tmp_path):
     """An index with no PQ/SQ surfaces (the coarse members-only
     layout) appends members alone — no code table or log appears from
