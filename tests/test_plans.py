@@ -739,3 +739,26 @@ def test_retrieval_quality_audit_bnlj_only_stat_folds(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 6
     spark.catalog.clearCache()
+
+
+def test_compressed_append_plan_is_disk_backed(spark, sf_dir):
+    """sim_compressed_append scores the POST-APPEND disk state: the
+    returned plan is parquet scans + hash joins/aggregates over the
+    four rewritten surfaces — no Python, no nested-loop join, never a
+    residue of the (eager, side-effect) append itself."""
+    plan = _plan(QS["sim_compressed_append"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_index_fsck_bnlj_only_stat_fold(spark, sf_dir):
+    """The composed fsck's one BroadcastNestedLoopJoin is bm25_fsck's
+    1-row stats×derived fold; everything else is id/term hash
+    aggregates and anti-joins over the index tables. Pin the count so
+    a refactor that grows it fails here."""
+    plan = _plan(QS["sim_index_fsck"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
