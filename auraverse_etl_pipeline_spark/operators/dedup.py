@@ -1307,3 +1307,304 @@ def dedup_paragraphs(
             F.col("doc_id").alias(id_col), text_col, "n_paras_kept", "n_paras_dropped"
         )
     )
+
+
+def _shingle_occurrences(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(occ, base): ``occ`` is every k-token shingle occurrence as
+    (doc_id, pos, h=md5(shingle)); ``base`` the tokenized corpus
+    (doc_id, _toks). Shingling is :func:`_shingle_table`'s NGram path
+    (JVM-side, per-row, no shuffle)."""
+    from pyspark.ml.feature import NGram
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    ).repartition(par, "doc_id")
+    ng = NGram(n=k, inputCol="_toks", outputCol="_ng").transform(base)
+    occ = ng.select("doc_id", F.posexplode("_ng").alias("pos", "sh")).select(
+        "doc_id", "pos", F.md5("sh").alias("h")
+    )
+    return occ, base
+
+
+def _covered_shingle_starts(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    boilerplate_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(covered, base): ``covered`` is (doc_id, pos) — the start
+    positions of k-token shingle occurrences that LOSE keep-first (every
+    occurrence of a duplicated shingle except the corpus-wide first by
+    (doc_id, pos); with ``boilerplate_cap`` set, ALL occurrences of any
+    shingle repeated more than ``cap`` times — boilerplate loses even
+    its first copy, the :func:`drop_boilerplate_lines` posture at
+    shingle granularity). ``base`` is the tokenized corpus
+    (doc_id, _toks), shared by both exact-substring operators.
+
+    Scale shape: shingling is :func:`_shingle_table`'s NGram path
+    (JVM-side, per-row, no shuffle); duplicate detection is ONE shuffle
+    on ``md5(shingle)`` carrying (32-char hash, id, int) rows — the
+    rank and the occurrence count come out of the same window exchange,
+    never a join back. Hash-cluster skew IS the boilerplate skew: a
+    shingle repeated millions of times sorts its whole cluster on one
+    task, which is exactly when ``boilerplate_cap`` should be on (the
+    cap doesn't shrink the sort, but the corpora that need it should
+    have run :func:`drop_boilerplate_lines` first — documented, not
+    hidden).
+
+    ``base`` is deliberately NOT cached even though the strip operator
+    consumes it twice: it is a pre-shuffle scan+split projection (the
+    :func:`dedup_paragraphs` precedent), and caching the full tokenized
+    corpus is the one thing that cannot fit at 100 TB."""
+    occ, base = _shingle_occurrences(df, k, text_col, id_col)
+    part = Window.partitionBy("h")
+    ranked = occ.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(part.orderBy("doc_id", "pos")).alias("_rn"),
+        F.count(F.lit(1)).over(part).alias("_cnt"),
+    )
+    lost = F.col("_rn") > 1
+    if boilerplate_cap is not None:
+        lost = lost | (F.col("_cnt") > boilerplate_cap)
+    return ranked.filter(lost).select("doc_id", "pos"), base
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate_cap: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication audit (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr posture, re-expressed relationally): every MAXIMAL
+    token span covered by duplicated k-token shingles that lose
+    keep-first — the first corpus-wide occurrence of a repeated
+    passage is NOT reported; every later copy is, merged into maximal
+    [span_start, span_end) intervals (overlapping and adjacent covered
+    shingles coalesce, so a 200-token repeated passage reports as ONE
+    span, not 181 shingle hits).
+
+    The suffix-array machinery of the paper is a single-node
+    construction; the relational equivalent at corpus scale is
+    rolling k-shingles + keep-first ranking: a duplicated substring of
+    length >= k is exactly a run of duplicated k-shingles, so maximal
+    merged spans here = the paper's duplicated substrings, quantized
+    to token (not byte) granularity. Distinct from the doc-level tiers
+    (exact/MinHash/SimHash match whole documents) and from
+    :func:`dedup_paragraphs` (paragraph-hash granularity, needs
+    formatting to agree); this tier finds VERBATIM sub-passage reuse
+    regardless of paragraph boundaries.
+
+    Output: (id_col, span_start, span_end, span_tokens), token
+    positions 0-based, end exclusive, all BIGINT — integer arithmetic
+    end-to-end, so the DuckDB oracle replays it digit-for-digit with
+    zero float-parity surface.
+
+    Scale shape: one shuffle on md5(shingle) (the covered-starts
+    window), one shuffle on doc_id (the gaps-and-islands merge —
+    per-document windows, bounded by document length). Nothing
+    quadratic anywhere; skew posture documented on
+    :func:`_covered_shingle_starts`."""
+    covered, _ = _covered_shingle_starts(df, k, text_col, id_col, boilerplate_cap)
+    return _merge_covered_spans(covered, k, id_col)
+
+
+def _merge_covered_spans(covered: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of covered shingle starts (doc_id, pos)
+    into maximal [span_start, span_end) intervals — per-document
+    windows (one shuffle on doc_id), running-max end so overlapping
+    AND adjacent covered shingles coalesce."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = covered.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_isl", F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + F.lit(k)).alias("_e"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias(id_col),
+            F.col("_s").cast("bigint").alias("span_start"),
+            F.col("_e").cast("bigint").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate_cap: int | None = None,
+) -> DataFrame:
+    """Cut every losing duplicated span (see
+    :func:`duplicate_token_spans`) out of the corpus and reassemble
+    each document from its surviving tokens in original order — the
+    destructive half of the ExactSubstr tier: the first corpus-wide
+    copy of a repeated passage survives verbatim, later copies are
+    excised mid-document (what doc-level dedup cannot do: a document
+    that quotes 300 tokens of another keeps its original prose and
+    loses only the quote).
+
+    Output: (id_col, text_col, n_tokens_kept, n_tokens_dropped) —
+    EVERY input document appears, even fully-covered ones (empty
+    text, n_tokens_kept 0). Reassembly is whitespace-normalized (the
+    tokenizer's \\s+ split joins back with single spaces), and an
+    empty/NULL document counts one empty token, consistent with
+    :func:`~auraverse_etl_pipeline_spark.functions.text.token_count`.
+
+    Scale shape: the covered-starts shuffle, plus an explode of
+    factor k on COVERED starts only (the duplicated minority), a
+    (doc_id, tpos) equality anti-tag join, and the
+    :func:`dedup_paragraphs` reassembly aggregate (array_sort over
+    collected structs — no sort exchange)."""
+    covered, base = _covered_shingle_starts(df, k, text_col, id_col, boilerplate_cap)
+    covered_pos = covered.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tpos"),
+    ).distinct()
+    toks_tbl = base.select("doc_id", F.posexplode("_toks").alias("tpos", "tok"))
+    tagged = toks_tbl.join(
+        covered_pos.withColumn("_cov", F.lit(True)), ["doc_id", "tpos"], "left"
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_cov").isNull(), F.struct("tpos", "tok"))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(F.col("_cov").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_dropped"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias(id_col),
+            text_col,
+            "n_tokens_kept",
+            "n_tokens_dropped",
+        )
+    )
+
+
+def substring_index(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable ExactSubstr index: one row per DISTINCT k-token
+    shingle hash corpus-wide, stamped with its keep-first owner —
+    (h, doc_id, pos). This is what :func:`match_substring_index` probes
+    tomorrow's batch against WITHOUT touching corpus text again (the
+    :func:`minhash_index` day-2 contract, at shingle granularity).
+
+    Unlike the covered-starts audit, the index keeps SINGLETON shingles
+    too — a shingle unique today is exactly the one a future batch must
+    be able to collide with. Size is O(distinct shingles) ≈ O(corpus
+    tokens) rows of (32-char hash, id, int) — the same order as the
+    paper's suffix array, and the honest cost of exact substring
+    matching at any scale; persist it partitioned/bucketed by ``h`` so
+    the daily probe is a per-bucket hash join. The owner columns make
+    the index auditable and retireable (take down a document → delete
+    its owned rows; a shingle whose only witness was the retired text
+    must not keep matching future ingests)."""
+    occ, _ = _shingle_occurrences(df, k, text_col, id_col)
+    part = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return (
+        occ.withColumn("_rn", F.row_number().over(part))
+        .filter(F.col("_rn") == 1)
+        .select("h", F.col("doc_id").alias(id_col), "pos")
+    )
+
+
+def match_substring_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ExactSubstr: the new batch's duplicated-span audit
+    against a persisted :func:`substring_index` PLUS within-batch
+    keep-first — the daily-ingest shape. A batch shingle occurrence is
+    covered when its hash exists in the index (index-wins: the index
+    owns every hash it holds, so re-ingesting yesterday's document
+    covers it wall-to-wall and nothing ever retracts), or when it loses
+    the within-batch keep-first rank among occurrences of a
+    hash the index has never seen. Output: maximal merged spans,
+    :func:`duplicate_token_spans` schema.
+
+    Ingesting a corpus in doc_id order through any batch split
+    reproduces the batch operator's spans EXACTLY (pinned): index-wins
+    across batches + keep-first within a batch compose to global
+    keep-first when arrival order matches id order.
+
+    ``boilerplate_cap`` is deliberately absent here: the cap is a
+    corpus-global occurrence count no single batch can see. Cap
+    boilerplate at batch build time (the batch audit) or upstream
+    (:func:`drop_boilerplate_lines`).
+
+    Scale shape: corpus text never moves — one equality join of the
+    batch's occurrences against the index on ``h`` (left join, the
+    index side a bucketed parquet probe), one window over batch
+    occurrences only, then the per-doc island merge."""
+    occ, _ = _shingle_occurrences(new_docs, k, text_col, id_col)
+    hit = occ.join(
+        index.select("h").distinct().withColumn("_ix", F.lit(True)), "h", "left"
+    )
+    part = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = hit.withColumn("_rn", F.row_number().over(part))
+    covered = ranked.filter(
+        F.col("_ix").isNotNull() | (F.col("_rn") > 1)
+    ).select("doc_id", "pos")
+    return _merge_covered_spans(covered, k, id_col)
+
+
+def merge_substring_index(
+    batch_index: DataFrame,
+    index: DataFrame,
+) -> DataFrame:
+    """Index compaction — the write path of the incremental ExactSubstr
+    loop: fold a new batch's :func:`substring_index` INTO the persisted
+    index, index-wins on ``h`` (a hash already present keeps its
+    existing owner row, so re-ingesting is idempotent and no index row
+    ever churns). The daily pipeline is match → merge → persist, the
+    :func:`merge_into_index` contract.
+
+    Scale shape: one left-anti join of the (small) batch index against
+    the persisted index on ``h`` — a per-bucket probe when the index is
+    bucketed by hash — and the union is the logical spelling: persist
+    appends ONLY the delta rows."""
+    delta = batch_index.join(index.select("h"), "h", "left_anti")
+    return index.unionByName(delta)

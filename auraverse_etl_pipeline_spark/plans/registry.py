@@ -99,6 +99,13 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # encode-log watermark row), DuckDB rebuild oracle
     "sim_index_fsck",  # NEW: gate/compressed/bm25 fsck composed over one
     # staged root with planted corruption, closed-form violation oracle
+    # STAGED FOR ROUND 18 (growth cap reached this round): the
+    # exact-substring dedup tier (operators/dedup.py
+    # duplicate_token_spans / strip_duplicate_spans) is built and
+    # DuckDB-parity-pinned in tests/test_operators.py — register
+    # "dedup_exact_substring_spans" next round; its oracle SQL is the
+    # tests' _exact_substr_spans_sql fragment (all-integer output, no
+    # staged fixture, runs straight off documents).
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -334,6 +334,85 @@ def run_stream_dedup_compaction(
         q.stop()
 
 
+def run_stream_substring_compaction(
+    new_docs: DataFrame,
+    index_path: str,
+    spans_path: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 600,
+) -> None:
+    """The closed incremental ExactSubstr loop as a streaming job —
+    :func:`run_stream_dedup_compaction`'s twin at shingle granularity:
+    each micro-batch (a) audits its duplicated spans against the
+    shingle index as of batches 1..N-1 PLUS its own within-batch
+    keep-first (:func:`match_substring_index` semantics: index-wins, a
+    hash the index holds covers every batch occurrence of it), then
+    (b) compacts its own :func:`substring_index` delta into the index.
+    So batch N's verbatim reuse of batch-1 text is caught span-exact,
+    and so is reuse arriving within one batch.
+
+    Per batch, in order: read index (absent ⇒ empty) → append the
+    batch's merged spans to ``spans_path`` (stamped ``batch_id``, the
+    gates' ordering column) → append the index DELTA (left-anti on
+    ``h`` — the materialized :func:`merge_substring_index`: index rows
+    never rewrite, re-ingested hashes add nothing) to ``index_path``.
+    The spans write is materialized before the delta append so a batch
+    never probes files it is itself writing.
+
+    Batching invariance: ingesting in id order reproduces the batch
+    audit exactly (the pinned trio composition); out-of-order arrival
+    degrades keep-first to first-ARRIVAL-wins on the cross-batch edge
+    — the same append-safe deviation :func:`run_stream_semdedup_gate`
+    documents (an indexed hash never retracts its claim).
+
+    Scale shape: corpus text never moves after its own batch — the
+    index stays a parquet table on disk, each batch appends only
+    fixed-width (hash, owner) delta rows, and the probe is an equality
+    join on ``h``."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        match_substring_index,
+        substring_index,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bidx = substring_index(batch_df, k=k, text_col=text_col, id_col=id_col)
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame([], bidx.schema)
+        spans = match_substring_index(
+            batch_df, index, k=k, text_col=text_col, id_col=id_col
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        audit_batch_plan("substring_compaction:spans", spans)
+        spans.write.mode("append").parquet(spans_path)
+        # bidx is single-consumer (the delta) — no cache; the batch
+        # re-shingles once each for the match and the delta, which is
+        # per-row work over the micro-batch only.
+        delta = bidx.join(index.select("h"), "h", "left_anti")
+        audit_batch_plan("substring_compaction:delta", delta)
+        delta.write.mode("append").parquet(index_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_substring_")
+    q = (
+        new_docs.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()
+
+
 #: Output schema of user_running_totals.
 USER_TOTALS_SCHEMA = StructType(
     [

@@ -2087,3 +2087,77 @@ def test_retrieval_quality_audit_matches_model(spark):
                 ]
                 want = dcg(mine)
                 assert got[(s, q)] == (want, idcg, want / idcg), (trial, s, q)
+
+
+def test_exact_substring_matches_model(spark):
+    """duplicate_token_spans / strip_duplicate_spans vs a pure-Python
+    reference model on tiny-vocab corpora (maximal hash-group
+    collisions): keep-first ranking, island merge, boilerplate-cap
+    delete-all, and reassembly all agree exactly."""
+    import re
+    from collections import defaultdict
+
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+
+    def model(rows, k, cap=None):
+        toks = {d: re.split(r"\s+", (t or "").strip()) for d, t in rows}
+        groups = defaultdict(list)
+        for d in sorted(toks):
+            tk = toks[d]
+            for p in range(len(tk) - k + 1):
+                groups[" ".join(tk[p : p + k])].append((d, p))
+        covered = set()
+        for lst in groups.values():
+            lst.sort()
+            losers = lst[1:] if (cap is None or len(lst) <= cap) else lst
+            covered.update(losers)
+        bydoc = defaultdict(list)
+        for d, p in covered:
+            bydoc[d].append(p)
+        spans = []
+        for d, ps in bydoc.items():
+            ps.sort()
+            s, e = ps[0], ps[0] + k
+            for p in ps[1:]:
+                if p > e:
+                    spans.append((d, s, e, e - s))
+                    s, e = p, p + k
+                else:
+                    e = p + k
+            spans.append((d, s, e, e - s))
+        strip = {}
+        for d, tk in toks.items():
+            covpos = {i for (dd, p) in covered if dd == d for i in range(p, p + k)}
+            keep = [t for i, t in enumerate(tk) if i not in covpos]
+            strip[d] = (" ".join(keep), len(keep), len(tk) - len(keep))
+        return sorted(spans), strip
+
+    tok = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(tok, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=5),
+        cap=st.sampled_from([None, 1, 2]),
+    )
+    def run(texts, cap):
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want_spans, want_strip = model(rows, k=3, cap=cap)
+        got_spans = sorted(
+            tuple(r)
+            for r in duplicate_token_spans(df, k=3, boilerplate_cap=cap).collect()
+        )
+        assert got_spans == want_spans
+        got_strip = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_dropped)
+            for r in strip_duplicate_spans(df, k=3, boilerplate_cap=cap).collect()
+        }
+        assert got_strip == want_strip
+        for d, s, e, n in got_spans:  # structural invariants
+            assert 0 <= s < e and n == e - s >= 3
+
+    run()

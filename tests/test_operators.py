@@ -3911,3 +3911,258 @@ def test_ivf_save_layout_one_file_per_cell(spark, sf_dir, tmp_path):
     for cell_dir in glob.glob(f"{path}/assignments/cell=*"):
         files = glob.glob(f"{cell_dir}/*.parquet")
         assert len(files) == 1, cell_dir  # clustered: one writer per cell
+
+
+def _exact_substr_cov_sql(k: int, cap: int | None = None) -> str:
+    """The DuckDB replay of _covered_shingle_starts (CTE fragment ending
+    in ``cov(doc_id, pos)``) — generate_series is the SCALAR list
+    function (lateral-safe, unlike the range() table function), slices
+    are 1-based inclusive, and keep-first is the same
+    row_number-over-(doc_id, pos) both engines run."""
+    lost = "rn > 1" if cap is None else f"rn > 1 OR cnt > {cap}"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {k} + 1, 0))) AS i
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i : i + {k - 1}], ' ')) AS h
+      FROM idx
+    ),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS cnt
+      FROM occ
+    ),
+    cov AS (SELECT doc_id, pos FROM r WHERE {lost})
+    """
+
+
+def _exact_substr_spans_sql(k: int, cap: int | None = None) -> str:
+    return _exact_substr_cov_sql(k, cap) + f""",
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS nw
+      FROM cov
+    ),
+    isl AS (
+      SELECT doc_id, pos, sum(nw) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM fl
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k} AS BIGINT) AS span_end,
+           CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """
+
+
+def _exact_substr_strip_sql(k: int, cap: int | None = None) -> str:
+    return _exact_substr_cov_sql(k, cap) + f""",
+    covp AS (
+      SELECT DISTINCT doc_id, pos + u AS tpos
+      FROM cov CROSS JOIN unnest(generate_series(0, {k - 1})) AS s(u)
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) - 1 AS tpos
+      FROM d
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.tpos), '') AS text,
+           CAST(count(*) FILTER (WHERE c.tpos IS NULL) AS BIGINT) AS n_tokens_kept,
+           CAST(count(*) FILTER (WHERE c.tpos IS NOT NULL) AS BIGINT)
+             AS n_tokens_dropped
+    FROM tok t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    GROUP BY t.doc_id
+    """
+
+
+def test_duplicate_token_spans_keep_first_and_merge(spark):
+    """ExactSubstr semantics: the FIRST corpus-wide copy of a repeated
+    passage reports no span; a later copy reports ONE maximal merged
+    span (never per-shingle hits); within-doc repeats lose their
+    second occurrence; docs shorter than k report nothing."""
+    from auraverse_etl_pipeline_spark.operators.dedup import duplicate_token_spans
+
+    passage = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, passage),
+        (2, f"intro words here {passage} tail end"),
+        (3, "x y z x y z"),
+        (4, "too short"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_token_spans(docs, k=3).collect()
+    )
+    # doc 2: passage at token 3..11 -> one merged span [3, 12); doc 3:
+    # "x y z" repeated, second copy at [3, 6); docs 1/4/5: nothing.
+    assert got == [(2, 3, 12, 9), (3, 3, 6, 3)]
+
+
+def test_duplicate_token_spans_boilerplate_cap(spark):
+    """boilerplate_cap flips keep-first into delete-all for over-cap
+    shingles: the first copy loses too (drop_boilerplate_lines
+    posture at shingle granularity)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import duplicate_token_spans
+
+    passage = "one two three four five"
+    rows = [(1, passage), (2, passage), (3, passage)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # cap=1: every shingle occurs 3 times > 1 -> all three docs fully covered
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_token_spans(docs, k=3, boilerplate_cap=1).collect()
+    )
+    assert got == [(1, 0, 5), (2, 0, 5), (3, 0, 5)]
+    # cap=5 (not exceeded): plain keep-first, doc 1 survives
+    got = sorted(
+        (r.doc_id,)
+        for r in duplicate_token_spans(docs, k=3, boilerplate_cap=5).collect()
+    )
+    assert got == [(2,), (3,)]
+
+
+def test_strip_duplicate_spans_reassembly(spark):
+    """The destructive half: later copies are excised MID-document
+    (surrounding prose survives), every doc appears in the output
+    (empty and NULL text included, as one empty kept token), and
+    kept+dropped = token_count."""
+    from auraverse_etl_pipeline_spark.operators.dedup import strip_duplicate_spans
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, passage),
+        (2, f"intro words here {passage} tail end"),
+        (3, "x y z x y z"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in strip_duplicate_spans(docs, k=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].text == passage and got[1].n_tokens_dropped == 0
+    assert got[2].text == "intro words here tail end"
+    assert (got[2].n_tokens_kept, got[2].n_tokens_dropped) == (5, 9)
+    assert got[3].text == "x y z"
+    assert (got[3].n_tokens_kept, got[3].n_tokens_dropped) == (3, 3)
+    assert got[4].text == "" and got[4].n_tokens_kept == 1
+
+
+def test_exact_substring_duckdb_parity(spark, duck, sf_dir):
+    """Full-pipeline digit-for-digit parity on the real documents
+    table, spans AND strip, default k and a denser k — all-integer
+    arithmetic plus the established tokenizer twin, so the comparison
+    is exact tuple equality (no hash, no tolerance)."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for k in (8, 20):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_token_spans(docs, k=k)
+            .select("doc_id", "span_start", "span_end", "span_tokens")
+            .collect()
+        )
+        want = sorted(map(tuple, duck.execute(_exact_substr_spans_sql(k)).fetchall()))
+        assert got == want, f"spans mismatch at k={k}"
+        assert len(got) > 0, f"fixture has no duplicated spans at k={k}"
+
+    got = sorted(
+        tuple(r)
+        for r in strip_duplicate_spans(docs, k=8)
+        .select("doc_id", "text", "n_tokens_kept", "n_tokens_dropped")
+        .collect()
+    )
+    want = sorted(map(tuple, duck.execute(_exact_substr_strip_sql(8)).fetchall()))
+    assert got == want
+
+
+def test_exact_substring_plan_shape(spark, sf_dir):
+    """Both ExactSubstr operators stay JVM-side and join-sane: no
+    CartesianProduct, no Python eval, and the only exchanges are the
+    shingle-hash window, the per-doc island/reassembly hash
+    partitionings, and the covered-position equality join."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (duplicate_token_spans, strip_duplicate_spans):
+        plan = op(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_substring_index_incremental_matches_batch(spark, sf_dir):
+    """The ExactSubstr day-2 loop: splitting the corpus into id-ordered
+    batches and running match-against-index → merge reproduces the
+    batch audit's spans EXACTLY (index-wins across batches +
+    within-batch keep-first = global keep-first when arrival order
+    matches id order); the index keeps singleton hashes; merge is
+    idempotent on re-ingest."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        match_substring_index,
+        merge_substring_index,
+        substring_index,
+    )
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    empty = substring_index(docs.limit(0), k=k)
+    spans1 = match_substring_index(b1, empty, k=k)
+    idx = merge_substring_index(substring_index(b1, k=k), empty)
+    spans2 = match_substring_index(b2, idx, k=k)
+
+    got = sorted(tuple(r) for r in spans1.unionByName(spans2).collect())
+    want = sorted(tuple(r) for r in duplicate_token_spans(docs, k=k).collect())
+    assert got == want and len(want) > 0
+
+    # the index holds every DISTINCT shingle hash of batch 1 (singletons
+    # included — tomorrow's collisions), one owner row each
+    occ_hashes = (
+        b1.select(F.posexplode(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")))
+        .count()
+    )
+    n_idx = idx.count()
+    assert 0 < n_idx <= occ_hashes
+    assert idx.select("h").distinct().count() == n_idx
+
+    # re-ingesting an already-indexed document: covered wall-to-wall,
+    # and the merge adds nothing (index-wins idempotence)
+    one = b1.filter(F.size(F.split(F.trim("text"), r"\s+")) >= k).limit(1)
+    one_id, n_toks = one.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+"))
+    ).first()
+    respan = match_substring_index(one, idx, k=k).collect()
+    assert [tuple(r) for r in respan] == [(one_id, 0, n_toks, n_toks)]
+    assert merge_substring_index(substring_index(one, k=k), idx).count() == n_idx

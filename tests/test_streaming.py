@@ -1787,3 +1787,83 @@ def test_gate_maintenance_tick_take_down_erases_decisions(spark, tmp_path):
     fs = {r.check: r.violations for r in gate_index_fsck(spark, str(root)).collect()}
     assert fs["kept_decision_without_member"] == 0
     assert all(v == 0 for v in fs.values()), fs
+
+
+def test_stream_substring_compaction_matches_batch(spark, sf_dir, tmp_path):
+    """The ninth closed loop: ExactSubstr spans accumulated across
+    id-ordered micro-batches equal the batch duplicate_token_spans
+    audit over the same corpus, the persisted index holds one owner
+    row per distinct shingle hash, and a batch-2 re-ingest of batch-1
+    text is covered wall-to-wall while appending no index rows."""
+    import time
+
+    from auraverse_etl_pipeline_spark.operators.dedup import duplicate_token_spans
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        run_stream_substring_compaction,
+    )
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 60")
+    chunk_dir = tmp_path / "ss_chunks"
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    root = tmp_path / "substr"
+    schema = spark.read.parquet(str(chunk_dir)).schema
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    run_stream_substring_compaction(
+        sdocs,
+        index_path=str(root / "index"),
+        spans_path=str(root / "spans"),
+        k=k,
+    )
+
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spark.read.parquet(str(root / "spans")).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duplicate_token_spans(docs, k=k).collect()
+    )
+    assert got == want and len(want) > 0
+
+    index = spark.read.parquet(str(root / "index"))
+    n_idx = index.count()
+    assert index.select("h").distinct().count() == n_idx
+
+    # re-ingest batch-1 docs: wall-to-wall coverage, zero index growth
+    redo_dir = tmp_path / "ss_redo"
+    docs.filter("doc_id < 20").coalesce(1).write.parquet(str(redo_dir))
+    sredo = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(redo_dir))
+    )
+    run_stream_substring_compaction(
+        sredo,
+        index_path=str(root / "index"),
+        spans_path=str(root / "spans2"),
+        k=k,
+    )
+    assert spark.read.parquet(str(root / "index")).count() == n_idx
+    re_spans = spark.read.parquet(str(root / "spans2"))
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 20")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+")).alias("n"),
+        )
+        .filter(F.col("n") >= k)
+    )
+    got_cover = {(r.doc_id, r.span_start, r.span_end) for r in re_spans.collect()}
+    want_cover = {(r.doc_id, 0, r.n) for r in full.collect()}
+    assert got_cover == want_cover
