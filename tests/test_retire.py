@@ -2186,3 +2186,55 @@ def test_compressed_index_append_members_only_layout(spark, tmp_path):
     assert spark.read.parquet(f"{root}/assignments").count() == 10
     out2 = compressed_index_append(spark, root, batch)
     assert out2["appended"] == 0
+
+
+def test_substring_index_retire_and_reown(spark, tmp_path):
+    """The ExactSubstr index is a flat (doc_id)-keyed surface, so
+    log_retire IS its take-down path: the retired owner's hash rows
+    vanish (the content's first-owner claim dies with the owner —
+    matching future ingests through a retired document's rows would
+    resurrect the erased linkage), cold owners' rows survive
+    byte-equal, and a later re-ingest of the same text becomes the NEW
+    owner instead of silently matching the ghost."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        match_substring_index,
+        merge_substring_index,
+        substring_index,
+    )
+
+    k = 3
+    rows = [
+        (1, "unique retired passage about erasure requests and owners"),
+        (2, "совершенно unrelated second document full of other words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "substr_index")
+    substring_index(docs, k=k).write.parquet(path)
+    before = spark.read.parquet(path)
+    # collect eagerly: the pre-rewrite frame's file listing dies with
+    # the in-place overwrite (the r14 FAILED_READ_FILE lesson)
+    doc2_rows = sorted(
+        tuple(r)
+        for r in before.filter("doc_id = 2").select("h", "doc_id", "pos").collect()
+    )
+    n_doc1 = before.filter("doc_id = 1").count()
+    assert n_doc1 > 0 and len(doc2_rows) > 0
+
+    survivors = log_retire(
+        spark, path, _tomb(spark, [1]).withColumnRenamed("id", "doc_id"),
+        id_col="doc_id",
+    )
+    assert survivors is not None  # the rewrite happened
+    after = spark.read.parquet(path)
+    assert after.filter("doc_id = 1").count() == 0
+    assert (  # survivor rows byte-equal (rewrite may reorder columns)
+        sorted(tuple(r) for r in after.select("h", "doc_id", "pos").collect())
+        == doc2_rows
+    )
+
+    # re-ingest of the SAME text under a new id: no ghost match — the
+    # new doc reports zero covered spans and claims ownership on merge
+    redo = spark.createDataFrame([(9, rows[0][1])], "doc_id bigint, text string")
+    assert match_substring_index(redo, after, k=k).count() == 0
+    merged = merge_substring_index(substring_index(redo, k=k), after)
+    assert merged.filter("doc_id = 9").count() == n_doc1
