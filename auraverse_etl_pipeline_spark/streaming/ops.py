@@ -2424,3 +2424,86 @@ def rebalance_gate_index(
     new_cent.write.mode("overwrite").parquet(cent_path)
     _delete(pending_path)
     return hot
+
+
+def index_suite_tick(
+    spark,
+    gate_path: str | None = None,
+    compressed_path: str | None = None,
+    bm25_path: str | None = None,
+    tombstones_path: str | None = None,
+    gate_opts: dict | None = None,
+    compressed_opts: dict | None = None,
+    bm25_opts: dict | None = None,
+) -> dict:
+    """ONE cron entry point for the whole index estate — the
+    maintenance mirror of :func:`~auraverse_etl_pipeline_spark.
+    operators.retire.retire_ids_everywhere`: run every family's
+    maintenance tick (:func:`gate_maintenance_tick`,
+    :func:`compressed_index_tick`, :func:`bm25_maintenance_tick`) over
+    whichever roots exist, sharing one standing tombstone table, and
+    report per family. The families are deliberately independent —
+    they share only the (read-only) tombstones, so ordering carries no
+    semantics; the fixed gate → compressed → bm25 order here is for
+    stable reporting.
+
+    A ``None`` path is "this deployment has no such family"; a given
+    path whose anchor table is absent (gate ``centroids``, compressed
+    ``assignments``, bm25 ``postings``) reports ``"skipped"`` — probed
+    with AnalysisException ONLY (the r15 guard rule: a
+    present-but-corrupt table must propagate, never read as absent —
+    that is what the fscks are for). ``*_opts`` pass through to the
+    family tick verbatim; ``gate_opts`` MUST carry ``max_cell_size``
+    when ``gate_path`` is set (no silent default — a wrong cap fires
+    spurious rebalances, so the caller owns that number).
+
+    Quietness composes: each family tick already short-circuits to its
+    own cheap probes when there is nothing to do, so a quiet estate
+    tick costs a handful of limit(1)/watermark reads across the three
+    roots and rewrites nothing."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _present(anchor: str) -> bool:
+        try:
+            spark.read.parquet(anchor)
+            return True
+        except AnalysisException:
+            return False
+
+    report: dict = {}
+    if gate_path is not None:
+        if _present(f"{gate_path}/centroids"):
+            opts = dict(gate_opts or {})
+            if "max_cell_size" not in opts:
+                # no silent default: a wrong cap fires spurious
+                # rebalances, so the caller must own this number
+                raise ValueError(
+                    "index_suite_tick: gate_opts must carry"
+                    " max_cell_size when gate_path is set"
+                )
+            report["gate"] = gate_maintenance_tick(
+                spark, gate_path, tombstones_path=tombstones_path, **opts
+            )
+        else:
+            report["gate"] = "skipped"
+    if compressed_path is not None:
+        if _present(f"{compressed_path}/assignments"):
+            report["compressed"] = compressed_index_tick(
+                spark,
+                compressed_path,
+                tombstones_path=tombstones_path,
+                **(compressed_opts or {}),
+            )
+        else:
+            report["compressed"] = "skipped"
+    if bm25_path is not None:
+        if _present(f"{bm25_path}/postings"):
+            report["bm25"] = bm25_maintenance_tick(
+                spark,
+                bm25_path,
+                tombstones_path=tombstones_path,
+                **(bm25_opts or {}),
+            )
+        else:
+            report["bm25"] = "skipped"
+    return report

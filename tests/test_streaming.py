@@ -1867,3 +1867,124 @@ def test_stream_substring_compaction_matches_batch(spark, sf_dir, tmp_path):
     got_cover = {(r.doc_id, r.span_start, r.span_end) for r in re_spans.collect()}
     want_cover = {(r.doc_id, 0, r.n) for r in full.collect()}
     assert got_cover == want_cover
+
+
+def test_index_suite_tick_all_families(spark, tmp_path):
+    """The one-command estate tick: every present family runs its own
+    maintenance tick against ONE shared tombstone table, absent
+    anchors report "skipped" (AnalysisException probe only), a second
+    tick is quiet estate-wide, and the gate cap must be caller-owned
+    (no silent default)."""
+    import pytest as _pytest
+
+    from auraverse_etl_pipeline_spark.operators.retrieval import bm25_index
+    from auraverse_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        pq_codebooks,
+        pq_encode,
+        pq_quantization_error,
+        sq_encode,
+        sq_stats,
+    )
+    from auraverse_etl_pipeline_spark.streaming.ops import index_suite_tick
+
+    schema = "vec_id bigint, embedding array<double>"
+    # gate family: ids 10, 11, 20..25
+    anchors = [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])]
+    crowd = [(20 + i, [0.9 + 0.005 * i, 0.1, 0.0]) for i in range(6)]
+    gidx = ivf_index(spark.createDataFrame(anchors, schema), nlist=2, quantizer="sample")
+    gmembers = ivf_assign(
+        spark.createDataFrame(anchors + crowd, schema), gidx.centroids, clamp=True
+    )
+    groot = tmp_path / "suite_gate"
+    gidx.centroids.write.parquet(str(groot / "centroids"))
+    gmembers.repartition("cell").write.partitionBy("cell").parquet(
+        str(groot / "members")
+    )
+    # compressed family: ids 0..23, clean day-1 models
+    import random
+
+    rng = random.Random(1712)
+    day1 = [(i, [rng.uniform(0.3, 1.0) for _ in range(8)]) for i in range(24)]
+    cday1 = spark.createDataFrame(day1, schema)
+    croot = str(tmp_path / "suite_comp")
+    ivf_index(cday1, nlist=4, quantizer="sample").save(croot)
+    cells = spark.read.parquet(f"{croot}/assignments").select("id", "cell")
+    books = pq_codebooks(cday1, m=2, ksub=4, quantizer="lloyd", max_iter=2)
+    books.write.parquet(f"{croot}/codebooks")
+    pq_encode(cday1, books, m=2).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{croot}/pq_codes")
+    st = sq_stats(cday1)
+    st.write.parquet(f"{croot}/sq_stats")
+    sq_encode(cday1, st).join(cells, "id").repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{croot}/sq_codes")
+    pq_quantization_error(cday1, books, m=2).withColumn(
+        "batch_id", F.expr("id DIV 12").cast("bigint")
+    ).write.parquet(f"{croot}/encode_log")
+    # bm25 family: docs 1..3
+    broot = str(tmp_path / "suite_bm25")
+    bm25_index(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+            "doc_id bigint, text string",
+        )
+    ).save(broot)
+    # one shared take-down list: 25 lives in gate, 2 and 5 live in
+    # BOTH compressed (vec ids 0..23) and bm25 (doc ids 1..3 -> just 2)
+    tomb = str(tmp_path / "suite_tomb")
+    spark.createDataFrame([(25,), (2,), (5,)], "id bigint").write.parquet(tomb)
+
+    with _pytest.raises(ValueError, match="max_cell_size"):
+        index_suite_tick(spark, gate_path=str(groot), tombstones_path=tomb)
+
+    out = index_suite_tick(
+        spark,
+        gate_path=str(groot),
+        compressed_path=croot,
+        bm25_path=broot,
+        tombstones_path=tomb,
+        gate_opts={"max_cell_size": 8},
+        compressed_opts={"m": 2, "ksub": 4, "max_iter": 2},
+    )
+    assert set(out) == {"gate", "compressed", "bm25"}
+    assert out["gate"]["retired_cells"]
+    assert out["compressed"]["retired"] == [
+        "assignments", "pq_codes", "sq_codes", "encode_log",
+    ]
+    assert out["bm25"]["rewrote"]
+    assert {r.id for r in spark.read.parquet(str(groot / "members")).collect()} == {
+        10, 11, 20, 21, 22, 23, 24,
+    }
+    assert {r.id for r in spark.read.parquet(f"{croot}/assignments").collect()} == (
+        set(range(24)) - {2, 5}
+    )
+    assert {
+        r.id for r in spark.read.parquet(f"{broot}/postings").collect()
+    } == {1, 3}
+
+    # second estate tick: quiet everywhere under the standing tombstones
+    out2 = index_suite_tick(
+        spark,
+        gate_path=str(groot),
+        compressed_path=croot,
+        bm25_path=broot,
+        tombstones_path=tomb,
+        gate_opts={"max_cell_size": 8},
+        compressed_opts={"m": 2, "ksub": 4, "max_iter": 2},
+    )
+    assert out2["gate"]["retired_cells"] == []
+    assert out2["compressed"]["retired"] == []
+    assert not out2["bm25"]["rewrote"]
+
+    # absent roots: skipped, never an exception
+    out3 = index_suite_tick(
+        spark,
+        gate_path=str(tmp_path / "nope_gate"),
+        compressed_path=str(tmp_path / "nope_comp"),
+        bm25_path=str(tmp_path / "nope_bm25"),
+        gate_opts={"max_cell_size": 8},
+    )
+    assert out3 == {"gate": "skipped", "compressed": "skipped", "bm25": "skipped"}
