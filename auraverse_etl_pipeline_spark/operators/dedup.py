@@ -1608,3 +1608,52 @@ def merge_substring_index(
     appends ONLY the delta rows."""
     delta = batch_index.join(index.select("h"), "h", "left_anti")
     return index.unionByName(delta)
+
+
+def exact_substring_report(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate_cap: int | None = None,
+) -> DataFrame:
+    """Per-document ExactSubstr summary — the quality-signal shape the
+    gates consume and the bounded-rows shape a scored query wants:
+    (id_col, n_tokens, dup_tokens, n_spans, dup_pct) for EVERY
+    document (zero-span docs included), where ``dup_tokens`` sums the
+    maximal merged spans of :func:`duplicate_token_spans` and
+    ``dup_pct`` is integer basis points (``dup_tokens * 10000 DIV
+    n_tokens`` — integer DIV, the bucket-id rule, so the whole report
+    stays float-free). A doc with ``dup_pct`` near 10000 is a copy of
+    earlier corpus content; feeding this into a threshold gate is the
+    document-level ExactSubstr DROP posture, vs
+    :func:`strip_duplicate_spans`'s span-level excision.
+
+    Scale shape: the spans operator's two shuffles, plus a broadcast-
+    friendly aggregate of spans per doc joined LEFT onto the corpus's
+    (id, n_tokens) projection — every document appears exactly once."""
+    spans = duplicate_token_spans(
+        df, k=k, text_col=text_col, id_col=id_col, boilerplate_cap=boilerplate_cap
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("_dup"),
+        F.count(F.lit(1)).alias("_nsp"),
+    )
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce(F.col("_nsp"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.expr("coalesce(_dup, 0) * 10000 DIV n_tokens")
+            .cast("bigint")
+            .alias("dup_pct"),
+        )
+    )

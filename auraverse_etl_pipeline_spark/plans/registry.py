@@ -101,11 +101,15 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # staged root with planted corruption, closed-form violation oracle
     # STAGED FOR ROUND 18 (growth cap reached this round): the
     # exact-substring dedup tier (operators/dedup.py
-    # duplicate_token_spans / strip_duplicate_spans) is built and
-    # DuckDB-parity-pinned in tests/test_operators.py — register
-    # "dedup_exact_substring_spans" next round; its oracle SQL is the
-    # tests' _exact_substr_spans_sql fragment (all-integer output, no
-    # staged fixture, runs straight off documents).
+    # duplicate_token_spans / strip_duplicate_spans /
+    # exact_substring_report + the substring_index trio + the ninth
+    # streaming loop) is built and DuckDB-parity-pinned in
+    # tests/test_operators.py — register "dedup_exact_substring"
+    # next round on exact_substring_report (every doc exactly once,
+    # all-integer incl. DIV basis points, no staged fixture; the
+    # oracle is the tests' _exact_substr_spans_sql fragment wrapped
+    # in the per-doc summary from
+    # test_exact_substring_report_duckdb_parity).
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

@@ -4166,3 +4166,47 @@ def test_substring_index_incremental_matches_batch(spark, sf_dir):
     respan = match_substring_index(one, idx, k=k).collect()
     assert [tuple(r) for r in respan] == [(one_id, 0, n_toks, n_toks)]
     assert merge_substring_index(substring_index(one, k=k), idx).count() == n_idx
+
+
+def test_exact_substring_report_duckdb_parity(spark, duck, sf_dir):
+    """The per-doc summary: every document exactly once, dup_tokens =
+    the sum of its maximal spans, dup_pct in integer basis points
+    (DIV, float-free) — digit-for-digit against the DuckDB replay."""
+    from auraverse_etl_pipeline_spark.operators.dedup import exact_substring_report
+    from auraverse_etl_pipeline_spark.sources.tables import load_table
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r)
+        for r in exact_substring_report(docs, k=k)
+        .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_pct")
+        .collect()
+    )
+    sql = _exact_substr_spans_sql(k)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH spans AS ({sql}),
+        per_doc AS (
+          SELECT doc_id, sum(span_tokens) AS dup, count(*) AS nsp
+          FROM spans GROUP BY doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(len(string_split_regex(trim(coalesce(d.text, '')), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.dup, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(p.nsp, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.dup, 0) * 10000
+                    // len(string_split_regex(trim(coalesce(d.text, '')), '\\s+'))
+                    AS BIGINT) AS dup_pct
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) == docs.count()  # every doc exactly once
+    assert any(r[4] > 0 for r in got)  # the fixture has real duplication
