@@ -1405,6 +1405,20 @@ def duplicate_token_spans(
     formatting to agree); this tier finds VERBATIM sub-passage reuse
     regardless of paragraph boundaries.
 
+    Relation to the REGISTERED batch span queries
+    (``operators/quality.repeated_span_report`` / ``apply_span_dedup``,
+    driver-scored as ``text_span_dedup`` / ``text_span_dedup_apply``):
+    those are the batch-only audit (cross-document df threshold —
+    within-doc repeats invisible, every instance marked including the
+    first) and a kept-gram-protected apply. THIS family is the
+    occurrence-level keep-first spelling (within-doc repeats covered,
+    the first occurrence never reported, a losing span cut wholesale)
+    and, more importantly, the one with a DAY-2 surface:
+    :func:`substring_index` / :func:`match_substring_index` /
+    :func:`merge_substring_index`, the streaming compaction loop, and
+    ``log_retire`` as its take-down path — the batch queries have no
+    persistable index to be incremental or erasable against.
+
     Output: (id_col, span_start, span_end, span_tokens), token
     positions 0-based, end exclusive, all BIGINT — integer arithmetic
     end-to-end, so the DuckDB oracle replays it digit-for-digit with

@@ -100,16 +100,22 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     "sim_index_fsck",  # NEW: gate/compressed/bm25 fsck composed over one
     # staged root with planted corruption, closed-form violation oracle
     # STAGED FOR ROUND 18 (growth cap reached this round): the
-    # exact-substring dedup tier (operators/dedup.py
+    # occurrence-level exact-substring family (operators/dedup.py
     # duplicate_token_spans / strip_duplicate_spans /
     # exact_substring_report + the substring_index trio + the ninth
-    # streaming loop) is built and DuckDB-parity-pinned in
-    # tests/test_operators.py — register "dedup_exact_substring"
-    # next round on exact_substring_report (every doc exactly once,
-    # all-integer incl. DIV basis points, no staged fixture; the
-    # oracle is the tests' _exact_substr_spans_sql fragment wrapped
-    # in the per-doc summary from
-    # test_exact_substring_report_duckdb_parity).
+    # streaming loop run_stream_substring_compaction) is built and
+    # DuckDB-parity-pinned in tests/test_operators.py /
+    # test_streaming.py / test_fuzz.py. NOTE the registered batch
+    # near-kin text_span_dedup / text_span_dedup_apply (quality.py,
+    # df-threshold audit + kept-gram-protected apply) — per the
+    # growth policy the batch report would be a third configuration
+    # of that tier and must NOT get a registry name. The genuinely
+    # new registerable leg is the INCREMENTAL loop: a
+    # "stream_substring_compaction" query scoring the accumulated
+    # spans + index state of an id-ordered two-batch replay against
+    # the batch-oracle (the stream_compaction_dedup registration
+    # pattern; oracle = the tests' _exact_substr_spans_sql fragment,
+    # all-integer, no staged fixture).
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
