@@ -1671,3 +1671,52 @@ def exact_substring_report(
             .alias("dup_pct"),
         )
     )
+
+
+def hot_shingles(
+    df: DataFrame,
+    k: int = 20,
+    cap: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``boilerplate_cap`` audit — :func:`hot_buckets`' twin for
+    the exact-substring tier: every k-token shingle repeated more than
+    ``cap`` times corpus-wide, WITH its text (the operators carry only
+    md5 hashes, so this is where an operator sees WHAT the boilerplate
+    is before deciding the cap). Output: (shingle, n_occurrences,
+    n_docs), hottest first.
+
+    Run it before turning ``boilerplate_cap`` on: the cap silently
+    converts keep-first into delete-all for these shingles, and this
+    report is the observable record of exactly which text that hits
+    (the LSH hot-bucket doctrine: caps are opt-in and audited, never
+    silent)."""
+    # unlike the operators (which shuffle only md5 hashes), the audit
+    # groups on the shingle TEXT — the report is the one place the
+    # string itself must survive to be read, and it is cap-bounded
+    from pyspark.ml.feature import NGram
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    ).repartition(par, "doc_id")
+    ng = NGram(n=k, inputCol="_toks", outputCol="_ng").transform(base)
+    sh = ng.select(F.explode("_ng").alias("sh"), F.col("doc_id"))
+    return (
+        sh.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > cap)
+        .select(
+            F.col("sh").alias("shingle"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "shingle")
+    )

@@ -4210,3 +4210,29 @@ def test_exact_substring_report_duckdb_parity(spark, duck, sf_dir):
     assert got == want
     assert len(got) == docs.count()  # every doc exactly once
     assert any(r[4] > 0 for r in got)  # the fixture has real duplication
+
+
+def test_hot_shingles_audit(spark):
+    """The boilerplate_cap audit reports exactly the over-cap shingles
+    WITH their text, hottest first — the observable record of what
+    delete-all would hit."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        hot_shingles,
+    )
+
+    footer = "subscribe to our newsletter today"
+    # the doc-unique token sits immediately before the footer so every
+    # k-window except the footer's own carries it (no accidental
+    # shared shingles straddling the boundary)
+    rows = [(i, f"article body text number{i} {footer}") for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = hot_shingles(docs, k=5, cap=3).collect()
+    assert [r.shingle for r in got] == [footer]
+    assert got[0].n_occurrences == 6 and got[0].n_docs == 6
+    # below-cap shingles don't report; raising the cap empties it
+    assert hot_shingles(docs, k=5, cap=6).count() == 0
+    # and the cap the audit previews is the cap the operator enforces:
+    # with boilerplate_cap=3 the footer dies in ALL six docs
+    spans = duplicate_token_spans(docs, k=5, boilerplate_cap=3)
+    assert spans.filter("span_end - span_start >= 5").count() == 6
