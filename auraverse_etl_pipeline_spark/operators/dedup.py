@@ -1309,13 +1309,16 @@ def dedup_paragraphs(
     )
 
 
-def _shingle_occurrences(
+def _positional_shingles(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(occ, base): ``occ`` is every k-token shingle occurrence as
-    (doc_id, pos, h=md5(shingle)); ``base`` the tokenized corpus
-    (doc_id, _toks). Shingling is :func:`_shingle_table`'s NGram path
-    (JVM-side, per-row, no shuffle)."""
+    """(sh, base): ``sh`` is every k-token shingle occurrence WITH its
+    text as (doc_id, pos, sh); ``base`` the tokenized corpus
+    (doc_id, _toks). The ONE definition of "shingle" the whole
+    exact-substring family shares (operators hash it, the
+    :func:`hot_shingles` audit reads it) — shingling is
+    :func:`_shingle_table`'s NGram path (JVM-side, per-row, no
+    shuffle)."""
     from pyspark.ml.feature import NGram
 
     if k < 2:
@@ -1326,10 +1329,17 @@ def _shingle_occurrences(
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     ).repartition(par, "doc_id")
     ng = NGram(n=k, inputCol="_toks", outputCol="_ng").transform(base)
-    occ = ng.select("doc_id", F.posexplode("_ng").alias("pos", "sh")).select(
-        "doc_id", "pos", F.md5("sh").alias("h")
-    )
-    return occ, base
+    return ng.select("doc_id", F.posexplode("_ng").alias("pos", "sh")), base
+
+
+def _shingle_occurrences(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(occ, base): ``occ`` is every k-token shingle occurrence as
+    (doc_id, pos, h=md5(shingle)) — the fixed-width projection the
+    operators shuffle (never the text)."""
+    sh, base = _positional_shingles(df, k, text_col, id_col)
+    return sh.select("doc_id", "pos", F.md5("sh").alias("h")), base
 
 
 def _covered_shingle_starts(
@@ -1456,7 +1466,10 @@ def _merge_covered_spans(covered: DataFrame, k: int, id_col: str) -> DataFrame:
             (F.max("pos") + F.lit(k)).alias("_e"),
         )
         .select(
-            F.col("doc_id").cast("bigint").alias(id_col),
+            # the id keeps its INPUT type (a bigint cast would NULL
+            # out string ids — the id_col API is type-agnostic, like
+            # dedup_paragraphs); only the positions are pinned BIGINT
+            F.col("doc_id").alias(id_col),
             F.col("_s").cast("bigint").alias("span_start"),
             F.col("_e").cast("bigint").alias("span_end"),
             (F.col("_e") - F.col("_s")).cast("bigint").alias("span_tokens"),
@@ -1523,7 +1536,7 @@ def strip_duplicate_spans(
             .alias("n_tokens_dropped"),
         )
         .select(
-            F.col("doc_id").cast("bigint").alias(id_col),
+            F.col("doc_id").alias(id_col),  # input-typed id, see spans
             text_col,
             "n_tokens_kept",
             "n_tokens_dropped",
@@ -1550,9 +1563,13 @@ def substring_index(
     paper's suffix array, and the honest cost of exact substring
     matching at any scale; persist it partitioned/bucketed by ``h`` so
     the daily probe is a per-bucket hash join. The owner columns make
-    the index auditable and retireable (take down a document → delete
-    its owned rows; a shingle whose only witness was the retired text
-    must not keep matching future ingests)."""
+    the index auditable and retireable — two postures:
+    ``log_retire`` (claim erasure: delete the retired owner's rows; a
+    shingle whose ONLY witness was the retired text must not keep
+    matching future ingests) and :func:`reown_substring_index`
+    (rebuild-equivalent: orphaned hashes re-owned from surviving
+    witnesses, for when the passage legitimately lives on in other
+    corpus members)."""
     occ, _ = _shingle_occurrences(df, k, text_col, id_col)
     part = Window.partitionBy("h").orderBy("doc_id", "pos")
     return (
@@ -1594,9 +1611,13 @@ def match_substring_index(
     index side a bucketed parquet probe), one window over batch
     occurrences only, then the per-doc island merge."""
     occ, _ = _shingle_occurrences(new_docs, k, text_col, id_col)
-    hit = occ.join(
-        index.select("h").distinct().withColumn("_ix", F.lit(True)), "h", "left"
-    )
+    # the index is unique on h by construction (substring_index keeps
+    # rn==1, merge is left-anti) — a .distinct() here would shuffle
+    # the whole accumulated index on EVERY probe, making per-batch
+    # cost grow with corpus size; and even a malformed duplicate-h
+    # index only duplicates covered rows, which the island merge
+    # coalesces back into the same spans
+    hit = occ.join(index.select("h").withColumn("_ix", F.lit(True)), "h", "left")
     part = Window.partitionBy("h").orderBy("doc_id", "pos")
     ranked = hit.withColumn("_rn", F.row_number().over(part))
     covered = ranked.filter(
@@ -1654,7 +1675,7 @@ def exact_substring_report(
         F.count(F.lit(1)).alias("_nsp"),
     )
     toks = df.select(
-        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(id_col),  # input-typed id (a bigint cast NULLs string ids)
         F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("bigint").alias(
             "n_tokens"
         ),
@@ -1694,18 +1715,10 @@ def hot_shingles(
     silent)."""
     # unlike the operators (which shuffle only md5 hashes), the audit
     # groups on the shingle TEXT — the report is the one place the
-    # string itself must survive to be read, and it is cap-bounded
-    from pyspark.ml.feature import NGram
-
-    if k < 2:
-        raise ValueError(f"k must be >= 2 (got {k})")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
-    ).repartition(par, "doc_id")
-    ng = NGram(n=k, inputCol="_toks", outputCol="_ng").transform(base)
-    sh = ng.select(F.explode("_ng").alias("sh"), F.col("doc_id"))
+    # string itself must survive to be read, and it is cap-bounded;
+    # the shingle DEFINITION is the shared helper, so the cap this
+    # audit previews is exactly the cap the operators enforce
+    sh, _ = _positional_shingles(df, k, text_col, id_col)
     return (
         sh.groupBy("sh")
         .agg(
@@ -1720,3 +1733,56 @@ def hot_shingles(
         )
         .orderBy(F.desc("n_occurrences"), "shingle")
     )
+
+
+def reown_substring_index(
+    index: DataFrame,
+    tombstones: DataFrame,
+    corpus: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REBUILD-EQUIVALENT take-down for the substring index — the fix
+    for the multi-witness gap that plain claim erasure leaves open:
+    ``log_retire`` on the index deletes a retired owner's hash rows,
+    but when another LIVE document still contains the same passage,
+    deleting the hash silently disables future dedup of that passage
+    (a later ingest re-admits it as unique even though a surviving
+    corpus member holds it verbatim). This operator re-owns every
+    orphaned hash from its keep-first occurrence among SURVIVING
+    documents, so the result equals ``substring_index(corpus minus
+    tombstones)`` exactly — the retire tier's invariant
+    (indistinguishable from a rebuild without the retired ids),
+    pinned in tests/test_retire.py.
+
+    ``log_retire`` alone remains the CLAIM-ERASURE posture: correct
+    when the retired document was the passage's only witness, cheap
+    (no corpus access), and the right call when the erasure request
+    covers the content itself. Use this operator when the request
+    covers the DOCUMENT but the passage legitimately lives on in
+    other corpus members.
+
+    Returns the post-retire index frame (caller persists — the trio's
+    contract). Honest cost: ONE re-shingle pass over the surviving
+    corpus, semi-joined down to the orphaned hashes (O(retired docs'
+    tokens) keys) — take-down-cadence work, not per-batch work; there
+    is no way to find a hash's next witness without looking at text,
+    which is exactly why the cheap path can't be rebuild-equivalent."""
+    tomb = tombstones.select(F.col(tombstones.columns[0]).alias("doc_id")).distinct()
+    keep = index.join(tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+    orphans = index.join(
+        tomb.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    ).select("h")
+    survivors = corpus.join(
+        tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+    occ, _ = _shingle_occurrences(survivors, k, text_col, id_col)
+    cand = occ.join(orphans, "h", "left_semi")
+    part = Window.partitionBy("h").orderBy("doc_id", "pos")
+    new_owners = (
+        cand.withColumn("_rn", F.row_number().over(part))
+        .filter(F.col("_rn") == 1)
+        .select("h", F.col("doc_id").alias(id_col), "pos")
+    )
+    return keep.unionByName(new_owners)

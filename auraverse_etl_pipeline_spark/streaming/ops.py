@@ -2472,15 +2472,18 @@ def index_suite_tick(
 
     report: dict = {}
     if gate_path is not None:
+        opts = dict(gate_opts or {})
+        if "max_cell_size" not in opts:
+            # no silent default: a wrong cap fires spurious
+            # rebalances, so the caller must own this number — and
+            # the check fires BEFORE the existence probe, so a
+            # misconfigured cron fails at deploy time, not days later
+            # when the gate root first appears
+            raise ValueError(
+                "index_suite_tick: gate_opts must carry"
+                " max_cell_size when gate_path is set"
+            )
         if _present(f"{gate_path}/centroids"):
-            opts = dict(gate_opts or {})
-            if "max_cell_size" not in opts:
-                # no silent default: a wrong cap fires spurious
-                # rebalances, so the caller must own this number
-                raise ValueError(
-                    "index_suite_tick: gate_opts must carry"
-                    " max_cell_size when gate_path is set"
-                )
             report["gate"] = gate_maintenance_tick(
                 spark, gate_path, tombstones_path=tombstones_path, **opts
             )

@@ -2238,3 +2238,44 @@ def test_substring_index_retire_and_reown(spark, tmp_path):
     assert match_substring_index(redo, after, k=k).count() == 0
     merged = merge_substring_index(substring_index(redo, k=k), after)
     assert merged.filter("doc_id = 9").count() == n_doc1
+
+
+def test_reown_substring_index_rebuild_equivalence(spark, tmp_path):
+    """The multi-witness take-down: when a retired owner's passage
+    still lives in another document, reown_substring_index reassigns
+    the orphaned hashes to the surviving keep-first witness — the
+    result equals substring_index over the surviving corpus EXACTLY
+    (the retire tier's rebuild invariant), and a re-ingest of the
+    passage is still caught. Plain log_retire (claim erasure) is the
+    documented sole-witness posture pinned above."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        match_substring_index,
+        reown_substring_index,
+        substring_index,
+    )
+
+    k = 3
+    shared = "a passage two documents both contain verbatim today"
+    rows = [
+        (1, f"doc one says {shared}"),
+        (2, f"completely different text then {shared} trailing words"),
+        (3, "an unrelated third document with its own words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = substring_index(docs, k=k)
+    tomb = spark.createDataFrame([(1,)], "doc_id bigint")
+
+    after = reown_substring_index(idx, tomb, docs, k=k)
+    want = substring_index(docs.filter("doc_id <> 1"), k=k)
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("h", "doc_id", "pos").collect())
+    )
+    assert key(after) == key(want)
+    assert after.filter("doc_id = 1").count() == 0
+    assert after.filter("doc_id = 2").count() > 0  # doc 2 inherited claims
+
+    # the passage still matches: a re-ingest of the shared text under
+    # a new id is covered by doc 2's inherited ownership, where plain
+    # claim erasure would have admitted it as unique
+    redo = spark.createDataFrame([(9, shared)], "doc_id bigint, text string")
+    assert match_substring_index(redo, after, k=k).count() == 1
