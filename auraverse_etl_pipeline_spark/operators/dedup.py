@@ -1786,3 +1786,83 @@ def reown_substring_index(
         .select("h", F.col("doc_id").alias(id_col), "pos")
     )
     return keep.unionByName(new_owners)
+
+
+def substring_index_fsck(
+    spark,
+    index_path: str,
+    corpus: DataFrame | None = None,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integrity check for a persisted :func:`substring_index` — the
+    fourth index family's fsck, completing the posture the gate /
+    compressed / BM25 families already have: every check returns a
+    (check, violations) row, all-zero on a healthy index.
+
+    Structural checks (index-only, cheap — one scan):
+
+    - ``duplicate_hash`` — a hash with >1 owner row (a
+      :func:`merge_substring_index` bypassed by a raw double-append;
+      match results stay correct — the island merge coalesces — but
+      the index pays the dead weight forever).
+    - ``null_field`` — NULL hash/owner/pos (a malformed writer).
+    - ``negative_pos`` — owner position < 0 (never produced by the
+      builders; a corrupted rewrite).
+
+    Witness check (opt-in — pass ``corpus`` AND ``k``; one
+    orphan-style re-shingle of the OWNER documents only):
+
+    - ``owner_without_witness`` — an index row whose owner document no
+      longer contains that shingle at any position (the signature of a
+      take-down that used plain ``log_retire`` claim-erasure semantics
+      on the DOCUMENTS but forgot the index, or an index that predates
+      a corpus rewrite; :func:`reown_substring_index` is the repair
+      when the passage still has other witnesses).
+
+    The witness check verifies hash membership per owner document, not
+    the exact position — position drift without content change cannot
+    affect match results (matching is hash-membership only), so
+    checking it would flag harmless staleness."""
+    def _count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    idx = spark.read.parquet(index_path)
+    checks = [
+        _count_row(
+            "duplicate_hash",
+            idx.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        _count_row(
+            "null_field",
+            idx.filter(
+                F.col("h").isNull()
+                | F.col(id_col).isNull()
+                | F.col("pos").isNull()
+            ),
+        ),
+        _count_row("negative_pos", idx.filter(F.col("pos") < 0)),
+    ]
+    if corpus is not None:
+        if k is None:
+            raise ValueError("substring_index_fsck: witness check needs k=")
+        owner_ids = idx.select(F.col(id_col)).distinct()
+        owners = corpus.join(owner_ids, id_col, "left_semi")
+        occ, _ = _shingle_occurrences(owners, k, text_col, id_col)
+        witnessed = occ.select(F.col("doc_id").alias(id_col), "h").distinct()
+        checks.append(
+            _count_row(
+                "owner_without_witness",
+                idx.join(witnessed, [id_col, "h"], "left_anti"),
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -2279,3 +2279,65 @@ def test_reown_substring_index_rebuild_equivalence(spark, tmp_path):
     # claim erasure would have admitted it as unique
     redo = spark.createDataFrame([(9, shared)], "doc_id bigint, text string")
     assert match_substring_index(redo, after, k=k).count() == 1
+
+
+def test_substring_index_fsck_healthy_and_planted(spark, tmp_path):
+    """The fourth family's fsck: all-zero on a healthy index (witness
+    check included), and each planted corruption fires exactly its own
+    check — a raw double-append trips duplicate_hash, a doc whose text
+    was erased under the index trips owner_without_witness, and the
+    repair (reown over the surviving corpus) reads clean again."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        reown_substring_index,
+        substring_index,
+        substring_index_fsck,
+    )
+
+    k = 3
+    shared = "a passage two documents both contain verbatim today"
+    rows = [
+        (1, f"doc one says {shared}"),
+        (2, f"other text then {shared} trailing words"),
+        (3, "an unrelated third document with its own words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "ss_fsck_index")
+    substring_index(docs, k=k).write.parquet(path)
+
+    healthy = {r.check: r.violations for r in substring_index_fsck(
+        spark, path, corpus=docs, k=k
+    ).collect()}
+    assert healthy == {
+        "duplicate_hash": 0, "null_field": 0, "negative_pos": 0,
+        "owner_without_witness": 0,
+    }
+
+    # planted corruption 1: raw double-append of doc 3's rows
+    idx = spark.read.parquet(path)
+    doc3 = idx.filter("doc_id = 3").localCheckpoint(eager=True)
+    n3 = doc3.count()
+    doc3.write.mode("append").parquet(path)
+    got = {r.check: r.violations for r in substring_index_fsck(spark, path).collect()}
+    assert got["duplicate_hash"] == n3 and got["null_field"] == 0
+
+    # planted corruption 2 (fresh index): doc 1 erased from the CORPUS
+    # but not the index — every index row doc 1 owns loses its witness
+    path2 = str(tmp_path / "ss_fsck_index2")
+    substring_index(docs, k=k).write.parquet(path2)
+    surviving = docs.filter("doc_id <> 1")
+    idx2 = spark.read.parquet(path2)
+    n1 = idx2.filter("doc_id = 1").count()
+    got2 = {r.check: r.violations for r in substring_index_fsck(
+        spark, path2, corpus=surviving, k=k
+    ).collect()}
+    assert got2["owner_without_witness"] == n1 > 0
+
+    # the repair: reown from the surviving corpus -> clean fsck
+    tomb = spark.createDataFrame([(1,)], "doc_id bigint")
+    reown_substring_index(idx2, tomb, docs, k=k).localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(path2)
+    got3 = {r.check: r.violations for r in substring_index_fsck(
+        spark, path2, corpus=surviving, k=k
+    ).collect()}
+    assert set(got3.values()) == {0}
