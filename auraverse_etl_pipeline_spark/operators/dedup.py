@@ -1866,3 +1866,55 @@ def substring_index_fsck(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def substring_novelty_report(
+    new_docs: DataFrame,
+    index: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NOVELTY against a persisted
+    :func:`substring_index` — the ingest-gating signal the day-2 loop
+    wants before admitting a batch: for each new document, how much of
+    it has the corpus seen verbatim before? Output: (id_col,
+    n_shingles, n_known, novelty_pct) for EVERY batch document —
+    ``n_known`` counts the doc's k-shingle occurrences whose hash the
+    index holds, ``novelty_pct`` is integer basis points of UNSEEN
+    shingles (``(n_shingles - n_known) * 10000 DIV n_shingles``;
+    docs shorter than k have no shingles and report as fully novel,
+    10000). Float-free end to end, like
+    :func:`exact_substring_report`.
+
+    A near-0 novelty_pct is a re-ingest or a mirror (route to the
+    dedup drop path); a mid-range value is quotation/boilerplate
+    (route to :func:`strip_duplicate_spans`); near-10000 is genuinely
+    new content. Unlike :func:`match_substring_index` (which also
+    ranks within-batch keep-first and merges spans), this is the
+    cheap one-join read: batch occurrences left-joined to the index
+    on ``h``, then one per-doc aggregate — no window anywhere.
+
+    Scale shape: the index side is the same bucketed parquet probe as
+    the match path; only (hash, id) pairs shuffle."""
+    occ, base = _shingle_occurrences(new_docs, k, text_col, id_col)
+    hit = occ.join(index.select("h").withColumn("_ix", F.lit(True)), "h", "left")
+    per_doc = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_ix").isNotNull(), 1).otherwise(0)).alias("_known"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("_known"), F.lit(0)).cast("bigint").alias("n_known"),
+            F.when(F.coalesce(F.col("_n"), F.lit(0)) == 0, F.lit(10000))
+            .otherwise(
+                F.expr("(_n - _known) * 10000 DIV _n")
+            )
+            .cast("bigint")
+            .alias("novelty_pct"),
+        )
+    )

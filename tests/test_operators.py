@@ -4236,3 +4236,38 @@ def test_hot_shingles_audit(spark):
     # with boilerplate_cap=3 the footer dies in ALL six docs
     spans = duplicate_token_spans(docs, k=5, boilerplate_cap=3)
     assert spans.filter("span_end - span_start >= 5").count() == 6
+
+
+def test_substring_novelty_report(spark):
+    """Novelty basis points against a persisted index: a verbatim
+    re-ingest reads 0, genuinely new content reads 10000, a doc
+    quoting indexed text reads in between, short docs (no shingles)
+    report fully novel — and every batch doc appears exactly once."""
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        substring_index,
+        substring_novelty_report,
+    )
+
+    k = 3
+    old_text = "the quick brown fox jumps over the lazy dog"  # 9 toks, 7 shingles
+    corpus = spark.createDataFrame([(1, old_text)], "doc_id bigint, text string")
+    idx = substring_index(corpus, k=k)
+
+    batch = spark.createDataFrame(
+        [
+            (10, old_text),                      # re-ingest: novelty 0
+            (11, "entirely fresh words appear in this new sentence"),
+            (12, f"prefix words then {old_text}"),  # partial quote
+            (13, "tiny"),                        # < k tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in substring_novelty_report(batch, idx, k=k).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    assert (got[10].n_shingles, got[10].n_known, got[10].novelty_pct) == (7, 7, 0)
+    assert got[11].n_known == 0 and got[11].novelty_pct == 10000
+    # doc 12: 12 tokens -> 10 shingles; the 7 old-text shingles are
+    # known, the 3 straddling the prefix boundary are not
+    assert (got[12].n_shingles, got[12].n_known) == (10, 7)
+    assert got[12].novelty_pct == 3 * 10000 // 10
+    assert (got[13].n_shingles, got[13].novelty_pct) == (0, 10000)
