@@ -110,12 +110,14 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
     # df-threshold audit + kept-gram-protected apply) — per the
     # growth policy the batch report would be a third configuration
     # of that tier and must NOT get a registry name. The genuinely
-    # new registerable leg is the INCREMENTAL loop: a
-    # "stream_substring_compaction" query scoring the accumulated
-    # spans + index state of an id-ordered two-batch replay against
-    # the batch-oracle (the stream_compaction_dedup registration
-    # pattern; oracle = the tests' _exact_substr_spans_sql fragment,
-    # all-integer, no staged fixture).
+    # new registerable leg is the INCREMENTAL side — prefer the
+    # NOVELTY GATE (streaming/ops.run_stream_substring_gate, the
+    # stream_semdedup_gate registration pattern: scored decisions
+    # parquet, batch_id-stamped, all-integer DIV basis points) over
+    # the plain compaction loop; oracle = the tests'
+    # _exact_substr_spans_sql fragment folded into per-doc dup_pct
+    # decisions over an id-ordered two-batch replay. No staged
+    # fixture needed.
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,

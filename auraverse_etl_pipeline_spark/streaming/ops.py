@@ -413,6 +413,116 @@ def run_stream_substring_compaction(
         q.stop()
 
 
+def run_stream_substring_gate(
+    new_docs: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    k: int = 20,
+    max_dup_pct: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 600,
+) -> None:
+    """ExactSubstr as an ingest GATE — the curation twin of
+    :func:`run_stream_substring_compaction`: each micro-batch is
+    scored for verbatim reuse against the shingle index (index-wins)
+    PLUS within-batch keep-first, every document gets a decision row
+    (kept ⇔ its duplicated-token share ≤ ``max_dup_pct`` basis
+    points), and ONLY admitted documents' shingles merge into the
+    index — rejected content never claims ownership, the
+    :func:`run_stream_semdedup_gate` posture at substring granularity.
+
+    Decision rows: (id_col, n_tokens, dup_tokens, dup_pct, kept,
+    batch_id) — ``batch_id`` is the gates' ordering column; a
+    re-arrival of already-admitted content IS re-judged (dup_pct
+    10000, kept false) and writes a fresh decision row each time,
+    unlike the semdedup gate's tombstone silence — a novelty verdict
+    is about the content in front of the gate, not the id's history.
+    All-integer scoring (DIV basis points), float-free.
+
+    Documented deviation from the batch audit (inherent to gating,
+    not a defect): a REJECTED document's novel remainder is not
+    indexed, so a later document repeating only that remainder is
+    admitted as novel — batch-mode keep-first would have covered it.
+    The batch twin for offline replays is
+    :func:`~auraverse_etl_pipeline_spark.operators.dedup.
+    exact_substring_report` over the admitted corpus.
+
+    Scale shape: the compaction loop's joins exactly (one h-probe of
+    the bucketed index per batch, one within-batch window, per-doc
+    aggregates); decisions are append-only fixed-width rows."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.functions.text import tokens as _tokens
+    from auraverse_etl_pipeline_spark.operators.dedup import (
+        match_substring_index,
+        substring_index,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        probe = substring_index(batch_df.limit(0), k=k)
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame([], probe.schema)
+        spans = match_substring_index(
+            batch_df, index, k=k, text_col=text_col, id_col=id_col
+        )
+        per_doc = spans.groupBy(id_col).agg(
+            F.sum("span_tokens").alias("_dup")
+        )
+        decisions = (
+            batch_df.select(
+                F.col(id_col),
+                F.size(_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
+            .join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                "n_tokens",
+                F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias(
+                    "dup_tokens"
+                ),
+                F.expr("coalesce(_dup, 0) * 10000 DIV n_tokens")
+                .cast("bigint")
+                .alias("dup_pct"),
+            )
+            .withColumn("kept", F.col("dup_pct") <= max_dup_pct)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        # decisions are consumed twice (the sink and the admit filter)
+        # and derive from the index read — cut once, eagerly
+        decisions = decisions.localCheckpoint(eager=True)
+        audit_batch_plan("substring_gate:decisions", decisions)
+        decisions.write.mode("append").parquet(decisions_path)
+        admitted = batch_df.join(
+            decisions.filter("kept").select(id_col), id_col, "left_semi"
+        )
+        delta = substring_index(
+            admitted, k=k, text_col=text_col, id_col=id_col
+        ).join(index.select("h"), "h", "left_anti")
+        audit_batch_plan("substring_gate:delta", delta)
+        delta.write.mode("append").parquet(index_path)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_substr_gate_")
+    q = (
+        new_docs.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+        audit_stream_plan("foreachBatch_stream", q)
+    finally:
+        q.stop()
+
+
 #: Output schema of user_running_totals.
 USER_TOTALS_SCHEMA = StructType(
     [

@@ -1988,3 +1988,56 @@ def test_index_suite_tick_all_families(spark, tmp_path):
         gate_opts={"max_cell_size": 8},
     )
     assert out3 == {"gate": "skipped", "compressed": "skipped", "bm25": "skipped"}
+
+
+def test_stream_substring_gate_decisions(spark, tmp_path):
+    """The novelty gate: every document gets a decision row per
+    arrival, a cross-batch verbatim re-ingest is re-judged and
+    rejected at dup_pct 10000, a within-batch duplicate loses to the
+    id-ordered first copy, fresh content is admitted, and the index
+    holds ONLY admitted documents' hashes (rejected content never
+    claims ownership)."""
+    import time
+
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        run_stream_substring_gate,
+    )
+
+    k = 3
+    fresh_a = "completely original first document about parquet rows"
+    fresh_b = "another novel piece of text on shuffle partitions here"
+    schema = "doc_id bigint, text string"
+    batch1 = [(1, fresh_a), (2, fresh_a)]          # 2: within-batch dup of 1
+    batch2 = [(3, fresh_b), (4, fresh_a)]          # 4: cross-batch re-ingest
+    chunk_dir = tmp_path / "gate_chunks"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(chunk_dir))
+        time.sleep(1.2)
+
+    root = tmp_path / "ssgate"
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    run_stream_substring_gate(
+        sdocs,
+        index_path=str(root / "index"),
+        decisions_path=str(root / "decisions"),
+        k=k,
+        max_dup_pct=5000,
+    )
+
+    dec = {r.doc_id: r for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert set(dec) == {1, 2, 3, 4}
+    assert dec[1].kept and dec[1].dup_pct == 0
+    assert not dec[2].kept and dec[2].dup_pct == 10000  # within-batch loser
+    assert dec[3].kept and dec[3].dup_pct == 0
+    assert not dec[4].kept and dec[4].dup_pct == 10000  # re-judged re-ingest
+    assert dec[4].batch_id > dec[1].batch_id
+
+    # index ownership: admitted docs only (1 and 3)
+    idx = spark.read.parquet(str(root / "index"))
+    assert {r.doc_id for r in idx.collect()} == {1, 3}
