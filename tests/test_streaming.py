@@ -1939,6 +1939,10 @@ def test_index_suite_tick_all_families(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_cell_size"):
         index_suite_tick(spark, gate_path=str(groot), tombstones_path=tomb)
+    # the contract fires BEFORE the existence probe: a misconfigured
+    # cron fails at deploy time even while the gate root doesn't exist
+    with _pytest.raises(ValueError, match="max_cell_size"):
+        index_suite_tick(spark, gate_path=str(tmp_path / "not_yet"))
 
     out = index_suite_tick(
         spark,
