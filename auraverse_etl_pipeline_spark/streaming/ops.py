@@ -1931,9 +1931,16 @@ def compressed_index_append(
     discipline), assignment/encodes are the operators' own
     map-side-combined aggregates, and every cell-partitioned append
     is ``repartition("cell")``-clustered first (the open-writers
-    rule). ``encode_log`` rows are stamped ``batch_id`` (default:
-    max existing + 1) so the drift audit's trend and the retrain
-    watermark keep working across appends.
+    rule). The assignment pass and ALL the surface probes fuse into
+    ONE eagerly-checkpointed batch-sized frame (optimization r17:
+    the per-surface spelling paid six eager ``localCheckpoint``
+    lineage cuts at ~0.6 s each; one cut carries the same
+    read-then-append safety because every downstream append plan
+    derives from the checkpointed frame — plus the persisted scored
+    table inside ``pq_encode_with_error`` — and never re-lists a
+    path this call appends to). ``encode_log`` rows are stamped
+    ``batch_id`` (default: max existing + 1) so the drift audit's
+    trend and the retrain watermark keep working across appends.
 
     Returns ``{"appended", "pq_appended", "sq_appended",
     "batch_id"}`` (counts of rows actually written per family)."""
@@ -1945,11 +1952,15 @@ def compressed_index_append(
         sq_encode,
     )
 
+    _surfaces: dict = {}
+
     def _read(path):
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException:
-            return None
+        if path not in _surfaces:
+            try:
+                _surfaces[path] = spark.read.parquet(path)
+            except AnalysisException:
+                _surfaces[path] = None
+        return _surfaces[path]
 
     cent = spark.read.parquet(f"{index_path}/centroids")
     books = _read(f"{index_path}/codebooks")
@@ -1960,25 +1971,61 @@ def compressed_index_append(
     )
     ids = F.broadcast(b.select("id").distinct())
 
-    def _missing_from(table_path):
+    def _present_flag(table_path, flag):
+        """(id, flag=true) for batch ids already on the surface — the
+        same id-pruned broadcast semi-join probe per surface as the
+        per-surface spelling, now assembled into one frame."""
         existing = _read(table_path)
         if existing is None:
-            return b
-        present = existing.join(ids, "id", "left_semi").select("id").distinct()
-        return b.join(F.broadcast(present), "id", "left_anti")
+            return None
+        return (
+            existing.join(ids, "id", "left_semi")
+            .select("id")
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
 
-    def _append_cells(df, table_path):
-        out = df.join(assigned.select("id", "cell"), "id")
-        out = out.localCheckpoint(eager=True)  # the read-then-append cut
-        n = out.count()
-        if n:
-            out.repartition("cell").write.mode("append").partitionBy(
-                "cell"
-            ).parquet(table_path)
-        return n
+    probes = []
+    if books is not None:
+        probes += [
+            ("_in_pq", f"{index_path}/pq_codes"),
+            ("_in_log", f"{index_path}/encode_log"),
+        ]
+    if sq_st is not None:
+        probes += [("_in_sq", f"{index_path}/sq_codes")]
+    probes += [("_in_members", f"{index_path}/{members_table}")]
 
     assigned = ivf_assign(b, cent, id_col="id", vec_col="v", clamp=True, dim=dim)
-    assigned = assigned.localCheckpoint(eager=True)  # one assignment pass
+    assigned_cols = list(assigned.columns)
+    enriched = assigned
+    for flag, path in probes:
+        p = _present_flag(path, flag)
+        if p is None:
+            enriched = enriched.withColumn(flag, F.lit(False))
+        else:
+            enriched = enriched.join(F.broadcast(p), "id", "left").withColumn(
+                flag, F.coalesce(F.col(flag), F.lit(False))
+            )
+    # THE read-then-append lineage cut: one assignment pass + every
+    # surface probe, materialized before the first write below
+    enriched = enriched.localCheckpoint(eager=True)
+
+    # ONE counting pass decides every surface's delta size (the four
+    # per-surface count/limit(1) actions collapsed): the encoders emit
+    # exactly m PQ-code rows / one log row / one SQ row / one member
+    # row per id by construction, so the missing-flag sums ARE the
+    # written-row counts the per-surface spelling materialized.
+    flag_cols = [f for f, _ in probes]
+    cnt = enriched.agg(
+        *[F.sum((~F.col(f)).cast("bigint")).alias(f) for f in flag_cols]
+    ).first()
+    miss = {f: int(cnt[f] or 0) for f in flag_cols}
+
+    def _append_cells(df, table_path):
+        out = df.join(enriched.select("id", "cell"), "id")
+        out.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(table_path)
 
     pq_appended = 0
     if books is not None:
@@ -1986,24 +2033,33 @@ def compressed_index_append(
         # missing sets (a crash between the two appends must heal the
         # log on re-run even though the codes are already present) —
         # but one shared scoring pass over their union
-        new_pq = _missing_from(f"{index_path}/pq_codes")
-        new_log = _missing_from(f"{index_path}/encode_log")
-        union = new_pq.unionByName(new_log).dropDuplicates(["id"])
-        union = union.localCheckpoint(eager=True)  # both surfaces + the
-        # emptiness probe consume it; also keeps dim inference off an
-        # empty-frame first() when there is nothing to encode
-        if union.limit(1).count():
+        if miss["_in_pq"] or miss["_in_log"]:
+            union = enriched.filter(
+                ~F.col("_in_pq") | ~F.col("_in_log")
+            ).select("id", "v")
             codes, log, handle = pq_encode_with_error(
                 union, books, m=m, dim=dim, id_col="id", vec_col="v"
             )
-            pq_appended = _append_cells(
-                codes.join(F.broadcast(new_pq.select("id")), "id", "left_semi"),
-                f"{index_path}/pq_codes",
-            )
-            log_out = log.join(
-                F.broadcast(new_log.select("id")), "id", "left_semi"
-            ).localCheckpoint(eager=True)
-            if log_out.count():
+            if miss["_in_pq"]:
+                _append_cells(
+                    codes.join(
+                        F.broadcast(
+                            enriched.filter(~F.col("_in_pq")).select("id")
+                        ),
+                        "id",
+                        "left_semi",
+                    ),
+                    f"{index_path}/pq_codes",
+                )
+                pq_appended = miss["_in_pq"] * int(m)
+            if miss["_in_log"]:
+                log_out = log.join(
+                    F.broadcast(
+                        enriched.filter(~F.col("_in_log")).select("id")
+                    ),
+                    "id",
+                    "left_semi",
+                )
                 if batch_id is None:
                     enc = _read(f"{index_path}/encode_log")
                     prev = (
@@ -2018,27 +2074,21 @@ def compressed_index_append(
             handle.unpersist()
 
     sq_appended = 0
-    if sq_st is not None:
-        new_sq = _missing_from(f"{index_path}/sq_codes").localCheckpoint(
-            eager=True
+    if sq_st is not None and miss["_in_sq"]:
+        new_sq = enriched.filter(~F.col("_in_sq")).select("id", "v")
+        _append_cells(
+            sq_encode(new_sq, sq_st, dim=dim, id_col="id", vec_col="v"),
+            f"{index_path}/sq_codes",
         )
-        if new_sq.limit(1).count():
-            sq_appended = _append_cells(
-                sq_encode(new_sq, sq_st, dim=dim, id_col="id", vec_col="v"),
-                f"{index_path}/sq_codes",
-            )
+        sq_appended = miss["_in_sq"]
 
     # members LAST: the crash window never shows a searchable member
     # whose code rows are missing
-    new_members = _missing_from(f"{index_path}/{members_table}")
-    members_tbl = _read(f"{index_path}/{members_table}")
-    cols = members_tbl.columns if members_tbl is not None else assigned.columns
-    delta = assigned.join(
-        F.broadcast(new_members.select("id")), "id", "left_semi"
-    ).select(*cols)
-    delta = delta.localCheckpoint(eager=True)
-    appended = delta.count()
+    appended = miss["_in_members"]
     if appended:
+        members_tbl = _read(f"{index_path}/{members_table}")
+        cols = members_tbl.columns if members_tbl is not None else assigned_cols
+        delta = enriched.filter(~F.col("_in_members")).select(*cols)
         delta.repartition("cell").write.mode("append").partitionBy(
             "cell"
         ).parquet(f"{index_path}/{members_table}")

@@ -1857,6 +1857,46 @@ def test_compressed_index_append_idempotent_and_crash_heals(spark, tmp_path):
     assert all(v == 0 for v in fs2.values()), fs2
 
 
+def test_compressed_index_append_partial_surface_counts(spark, tmp_path):
+    """The r17 fused probe/count path: one id pre-present on ONE
+    surface only (sq_codes) must be skipped there and appended
+    everywhere else, and the returned counts must equal the rows
+    actually written per surface (pq = m rows/id, sq/members/log =
+    one) — the per-surface missing sets stay independent after the
+    probes fused into one checkpointed frame."""
+    import pyspark.sql.functions as F
+
+    from auraverse_etl_pipeline_spark.operators.similarity import sq_encode
+    from auraverse_etl_pipeline_spark.streaming.ops import compressed_index_append
+
+    root, emb = _day1_compressed(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(40, 44)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # pre-land ONE id's SQ rows (a crash between the sq and members
+    # writes), in the cell the append itself would pick
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    st = spark.read.parquet(f"{root}/sq_stats")
+    cent = spark.read.parquet(f"{root}/centroids")
+    one = batch.filter("vec_id = 41")
+    cells = ivf_assign(one, cent, clamp=True).select("id", "cell")
+    sq_encode(one, st).join(cells, "id").repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{root}/sq_codes")
+
+    out = compressed_index_append(spark, root, batch, m=2)
+    assert out == {"appended": 4, "pq_appended": 8, "sq_appended": 3, "batch_id": 1}
+    # written rows match the returned counts exactly, per surface
+    ids = [r.id for r in spark.read.parquet(f"{root}/sq_codes")
+           .filter("id >= 40").groupBy("id").count().filter("count != 1").collect()]
+    assert ids == []
+    assert spark.read.parquet(f"{root}/pq_codes").filter("id >= 40").count() == 8
+    assert spark.read.parquet(f"{root}/encode_log").filter("batch_id = 1").count() == 4
+    assert all(v == 0 for v in _fsck_map(spark, root).values())
+
+
 def test_compressed_index_fsck_planted_corruptions(spark, tmp_path):
     """Each fsck check fires on exactly its planted corruption (the
     bm25_fsck discipline)."""
