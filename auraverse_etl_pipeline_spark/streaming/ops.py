@@ -1264,8 +1264,14 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
     retirement empties a cell; wasted probes only). Shape: flat
     aggregates over the index tables, a vocabulary-sized anti-join
     for the decisions check, one 1-row frame per check unioned —
-    bounded by the index, no corpus access."""
+    bounded by the index, no corpus access. The shared id projection
+    is CACHED and the duplicate/null checks share one members scan
+    (optimization r17: the per-check spelling re-scanned the members
+    table once per consumer; the returned frame carries the paired
+    ``release_caches()`` handle)."""
     from pyspark.errors.exceptions.captured import AnalysisException
+
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
 
     def _read(path):
         try:
@@ -1284,10 +1290,19 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
         )
 
     zero = spark.range(1).select(F.lit(0).alias("n"))
+    caches = []
+    mids = None
+    if members is not None:
+        # one cached (id, cell) projection feeds the orphan-cell check
+        # AND the kept-decisions anti-join (via its id side) — the
+        # members parquet is scanned once for all of them
+        mcells = members.select("id", "cell").distinct().cache()
+        mids = mcells.select("id").distinct()
+        caches.append(mcells)
     if members is not None and cent is not None:
         orphan = row(
             "member_cell_without_centroid",
-            members.select("cell")
+            mcells.select("cell")
             .distinct()
             .join(cent.select("cell"), "cell", "left_anti")
             .agg(F.count(F.lit(1)).alias("n")),
@@ -1295,20 +1310,29 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
     else:
         orphan = row("member_cell_without_centroid", zero)
     if members is not None:
-        dup = row(
-            "duplicate_member_id",
-            members.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter("c > 1")
-            .agg(F.count(F.lit(1)).alias("n")),
+        # duplicate ids and null vectors from ONE members scan: per-id
+        # row count + per-id null-vector rows, folded to both tallies
+        dupnull = (
+            members.select("id", "v")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.count(F.when(F.col("v").isNull(), True)).alias("nv"),
+            )
+            .agg(
+                F.count(F.when(F.col("c") > 1, True)).alias("dup"),
+                F.coalesce(F.sum("nv"), F.lit(0)).alias("nullv"),
+            )
         )
-        nullv = row(
-            "null_member_vector",
-            members.filter(F.col("v").isNull()).agg(F.count(F.lit(1)).alias("n")),
+        dupnull_rows = dupnull.selectExpr(
+            "stack(2, 'duplicate_member_id', CAST(dup AS BIGINT),"
+            " 'null_member_vector', CAST(nullv AS BIGINT))"
+            " AS (check, violations)"
         )
     else:
-        dup = row("duplicate_member_id", zero)
-        nullv = row("null_member_vector", zero)
+        dupnull_rows = row("duplicate_member_id", zero).unionByName(
+            row("null_member_vector", zero)
+        )
     if cent is not None:
         dup_c = row(
             "duplicate_centroid_cell",
@@ -1344,7 +1368,7 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
             latest_kept = decisions.filter("kept").select("id").distinct()
         kept = row(
             "kept_decision_without_member",
-            latest_kept.join(members.select("id"), "id", "left_anti")
+            latest_kept.join(mids, "id", "left_anti")
             .agg(F.count(F.lit(1)).alias("n")),
         )
     else:
@@ -1353,13 +1377,13 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
         "pending_marker_present",
         spark.range(1).select(F.lit(1 if pending is not None else 0).alias("n")),
     )
-    return (
-        orphan.unionByName(dup)
+    out = (
+        orphan.unionByName(dupnull_rows)
         .unionByName(dup_c)
-        .unionByName(nullv)
         .unionByName(kept)
         .unionByName(marker)
     )
+    return release_after(out, *caches)
 
 
 def _watermark_filter(spark, log: DataFrame, wm_path: str) -> DataFrame:
@@ -2298,6 +2322,8 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
     functions."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from auraverse_etl_pipeline_spark.operators.caching import release_after
+
     def _read(path):
         try:
             return spark.read.parquet(path)
@@ -2323,24 +2349,47 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
     def count(df):
         return df.agg(F.count(F.lit(1)).alias("n"))
 
-    mids = members.select("id").distinct() if members is not None else None
+    # shared id / (id, cell) projections, CACHED (optimization r17):
+    # the per-check spelling recomputed the members distinct once per
+    # consumer (5+ scans of the assignments table); the member/orphan
+    # anti-join PAIRS fold into one full-outer pass each — both counts
+    # from one join, exactly the two anti-join tallies
+    caches = []
+    mids = None
+    mcells = None
+    if members is not None:
+        if "cell" in members.columns:
+            mcells = members.select("id", "cell").distinct().cache()
+            mids = mcells.select("id").distinct().cache()
+            caches += [mcells, mids]
+        else:
+            mids = members.select("id").distinct().cache()
+            caches.append(mids)
     rows = []
     for name, codes_df in (("pq", pq), ("sq", sq)):
         if codes_df is not None and mids is not None:
             cids = codes_df.select("id").distinct()
-            rows.append(
-                row(
-                    f"member_without_{name}_codes",
-                    count(mids.join(cids, "id", "left_anti")),
+            fo = (
+                mids.withColumn("_m", F.lit(True))
+                .join(cids.withColumn("_c", F.lit(True)), "id", "full_outer")
+                .agg(
+                    F.count(F.when(F.col("_c").isNull(), True)).alias("mw"),
+                    F.count(F.when(F.col("_m").isNull(), True)).alias("oc"),
                 )
             )
             rows.append(
-                row(
-                    f"orphan_{name}_codes",
-                    count(cids.join(mids, "id", "left_anti")),
+                fo.selectExpr(
+                    f"stack(2, 'member_without_{name}_codes',"
+                    f" CAST(mw AS BIGINT), 'orphan_{name}_codes',"
+                    f" CAST(oc AS BIGINT)) AS (check, violations)"
                 )
             )
             if "cell" in codes_df.columns:
+                mref = (
+                    mcells
+                    if mcells is not None
+                    else members.select("id", "cell").distinct()
+                )
                 rows.append(
                     row(
                         f"{name}_cell_disagrees_with_member",
@@ -2348,9 +2397,9 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
                             codes_df.select("id", "cell")
                             .distinct()
                             .join(
-                                members.select(
+                                mref.select(
                                     "id", F.col("cell").alias("_mcell")
-                                ).distinct(),
+                                ),
                                 "id",
                             )
                             .filter(F.col("cell") != F.col("_mcell"))
@@ -2435,7 +2484,7 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    return release_after(out, *caches)
 
 
 def rebalance_gate_index(
