@@ -91,17 +91,21 @@ def ivf_retire(
     non-partition column of a surviving row is preserved verbatim;
     only rows whose ``id_col`` appears in ``tombstones`` vanish.
 
-    Scale shape (the ``rebalance_gate_index`` discipline): one
-    broadcast semi-join finds the touched cells (collected — bounded
-    by nlist, one row per touched cell), the survivors of exactly
+    Scale shape (the ``rebalance_gate_index`` discipline): ONE
+    broadcast-join aggregate finds the touched cells AND which of them
+    empty outright (collected — bounded by nlist, one row per touched
+    cell; optimization r17 fused the former separate touched/live
+    collect pair into this single pass), the survivors of exactly
     those cells anti-join the broadcast tombstones, and a dynamic
     partition overwrite replaces just those directories (clustered by
     ``repartition("cell")`` first — the open-writers rule). A touched
     cell whose members ALL retire gets its partition directory
     deleted outright, because a dynamic overwrite only rewrites
     partitions present in the written data — an empty survivor set
-    would silently leave the doomed files live. Cold cells' files are
-    never opened for write (byte-untouched, pinned in tests).
+    would silently leave the doomed files live (and when EVERY touched
+    cell empties, the survivor checkpoint+write is skipped entirely).
+    Cold cells' files are never opened for write (byte-untouched,
+    pinned in tests).
 
     Centroids are untouched: an emptied cell keeps its centroid (valid
     quantizer geometry; probes that pick it scan zero rows), exactly
@@ -115,27 +119,33 @@ def ivf_retire(
     path = f"{index_path}/{members_table}"
     members = spark.read.parquet(path)
     tomb = _tomb_ids(tombstones, id_col)
-    touched = [
-        r.cell
-        for r in members.join(tomb, id_col, "left_semi")
-        .select("cell")
-        .distinct()
-        .collect()  # bounded by nlist: one row per touched cell
-    ]
+    # ONE pass decides both cell lists (optimization r17: the
+    # touched-cells semi-join and the post-checkpoint live-cells probe
+    # were two separate collect jobs over the same scan): per cell,
+    # total rows and doomed rows — touched = cells holding a doomed
+    # row, emptied = touched cells where EVERY row is doomed. Bounded
+    # by nlist, one row per touched cell, same as before.
+    per_cell = (
+        members.join(tomb.withColumn("_doomed", F.lit(True)), id_col, "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_doomed").alias("_gone"),
+        )
+        .filter(F.col("_gone") > 0)
+        .collect()
+    )
+    touched = [r.cell for r in per_cell]
     if not touched:
         return []
-    survivors = members.filter(F.col("cell").isin(touched)).join(
-        tomb, id_col, "left_anti"
-    )
-    # checkpoint BEFORE the live-cells probe: the probe then reads the
-    # materialized delta (one source scan total, not one per consumer),
-    # and the lineage cut the overwrite needs is already in place
-    delta = _checkpoint(survivors.repartition("cell"), spark, reliable)
-    live_cells = {
-        r.cell for r in delta.select("cell").distinct().collect()
-    }  # ⊆ touched, same bound
-    emptied = [c for c in touched if c not in live_cells]
-    if live_cells:
+    emptied = [r.cell for r in per_cell if r._gone == r._n]
+    if len(emptied) < len(touched):
+        survivors = members.filter(F.col("cell").isin(touched)).join(
+            tomb, id_col, "left_anti"
+        )
+        # the read-then-overwrite lineage cut: the delta derives from
+        # the very partition files the dynamic overwrite replaces
+        delta = _checkpoint(survivors.repartition("cell"), spark, reliable)
         (
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

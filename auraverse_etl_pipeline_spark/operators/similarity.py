@@ -682,8 +682,8 @@ def ivf_index(
       centroids (nlist×dim doubles — model-sized) are collected to
       the driver and re-broadcast, the standard Lloyd driver loop
       (MLlib does the same); the corpus-sized work per round is one
-      scan + one fixed-width max_by shuffle + one (cell, dim) mean
-      aggregate.
+      scan + one fixed-width max_by shuffle + one per-cell mean
+      aggregate (width unrolled fixed-point sum columns).
 
     All modes return the same schema, so :func:`ivf_search` and the
     persistence contract don't care which built the index."""
@@ -725,28 +725,38 @@ def ivf_index(
         # components deterministic rather than exact (bias < 2^-43).
         fx = F.lit(_LLOYD_FIXED_POINT)
         vdim = dim  # unroll only when the caller opted in (SCALE.md r12)
-        for _ in range(max_iter):
+        # per-cell mean in ONE aggregate (optimization r17): the
+        # posexplode → per-(cell,dim) mean → per-cell collect_list
+        # chain paid two extra shuffles every round; vectors are
+        # fixed-width (the sample-init centroids give the width for
+        # free — no extra job), so the same floor(x·2^43) →
+        # DECIMAL(38,0) partial sums run as `width` unrolled sum
+        # columns over element_at — identical fixed-point arithmetic
+        # (order-independent exact-integer sums, same count per cell
+        # at uniform width), one shuffle per round.
+        width = len(cent_rows[0][1]) if cent_rows else 0
+        for _ in range(max_iter if width else 0):
             cur = spark.createDataFrame(cent_rows, schema)
             asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True, dim=vdim)
-            upd = (
-                asg.select("cell", F.posexplode("v").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(
+            n = F.count(F.lit(1))
+            upd = asg.groupBy("cell").agg(
+                *[
                     (
                         F.sum(
-                            F.floor(F.col("x") * fx).cast("decimal(38,0)")
+                            F.floor(F.element_at("v", i + 1) * fx).cast(
+                                "decimal(38,0)"
+                            )
                         ).cast("double")
-                        / F.count(F.lit(1))
+                        / n
                         / fx
-                    ).alias("val")
-                )
-                .groupBy("cell")
-                .agg(
-                    F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s")
-                )
-                .select("cell", F.transform("s", lambda t: t["val"]).alias("centroid"))
+                    ).alias(f"_d{i}")
+                    for i in range(width)
+                ]
             )
-            got = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in upd.collect()}
+            got = {
+                int(r["cell"]): [float(r[f"_d{i}"]) for i in range(width)]
+                for r in upd.collect()
+            }
             cent_rows = [(cell, got.get(cell, prev)) for cell, prev in cent_rows]
         cent = spark.createDataFrame(cent_rows, schema)
         c.unpersist()  # lazy consumers below re-derive from source
@@ -1474,14 +1484,30 @@ def pq_codebooks(
             .cache()  # scanned once per Lloyd round
         )
         schema = "sub int, code int, centroid array<double>"
+        # sample init = the ksub lowest-id vectors' subvectors (code =
+        # id rank). Taking them from the corpus-level orderBy+limit
+        # (optimization r17) yields the IDENTICAL subvector values as
+        # the former per-sub window over the exploded subv table —
+        # every id carries all m subs, so the ksub lowest-id rows per
+        # sub ARE the ksub lowest ids' slices — without paying a full
+        # window sort of the m-times-larger exploded table.
+        w0 = Window.orderBy("id")
         init = (
-            subv.withColumn(
+            _as_double(corpus, vec_col)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy("id")
+            .limit(ksub)
+            .select((F.row_number().over(w0) - 1).cast("int").alias("code"), "v")
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
                 "code",
-                (F.row_number().over(Window.partitionBy("sub").orderBy("id")) - 1)
-                .cast("int"),
+                "v",
             )
-            .filter(F.col("code") < ksub)
-            .select("sub", "code", F.col("subv").alias("centroid"))
+            .select(
+                "sub",
+                "code",
+                F.slice("v", F.col("sub") * dsub + 1, dsub).alias("centroid"),
+            )
         )
         rows = [
             (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
@@ -1509,26 +1535,31 @@ def pq_codebooks(
                     "sub", F.col("_b.code").alias("code"), F.col("_b.subv").alias("subv")
                 )
             )
-            upd = (
-                asg.select("sub", "code", F.posexplode("subv").alias("dim", "x"))
-                .groupBy("sub", "code", "dim")
-                .agg(
+            # per-(sub, code) mean in ONE aggregate (optimization r17,
+            # the ivf_index Lloyd-loop fusion): subvectors are exactly
+            # dsub wide by slice construction, so the posexplode →
+            # per-(sub,code,dim) mean → per-(sub,code) collect chain
+            # (two extra shuffles per round) collapses to dsub unrolled
+            # fixed-point sum columns — identical arithmetic.
+            n = F.count(F.lit(1))
+            upd = asg.groupBy("sub", "code").agg(
+                *[
                     (
                         F.sum(
-                            F.floor(F.col("x") * fx).cast("decimal(38,0)")
+                            F.floor(F.element_at("subv", i + 1) * fx).cast(
+                                "decimal(38,0)"
+                            )
                         ).cast("double")
-                        / F.count(F.lit(1))
+                        / n
                         / fx
-                    ).alias("val")
-                )
-                .groupBy("sub", "code")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s"))
-                .select(
-                    "sub", "code", F.transform("s", lambda t: t["val"]).alias("centroid")
-                )
+                    ).alias(f"_d{i}")
+                    for i in range(dsub)
+                ]
             )
             got = {
-                (int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+                (int(r["sub"]), int(r["code"])): [
+                    float(r[f"_d{i}"]) for i in range(dsub)
+                ]
                 for r in upd.collect()
             }
             rows = [(s_, c_, got.get((s_, c_), prev)) for s_, c_, prev in rows]

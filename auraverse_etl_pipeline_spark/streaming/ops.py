@@ -2317,12 +2317,20 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
       (an erasure that ran ivf_retire but skipped the encode log —
       run log_retire with the same tombstones).
 
-    Shape: id-keyed aggregates and anti-joins over the index tables
-    only — bounded by the index, never a corpus access, no window
-    functions."""
+    Shape (optimization r17): ONE per-id ledger — one aggregate pass
+    per present table (members / pq grouped (id, sub) then id / sq /
+    encode-log ids), full-outer-joined on id — feeds a SINGLE final
+    aggregate emitting every id-keyed tally at once; the codebook
+    check rides the same 1-row frame as a broadcast cross join. The
+    per-check spelling scanned pq_codes five times and sq_codes three
+    times (one aggregation pipeline per check); every count is
+    byte-identical (planted-corruption matrices + the sim_index_fsck
+    oracle). Bounded by the index, never a corpus access, no window
+    functions. One deliberate degradation change vs the per-check
+    spelling: codes carrying a ``cell`` column against a members
+    table WITHOUT one now reports the cell-disagreement check as 0
+    (incomparable) instead of raising mid-plan."""
     from pyspark.errors.exceptions.captured import AnalysisException
-
-    from auraverse_etl_pipeline_spark.operators.caching import release_after
 
     def _read(path):
         try:
@@ -2338,153 +2346,157 @@ def compressed_index_fsck(spark, index_path: str, m: int | None = None) -> DataF
     books = _read(f"{index_path}/codebooks")
     enc = _read(f"{index_path}/encode_log")
 
-    zero = spark.range(1).select(F.lit(0).alias("n"))
+    m_has_cell = members is not None and "cell" in members.columns
+    pq_has_cell = pq is not None and "cell" in pq.columns
+    sq_has_cell = sq is not None and "cell" in sq.columns
 
-    def row(name, df_count):
-        return df_count.select(
-            F.lit(name).alias("check"),
-            F.col("n").cast("bigint").alias("violations"),
-        )
-
-    def count(df):
-        return df.agg(F.count(F.lit(1)).alias("n"))
-
-    # shared id / (id, cell) projections, CACHED (optimization r17):
-    # the per-check spelling recomputed the members distinct once per
-    # consumer (5+ scans of the assignments table); the member/orphan
-    # anti-join PAIRS fold into one full-outer pass each — both counts
-    # from one join, exactly the two anti-join tallies
-    caches = []
-    mids = None
-    mcells = None
+    # per-id ledgers: one pass per table
+    leds = []
     if members is not None:
-        if "cell" in members.columns:
-            mcells = members.select("id", "cell").distinct().cache()
-            mids = mcells.select("id").distinct().cache()
-            caches += [mcells, mids]
-        else:
-            mids = members.select("id").distinct().cache()
-            caches.append(mids)
-    rows = []
-    for name, codes_df in (("pq", pq), ("sq", sq)):
-        if codes_df is not None and mids is not None:
-            cids = codes_df.select("id").distinct()
-            fo = (
-                mids.withColumn("_m", F.lit(True))
-                .join(cids.withColumn("_c", F.lit(True)), "id", "full_outer")
-                .agg(
-                    F.count(F.when(F.col("_c").isNull(), True)).alias("mw"),
-                    F.count(F.when(F.col("_m").isNull(), True)).alias("oc"),
-                )
+        m_led = members.groupBy("id").agg(
+            *(
+                [F.collect_set("cell").alias("_mcells")]
+                if m_has_cell
+                else []
             )
-            rows.append(
-                fo.selectExpr(
-                    f"stack(2, 'member_without_{name}_codes',"
-                    f" CAST(mw AS BIGINT), 'orphan_{name}_codes',"
-                    f" CAST(oc AS BIGINT)) AS (check, violations)"
-                )
-            )
-            if "cell" in codes_df.columns:
-                mref = (
-                    mcells
-                    if mcells is not None
-                    else members.select("id", "cell").distinct()
-                )
-                rows.append(
-                    row(
-                        f"{name}_cell_disagrees_with_member",
-                        count(
-                            codes_df.select("id", "cell")
-                            .distinct()
-                            .join(
-                                mref.select(
-                                    "id", F.col("cell").alias("_mcell")
-                                ),
-                                "id",
-                            )
-                            .filter(F.col("cell") != F.col("_mcell"))
-                            .select("id")
-                            .distinct()
-                        ),
-                    )
-                )
-            else:
-                rows.append(row(f"{name}_cell_disagrees_with_member", zero))
-        else:
-            rows.append(row(f"member_without_{name}_codes", zero))
-            rows.append(row(f"orphan_{name}_codes", zero))
-            rows.append(row(f"{name}_cell_disagrees_with_member", zero))
+        ).withColumn("_m", F.lit(True))
+        leds.append(m_led)
     if pq is not None:
-        want_m = m
-        if want_m is None and books is not None:
-            max_sub = books.agg(F.max("sub")).first()[0]
-            # present-but-EMPTY codebooks (the degenerate surface an
-            # fsck exists to diagnose) yields a None max — unknown m,
-            # degrade to skipping the count check rather than crashing
-            # the checker itself (the _watermark_filter discipline)
-            want_m = None if max_sub is None else max_sub + 1
-        if want_m is not None:
-            rows.append(
-                row(
-                    "pq_code_count_wrong",
-                    count(
-                        pq.groupBy("id")
-                        .agg(F.count(F.lit(1)).alias("c"))
-                        .filter(F.col("c") != int(want_m))
-                    ),
-                )
+        g1 = pq.groupBy("id", "sub").agg(
+            F.count(F.lit(1)).alias("_c"),
+            *([F.collect_set("cell").alias("_cells")] if pq_has_cell else []),
+        )
+        pq_led = g1.groupBy("id").agg(
+            F.sum("_c").alias("_pq_rows"),
+            F.sum((F.col("_c") > 1).cast("bigint")).alias("_pq_dupsubs"),
+            *(
+                [
+                    F.array_distinct(F.flatten(F.collect_list("_cells"))).alias(
+                        "_pqcells"
+                    )
+                ]
+                if pq_has_cell
+                else []
+            ),
+        ).withColumn("_pq", F.lit(True))
+        leds.append(pq_led)
+    if sq is not None:
+        sq_led = sq.groupBy("id").agg(
+            F.count(F.lit(1)).alias("_sq_rows"),
+            *([F.collect_set("cell").alias("_sqcells")] if sq_has_cell else []),
+        ).withColumn("_sq", F.lit(True))
+        leds.append(sq_led)
+    if enc is not None:
+        leds.append(enc.select("id").distinct().withColumn("_e", F.lit(True)))
+
+    led = None
+    for piece in leds:
+        led = piece if led is None else led.join(piece, "id", "full_outer")
+
+    want_m = m
+    if pq is not None and want_m is None and books is not None:
+        max_sub = books.agg(F.max("sub")).first()[0]
+        # present-but-EMPTY codebooks (the degenerate surface an fsck
+        # exists to diagnose) yields a None max — unknown m, degrade
+        # to skipping the count check rather than crashing the checker
+        # itself (the _watermark_filter discipline)
+        want_m = None if max_sub is None else max_sub + 1
+
+    def _n(cond):
+        return F.count(F.when(cond, True)).cast("bigint")
+
+    zero = F.lit(0).cast("bigint")
+    tallies: dict[str, F.Column] = {}
+    has = lambda c: led is not None and c in led.columns  # noqa: E731
+    both_m = has("_m")
+    if pq is not None and both_m:
+        tallies["member_without_pq_codes"] = _n(
+            F.col("_m") & F.col("_pq").isNull()
+        )
+        tallies["orphan_pq_codes"] = _n(F.col("_pq") & F.col("_m").isNull())
+    if pq_has_cell and m_has_cell:
+        tallies["pq_cell_disagrees_with_member"] = _n(
+            F.col("_pq")
+            & F.col("_m")
+            & (F.size(F.array_union("_pqcells", "_mcells")) > 1)
+        )
+    if sq is not None and both_m:
+        tallies["member_without_sq_codes"] = _n(
+            F.col("_m") & F.col("_sq").isNull()
+        )
+        tallies["orphan_sq_codes"] = _n(F.col("_sq") & F.col("_m").isNull())
+    if sq_has_cell and m_has_cell:
+        tallies["sq_cell_disagrees_with_member"] = _n(
+            F.col("_sq")
+            & F.col("_m")
+            & (F.size(F.array_union("_sqcells", "_mcells")) > 1)
+        )
+    if pq is not None and want_m is not None:
+        tallies["pq_code_count_wrong"] = _n(
+            F.col("_pq") & (F.col("_pq_rows") != int(want_m))
+        )
+    if pq is not None:
+        tallies["duplicate_pq_code_row"] = F.coalesce(
+            F.sum("_pq_dupsubs"), F.lit(0)
+        ).cast("bigint")
+    if sq is not None:
+        tallies["duplicate_sq_id"] = _n(F.col("_sq_rows") > 1)
+    if enc is not None and both_m:
+        tallies["encode_log_orphan"] = _n(F.col("_e") & F.col("_m").isNull())
+
+    base = (
+        led.agg(*[col.alias(f"_t{i}") for i, (_, col) in enumerate(tallies.items())])
+        if led is not None and tallies
+        else spark.range(1).select(F.lit(0).alias("_pad"))
+    )
+
+    names = list(tallies)
+    # the id-keyed checks, in the per-check spelling's output order;
+    # the codebook check (a different table) rides as its own unioned
+    # 1-row branch below — a join of the two 1-row frames would plan
+    # as a BroadcastNestedLoopJoin and bust the composed
+    # sim_index_fsck plan's pinned BNLJ budget
+    order = [
+        "member_without_pq_codes",
+        "orphan_pq_codes",
+        "pq_cell_disagrees_with_member",
+        "member_without_sq_codes",
+        "orphan_sq_codes",
+        "sq_cell_disagrees_with_member",
+        "pq_code_count_wrong",
+        "duplicate_pq_code_row",
+        "duplicate_sq_id",
+        "encode_log_orphan",
+    ]
+    cols = []
+    for name in order:
+        val = F.col(f"_t{names.index(name)}") if name in tallies else zero
+        cols += [F.lit(name), val.cast("bigint")]
+    out = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        cols[i].alias("check"), cols[i + 1].alias("violations")
+                    )
+                    for i in range(0, len(cols), 2)
+                ]
             )
-        else:
-            rows.append(row("pq_code_count_wrong", zero))
-        rows.append(
-            row(
-                "duplicate_pq_code_row",
-                count(
-                    pq.groupBy("id", "sub")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .filter("c > 1")
-                ),
-            )
+        ).alias("_r")
+    ).select("_r.check", "_r.violations")
+    if books is not None:
+        dup_books = (
+            books.groupBy("sub", "code")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(_n(F.col("_c") > 1).cast("bigint").alias("violations"))
+            .select(F.lit("duplicate_codebook_entry").alias("check"), "violations")
         )
     else:
-        rows.append(row("pq_code_count_wrong", zero))
-        rows.append(row("duplicate_pq_code_row", zero))
-    rows.append(
-        row(
-            "duplicate_sq_id",
-            count(
-                sq.groupBy("id").agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
-            )
-            if sq is not None
-            else zero,
+        dup_books = spark.range(1).select(
+            F.lit("duplicate_codebook_entry").alias("check"),
+            zero.alias("violations"),
         )
-    )
-    rows.append(
-        row(
-            "duplicate_codebook_entry",
-            count(
-                books.groupBy("sub", "code")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .filter("c > 1")
-            ),
-        )
-        if books is not None
-        else row("duplicate_codebook_entry", zero)
-    )
-    rows.append(
-        row(
-            "encode_log_orphan",
-            count(
-                enc.select("id").distinct().join(mids, "id", "left_anti")
-            ),
-        )
-        if enc is not None and mids is not None
-        else row("encode_log_orphan", zero)
-    )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return release_after(out, *caches)
+    return out.unionByName(dup_books)
 
 
 def rebalance_gate_index(

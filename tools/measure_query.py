@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plan", default=None, help="write explain('formatted') of run 1's frame here")
+    ap.add_argument(
+        "--plan-dir",
+        default=None,
+        help="write each query's explain('formatted') to <dir>/<name>_<suffix>.txt",
+    )
+    ap.add_argument("--plan-suffix", default="before")
     args = ap.parse_args()
 
     spark = get_spark(app_name="measure-query")
@@ -43,8 +49,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             print(f"{name} run{i}: {dt:.3f} s", flush=True)
-            if i == 0 and args.plan:
-                with open(args.plan, "w") as f:
+            if i == 0 and (args.plan or args.plan_dir):
+                out = args.plan or os.path.join(
+                    args.plan_dir, f"{name}_{args.plan_suffix}.txt"
+                )
+                with open(out, "w") as f:
                     f.write(df._sc._jvm.PythonSQLUtils.explainString(
                         df._jdf.queryExecution(), "formatted"))
             spark.sparkContext.setJobDescription(None)
