@@ -1009,11 +1009,13 @@ def run_stream_semdedup_gate(
        centrality rule among themselves (drop iff the more-central
        member of any above-threshold in-cell within-batch pair, ties
        to the higher id) — reason ``batch_dup``,
-    6. EAGER ``localCheckpoint`` of both deltas (the members delta is
-       derived from a scan of the path it appends into — the
-       lineage-cut gotcha pinned in tests/test_streaming.py), then
-       append survivors to ``{index_path}/members`` (partitioned by
-       cell) and every verdict to ``{index_path}/decisions``.
+    6. EAGER ``localCheckpoint`` of the members delta (it derives from
+       a scan of the very path it appends into — the lineage-cut
+       gotcha pinned in tests/test_streaming.py), then append every
+       verdict to ``{index_path}/decisions`` FIRST (while the members
+       listing its plan reads is still the batch-start one — no second
+       checkpoint needed, optimization r17) and the survivors to
+       ``{index_path}/members`` (partitioned by cell) after.
 
     Scale shape: per batch the work is one batch scan, one broadcast
     argmax (centroids: nlist rows), and a cell-keyed equality join of
@@ -1127,7 +1129,7 @@ def run_stream_semdedup_gate(
             # quantizer_drift_audit(batch_col="batch_id") — the
             # retrain trigger — both read it straight off this log
             F.lit(batch_id).cast("bigint").alias("batch_id"),
-        ).localCheckpoint()
+        )
         delta = (
             verdicts.filter(F.col("reason") == "kept")
             .select("id", "v", "cell", "centroid_cos")
@@ -1137,12 +1139,19 @@ def run_stream_semdedup_gate(
             .localCheckpoint()
         )
         audit_batch_plan("semdedup_gate:delta", delta)
-        rest.unpersist()
-        a.unpersist()
+        # decisions write FIRST (optimization r17): its plan reads the
+        # members path, which the delta append below invalidates — the
+        # old spelling paid a second eager localCheckpoint to survive
+        # that. Written while the members listing is still the
+        # batch-start one (and the decisions path is not among its own
+        # inputs) it needs no cut; the members delta is already
+        # materialized behind its own checkpoint. Same rows either way.
+        decisions.write.mode("append").parquet(f"{index_path}/decisions")
         delta.write.mode("append").partitionBy("cell").parquet(
             f"{index_path}/members"
         )
-        decisions.write.mode("append").parquet(f"{index_path}/decisions")
+        rest.unpersist()
+        a.unpersist()
 
     import tempfile
 
