@@ -1270,14 +1270,14 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
       a crash happened.
 
     Centroids with zero members are NOT a violation (legal after
-    retirement empties a cell; wasted probes only). Shape: flat
-    aggregates over the index tables, a vocabulary-sized anti-join
-    for the decisions check, one 1-row frame per check unioned —
-    bounded by the index, no corpus access. The shared id projection
-    is CACHED and the duplicate/null checks share one members scan
-    (optimization r17: the per-check spelling re-scanned the members
-    table once per consumer; the returned frame carries the paired
-    ``release_caches()`` handle)."""
+    retirement empties a cell; wasted probes only). Shape
+    (optimization r17): ONE cached per-id members ledger (row count,
+    null-vector count, cell set in a single aggregate scan) feeds the
+    duplicate/null/kept-decision tallies — fused into one final
+    aggregate with the decisions full-outer join — and the orphan-cell
+    explode; centroid checks are model-sized. Bounded by the index, no
+    corpus access; the returned frame carries the paired
+    ``release_caches()`` handle."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from auraverse_etl_pipeline_spark.operators.caching import release_after
@@ -1299,59 +1299,23 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
         )
 
     zero = spark.range(1).select(F.lit(0).alias("n"))
+    # ONE per-id ledger scan of the members table (optimization r17):
+    # per-id row count / null-vector count / cell set in one aggregate
+    # feeds the duplicate, null-vector, kept-decision and orphan-cell
+    # checks — the per-check spelling scanned members twice and held a
+    # cached (id, cell) projection alive across the branches.
+    # cached: the ledger is consumed by the fused tallies AND the
+    # orphan-cell explode — one members scan total, released via the
+    # returned frame's paired release_caches handle
     caches = []
-    mids = None
+    m_led = None
     if members is not None:
-        # one cached (id, cell) projection feeds the orphan-cell check
-        # AND the kept-decisions anti-join (via its id side) — the
-        # members parquet is scanned once for all of them
-        mcells = members.select("id", "cell").distinct().cache()
-        mids = mcells.select("id").distinct()
-        caches.append(mcells)
-    if members is not None and cent is not None:
-        orphan = row(
-            "member_cell_without_centroid",
-            mcells.select("cell")
-            .distinct()
-            .join(cent.select("cell"), "cell", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n")),
-        )
-    else:
-        orphan = row("member_cell_without_centroid", zero)
-    if members is not None:
-        # duplicate ids and null vectors from ONE members scan: per-id
-        # row count + per-id null-vector rows, folded to both tallies
-        dupnull = (
-            members.select("id", "v")
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.count(F.when(F.col("v").isNull(), True)).alias("nv"),
-            )
-            .agg(
-                F.count(F.when(F.col("c") > 1, True)).alias("dup"),
-                F.coalesce(F.sum("nv"), F.lit(0)).alias("nullv"),
-            )
-        )
-        dupnull_rows = dupnull.selectExpr(
-            "stack(2, 'duplicate_member_id', CAST(dup AS BIGINT),"
-            " 'null_member_vector', CAST(nullv AS BIGINT))"
-            " AS (check, violations)"
-        )
-    else:
-        dupnull_rows = row("duplicate_member_id", zero).unionByName(
-            row("null_member_vector", zero)
-        )
-    if cent is not None:
-        dup_c = row(
-            "duplicate_centroid_cell",
-            cent.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter("c > 1")
-            .agg(F.count(F.lit(1)).alias("n")),
-        )
-    else:
-        dup_c = row("duplicate_centroid_cell", zero)
+        m_led = members.groupBy("id").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.count(F.when(F.col("v").isNull(), True)).alias("_nv"),
+            F.collect_set("cell").alias("_cells"),
+        ).cache()
+        caches.append(m_led)
     if decisions is not None and members is not None:
         if "batch_id" in decisions.columns:
             # "latest decision says kept": the lm/logreg gates RE-SCORE
@@ -1375,13 +1339,56 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
             )
         else:
             latest_kept = decisions.filter("kept").select("id").distinct()
-        kept = row(
-            "kept_decision_without_member",
-            latest_kept.join(mids, "id", "left_anti")
+        # dup/null/kept from ONE pass over the ledger: the kept check's
+        # anti-join rides the same frame as the two member tallies
+        led = m_led.withColumn("_m", F.lit(True)).join(
+            latest_kept.withColumn("_k", F.lit(True)), "id", "full_outer"
+        )
+        fused = led.agg(
+            F.count(F.when(F.col("_c") > 1, True)).alias("dup"),
+            F.coalesce(F.sum("_nv"), F.lit(0)).alias("nullv"),
+            F.count(F.when(F.col("_k") & F.col("_m").isNull(), True)).alias(
+                "kept_orphan"
+            ),
+        )
+    elif members is not None:
+        fused = m_led.agg(
+            F.count(F.when(F.col("_c") > 1, True)).alias("dup"),
+            F.coalesce(F.sum("_nv"), F.lit(0)).alias("nullv"),
+            F.lit(0).alias("kept_orphan"),
+        )
+    else:
+        fused = spark.range(1).select(
+            F.lit(0).alias("dup"),
+            F.lit(0).alias("nullv"),
+            F.lit(0).alias("kept_orphan"),
+        )
+    dupnull_rows = fused.selectExpr(
+        "stack(3, 'duplicate_member_id', CAST(dup AS BIGINT),"
+        " 'null_member_vector', CAST(nullv AS BIGINT),"
+        " 'kept_decision_without_member', CAST(kept_orphan AS BIGINT))"
+        " AS (check, violations)"
+    )
+    if members is not None and cent is not None:
+        orphan = row(
+            "member_cell_without_centroid",
+            m_led.select(F.explode("_cells").alias("cell"))
+            .distinct()
+            .join(cent.select("cell"), "cell", "left_anti")
             .agg(F.count(F.lit(1)).alias("n")),
         )
     else:
-        kept = row("kept_decision_without_member", zero)
+        orphan = row("member_cell_without_centroid", zero)
+    if cent is not None:
+        dup_c = row(
+            "duplicate_centroid_cell",
+            cent.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+    else:
+        dup_c = row("duplicate_centroid_cell", zero)
     marker = row(
         "pending_marker_present",
         spark.range(1).select(F.lit(1 if pending is not None else 0).alias("n")),
@@ -1389,7 +1396,6 @@ def gate_index_fsck(spark, index_path: str) -> DataFrame:
     out = (
         orphan.unionByName(dupnull_rows)
         .unionByName(dup_c)
-        .unionByName(kept)
         .unionByName(marker)
     )
     return release_after(out, *caches)
