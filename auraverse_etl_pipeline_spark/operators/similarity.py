@@ -682,8 +682,8 @@ def ivf_index(
       centroids (nlist×dim doubles — model-sized) are collected to
       the driver and re-broadcast, the standard Lloyd driver loop
       (MLlib does the same); the corpus-sized work per round is one
-      scan + one fixed-width max_by shuffle + one per-cell mean
-      aggregate (width unrolled fixed-point sum columns).
+      scan + one fixed-width max_by shuffle + one (cell, dim) mean
+      aggregate.
 
     All modes return the same schema, so :func:`ivf_search` and the
     persistence contract don't care which built the index."""
@@ -725,38 +725,36 @@ def ivf_index(
         # components deterministic rather than exact (bias < 2^-43).
         fx = F.lit(_LLOYD_FIXED_POINT)
         vdim = dim  # unroll only when the caller opted in (SCALE.md r12)
-        # per-cell mean in ONE aggregate (optimization r17): the
-        # posexplode → per-(cell,dim) mean → per-cell collect_list
-        # chain paid two extra shuffles every round; vectors are
-        # fixed-width (the sample-init centroids give the width for
-        # free — no extra job), so the same floor(x·2^43) →
-        # DECIMAL(38,0) partial sums run as `width` unrolled sum
-        # columns over element_at — identical fixed-point arithmetic
-        # (order-independent exact-integer sums, same count per cell
-        # at uniform width), one shuffle per round.
-        width = len(cent_rows[0][1]) if cent_rows else 0
-        for _ in range(max_iter if width else 0):
+        # per-cell mean update: posexplode → per-(cell, dim) mean →
+        # per-cell collect. An unrolled width-wide single aggregate was
+        # A/B'd in optimization r17 and REGRESSED at width 64
+        # (sim_ivf_lloyd warm 3.7 → 5.7 s: 64 sum columns evaluate
+        # wide-row per input, slower than the streamed explode despite
+        # two fewer shuffles) — the narrow-subvector PQ twin keeps the
+        # unrolled form (see pq_codebooks), full-width vectors keep
+        # this one.
+        for _ in range(max_iter):
             cur = spark.createDataFrame(cent_rows, schema)
             asg = ivf_assign(c, cur, id_col="id", vec_col="v", clamp=True, dim=vdim)
-            n = F.count(F.lit(1))
-            upd = asg.groupBy("cell").agg(
-                *[
+            upd = (
+                asg.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
                     (
                         F.sum(
-                            F.floor(F.element_at("v", i + 1) * fx).cast(
-                                "decimal(38,0)"
-                            )
+                            F.floor(F.col("x") * fx).cast("decimal(38,0)")
                         ).cast("double")
-                        / n
+                        / F.count(F.lit(1))
                         / fx
-                    ).alias(f"_d{i}")
-                    for i in range(width)
-                ]
+                    ).alias("val")
+                )
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s")
+                )
+                .select("cell", F.transform("s", lambda t: t["val"]).alias("centroid"))
             )
-            got = {
-                int(r["cell"]): [float(r[f"_d{i}"]) for i in range(width)]
-                for r in upd.collect()
-            }
+            got = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in upd.collect()}
             cent_rows = [(cell, got.get(cell, prev)) for cell, prev in cent_rows]
         cent = spark.createDataFrame(cent_rows, schema)
         c.unpersist()  # lazy consumers below re-derive from source
@@ -1535,33 +1533,65 @@ def pq_codebooks(
                     "sub", F.col("_b.code").alias("code"), F.col("_b.subv").alias("subv")
                 )
             )
-            # per-(sub, code) mean in ONE aggregate (optimization r17,
-            # the ivf_index Lloyd-loop fusion): subvectors are exactly
-            # dsub wide by slice construction, so the posexplode →
-            # per-(sub,code,dim) mean → per-(sub,code) collect chain
-            # (two extra shuffles per round) collapses to dsub unrolled
-            # fixed-point sum columns — identical arithmetic.
-            n = F.count(F.lit(1))
-            upd = asg.groupBy("sub", "code").agg(
-                *[
-                    (
-                        F.sum(
-                            F.floor(F.element_at("subv", i + 1) * fx).cast(
-                                "decimal(38,0)"
-                            )
-                        ).cast("double")
-                        / n
-                        / fx
-                    ).alias(f"_d{i}")
-                    for i in range(dsub)
-                ]
-            )
-            got = {
-                (int(r["sub"]), int(r["code"])): [
-                    float(r[f"_d{i}"]) for i in range(dsub)
-                ]
-                for r in upd.collect()
-            }
+            # per-(sub, code) mean in ONE aggregate (optimization r17):
+            # subvectors are exactly dsub wide by slice construction,
+            # so the posexplode → per-(sub,code,dim) mean →
+            # per-(sub,code) collect chain (two extra shuffles per
+            # round) collapses to dsub unrolled fixed-point sum columns
+            # — identical arithmetic. Unrolled ONLY while dsub stays
+            # narrow: the same rewrite REGRESSED on full-width (64)
+            # vectors in ivf_index's loop (wide-row evaluation beats
+            # the streamed explode only for narrow rows), so wide
+            # subspaces keep the explode.
+            if dsub <= 16:
+                n_ = F.count(F.lit(1))
+                upd = asg.groupBy("sub", "code").agg(
+                    *[
+                        (
+                            F.sum(
+                                F.floor(F.element_at("subv", i + 1) * fx).cast(
+                                    "decimal(38,0)"
+                                )
+                            ).cast("double")
+                            / n_
+                            / fx
+                        ).alias(f"_d{i}")
+                        for i in range(dsub)
+                    ]
+                )
+                got = {
+                    (int(r["sub"]), int(r["code"])): [
+                        float(r[f"_d{i}"]) for i in range(dsub)
+                    ]
+                    for r in upd.collect()
+                }
+            else:
+                upd = (
+                    asg.select("sub", "code", F.posexplode("subv").alias("dim", "x"))
+                    .groupBy("sub", "code", "dim")
+                    .agg(
+                        (
+                            F.sum(
+                                F.floor(F.col("x") * fx).cast("decimal(38,0)")
+                            ).cast("double")
+                            / F.count(F.lit(1))
+                            / fx
+                        ).alias("val")
+                    )
+                    .groupBy("sub", "code")
+                    .agg(
+                        F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s")
+                    )
+                    .select(
+                        "sub",
+                        "code",
+                        F.transform("s", lambda t: t["val"]).alias("centroid"),
+                    )
+                )
+                got = {
+                    (int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+                    for r in upd.collect()
+                }
             rows = [(s_, c_, got.get((s_, c_), prev)) for s_, c_, prev in rows]
         subv.unpersist()
         return spark.createDataFrame(rows, schema)
