@@ -165,7 +165,16 @@ def crawl_to_corpus_funnel(
                 "",
             ).alias("text")
         )
-        .cache()
+        # EAGER localCheckpoint, not .cache() (optimization r17): this
+        # is the documented parquet-checkpoint boundary of a real run,
+        # and the in-memory spelling that actually matches it is the
+        # lineage CUT — a .cache() leaves the warc+detector logical
+        # tree embedded in every downstream frame, and Catalyst
+        # re-analyzes it once per action (measured: ~6 s of pure
+        # driver-side plan analysis per warm funnel run, §7.3's
+        # planning-time trap). The detector output is deterministic,
+        # so the cut changes no rows.
+        .localCheckpoint()
     )
 
     # Fixed-width per-doc flags (text dropped before caching). The
@@ -183,11 +192,13 @@ def crawl_to_corpus_funnel(
         .cast("bigint")
         .alias("sha60"),
     ).join(domain_ok_tbl, "doc_id")
-    # flags fans out to the canon aggregate AND the flagged join; its
-    # subtree now carries the whole domain-gate probe, so an uncached
-    # double consumption would run the Bloom verify and the
-    # gopher/lang/md5/sha2 projections twice.
-    flags = flags.cache()
+    # flags fans out to the canon aggregate AND the flagged join, and
+    # its logical tree carries the whole domain-gate probe plus the
+    # gopher/lang/md5/sha2 expression forest — the second lineage cut
+    # (optimization r17): a .cache() would re-run Catalyst analysis of
+    # that forest under every downstream action (same §7.3 trap as the
+    # redocs boundary). Fixed-width rows, deterministic content.
+    flags = flags.localCheckpoint()
     canon = (
         flags.filter("domain_ok").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
