@@ -412,17 +412,19 @@ def corpus_to_chunk_index(
         chunk_id.alias("chunk_id"),
         F.concat_ws(" ", piece).alias("text"),
     )
-    # cache the chunk vectors across the whole flow: the Lloyd loop's
-    # internal cache releases before the final assignment, and without
-    # this the chunk explode + embedding aggregate would re-run for the
-    # final assignment AND the search's in-cell scan (the parquet-
-    # checkpoint boundary of a real deployment, same as the crawl
-    # funnel's re-assembly cache)
+    # EAGER lineage cut for the chunk vectors (optimization r17, the
+    # crawl funnel's rule): this is the parquet-checkpoint boundary of
+    # a real deployment, and the Lloyd loop's per-round collects plus
+    # the final assignment and the search's in-cell scan each
+    # re-ANALYZE whatever logical tree sits here — a .cache() leaves
+    # the chunk explode + embedding aggregate embedded in all of them,
+    # a localCheckpoint truncates it (deterministic content, same
+    # rows).
     cvec = (
         hashed_embeddings(chunks, dim=dim, id_col="chunk_id")
         .filter(F.col("norm") > 0)
         .select(F.col("id").alias("vec_id"), F.col("embedding"))
-        .cache()
+        .localCheckpoint()
     )
     qvec = (
         hashed_embeddings(queries, dim=dim)
