@@ -248,28 +248,58 @@ def ngram_lm_score(
     observed trigram wins; an observed 2-token context with an unseen
     continuation pays the trigram miss mass; an UNOBSERVED 2-token
     context (including the document's second token, where ``p2`` is
-    null by construction) falls through to the bigram tables. All four
-    model tables stay observed-n-gram-bounded, so every join is still
-    a broadcast.
+    null by construction) falls through to the bigram tables. All
+    model state stays observed-n-gram-bounded, fused into ONE
+    broadcast frame per order (see the inline note below), so every
+    join is still a broadcast.
 
-    Scale shape: all model tables broadcast, the corpus explodes once
-    into fixed-width transition rows, one DECIMAL-partial hash
-    aggregate per document — the corpus never shuffles its text."""
+    Scale shape: one fused model broadcast per order, the corpus
+    explodes once into fixed-width transition rows, one
+    DECIMAL-partial hash aggregate per document — the corpus never
+    shuffles its text."""
     ship_package(df.sparkSession)
+    # Fused model broadcasts (optimization r18): the per-order pair of
+    # model tables — (observed n-grams, observed contexts) — collapses
+    # into ONE broadcast frame keyed by the context, carrying the
+    # continuations as a tok→logp map next to the context's miss mass.
+    # Scoring then probes TWO broadcasts instead of four, and each
+    # broadcast build is one job chain instead of two (the n-gram and
+    # context tables share their cached count base, so fusing them
+    # into one frame halves the model-side materializations). The map
+    # values are the *same* ``_ln`` doubles, moved — not recomputed —
+    # so scores are bit-identical; ``try_element_at`` returns null on
+    # a missing continuation exactly where the old left join produced
+    # a null ``logp``/``logp3`` (ANSI-safe: plain element_at throws on
+    # missing map keys under Spark 4's default ANSI mode). The full
+    # outer join keeps contexts that carry no observed n-gram row and
+    # vice versa — impossible for a train()-built model (both derive
+    # from one count table) but cheap insurance for a pruned one.
+    m2 = (
+        lm.bigrams.groupBy("prev")
+        .agg(F.map_from_entries(F.collect_list(F.struct("tok", "logp"))).alias("_m2"))
+        .join(lm.contexts, "prev", "full_outer")
+    )
     if lm.trigrams is not None:
+        m3 = (
+            lm.trigrams.groupBy("p2", "prev")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("tok", "logp3"))
+                ).alias("_m3")
+            )
+            .join(lm.contexts3, ["p2", "prev"], "full_outer")
+        )
         tr = _transitions3(df, text_col, id_col)
         logp = F.coalesce(
-            F.col("logp3"),
+            F.try_element_at("_m3", F.col("tok")),
             F.col("logp_miss3"),
-            F.col("logp"),
+            F.try_element_at("_m2", F.col("tok")),
             F.col("logp_miss"),
             F.col("logp_unseen"),
         )
         scored = (
-            tr.join(F.broadcast(lm.trigrams), ["p2", "prev", "tok"], "left")
-            .join(F.broadcast(lm.contexts3), ["p2", "prev"], "left")
-            .join(F.broadcast(lm.bigrams), ["prev", "tok"], "left")
-            .join(F.broadcast(lm.contexts), "prev", "left")
+            tr.join(F.broadcast(m3), ["p2", "prev"], "left")
+            .join(F.broadcast(m2), "prev", "left")
             .crossJoin(F.broadcast(lm.stats.select("logp_unseen")))
             .select(
                 "id",
@@ -285,10 +315,13 @@ def ngram_lm_score(
             ).alias("xent"),
         )
     tr = _transitions(df, text_col, id_col)
-    logp = F.coalesce(F.col("logp"), F.col("logp_miss"), F.col("logp_unseen"))
+    logp = F.coalesce(
+        F.try_element_at("_m2", F.col("tok")),
+        F.col("logp_miss"),
+        F.col("logp_unseen"),
+    )
     scored = (
-        tr.join(F.broadcast(lm.bigrams), ["prev", "tok"], "left")
-        .join(F.broadcast(lm.contexts), "prev", "left")
+        tr.join(F.broadcast(m2), "prev", "left")
         .crossJoin(F.broadcast(lm.stats.select("logp_unseen")))
         .select(
             "id",
@@ -364,20 +397,18 @@ def lm_score_report(
     id_col: str = "doc_id",
     order: int = 2,
 ) -> DataFrame:
-    """Train on ``ref``, score ``df`` — the one-call spelling, with the
-    model tables cached (each is consumed by the returned plan via a
-    broadcast) and paired-released. ``order=3`` trains and scores
-    through the trigram backoff head."""
+    """Train on ``ref``, score ``df`` — the one-call spelling.
+    ``order=3`` trains and scores through the trigram backoff head.
+
+    Since the r18 fused-model scoring, each raw model table is
+    consumed exactly ONCE (inside its order's fused broadcast build),
+    so re-caching the five tables here would only add a materialization
+    pass; the caches that bound recompute — the n-gram count bases and
+    the vocabulary stat inside :func:`ngram_lm_train` — are reached
+    through the chained release handles on ``bigrams``/``trigrams``."""
     lm = ngram_lm_train(ref, alpha=alpha, text_col=text_col, order=order)
-    cached = BigramLm(
-        bigrams=lm.bigrams.cache(),
-        contexts=lm.contexts.cache(),
-        stats=lm.stats.cache(),
-        trigrams=lm.trigrams.cache() if lm.trigrams is not None else None,
-        contexts3=lm.contexts3.cache() if lm.contexts3 is not None else None,
-    )
-    out = ngram_lm_score(df, cached, text_col=text_col, id_col=id_col)
-    handles = [cached.bigrams, cached.contexts, cached.stats]
-    if cached.trigrams is not None:
-        handles += [cached.trigrams, cached.contexts3]
+    out = ngram_lm_score(df, lm, text_col=text_col, id_col=id_col)
+    handles = [lm.bigrams]
+    if lm.trigrams is not None:
+        handles.append(lm.trigrams)
     return release_after(out, *handles)

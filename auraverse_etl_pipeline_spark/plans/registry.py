@@ -83,41 +83,15 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 #: coverage is free; a new registry name costs one stale slot per round
 #: forever.
 _NEEDS_FRESH_SCORE: tuple[str, ...] = (
-    # round 17 start: CORRECTNESS_r16.json folded into _LAST_GREEN
-    # (50 scored, 50 hash-green, zero red; all 205 names green at
-    # latest evidence). Round-17 entries: the compressed family's
-    # last unregistered lifecycle legs, both long built + pinned in
-    # tests/test_retire.py — day-2 ingest (post-append disk state vs
-    # a DuckDB rebuild, the sim_compressed_tick oracle pattern) and
-    # the composed three-family fsck over a staged
-    # healthy-plus-planted-corruption root (closed-form violation
-    # oracle). The rest of the window fronts the seven r12-evidence
-    # names (q39/q40/q41/q42/q43/q52/q53) and fills from the r13
-    # cohort (50 names — seven spill to round 18).
-    "sim_compressed_append",  # NEW: compressed_index_append day-2 ingest
-    # scored against the post-append disk state (codes + members +
-    # encode-log watermark row), DuckDB rebuild oracle
-    "sim_index_fsck",  # NEW: gate/compressed/bm25 fsck composed over one
-    # staged root with planted corruption, closed-form violation oracle
-    # STAGED FOR ROUND 18 (growth cap reached this round): the
-    # occurrence-level exact-substring family (operators/dedup.py
-    # duplicate_token_spans / strip_duplicate_spans /
-    # exact_substring_report + the substring_index trio + the ninth
-    # streaming loop run_stream_substring_compaction) is built and
-    # DuckDB-parity-pinned in tests/test_operators.py /
-    # test_streaming.py / test_fuzz.py. NOTE the registered batch
-    # near-kin text_span_dedup / text_span_dedup_apply (quality.py,
-    # df-threshold audit + kept-gram-protected apply) — per the
-    # growth policy the batch report would be a third configuration
-    # of that tier and must NOT get a registry name. The genuinely
-    # new registerable leg is the INCREMENTAL side — prefer the
-    # NOVELTY GATE (streaming/ops.run_stream_substring_gate, the
-    # stream_semdedup_gate registration pattern: scored decisions
-    # parquet, batch_id-stamped, all-integer DIV basis points) over
-    # the plain compaction loop; oracle = the tests'
-    # _exact_substr_spans_sql fragment folded into per-doc dup_pct
-    # decisions over an id-ordered two-batch replay. No staged
-    # fixture needed.
+    # round 18 start: CORRECTNESS_r17.json folded into _LAST_GREEN
+    # (50 scored, 50 hash-green, zero red; all 207 names green at
+    # latest evidence). Round 18 is optimization round 2 of 2 — the
+    # growth policy and the round contract both forbid new queries, so
+    # this tuple is empty and the window re-fronts the oldest-evidence
+    # cohorts (r13/r14). The exact-substring family registration note
+    # from round 17 (run_stream_substring_gate as the novelty-gate
+    # registration pattern) stays in git history for any future build
+    # work; nothing is staged this round.
 )
 
 #: name → latest round with a green (or rows-only-recorded) driver row,
@@ -125,65 +99,16 @@ _NEEDS_FRESH_SCORE: tuple[str, ...] = (
 #: ``tools/refresh_ledger.py``. Names absent here and not in
 #: ``_NEEDS_FRESH_SCORE`` (i.e. never scored) sort first.
 _LAST_GREEN = {
-    # round 12
-    "q39_scd2_history": 12,
-    "q40_referential_audit": 12,
-    "q41_unpivot_metrics": 12,
-    "q42_customer_value_distribution": 12,
-    "q43_exact_correlation": 12,
-    "q52_duplicate_lineage": 12,
-    "q53_cohort_retention": 12,
     # round 13
     "compact_decisions": 13,
-    "dedup_bloom_audit": 13,
-    "dedup_bloom_bits": 13,
-    "dedup_bloom_decontaminate": 13,
-    "dedup_containment_audit": 13,
-    "dedup_embedding_lsh": 13,
-    "dedup_embedding_signlsh": 13,
-    "dedup_hot_bucket_audit": 13,
-    "dedup_merge_index": 13,
-    "dedup_minhash_md5_pairs": 13,
-    "dedup_prefix_join_audit": 13,
-    "mix_cluster_balanced": 13,
-    "mix_curriculum_order": 13,
-    "mix_token_budget": 13,
-    "multimodal_frame_manifest": 13,
-    "multimodal_media_features": 13,
-    "multimodal_pair_dedup": 13,
-    "multimodal_png_features": 13,
-    "multimodal_wav_features": 13,
     "q44_global_ids": 13,
     "q45_messy_date_ladder": 13,
     "q46_approx_percentile_scale_path": 13,
     "q47_cascade_delete_audit": 13,
     "q48_gap_filled_daily_revenue": 13,
     "q49_shuffled_hash_strategy": 13,
-    "sim_ivf_assign": 13,
-    "sim_ivf_index_search": 13,
-    "sim_ivf_lloyd": 13,
-    "sim_ivf_occupancy_audit": 13,
-    "sim_ivfpq_search": 13,
-    "sim_pq_codes": 13,
-    "sim_pq_lloyd": 13,
-    "sim_pq_search": 13,
-    "sim_range_search": 13,
-    "stream_dedup_events": 13,
-    "stream_hourly_event_windows": 13,
     "stream_ivf_assign": 13,
     "stream_semdedup_gate": 13,
-    "stream_sliding_windows": 13,
-    "stream_user_running_totals": 13,
-    "stream_user_sessions": 13,
-    "text_char_entropy": 13,
-    "text_chunk_documents": 13,
-    "text_cms_token_counts": 13,
-    "text_gopher_filter": 13,
-    "text_lm_trigram": 13,
-    "text_nb_classifier": 13,
-    "text_span_dedup": 13,
-    "text_span_dedup_apply": 13,
-    "text_unicode_normalize": 13,
     # round 14
     "corpus_data_card": 14,
     "corpus_snapshot_diff": 14,
@@ -335,6 +260,57 @@ _LAST_GREEN = {
     "text_repetition_filter": 16,
     "text_token_stats": 16,
     "text_vocab_topk": 16,
+    # round 17
+    "dedup_bloom_audit": 17,
+    "dedup_bloom_bits": 17,
+    "dedup_bloom_decontaminate": 17,
+    "dedup_containment_audit": 17,
+    "dedup_embedding_lsh": 17,
+    "dedup_embedding_signlsh": 17,
+    "dedup_hot_bucket_audit": 17,
+    "dedup_merge_index": 17,
+    "dedup_minhash_md5_pairs": 17,
+    "dedup_prefix_join_audit": 17,
+    "mix_cluster_balanced": 17,
+    "mix_curriculum_order": 17,
+    "mix_token_budget": 17,
+    "multimodal_frame_manifest": 17,
+    "multimodal_media_features": 17,
+    "multimodal_pair_dedup": 17,
+    "multimodal_png_features": 17,
+    "multimodal_wav_features": 17,
+    "q39_scd2_history": 17,
+    "q40_referential_audit": 17,
+    "q41_unpivot_metrics": 17,
+    "q42_customer_value_distribution": 17,
+    "q43_exact_correlation": 17,
+    "q52_duplicate_lineage": 17,
+    "q53_cohort_retention": 17,
+    "sim_compressed_append": 17,
+    "sim_index_fsck": 17,
+    "sim_ivf_assign": 17,
+    "sim_ivf_index_search": 17,
+    "sim_ivf_lloyd": 17,
+    "sim_ivf_occupancy_audit": 17,
+    "sim_ivfpq_search": 17,
+    "sim_pq_codes": 17,
+    "sim_pq_lloyd": 17,
+    "sim_pq_search": 17,
+    "sim_range_search": 17,
+    "stream_dedup_events": 17,
+    "stream_hourly_event_windows": 17,
+    "stream_sliding_windows": 17,
+    "stream_user_running_totals": 17,
+    "stream_user_sessions": 17,
+    "text_char_entropy": 17,
+    "text_chunk_documents": 17,
+    "text_cms_token_counts": 17,
+    "text_gopher_filter": 17,
+    "text_lm_trigram": 17,
+    "text_nb_classifier": 17,
+    "text_span_dedup": 17,
+    "text_span_dedup_apply": 17,
+    "text_unicode_normalize": 17,
 }
 
 
