@@ -1610,16 +1610,21 @@ def retrain_gate_index(
             F.lit(1.0), cosine_similarity_expr("v", "centroid", dim=dim)
         ).alias("centroid_cos"),
     )
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    # checkpoint FIRST, then count moved off the checkpointed delta
+    # (optimization r18, the retrain_pq_index discipline): the full
+    # re-assignment — the pass's dominant cost — runs once instead of
+    # twice, and the old-labels comparison still materializes to a
+    # driver int BEFORE the overwrite destroys its source files
+    delta = relabeled.repartition("cell")
+    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     moved = (
-        relabeled.select("id", F.col("cell").alias("new_cell"))
+        delta.select("id", F.col("cell").alias("new_cell"))
         .join(members.select("id", "cell"), "id")
         .filter(F.col("new_cell") != F.col("cell"))
         .count()
     )
-    if reliable is None:
-        reliable = spark.sparkContext.getCheckpointDir() is not None
-    delta = relabeled.repartition("cell")
-    delta = delta.checkpoint(eager=True) if reliable else delta.localCheckpoint(eager=True)
     new_cent = new.centroids.localCheckpoint(eager=True)
     handle = getattr(new.assignments, "release_caches", None)
     if callable(handle):
@@ -1848,61 +1853,94 @@ def compressed_index_tick(
     if tombstones_path is not None:
         tomb = _read(tombstones_path)
         if tomb is not None:
-            # members FIRST (source of truth), code tables as followers
-            for table in ("assignments", "pq_codes", "sq_codes"):
+            # members FIRST (source of truth) — the crash posture: a
+            # tick that dies here leaves followers un-retired (the
+            # orphan-codes fsck signature, healed by the idempotent
+            # re-run), never a codes-only erase the next re-fit would
+            # resurrect. The FOLLOWER surfaces carry no relative order
+            # contract among themselves, and each rewrites its own
+            # table — so they run as overlapped jobs from a small
+            # thread pool (guide §2.6): the tail of one surface's
+            # rewrite back-fills executors with the next one's scan,
+            # and the wall cost of the follower stage drops from the
+            # sum to roughly the max.
+            if _read(f"{index_path}/assignments") is not None:
+                if ivf_retire(spark, index_path, tomb, members_table="assignments"):
+                    retired.append("assignments")
+
+            def _retire_follower(table: str) -> str | None:
+                if table == "encode_log":
+                    # the encode log is per-id too: erase the retired
+                    # ids' qerr rows (the log_retire posture — an
+                    # erased identity must not keep indicting the
+                    # codebooks either). log_retire probes internally
+                    # and returns None on the untouched-log
+                    # short-circuit, so one semi-join serves both the
+                    # rewrite decision and the summary row (advice
+                    # r15: the old outer probe duplicated the
+                    # identical limit(1) scan every tick under a
+                    # standing tombstone)
+                    if _read(f"{index_path}/encode_log") is None:
+                        return None
+                    from auraverse_etl_pipeline_spark.operators.retire import (
+                        log_retire,
+                    )
+
+                    if log_retire(spark, f"{index_path}/encode_log", tomb) is not None:
+                        return "encode_log"
+                    return None
                 if _read(f"{index_path}/{table}") is not None:
                     if ivf_retire(spark, index_path, tomb, members_table=table):
-                        retired.append(table)
-            # the encode log is per-id too: erase the retired ids'
-            # qerr rows (the log_retire posture — an erased identity
-            # must not keep indicting the codebooks either).
-            # log_retire probes internally and returns None on the
-            # untouched-log short-circuit, so one semi-join serves
-            # both the rewrite decision and the summary row (advice
-            # r15: the old outer probe duplicated the identical
-            # limit(1) scan every tick under a standing tombstone)
-            if _read(f"{index_path}/encode_log") is not None:
-                from auraverse_etl_pipeline_spark.operators.retire import (
-                    log_retire,
-                )
+                        return table
+                return None
 
-                if (
-                    log_retire(spark, f"{index_path}/encode_log", tomb)
-                    is not None
-                ):
-                    retired.append("encode_log")
+            from concurrent.futures import ThreadPoolExecutor
 
-    pq_retrained, pq_moved = False, 0
-    log = _read(f"{index_path}/encode_log")
-    if (
-        log is not None
-        and "batch_id" in log.columns  # pq_quantization_error emits
-        # (id, qerr) only — an unstamped log degrades to no audit,
-        # never an aborted tick (the gate tick's decisions guard)
-        and _read(f"{index_path}/pq_codes") is not None
-    ):
+            followers = ("pq_codes", "sq_codes", "encode_log")
+            with ThreadPoolExecutor(max_workers=len(followers)) as pool:
+                for name in pool.map(_retire_follower, followers):
+                    if name is not None:
+                        retired.append(name)
+
+    # The PQ and SQ stages read/rewrite DISJOINT table sets (pq_codes/
+    # codebooks/encode_log watermark vs sq_codes/sq_stats; both only
+    # READ assignments) and carry no relative-order contract, so they
+    # run as two overlapped driver threads (guide §2.6) — the cheap SQ
+    # audit rides along while the PQ Lloyd rounds dominate the tick.
+    def _pq_stage() -> tuple[bool, int]:
+        log = _read(f"{index_path}/encode_log")
+        if (
+            log is None
+            or "batch_id" not in log.columns  # pq_quantization_error
+            # emits (id, qerr) only — an unstamped log degrades to no
+            # audit, never an aborted tick (the gate decisions guard)
+            or _read(f"{index_path}/pq_codes") is None
+        ):
+            return False, 0
         wm_path = f"{index_path}/pq_retrain_watermark"
-        log = _watermark_filter(spark, log, wm_path)
+        flog = _watermark_filter(spark, log, wm_path)
         flagged = (
-            pq_drift_audit(log, drift_threshold=qerr_threshold)
+            pq_drift_audit(flog, drift_threshold=qerr_threshold)
             .filter("retrain")
             .limit(1)
             .count()
             > 0
         )
-        if flagged:
-            consumed = log.agg(F.max("batch_id").alias("batch_id"))
-            consumed = consumed.localCheckpoint(eager=True)
-            pq_moved = retrain_pq_index(
-                spark, index_path, m=m, ksub=ksub, max_iter=max_iter, dim=dim
-            )
-            pq_retrained = True
-            consumed.write.mode("overwrite").parquet(wm_path)
+        if not flagged:
+            return False, 0
+        consumed = flog.agg(F.max("batch_id").alias("batch_id"))
+        consumed = consumed.localCheckpoint(eager=True)
+        moved = retrain_pq_index(
+            spark, index_path, m=m, ksub=ksub, max_iter=max_iter, dim=dim
+        )
+        consumed.write.mode("overwrite").parquet(wm_path)
+        return True, moved
 
-    sq_retrained, sq_moved = False, 0
-    sq_codes = _read(f"{index_path}/sq_codes")
-    sq_st = _read(f"{index_path}/sq_stats")
-    if sq_codes is not None and sq_st is not None:
+    def _sq_stage() -> tuple[bool, int]:
+        sq_codes = _read(f"{index_path}/sq_codes")
+        sq_st = _read(f"{index_path}/sq_stats")
+        if sq_codes is None or sq_st is None:
+            return False, 0
         # level signal over current state: stamp one synthetic batch.
         # stats passed so constant dimensions (coded -128 forever by
         # construction) cannot flag a retrain the re-fit can't clear
@@ -1917,9 +1955,17 @@ def compressed_index_tick(
             .count()
             > 0
         )
-        if saturated:
-            sq_moved = retrain_sq_index(spark, index_path, dim=dim)
-            sq_retrained = True
+        if not saturated:
+            return False, 0
+        return True, retrain_sq_index(spark, index_path, dim=dim)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pq_fut = pool.submit(_pq_stage)
+        sq_fut = pool.submit(_sq_stage)
+        pq_retrained, pq_moved = pq_fut.result()
+        sq_retrained, sq_moved = sq_fut.result()
 
     return {
         "retired": retired,
