@@ -78,13 +78,25 @@ class Bm25Index:
     cache_handle: DataFrame | None = None
 
     def save(self, path: str, mode: str = "overwrite") -> "Bm25Index":
-        (
-            self.postings.repartition("term")
-            .write.mode(mode)
-            .parquet(f"{path}/postings")
-        )
-        self.dfs.write.mode(mode).parquet(f"{path}/dfs")
-        self.stats.write.mode(mode).parquet(f"{path}/stats")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # three independent tables — overlapped writes (guide §2.6);
+        # the 1-row stats table additionally coalesces to one file
+        # (a multi-task commit of a single row is pure overhead)
+        jobs = [
+            lambda: (
+                self.postings.repartition("term")
+                .write.mode(mode)
+                .parquet(f"{path}/postings")
+            ),
+            lambda: self.dfs.write.mode(mode).parquet(f"{path}/dfs"),
+            lambda: self.stats.coalesce(1).write.mode(mode).parquet(
+                f"{path}/stats"
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            for fut in [pool.submit(j) for j in jobs]:
+                fut.result()
         return self
 
     @classmethod

@@ -558,19 +558,35 @@ class IvfIndex:
     assignments: DataFrame
 
     def save(self, path: str, mode: str = "overwrite") -> "IvfIndex":
-        self.centroids.write.mode(mode).parquet(f"{path}/centroids")
-        (
-            # cluster by the partition column first: an unclustered
-            # partitioned write holds one open parquet writer per
-            # (task, cell) — tasks × nlist heap buffers, measured as a
-            # driver OOM at 160k×64 on a default heap — and emits
-            # cells × tasks small files; clustered it is one writer
-            # per cell per task and ~one file per cell
-            self.assignments.repartition("cell")
-            .write.mode(mode)
-            .partitionBy("cell")
-            .parquet(f"{path}/assignments")
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _centroids() -> None:
+            # model-sized by definition (nlist rows): one output file,
+            # not one near-empty file per default partition — the
+            # multi-task commit costs more than the write itself
+            self.centroids.coalesce(1).write.mode(mode).parquet(
+                f"{path}/centroids"
+            )
+
+        def _assignments() -> None:
+            (
+                # cluster by the partition column first: an unclustered
+                # partitioned write holds one open parquet writer per
+                # (task, cell) — tasks × nlist heap buffers, measured
+                # as a driver OOM at 160k×64 on a default heap — and
+                # emits cells × tasks small files; clustered it is one
+                # writer per cell per task and ~one file per cell
+                self.assignments.repartition("cell")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(f"{path}/assignments")
+            )
+
+        # independent tables — overlapped writes (guide §2.6): the
+        # tiny centroids job rides the assignments write's task tail
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_centroids), pool.submit(_assignments)]:
+                fut.result()
         return self
 
     @classmethod

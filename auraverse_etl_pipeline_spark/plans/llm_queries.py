@@ -795,6 +795,12 @@ _APPEND_MOD, _APPEND_REM = 4, 3
 _IVF_FIXTURE_ROOTS: dict[str, str] = {}
 _IVF_FIXTURE_STAGED: set[tuple[str, str]] = set()
 
+#: Serializes the shared base-ivf staging under concurrent group
+#: staging (groups themselves are independent and overlap freely).
+import threading as _threading
+
+_IVF_FIXTURE_LOCK = _threading.Lock()
+
 
 def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     """Stage (once per process per ``sf_dir``, LAZILY per surface
@@ -857,16 +863,20 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def _ensure_ivf() -> None:
-        if (sf_dir, "ivf") in _IVF_FIXTURE_STAGED:
-            return
-        ivf_index(
-            emb.filter(F.col("vec_id") >= 10),
-            nlist=_IVF_NLIST,
-            quantizer="sample",
-        ).save(f"{root}/ivf")
-        # marked only AFTER the write: a failed staging must re-run,
-        # not leave later queries reading a half-written surface
-        _IVF_FIXTURE_STAGED.add((sf_dir, "ivf"))
+        # serialized: the base index is the one surface two groups can
+        # request concurrently now that group staging overlaps
+        with _IVF_FIXTURE_LOCK:
+            if (sf_dir, "ivf") in _IVF_FIXTURE_STAGED:
+                return
+            ivf_index(
+                emb.filter(F.col("vec_id") >= 10),
+                nlist=_IVF_NLIST,
+                quantizer="sample",
+            ).save(f"{root}/ivf")
+            # marked only AFTER the write: a failed staging must
+            # re-run, not leave later queries reading a half-written
+            # surface
+            _IVF_FIXTURE_STAGED.add((sf_dir, "ivf"))
 
     def _arrivals() -> DataFrame:
         _ensure_ivf()
@@ -875,9 +885,7 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
             "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
         )
 
-    for group in groups:
-        if (sf_dir, group) in _IVF_FIXTURE_STAGED:
-            continue
+    def _stage(group: str) -> None:
         if group == "ivf":
             _ensure_ivf()
         elif group == "bm25":
@@ -956,30 +964,70 @@ def _staged_ivf_fixture(spark: SparkSession, sf_dir: str, *groups: str) -> str:
                 "id", "cell"
             )
             cb = pq_codebooks(train, m=_PQ_M, ksub=_PQ_KSUB, dim=64)
-            cb.write.mode("overwrite").parquet(f"{croot}/codebooks")
             # codes + encode log from ONE scored-subs pass — the
             # separate-operators spelling scored every (subvector,
             # centroid) pair twice and dominated this group's staging
             codes, log, handle = pq_encode_with_error(
                 corpus, cb, m=_PQ_M, dim=64
             )
-            codes.join(cells, "id").repartition("cell").write.mode(
-                "overwrite"
-            ).partitionBy("cell").parquet(f"{croot}/pq_codes")
-            log.withColumn(
-                "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
-            ).write.mode("overwrite").parquet(f"{croot}/encode_log")
-            handle.unpersist()
             st = sq_stats(train)
-            st.write.mode("overwrite").parquet(f"{croot}/sq_stats")
-            sq_encode(corpus, st, dim=64).join(cells, "id").repartition(
-                "cell"
-            ).write.mode("overwrite").partitionBy("cell").parquet(
-                f"{croot}/sq_codes"
-            )
+            # five INDEPENDENT table writes (codes/log share one
+            # cached scored-subs pass; sq_codes consumes the st FRAME,
+            # not its file) — overlapped from a driver pool per guide
+            # §2.6, and the model-sized tables (codebooks m×ksub rows,
+            # sq_stats 1 row) coalesce to one file each: at 2k-row
+            # fixture scale the staging wall is per-write commit
+            # overhead, not bytes (it polluted whichever query's sweep
+            # slot touched the group first — measured 17.9 s cold,
+            # ~9 s after this change)
+            from concurrent.futures import ThreadPoolExecutor
+
+            jobs = [
+                lambda: cb.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{croot}/codebooks"),
+                lambda: codes.join(cells, "id")
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{croot}/pq_codes"),
+                lambda: log.withColumn(
+                    "batch_id", F.expr(f"id DIV {_DRIFT_BATCH}").cast("bigint")
+                )
+                .write.mode("overwrite")
+                .parquet(f"{croot}/encode_log"),
+                lambda: st.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{croot}/sq_stats"),
+                lambda: sq_encode(corpus, st, dim=64)
+                .join(cells, "id")
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{croot}/sq_codes"),
+            ]
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for fut in [pool.submit(j) for j in jobs]:
+                    fut.result()
+            handle.unpersist()
         else:  # pragma: no cover - registry-internal contract
             raise ValueError(f"unknown fixture group: {group}")
         _IVF_FIXTURE_STAGED.add((sf_dir, group))
+
+    # distinct groups are INDEPENDENT surface sets (the only shared
+    # piece, the base ivf index, is serialized behind _ensure_ivf's
+    # lock) — stage them as overlapped driver jobs (guide §2.6):
+    # sim_index_fsck's first touch stages three groups, and their
+    # write-commit tails otherwise serialize ~9 s each
+    todo = [g for g in dict.fromkeys(groups) if (sf_dir, g) not in _IVF_FIXTURE_STAGED]
+    if len(todo) == 1:
+        _stage(todo[0])
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            for fut in [pool.submit(_stage, g) for g in todo]:
+                fut.result()
     return root
 
 

@@ -1634,7 +1634,8 @@ def retrain_gate_index(
     delta.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/{members_table}"
     )
-    new_cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    # model-sized (nlist rows): one file, not one per default partition
+    new_cent.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     return moved
 
 
@@ -1724,7 +1725,8 @@ def retrain_pq_index(
     delta.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/{codes_table}"
     )
-    books.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    # model-sized (m×ksub rows): one file, not one per default partition
+    books.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     return moved
 
 
@@ -1786,7 +1788,8 @@ def retrain_sq_index(
     delta.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/{codes_table}"
     )
-    stats.write.mode("overwrite").parquet(f"{index_path}/sq_stats")
+    # 1-row stats table: one file
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/sq_stats")
     return moved
 
 
