@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 
 from auraverse_etl_pipeline_spark.operators.caching import release_after
 from auraverse_etl_pipeline_spark.operators.lm import LM_XENT_MAX
+from auraverse_etl_pipeline_spark.operators.retire import _checkpoint
 
 
 def crawl_to_corpus_funnel(
@@ -173,8 +174,11 @@ def crawl_to_corpus_funnel(
         # re-analyzes it once per action (measured: ~6 s of pure
         # driver-side plan analysis per warm funnel run, §7.3's
         # planning-time trap). The detector output is deterministic,
-        # so the cut changes no rows.
-        .localCheckpoint()
+        # so the cut changes no rows. Auto-upgrades to the reliable
+        # checkpoint dir when one is configured (retire.py discipline
+        # — executor-local blocks die with their executor at cluster
+        # scale; localCheckpoint stays the local-mode default).
+        .transform(lambda d: _checkpoint(d, d.sparkSession, None))
     )
 
     # Fixed-width per-doc flags (text dropped before caching). The
@@ -197,8 +201,9 @@ def crawl_to_corpus_funnel(
     # gopher/lang/md5/sha2 expression forest — the second lineage cut
     # (optimization r17): a .cache() would re-run Catalyst analysis of
     # that forest under every downstream action (same §7.3 trap as the
-    # redocs boundary). Fixed-width rows, deterministic content.
-    flags = flags.localCheckpoint()
+    # redocs boundary). Fixed-width rows, deterministic content; same
+    # reliable auto-upgrade as the redocs cut.
+    flags = _checkpoint(flags, flags.sparkSession, None)
     canon = (
         flags.filter("domain_ok").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     )
@@ -420,11 +425,13 @@ def corpus_to_chunk_index(
     # the chunk explode + embedding aggregate embedded in all of them,
     # a localCheckpoint truncates it (deterministic content, same
     # rows).
+    # (auto-upgrades to the reliable checkpoint dir when configured —
+    # the retire.py discipline)
     cvec = (
         hashed_embeddings(chunks, dim=dim, id_col="chunk_id")
         .filter(F.col("norm") > 0)
         .select(F.col("id").alias("vec_id"), F.col("embedding"))
-        .localCheckpoint()
+        .transform(lambda d: _checkpoint(d, d.sparkSession, None))
     )
     qvec = (
         hashed_embeddings(queries, dim=dim)

@@ -270,24 +270,59 @@ def ngram_lm_score(
     # so scores are bit-identical; ``try_element_at`` returns null on
     # a missing continuation exactly where the old left join produced
     # a null ``logp``/``logp3`` (ANSI-safe: plain element_at throws on
-    # missing map keys under Spark 4's default ANSI mode). The full
-    # outer join keeps contexts that carry no observed n-gram row and
-    # vice versa — impossible for a train()-built model (both derive
-    # from one count table) but cheap insurance for a pruned one.
+    # missing map keys under Spark 4's default ANSI mode). The fuse is
+    # spelled as a UNION + one aggregate, never a full-outer join: a
+    # full outer cannot broadcast, so Spark plans it as a sort-merge
+    # join — model-sized here, but it put the only SortMergeJoin into
+    # every LM-scoring plan (the test_plans guard caught it). The
+    # union keeps full-outer semantics — a context with no observed
+    # n-gram row aggregates to an empty map, an n-gram row with no
+    # context row (impossible for a train()-built model, cheap
+    # insurance for a pruned one) to a null miss mass (collect_list
+    # skips the null entry structs; max over the at-most-one non-null
+    # miss mass recovers it) — in ONE exchange instead of three.
     m2 = (
-        lm.bigrams.groupBy("prev")
-        .agg(F.map_from_entries(F.collect_list(F.struct("tok", "logp"))).alias("_m2"))
-        .join(lm.contexts, "prev", "full_outer")
+        lm.bigrams.select(
+            "prev",
+            F.struct("tok", "logp").alias("_e"),
+            F.lit(None).cast("double").alias("logp_miss"),
+        )
+        .unionByName(
+            lm.contexts.select(
+                "prev",
+                F.lit(None).cast("struct<tok:string,logp:double>").alias("_e"),
+                "logp_miss",
+            )
+        )
+        .groupBy("prev")
+        .agg(
+            F.map_from_entries(F.collect_list("_e")).alias("_m2"),
+            F.max("logp_miss").alias("logp_miss"),
+        )
     )
     if lm.trigrams is not None:
         m3 = (
-            lm.trigrams.groupBy("p2", "prev")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("tok", "logp3"))
-                ).alias("_m3")
+            lm.trigrams.select(
+                "p2",
+                "prev",
+                F.struct("tok", "logp3").alias("_e3"),
+                F.lit(None).cast("double").alias("logp_miss3"),
             )
-            .join(lm.contexts3, ["p2", "prev"], "full_outer")
+            .unionByName(
+                lm.contexts3.select(
+                    "p2",
+                    "prev",
+                    F.lit(None)
+                    .cast("struct<tok:string,logp3:double>")
+                    .alias("_e3"),
+                    "logp_miss3",
+                )
+            )
+            .groupBy("p2", "prev")
+            .agg(
+                F.map_from_entries(F.collect_list("_e3")).alias("_m3"),
+                F.max("logp_miss3").alias("logp_miss3"),
+            )
         )
         tr = _transitions3(df, text_col, id_col)
         logp = F.coalesce(

@@ -6261,9 +6261,18 @@ def sim_retrieval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qfilter = F.col("doc_id").isin(*_HYBRID_QUERY_IDS)
     idx = bm25_index(corpus, cache=True)
     # lex feeds the fused ranking AND its own run row; dense feeds the
-    # fusion, its run row, AND the truth grades — cache both so the
-    # corpus-sized retrieval plans run once (the CLAUDE.md/SCALE.md
-    # multi-consumer rule), released with the index handle below.
+    # fusion, its run row, AND the truth grades. EAGER localCheckpoint,
+    # not .cache() (optimization r18 — the crawl funnel's lineage-cut
+    # rule): both frames are queries×k rows, but a .cache() leaves the
+    # whole retrieval forest (tokenize+postings aggregate on the lex
+    # side, the 64-dim exact-cosine fold on the dense side) embedded as
+    # the cached subtree's LOGICAL plan, and Catalyst re-analyzes it at
+    # every one of the 6 places the audit consumes them — measured as
+    # the dominant cost of this all-small-tables query. The cut
+    # truncates the lineage to the materialized rows (deterministic:
+    # both rankers tie-break on doc_id). The bm25 tf cache stays a
+    # cache — it is consumed only inside lex's one materialization —
+    # and releases through the handle below.
     lex = (
         bm25_search(
             corpus.filter(qfilter).select(
@@ -6273,7 +6282,7 @@ def sim_retrieval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=20,
         )
         .select("query_id", "doc_id", "rank")
-        .cache()
+        .localCheckpoint()
     )
     dense = (
         cosine_top_k(
@@ -6285,7 +6294,7 @@ def sim_retrieval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_fold=True,
         )
         .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
-        .cache()
+        .localCheckpoint()
     )
     hybrid = hybrid_rrf(lex, dense, k=10, rrf_k=_RRF_K).select(
         "query_id", "doc_id", "rank"
@@ -6307,7 +6316,7 @@ def sim_retrieval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", (11 - F.col("rank")).cast("bigint").alias("rel")
     )
     out = retrieval_quality_audit(runs, truth, k=10)
-    return release_after(out, idx.cache_handle, lex, dense)
+    return release_after(out, idx.cache_handle)
 
 
 @query(

@@ -944,6 +944,94 @@ def test_stream_semdedup_gate_fresh_index(spark, tmp_path):
     assert mem_ids == {20}
 
 
+def test_semdedup_gate_append_crash_window_is_fsck_silent(spark, tmp_path):
+    """The gate's members-FIRST write order (optimization r18,
+    restoring the pre-r17 posture without its second checkpoint): a
+    crash between the member append and the decision append leaves a
+    member with NO decision row. Pinned here, against the exact
+    post-crash disk state: (a) that state is fsck-SILENT — every
+    gate_index_fsck check reads 0, because kept_decision_without_member
+    is reserved for the retire-skip signature — and (b) it HEALS
+    invisibly: the orphan id's re-arrival is index-wins skipped (no
+    duplicate member row, still no decision row), so the window closes
+    with no operator action. (c) The contrast: a genuine retire-skip
+    (kept decision left behind after the member is erased) DOES raise
+    kept_decision_without_member, so the two root causes stay
+    attributable — the round-17 verdict's crash-window ambiguity,
+    resolved by the write order instead of by documentation."""
+    from auraverse_etl_pipeline_spark.operators.similarity import ivf_index
+    from auraverse_etl_pipeline_spark.streaming.ops import (
+        gate_index_fsck,
+        run_stream_semdedup_gate,
+    )
+    from auraverse_etl_pipeline_spark.streaming.sources import stage_ordered_batches
+
+    schema = "vec_id bigint, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    idx = ivf_index(corpus, nlist=2, quantizer="sample")
+    root = tmp_path / "crashwin"
+    idx.centroids.write.parquet(str(root / "centroids"))
+    chunks = tmp_path / "crashwin_chunks"
+    stage_ordered_batches(
+        [spark.createDataFrame([(20, [0.0, 0.3, 0.9, 0.0])], schema)],
+        str(chunks),
+    )
+    svec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    run_stream_semdedup_gate(svec, index_path=str(root), threshold=0.9)
+
+    # simulate the crash: the batch-2 member append committed, the
+    # decision append did not — id 40's member row exists, no verdict
+    cell0 = spark.read.parquet(str(root / "centroids")).collect()[0].cell
+    spark.createDataFrame(
+        [(40, [0.0, 0.0, 0.0, 1.0], int(cell0), 0.0)],
+        "id bigint, v array<double>, cell int, centroid_cos double",
+    ).write.mode("append").partitionBy("cell").parquet(str(root / "members"))
+
+    fsck = gate_index_fsck(spark, str(root))
+    checks = {r.check: r.violations for r in fsck.collect()}
+    fsck.release_caches()
+    assert all(v == 0 for v in checks.values()), checks  # (a) fsck-silent
+
+    # (b) the window heals on re-arrival: index-wins drops id 40
+    # silently — one member row, still no decision row, fsck still 0
+    chunks2 = tmp_path / "crashwin_chunks2"
+    stage_ordered_batches(
+        [spark.createDataFrame([(40, [0.0, 0.0, 0.0, 1.0])], schema)],
+        str(chunks2),
+    )
+    svec2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks2))
+    )
+    run_stream_semdedup_gate(svec2, index_path=str(root), threshold=0.9)
+    members = spark.read.parquet(str(root / "members"))
+    assert members.filter("id = 40").count() == 1
+    dec_ids = {r.id for r in spark.read.parquet(str(root / "decisions")).collect()}
+    assert dec_ids == {20}
+    fsck = gate_index_fsck(spark, str(root))
+    checks = {r.check: r.violations for r in fsck.collect()}
+    fsck.release_caches()
+    assert all(v == 0 for v in checks.values()), checks
+
+    # (c) contrast — the retire-skip signature still fires: erase kept
+    # id 20's member rows but leave its decision row behind
+    survivors = members.filter("id <> 20").localCheckpoint()
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(
+        str(root / "members")
+    )
+    fsck = gate_index_fsck(spark, str(root))
+    checks = {r.check: r.violations for r in fsck.collect()}
+    fsck.release_caches()
+    assert checks["kept_decision_without_member"] == 1, checks
+
+
 def test_semdedup_gate_rebalance_gate_composition(spark, tmp_path):
     """The documented operational loop end to end: gate a batch,
     rebalance the persisted index when a cell runs hot (the
