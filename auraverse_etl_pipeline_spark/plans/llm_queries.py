@@ -5737,11 +5737,23 @@ def text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one tokenize for both sides: the batch re-ingests everything, and
     # day-1's independently-built index equals the batch index filtered
-    # to day-1 ids (same texts), so derive it from the SAME cached
+    # to day-1 ids (same texts), so derive it from the SAME materialized
     # postings — a real daily loop LOADS both as parquet scans instead.
-    batch = bm25_index(docs, cache=True)  # re-ingests day1 + new docs
-    batch.postings.persist()
-    p1 = batch.postings.filter(F.col("id") % 3 != 0).persist()
+    # EAGER localCheckpoint, not .persist() (optimization r18, the
+    # funnel's lineage-cut rule): everything downstream — day-1's
+    # filtered tables, the merge anti-join, the postings union, the
+    # roll — derives from this ONE frame, and a cache leaves the
+    # tokenize+aggregate forest embedded as the cached subtree's
+    # logical plan, re-analyzed by Catalyst under every consumer. The
+    # cut stands in for the parquet scan of a real daily loop. The
+    # internal (id, term, tf) cache is consumed only inside this
+    # materialization (tf side + dl side), so it releases right here
+    # instead of riding the returned frame's handle.
+    built = bm25_index(docs, cache=True)  # re-ingests day1 + new docs
+    postings = built.postings.localCheckpoint()
+    built.cache_handle.unpersist()
+    batch = Bm25Index(postings=postings, dfs=built.dfs, stats=built.stats)
+    p1 = postings.filter(F.col("id") % 3 != 0).persist()
     idx1 = Bm25Index(
         postings=p1,
         dfs=p1.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df")),
@@ -5772,7 +5784,7 @@ def text_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "df", "df_postings", "total_tf", "max_tf", "avgdl")
     )
-    return release_after(out, batch.cache_handle, batch.postings, p1)
+    return release_after(out, p1)
 
 
 _RP_OUT_DIM = 16
