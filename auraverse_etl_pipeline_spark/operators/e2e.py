@@ -233,12 +233,20 @@ def crawl_to_corpus_funnel(
     # chained release handle — the three model-table caches plus the
     # internal bigram-count cache — releases with everything else.
     lm_out = lm_score_report(s5, ref)
+    # third lineage cut (optimization r18, same §7.3 trap): scores is
+    # consumed by the stage-7 survivor cut AND the final flag join, and
+    # a .cache() would leave the whole LM-scoring forest (model
+    # aggregates + transition explode over stage-6 survivors) embedded
+    # as the cached subtree's logical plan, re-analyzed per consumer.
+    # Fixed-width rows, deterministic content; reliable auto-upgrade
+    # as the other cuts.
     scores = lm_out.select(
         F.col("id").alias("doc_id"),
         (F.col("xent").isNotNull() & (F.col("xent") <= F.lit(float(xent_max)))).alias(
             "fluent"
         ),
-    ).cache()
+    )
+    scores = _checkpoint(scores, scores.sparkSession, None)
     s6 = s5.join(scores.filter("fluent").select("doc_id"), "doc_id")
 
     # Stage 8: near-dedup among stage-7 survivors (keep-first edge rule).

@@ -67,6 +67,17 @@ class BigramLm:
     stats: DataFrame
     trigrams: DataFrame | None = None
     contexts3: DataFrame | None = None
+    #: Optional PRE-MATERIALIZED fused scoring frames (optimization
+    #: r18): the per-order (context → continuations map, miss mass)
+    #: frames :func:`ngram_lm_score` otherwise derives lazily per
+    #: call. A long-lived scorer — the streaming LM gate scores every
+    #: micro-batch against one frozen model — sets them once via
+    #: :func:`prepare_scoring_frames` so the model-table aggregates
+    #: run once per stream instead of once per batch. One-shot
+    #: scorers leave them None (the lazy build folds into their one
+    #: action; an eager cut would only add jobs).
+    fused2: DataFrame | None = None
+    fused3: DataFrame | None = None
 
 
 def _transitions(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
@@ -229,35 +240,10 @@ def ngram_lm_train(
     )
 
 
-def ngram_lm_score(
-    df: DataFrame,
-    lm: BigramLm,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Score documents against a :class:`BigramLm`:
-    ``(id, n_transitions, xent)`` where ``xent`` is the per-transition
-    cross-entropy ``−(Σ logp) / n`` (nats/token; null for documents
-    with fewer than two tokens — nothing to score, surfaced as null
-    rather than guessed at). Lower = more reference-like; the CCNet
-    gate keeps the low/middle buckets.
-
-    When the model carries a trigram head (``lm.trigrams`` is not
-    None), every transition scores through the KenLM-shaped backoff
-    chain ``logp3 → logp_miss3 → logp → logp_miss → logp_unseen``: an
-    observed trigram wins; an observed 2-token context with an unseen
-    continuation pays the trigram miss mass; an UNOBSERVED 2-token
-    context (including the document's second token, where ``p2`` is
-    null by construction) falls through to the bigram tables. All
-    model state stays observed-n-gram-bounded, fused into ONE
-    broadcast frame per order (see the inline note below), so every
-    join is still a broadcast.
-
-    Scale shape: one fused model broadcast per order, the corpus
-    explodes once into fixed-width transition rows, one
-    DECIMAL-partial hash aggregate per document — the corpus never
-    shuffles its text."""
-    ship_package(df.sparkSession)
+def _fused_scoring_frames(lm: BigramLm) -> tuple[DataFrame, DataFrame | None]:
+    """Build the per-order fused scoring frames ngram_lm_score probes
+    — factored out so :func:`prepare_scoring_frames` can materialize
+    them ONCE for long-lived scorers (the streaming LM gate)."""
     # Fused model broadcasts (optimization r18): the per-order pair of
     # model tables — (observed n-grams, observed contexts) — collapses
     # into ONE broadcast frame keyed by the context, carrying the
@@ -300,6 +286,7 @@ def ngram_lm_score(
             F.max("logp_miss").alias("logp_miss"),
         )
     )
+    m3 = None
     if lm.trigrams is not None:
         m3 = (
             lm.trigrams.select(
@@ -324,6 +311,70 @@ def ngram_lm_score(
                 F.max("logp_miss3").alias("logp_miss3"),
             )
         )
+    return m2, m3
+
+
+def prepare_scoring_frames(lm: BigramLm) -> BigramLm:
+    """Materialize the fused scoring frames ONCE (eager checkpoint —
+    auto-upgraded to the reliable checkpoint dir when configured) and
+    return a BigramLm carrying them. For scorers that call
+    :func:`ngram_lm_score` repeatedly against one frozen model (the
+    streaming gate's per-micro-batch scoring), the model-table
+    aggregates then run once per stream instead of once per batch.
+    One-shot scorers should NOT call this: the lazy build folds into
+    their single action, and the eager cut would only add jobs."""
+    m2, m3 = _fused_scoring_frames(lm)
+    spark = m2.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        cut = lambda d: d.checkpoint(eager=True)  # noqa: E731
+    else:
+        cut = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
+    return BigramLm(
+        bigrams=lm.bigrams,
+        contexts=lm.contexts,
+        stats=lm.stats,
+        trigrams=lm.trigrams,
+        contexts3=lm.contexts3,
+        fused2=cut(m2),
+        fused3=cut(m3) if m3 is not None else None,
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: BigramLm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a :class:`BigramLm`:
+    ``(id, n_transitions, xent)`` where ``xent`` is the per-transition
+    cross-entropy ``−(Σ logp) / n`` (nats/token; null for documents
+    with fewer than two tokens — nothing to score, surfaced as null
+    rather than guessed at). Lower = more reference-like; the CCNet
+    gate keeps the low/middle buckets.
+
+    When the model carries a trigram head (``lm.trigrams`` is not
+    None), every transition scores through the KenLM-shaped backoff
+    chain ``logp3 → logp_miss3 → logp → logp_miss → logp_unseen``: an
+    observed trigram wins; an observed 2-token context with an unseen
+    continuation pays the trigram miss mass; an UNOBSERVED 2-token
+    context (including the document's second token, where ``p2`` is
+    null by construction) falls through to the bigram tables. All
+    model state stays observed-n-gram-bounded, fused into ONE
+    broadcast frame per order (see the inline note below), so every
+    join is still a broadcast.
+
+    Scale shape: one fused model broadcast per order, the corpus
+    explodes once into fixed-width transition rows, one
+    DECIMAL-partial hash aggregate per document — the corpus never
+    shuffles its text."""
+    ship_package(df.sparkSession)
+    # Fused model frames: prebuilt (prepare_scoring_frames) or lazy
+    if lm.fused2 is not None and (lm.trigrams is None or lm.fused3 is not None):
+        m2, m3 = lm.fused2, lm.fused3
+    else:
+        m2, m3 = _fused_scoring_frames(lm)
+    if lm.trigrams is not None:
         tr = _transitions3(df, text_col, id_col)
         logp = F.coalesce(
             F.try_element_at("_m3", F.col("tok")),

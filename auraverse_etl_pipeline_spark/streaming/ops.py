@@ -809,10 +809,16 @@ def run_stream_lm_quality_gate(
     from auraverse_etl_pipeline_spark.operators.lm import (
         LM_XENT_MAX,
         ngram_lm_score,
+        prepare_scoring_frames,
     )
     from auraverse_etl_pipeline_spark.operators.quality import gopher_report
 
     ceiling = LM_XENT_MAX if xent_max is None else float(xent_max)
+    # materialize the fused scoring frames ONCE for the whole stream
+    # (optimization r18): every micro-batch scores against the same
+    # frozen model, so the model-table aggregates should not re-run
+    # per batch — same logp doubles, just moved once
+    lm = prepare_scoring_frames(lm)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         rep = gopher_report(batch_df)
