@@ -952,8 +952,15 @@ def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "v", "cell", "centroid_cos")
     )
     root = scratch_dir(prefix="semdedup_stream_")
-    idx.centroids.write.parquet(f"{root}/index/centroids")
-    members.write.partitionBy("cell").parquet(f"{root}/index/members")
+    # model-sized centroids: ONE file (the fb6c50e rule — a multi-task
+    # commit of nlist rows is pure overhead, and every micro-batch
+    # re-lists this directory); members clustered by cell before the
+    # partitioned write (the r13 IvfIndex.save rule: one writer per
+    # cell per task, one file per cell for the per-batch in-cell scans)
+    idx.centroids.coalesce(1).write.parquet(f"{root}/index/centroids")
+    members.repartition("cell").write.partitionBy("cell").parquet(
+        f"{root}/index/members"
+    )
     plus = lambda c: F.transform(c, lambda x: x + F.lit(0.05))
     b1 = (
         emb.filter(F.col("vec_id").isin(20, 21))
